@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session factory with the engine's standard tuning.
+  *
+  * Designed for a real cluster (the settings below are the ones that matter at
+  * 100 TB: AQE re-planning, skew-join splitting, partition coalescing) but
+  * testable on local[N]. Shuffle partitions default to the local core count —
+  * on a cluster, set `spark.sql.shuffle.partitions` (or rely on AQE coalescing)
+  * via spark-submit conf.
+  */
+object GraftSession {
+
+  def builder(master: String = s"local[${defaultCpus}]",
+              shufflePartitions: Int = defaultCpus): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // pandas/Glue-parity: implicit casts + coerce-to-null instead of errors
+      // (SURVEY §8.4: the reference runs non-ANSI PySpark on Glue 4.0).
+      .config("spark.sql.ansi.enabled", "false")
+      // the driver testdata stores events.ts as parquet INT64 TIMESTAMP(NANOS),
+      // which Spark cannot represent natively; read as long and convert.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def defaultCpus: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(math.min(Runtime.getRuntime.availableProcessors(), 32))
+
+  def local(): SparkSession = {
+    val s = builder().getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Vector-similarity operators over `array<float>` embedding columns.
+  *
+  * Two tiers, mirroring how ANN is actually deployed on Spark:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    Query side is broadcast (small), corpus side streams: no shuffle of the
+  *    corpus, one window per query id for the top-k cut.
+  *  - [[srpBucketTopK]]: sign-random-projection LSH (an IVF-style coarse
+  *    quantizer): each vector lands in a bucket keyed by the sign pattern of
+  *    `nbits` fixed random hyperplanes; search only compares within matching
+  *    buckets. At 100 TB the bucket key becomes the partition key, so a query
+  *    touches a bounded slice of the corpus instead of all of it.
+  *
+  * All arithmetic is done in double precision after an explicit cast (float
+  * accumulation drifts and is not reproducible across engines), as left-fold
+  * `aggregate` — deterministic order, codegen-friendly, no UDFs.
+  */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each row of `queries` against `corpus`.
+    * `queries` is expected to be small — Catalyst broadcasts it, so the big
+    * corpus is never shuffled; only the per-query window sorts candidates. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val scored = broadcast(q).crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("qv"), col("nv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk").cast("long").as("rk"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: dim × nbits sign projections. */
+  private def hyperplanes(dim: Int, nbits: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(0xC0FFEEL)
+    Array.fill(nbits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-random-projection bucket id (0 .. 2^nbits-1) for a vector column.
+    * The hyperplanes are compile-time constants folded into the plan; the
+    * projection is a fixed linear map per row — no shuffle, no state. */
+  def srpBucket(vec: Column, dim: Int, nbits: Int = 8): Column = {
+    val planes = hyperplanes(dim, nbits)
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val proj = aggregate(
+        zip_with(vec, lit(p), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** ANN top-k searching only within the query's SRP bucket (plus callers can
+    * union multiple probe buckets). Trades recall for a corpus-partitioned
+    * equi-join — the 100 TB-scale path. */
+  def srpBucketTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
+                    nbits: Int = 8, idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      srpBucket(col(vecCol), dim, nbits).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+      srpBucket(col(vecCol), dim, nbits).as("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("qv"), col("nv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk").cast("long").as("rk"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines.
+  *
+  * All functions are pure `Column` expressions built from codegen'd Catalyst
+  * builtins (no UDFs), so they stay inside whole-stage codegen and distribute
+  * trivially: each is a narrow map over the document table — no shuffle, and
+  * at 100 TB the work is embarrassingly parallel per parquet row-group.
+  *
+  * Reference behavior being generalized: the cashback pipeline's only text
+  * handling is merchant `description` cleanup (reference `api.py:122-132`,
+  * `rewards.csv` `clean_description`); here we provide the full text-quality
+  * toolkit a pretraining pipeline needs.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (reference documents are space-separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword splitter: lowercase word pieces, digits, punctuation as
+    * separate tokens — a regex approximation of byte-pair pretokenization. */
+  def subwordTokens(text: Column): Column =
+    filter(split(lower(text), "(?=[^a-z0-9])|(?<=[^a-z0-9])"), t => trim(t) =!= "")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  def stopwordCount(text: Column, stopwords: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(stopwords: _*))).cast("long")
+
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    stopwordCount(text, stopwords).cast("double") / tokenCount(text)
+
+  /** Ratio of non-alphanumeric, non-space chars — a classic quality signal. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", "")))
+      .cast("double") / greatest(length(text).cast("double"), lit(1.0))
+
+  def meanTokenLength(text: Column): Column =
+    (length(text) - tokenCount(text) + 1).cast("double") / tokenCount(text)
+
+  /** Composite quality score in [0,1]: penalizes very short docs, low token
+    * diversity, and punctuation soup. Deterministic, tune-able weights. */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(length(text).cast("double") / 200.0, lit(1.0))
+    val diversity = distinctTokenCount(text).cast("double") /
+      greatest(tokenCount(text).cast("double"), lit(1.0))
+    val punct = lit(1.0) - punctRatio(text)
+    round(lenScore * 0.4 + diversity * 0.3 + punct * 0.3, 6)
+  }
+
+  /** n-gram-heuristic language ID (stub of a fasttext-style model): scores a
+    * doc by stopword evidence per language and falls back to 'und'. The shape
+    * (per-language evidence columns → greatest → CASE) is what matters; real
+    * deployments swap in bigger stopword tables via a broadcast join. */
+  def langGuess(text: Column): Column = {
+    val en = stopwordRatio(text, Seq("the", "a", "of", "and", "is"))
+    when(en >= 0.05, lit("en")).otherwise(lit("und"))
+  }
+
+  /** Content fingerprint for exact dedup: md5 of the normalized body. */
+  def fingerprintMd5(text: Column): Column = md5(lower(trim(text)))
+
+  def fingerprintSha256(text: Column): Column = sha2(lower(trim(text)), 256)
+
+  /** Rolling polynomial hash (Rabin-Karp style) over the token stream —
+    * basis for winnowing-style fingerprints. Computed as a left fold with
+    * wrapping Long arithmetic: deterministic and codegen-friendly. */
+  def rollingHash(text: Column, base: Long = 1000003L): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc * base + xxhash64(t))
+}

@@ -1,0 +1,206 @@
+package graft.queries
+
+/** DuckDB-dialect oracle SQL for each entry in [[Queries.all]].
+  *
+  * q25/q26 (MinHash / SimHash LSH) are intentionally absent: their hash
+  * families aren't SQL-expressible, so the driver records a rows-only check;
+  * their semantics are verified against exact Jaccard in ScalaTest instead.
+  */
+object OracleSql {
+
+  val all: Map[String, String] = Map(
+
+    "q01_daily_agg" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       min(value) AS min_value,
+        |       max(value) AS max_value,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_value
+        |FROM events
+        |WHERE coalesce(event_type, '') <> 'error'
+        |GROUP BY 1""".stripMargin,
+
+    "q02_enrich_transform" ->
+      """SELECT l.l_orderkey AS txn_id,
+        |       CAST(l.l_linenumber AS BIGINT) AS line_no,
+        |       o.o_custkey AS customer_id,
+        |       o.o_orderstatus AS status,
+        |       CAST(CAST(abs(l.l_extendedprice) AS DECIMAL(12,2)) * CAST(0.01 AS DECIMAL(12,2)) AS DOUBLE) AS amount_major,
+        |       CAST(CASE WHEN l.l_discount = 0
+        |                 THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(l.l_tax AS DECIMAL(12,2))
+        |                 ELSE CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(12,2))
+        |            END AS DOUBLE) AS derived_price,
+        |       strftime(l.l_shipdate, '%Y-%m-%d') AS txn_date,
+        |       CAST(l.l_orderkey AS VARCHAR) AS txn_id_str,
+        |       CAST(round(l.l_discount * 100) AS BIGINT) AS rate_pct,
+        |       l.l_returnflag = 'R' AS is_return
+        |FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin,
+
+    "q03_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "q04_filter_sort_page" ->
+      """SELECT event_id,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
+        |       user_id, value
+        |FROM events
+        |WHERE ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-20 00:00:00'
+        |  AND event_type = 'purchase'
+        |ORDER BY event_id DESC
+        |LIMIT 50 OFFSET 10""".stripMargin,
+
+    "q05_count_filter" ->
+      """SELECT count(*) AS total_count
+        |FROM events WHERE value > 100 AND event_type = 'purchase'""".stripMargin,
+
+    "q06_cast_battery" ->
+      """SELECT event_id,
+        |       CAST(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS BIGINT) AS k_int,
+        |       CAST(TRY_CAST(event_type AS INTEGER) AS BIGINT) AS coerced_null,
+        |       CAST(user_id AS VARCHAR) AS user_id_str,
+        |       CAST(round(value * 100) AS BIGINT) AS value_cents,
+        |       event_type = 'error' AS is_error,
+        |       strftime(ts, '%Y-%m-%d') AS day
+        |FROM events""".stripMargin,
+
+    "q07_window_funcs" ->
+      """SELECT o_orderkey, o_custkey,
+        |       CAST(row_number() OVER w AS BIGINT) AS rn,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE) AS cust_total,
+        |       first_value(o_orderkey) OVER w AS first_order,
+        |       lag(o_orderkey, 1) OVER w AS prev_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q08_top_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+
+    "q09_set_ops" ->
+      """WITH a AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |     b AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > 300000)
+        |SELECT 'union' AS op, k FROM (SELECT k FROM a UNION SELECT k FROM b)
+        |UNION ALL SELECT 'intersect' AS op, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+        |UNION ALL SELECT 'except' AS op, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)""".stripMargin,
+
+    "q10_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(12,2)) * CAST(1 + l_tax AS DECIMAL(12,2))) AS DOUBLE) AS sum_charge,
+        |       count(*) AS count_order,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q11_top_revenue" ->
+      """SELECT o.o_orderkey,
+        |       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+        |       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l.l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, o.o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q12_coalesce_fill" ->
+      """SELECT c.c_custkey,
+        |       coalesce(t.n, 0) AS n_orders,
+        |       coalesce(t.total, 0.0) AS total_spend,
+        |       coalesce(c.c_mktsegment, 'UNKNOWN') AS segment
+        |FROM customer c LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS n,
+        |         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1) t ON c.c_custkey = t.o_custkey""".stripMargin,
+
+    "q13_hourly_rollup" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour_start,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q20_text_stats" ->
+      """SELECT doc_id,
+        |       CAST(length(text) AS BIGINT) AS n_chars_calc,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |       CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS BIGINT) AS n_stopwords,
+        |       CAST(len(list_filter(string_split(text, ' '), x -> x IN ('the', 'a'))) AS DOUBLE)
+        |         / len(string_split(text, ' ')) AS stop_ratio
+        |FROM documents""".stripMargin,
+
+    "q21_lang_guess" ->
+      """SELECT doc_id, lang,
+        |       CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+        |                        x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+        |                 / len(string_split(text, ' ')) >= 0.05
+        |            THEN 'en' ELSE 'und' END AS lang_guess,
+        |       (CASE WHEN CAST(len(list_filter(string_split(text, ' '),
+        |                        x -> x IN ('the', 'a', 'of', 'and', 'is'))) AS DOUBLE)
+        |                 / len(string_split(text, ' ')) >= 0.05
+        |            THEN 'en' ELSE 'und' END) = lang AS agrees
+        |FROM documents""".stripMargin,
+
+    "q22_fingerprint" ->
+      """SELECT doc_id,
+        |       md5(lower(trim(text))) AS fp_md5,
+        |       sha256(lower(trim(text))) AS fp_sha256,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+
+    "q23_dedup_exact" ->
+      """SELECT md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS fp,
+        |       min(doc_id) AS keep_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q24_jaccard_pairs" ->
+      """WITH tok AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS s FROM documents)
+        |SELECT left_id, right_id, jaccard FROM (
+        |  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+        |         CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+        |           / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) AS jaccard
+        |  FROM tok a JOIN tok b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.95""".stripMargin,
+
+    "q27_ann_cosine" ->
+      """WITH pair AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |         unnest(q.embedding) AS uq, unnest(e.embedding) AS ue
+        |  FROM embeddings q, embeddings e
+        |  WHERE q.vec_id < 10 AND q.vec_id <> e.vec_id),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(sum(CAST(uq AS DOUBLE) * CAST(ue AS DOUBLE))
+        |           / (sqrt(sum(CAST(uq AS DOUBLE) * CAST(uq AS DOUBLE)))
+        |            * sqrt(sum(CAST(ue AS DOUBLE) * CAST(ue AS DOUBLE)))), 6) AS cosine
+        |  FROM pair GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+        |  FROM scored) WHERE rk <= 5""".stripMargin,
+
+    "q28_embedding_stats" ->
+      """SELECT vec_id,
+        |       CAST(len(embedding) AS BIGINT) AS dim,
+        |       round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+        |       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sq_norm
+        |FROM embeddings""".stripMargin,
+
+    "q29_binary_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+        |       CAST(64 + doc_id % 512 AS BIGINT) AS fake_width,
+        |       CAST(64 + (doc_id * 7) % 512 AS BIGINT) AS fake_height
+        |FROM documents""".stripMargin,
+  )
+}

@@ -1,0 +1,313 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** The engine's declared query surface — one entry per operator family from
+  * SURVEY.md §2 plus the LLM-data-pipeline extensions, all expressed over the
+  * driver testdata so the DuckDB oracle can hash-check them.
+  *
+  * Determinism rules (these queries are hash-compared value-for-value against
+  * DuckDB):
+  *  - money/quantity aggregates are summed in DECIMAL (exact), then cast to
+  *    double — identical bits in any engine;
+  *  - no `round()` is applied after an order-nondeterministic double sum,
+  *    except vector math where a round(…,6) squashes ~1e-15 fold-order noise;
+  *  - timestamps are emitted as formatted strings (UTC), counts as BIGINT;
+  *  - every sort used for limit/top-k has a unique-key tie-break.
+  */
+object Queries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------------ relational --
+
+  /** A1/E7/E8 (reference monthly_count, api.py:9-24): null-safe != filter,
+    * time-bucket groupBy, multi-aggregate. Daily grain for row coverage. */
+  val q01_daily_agg: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    ev.where(coalesce(col("event_type"), lit("")) =!= "error")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .withColumn("avg_value", col("sum_value") / col("n_events"))
+  }
+
+  /** The cashback core transform re-expressed (J1+E1+E2+E4+E5+E6+P1+P2,
+    * glue_script.py:19-78): left join, abs/scale, conditional price,
+    * date-format, cast battery. */
+  val q02_enrich_transform: Q = (s, dir) => {
+    val li = Tables.lineitem(s, dir)
+    val o = Tables.orders(s, dir)
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(12,2)")
+    li.join(o, li("l_orderkey") === o("o_orderkey"), "left")
+      .select(
+        li("l_orderkey").as("txn_id"),
+        li("l_linenumber").cast("long").as("line_no"),
+        o("o_custkey").as("customer_id"),
+        o("o_orderstatus").as("status"),
+        // E1: abs + rescale (pence→pounds analog), exact in decimal
+        (dec(abs(li("l_extendedprice"))) * dec(lit(0.01))).cast("double").as("amount_major"),
+        // E2: conditional derived price (when/otherwise)
+        when(li("l_discount") === 0, dec(li("l_extendedprice")) * dec(li("l_tax")))
+          .otherwise(dec(li("l_extendedprice")) * dec(lit(1) - li("l_discount")))
+          .cast("double").as("derived_price"),
+        // E6: timestamp → yyyy-MM-dd string (partition-key shape)
+        date_format(li("l_shipdate"), "yyyy-MM-dd").as("txn_date"),
+        // E4 cast battery: numeric→string, double→int rate, flag→boolean
+        li("l_orderkey").cast("string").as("txn_id_str"),
+        round(li("l_discount") * 100).cast("int").cast("long").as("rate_pct"),
+        (li("l_returnflag") === "R").as("is_return"))
+  }
+
+  /** J2/P8 (idempotent load anti-join, load_to_redshift_lambda.py:88-100). */
+  val q03_anti_join: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+  }
+
+  /** P5/P6/O1/O2 (GraphQL pushdown semantics, api.py:195): range + equality
+    * filter, sort desc, limit+offset pagination. */
+  val q04_filter_sort_page: Q = (s, dir) => {
+    Tables.events(s, dir)
+      .where(col("ts").between("2024-01-05 00:00:00", "2024-01-20 00:00:00")
+        && col("event_type") === "purchase")
+      .orderBy(col("event_id").desc)
+      .offset(10).limit(50)
+      .select(col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"),
+        col("user_id"), col("value"))
+  }
+
+  /** A2 (pushed-down count aggregate under predicate). */
+  val q05_count_filter: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .where(col("value") > 100 && col("event_type") === "purchase")
+      .agg(count(lit(1)).as("total_count"))
+
+  /** E4/E12 (cast battery with pandas-style coerce-to-null, elt.py:49-65):
+    * try-cast strings, JSON field extraction, numeric→string. */
+  val q06_cast_battery: Q = (s, dir) =>
+    Tables.events(s, dir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("int").cast("long").as("k_int"),
+      col("event_type").cast("int").cast("long").as("coerced_null"),
+      col("user_id").cast("string").as("user_id_str"),
+      round(col("value") * 100).cast("long").as("value_cents"),
+      (col("event_type") === "error").as("is_error"),
+      date_format(col("ts"), "yyyy-MM-dd").as("day"))
+
+  /** §2.8/J3 (window functions; backfill-first semantics, api.py:140-150). */
+  val q07_window_funcs: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wAll = Window.partitionBy("o_custkey")
+    Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      row_number().over(w).cast("long").as("rn"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).over(wAll).cast("double").as("cust_total"),
+      first(col("o_orderkey")).over(w).as("first_order"),
+      lag(col("o_orderkey"), 1).over(w).as("prev_order"))
+  }
+
+  /** O3 (top-k per group via rank window). */
+  val q08_top_per_group: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** §2.7 set operations (extension surface): union / intersect / except. */
+  val q09_set_ops: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val a = c.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
+    val b = o.where(col("o_totalprice") > 300000).select(col("o_custkey").as("k")).distinct()
+    a.union(b).distinct().withColumn("op", lit("union"))
+      .unionAll(a.intersect(b).withColumn("op", lit("intersect")))
+      .unionAll(a.except(b).withColumn("op", lit("except")))
+      .select(col("op"), col("k"))
+  }
+
+  /** Headline: TPC-H Q1-shaped pricing summary (grouped multi-agg at scale;
+    * decimal-exact sums). */
+  val q10_pricing_summary: Q = (s, dir) => {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(12,2)")
+    Tables.lineitem(s, dir)
+      .where(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount")))
+          .cast("double").as("sum_disc_price"),
+        sum(dec(col("l_extendedprice")) * dec(lit(1) - col("l_discount"))
+          * dec(lit(1) + col("l_tax"))).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+  }
+
+  /** Headline: TPC-H Q3-shaped 3-way join + agg + deterministic top-10.
+    * The dimension filter is applied before the join so Catalyst can
+    * broadcast the reduced build side. */
+  val q11_top_revenue: Q = (s, dir) => {
+    val c = Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val dec = (x: org.apache.spark.sql.Column) => x.cast("decimal(12,2)")
+    broadcast(c).join(o, c("c_custkey") === o("o_custkey"))
+      .join(li, o("o_orderkey") === li("l_orderkey"))
+      .groupBy(o("o_orderkey").as("okey"),
+        date_format(o("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+      .agg(sum(dec(li("l_extendedprice")) * dec(lit(1) - li("l_discount")))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("okey"))
+      .limit(10)
+      .select(col("okey").as("o_orderkey"), col("order_date"), col("revenue"))
+  }
+
+  /** E9 (coalesce/fillna) over a left-join aggregate. */
+  val q12_coalesce_fill: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val agg = Tables.orders(s, dir).groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    c.join(agg, c("c_custkey") === agg("o_custkey"), "left")
+      .select(col("c_custkey"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        coalesce(col("total"), lit(0.0)).as("total_spend"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+  }
+
+  /** Streaming batch-shape: tumbling 1-hour windowed aggregate (the exact
+    * plan Structured Streaming runs incrementally; see graft.streaming). */
+  val q13_hourly_rollup: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  // --------------------------------------------------- text / dedup / ann --
+
+  private val Stopwords = Seq("the", "a")
+
+  /** Token counting + quality scoring (LLM-pipeline text analysis). */
+  val q20_text_stats: Q = (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars_calc"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.distinctTokenCount(col("text")).as("n_distinct"),
+      TextAnalysis.stopwordCount(col("text"), Stopwords).as("n_stopwords"),
+      TextAnalysis.stopwordRatio(col("text"), Stopwords).as("stop_ratio"))
+
+  /** Language-ID heuristic + agreement flag against the labeled lang. */
+  val q21_lang_guess: Q = (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"),
+      TextAnalysis.langGuess(col("text")).as("lang_guess"))
+      .withColumn("agrees", col("lang_guess") === col("lang"))
+
+  /** Document fingerprinting (md5 + sha256 + utf-8 byte length). */
+  val q22_fingerprint: Q = (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"),
+      TextAnalysis.fingerprintSha256(col("text")).as("fp_sha256"),
+      octet_length(col("text")).cast("long").as("n_bytes"))
+
+  /** Exact dedup by content prefix fingerprint (hash-groupBy; the 5-token
+    * prefix induces real duplicate groups in the synthetic corpus). */
+  val q23_dedup_exact: Q = (s, dir) => {
+    val prefix = concat_ws(" ", slice(split(col("text"), " "), 1, 5))
+    Dedup.exact(Tables.documents(s, dir), md5(prefix), col("doc_id"))
+  }
+
+  /** Exact n-gram(1) Jaccard near-dup pairs within a language block. */
+  val q24_jaccard_pairs: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(split(col("text"), " ")).as("tok"))
+    Dedup.jaccardPairs(docs, "doc_id", "tok", "lang", 0.95)
+  }
+
+  /** MinHash-LSH near-dup detection (no SQL oracle — rows-only check;
+    * validated against exact Jaccard in ScalaTest). */
+  val q25_minhash_dedup: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tok"))
+    Dedup.minHashDedup(docs, "doc_id", "tok", threshold = 0.9)
+  }
+
+  /** SimHash near-dup detection (no SQL oracle — rows-only check). */
+  val q26_simhash_pairs: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tok"))
+    Dedup.simHashPairs(docs, "doc_id", "tok", maxHamming = 3)
+  }
+
+  /** Brute-force cosine top-5 for a small query set (ANN baseline). */
+  val q27_ann_cosine: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(emb.where(col("vec_id") < 10), emb, k = 5)
+  }
+
+  /** Per-vector embedding stats (dim, L2 norm, mean component). */
+  val q28_embedding_stats: Q = (s, dir) =>
+    Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      size(col("embedding")).cast("long").as("dim"),
+      round(Similarity.norm(col("embedding")), 6).as("l2_norm"),
+      round(Similarity.dot(col("embedding"), col("embedding")), 6).as("sq_norm"))
+
+  /** Multimodal plumbing: opaque binary payload + typed metadata columns
+    * (decode itself is stubbed — see graft.operators.Multimodal). */
+  val q29_binary_meta: Q = (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      octet_length(col("text")).cast("long").as("payload_bytes"),
+      (lit(64) + pmod(col("doc_id"), lit(512))).cast("long").as("fake_width"),
+      (lit(64) + pmod(col("doc_id") * 7, lit(512))).cast("long").as("fake_height"))
+
+  // -------------------------------------------------------------- registry --
+
+  val all: Map[String, Q] = Map(
+    "q01_daily_agg" -> q01_daily_agg,
+    "q02_enrich_transform" -> q02_enrich_transform,
+    "q03_anti_join" -> q03_anti_join,
+    "q04_filter_sort_page" -> q04_filter_sort_page,
+    "q05_count_filter" -> q05_count_filter,
+    "q06_cast_battery" -> q06_cast_battery,
+    "q07_window_funcs" -> q07_window_funcs,
+    "q08_top_per_group" -> q08_top_per_group,
+    "q09_set_ops" -> q09_set_ops,
+    "q10_pricing_summary" -> q10_pricing_summary,
+    "q11_top_revenue" -> q11_top_revenue,
+    "q12_coalesce_fill" -> q12_coalesce_fill,
+    "q13_hourly_rollup" -> q13_hourly_rollup,
+    "q20_text_stats" -> q20_text_stats,
+    "q21_lang_guess" -> q21_lang_guess,
+    "q22_fingerprint" -> q22_fingerprint,
+    "q23_dedup_exact" -> q23_dedup_exact,
+    "q24_jaccard_pairs" -> q24_jaccard_pairs,
+    "q25_minhash_dedup" -> q25_minhash_dedup,
+    "q26_simhash_pairs" -> q26_simhash_pairs,
+    "q27_ann_cosine" -> q27_ann_cosine,
+    "q28_embedding_stats" -> q28_embedding_stats,
+    "q29_binary_meta" -> q29_binary_meta,
+  )
+}
