@@ -23,7 +23,9 @@ object TextAnalysis {
   /** BPE-ish subword splitter: lowercase word pieces, digits, punctuation as
     * separate tokens — a regex approximation of byte-pair pretokenization. */
   def subwordTokens(text: Column): Column =
-    filter(split(lower(text), "(?=[^a-z0-9])|(?<=[^a-z0-9])"), t => trim(t) =!= "")
+    filter(split(lower(text),
+      "(?=[^a-z0-9])|(?<=[^a-z0-9])|(?<=[a-z])(?=[0-9])|(?<=[0-9])(?=[a-z])"),
+      t => trim(t) =!= "")
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 

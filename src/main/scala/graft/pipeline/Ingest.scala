@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Source readers replicating the reference's three schema-acquisition modes
+  * (SURVEY §1.4) plus the ingest-time renames/drops.
+  */
+object Ingest {
+
+  /** S1: header-only CSV read — every column lands as string, casts come later
+    * (reference glue_script.py:19-20). */
+  def csvAllStrings(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+
+  /** S2: type-inferring CSV read (reference elt.py:9-11 pandas dtypes). */
+  def csvInferred(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** S5: JSON payload string → DataFrame (reference
+    * pull_data_glue_job_lambda.py:45-47 `pd.read_json`). */
+  def jsonPayload(spark: SparkSession, json: String): DataFrame = {
+    import spark.implicits._
+    spark.read.json(Seq(json).toDS())
+  }
+
+  /** P2/P3 ingest normalization for transactions: drop `is_debit`/`__typename`,
+    * rename `id→transaction_id` (reference pull_data_glue_job_lambda.py:56-57). */
+  def normalizeTransactions(raw: DataFrame): DataFrame =
+    raw.drop("is_debit", "__typename").withColumnRenamed("id", "transaction_id")
+
+  /** P2 ingest renames for rewards: `amount→plu_amount`, `type→reward_type`,
+    * `id→reward_id` (reference pull_data_glue_job_lambda.py:60-61). */
+  def normalizeRewards(raw: DataFrame): DataFrame =
+    raw.withColumnRenamed("amount", "plu_amount")
+      .withColumnRenamed("type", "reward_type")
+      .withColumnRenamed("id", "reward_id")
+
+  /** E10: parse the python-dict-literal nested payload columns. The reference
+    * stores `{'key': 'val', 'n': None}` strings (not valid JSON); normalize
+    * quotes/None then `from_json` with the declared struct. This is the one
+    * spot SURVEY §7.3 flags as UDF-tempting — a regexp prepass keeps it in
+    * codegen'd builtins instead. */
+  def parseDictLiteral(colName: String, schema: org.apache.spark.sql.types.StructType)
+  : org.apache.spark.sql.Column = {
+    val jsonish = regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(colName), "'", "\""),
+          ": None", ": null"),
+        ": True", ": true"),
+      ": False", ": false")
+    from_json(jsonish, schema)
+  }
+}

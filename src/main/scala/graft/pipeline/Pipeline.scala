@@ -1,0 +1,41 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.11 orchestration: the Step-Functions DAG (extract → transform → load,
+  * reference infra/lambda.tf:148-240) collapsed into one driver with
+  * materialized-table stage boundaries.
+  *
+  * Differences from the reference, by design (SURVEY §8.7): the
+  * clear-then-rewrite-then-crawl sequence (S8/S9) becomes one atomic
+  * `saveAsTable(overwrite)`; the crawler poll loop disappears because
+  * writes are synchronous; per-stage retry is Spark task retry.
+  */
+object Pipeline {
+
+  final case class Result(cashbackRows: Long, appendedRows: Long)
+
+  /** Run extract(fixture CSVs) → transform → partitioned write → idempotent
+    * warehouse append. `rewardsCsv`/`transactionsCsv` point at reference-shaped
+    * extracts (header CSV); `warehouseTable` is the managed target. */
+  def run(spark: SparkSession, rewardsCsv: String, transactionsCsv: String,
+          warehouseTable: String = "cashback"): Result = {
+
+    // Extract (S1 header-only strings — casts happen inside the transform,
+    // matching glue_script.py:19-20) + ingest renames (P2/P3).
+    val rewards = Ingest.normalizeRewards(
+      Ingest.csvAllStrings(spark, rewardsCsv))
+    val transactions = Ingest.normalizeTransactions(
+      Ingest.csvAllStrings(spark, transactionsCsv))
+
+    // Transform (J1 + E1–E6 + P1/P2 + E4).
+    val cashback = CashbackTransform.transform(rewards, transactions)
+
+    // Load: idempotent anti-join append on reward_id (J2).
+    val appended = IncrementalLoad.appendNew(
+      spark, cashback, warehouseTable, "reward_id", Some("transaction_date"))
+
+    Result(cashback.count(), appended)
+  }
+}

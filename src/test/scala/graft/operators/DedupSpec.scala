@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Validates the LSH front-ends against exact Jaccard ground truth on the
+  * real documents table (these two operators have no SQL oracle).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+    .select(col("doc_id"), col("lang"),
+      array_distinct(split(col("text"), " ")).as("tok")).cache()
+
+  test("minhash LSH recall: finds ≥80% of exact Jaccard ≥0.95 pairs, verified pairs are exact") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "tok", "lang", 0.95)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashDedup(docs, "doc_id", "tok", threshold = 0.95)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    // verification step makes precision exact w.r.t. the blocking-free truth,
+    // except pairs across langs (exact is lang-blocked) — restrict to exact's domain
+    assert(exact.nonEmpty)
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall=$recall (${exact.size} truth pairs, ${lsh.size} lsh)")
+  }
+
+  test("minhash verified jaccard values match the exact operator") {
+    val lsh = Dedup.minHashDedup(docs, "doc_id", "tok", threshold = 0.95)
+      .select("left_id", "right_id", "jaccard").as[(Long, Long, Double)].collect()
+    val byPair = Dedup.jaccardPairs(docs, "doc_id", "tok", "lang", 0.0)
+      .select("left_id", "right_id", "jaccard").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    lsh.foreach { case (l, r, j) =>
+      byPair.get((l, r)).foreach(ex => assert(math.abs(ex - j) < 1e-12)) }
+  }
+
+  test("simhash pairs are far more similar than the population baseline") {
+    val pairs = Dedup.simHashPairs(docs, "doc_id", "tok", maxHamming = 3)
+    val joined = pairs
+      .join(docs.select(col("doc_id").as("left_id"), col("tok").as("lt")), Seq("left_id"))
+      .join(docs.select(col("doc_id").as("right_id"), col("tok").as("rt")), Seq("right_id"))
+      .withColumn("j", Dedup.jaccard(col("lt"), col("rt")))
+    val simStats = joined.agg(avg("j"), count(lit(1))).collect().head
+    assert(simStats.getLong(1) > 0, "simhash found no candidate pairs")
+    // population baseline: average jaccard over ALL same-lang pairs
+    val baseline = Dedup.jaccardPairs(docs, "doc_id", "tok", "lang", 0.0)
+      .agg(avg("jaccard")).collect().head.getDouble(0)
+    assert(simStats.getDouble(0) > baseline + 0.15,
+      s"simhash avg ${simStats.getDouble(0)} vs baseline $baseline — no signal")
+  }
+
+  test("exact dedup representative is deterministic (min id)") {
+    val d = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "t")
+    val out = Dedup.exact(d, md5(col("t")), col("id"))
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 2L), (3L, 1L)))
+  }
+
+  test("anti-join load is idempotent (property: J2)") {
+    val existing = Seq(1L, 2L).toDF("k")
+    val incoming = Seq(1L, 2L, 3L).toDF("k")
+    val fresh = Dedup.antiJoin(incoming, existing, "k")
+    assert(fresh.as[Long].collect().toSet === Set(3L))
+    assert(Dedup.antiJoin(fresh, existing.union(fresh), "k").count() === 0)
+  }
+}

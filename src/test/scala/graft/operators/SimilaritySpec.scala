@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
+
+  test("cosine of a vector with itself is 1") {
+    val one = emb.limit(5)
+      .withColumn("c", Similarity.cosine(col("embedding"), col("embedding")))
+      .select("c").as[Double].collect()
+    one.foreach(c => assert(math.abs(c - 1.0) < 1e-9))
+  }
+
+  test("brute-force top-k: k rows per query, ranks contiguous, scores descending") {
+    val out = Similarity.bruteForceTopK(emb.where(col("vec_id") < 5), emb, k = 4)
+      .select("query_id", "rk", "cosine").as[(Long, Long, Double)].collect()
+    val byQ = out.groupBy(_._1)
+    assert(byQ.size === 5)
+    byQ.foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+      val scores = rows.sortBy(_._2).map(_._3)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("SRP-bucketed ANN returns a subset of brute-force candidates with matching scores") {
+    val queries = emb.where(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(queries, emb, k = 50)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    val bucketed = Similarity.srpBucketTopK(queries, emb, k = 5, dim = 64, nbits = 4)
+      .select("query_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+    assert(bucketed.nonEmpty, "no same-bucket candidates at nbits=4")
+    bucketed.foreach { case (q, n, c) =>
+      brute.get((q, n)).foreach(bc => assert(math.abs(bc - c) < 1e-9)) }
+  }
+
+  test("srp bucket ids are stable and bounded") {
+    val b = emb.withColumn("bucket", Similarity.srpBucket(col("embedding"), 64, 6))
+      .select("bucket").as[Long].collect()
+    assert(b.forall(x => x >= 0 && x < 64))
+    val b2 = emb.withColumn("bucket", Similarity.srpBucket(col("embedding"), 64, 6))
+      .select("bucket").as[Long].collect()
+    assert(b.toSeq === b2.toSeq)
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token counts agree with n_chars bookkeeping on the documents table") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bad = docs.where(length(col("text")) =!= col("n_chars")).count()
+    assert(bad === 0)
+    val stats = docs.select(
+      TextAnalysis.tokenCount(col("text")).as("n"),
+      TextAnalysis.distinctTokenCount(col("text")).as("d")).collect()
+    assert(stats.forall(r => r.getLong(1) <= r.getLong(0)))
+  }
+
+  test("subword tokenizer splits punctuation and digits off words") {
+    val out = Seq("Hello, world! abc123").toDF("t")
+      .select(TextAnalysis.subwordTokens(col("t")).as("tok"))
+      .as[Seq[String]].collect().head
+    assert(out === Seq("hello", ",", "world", "!", "abc", "123"))
+  }
+
+  test("quality score is in [0,1] and penalizes degenerate docs") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and keeps running for a while longer today",
+      "a a a a a a a a",
+      "!!!! ???? ####").toDF("t")
+      .select(TextAnalysis.qualityScore(col("t"), Seq("the", "a")).as("q"))
+    val qs = df.as[Double].collect()
+    assert(qs.forall(q => q >= 0.0 && q <= 1.0))
+    assert(qs(0) > qs(1), "repetitive doc should score below diverse doc")
+    assert(qs(0) > qs(2), "punctuation soup should score below prose")
+  }
+
+  test("rolling hash is order-sensitive and deterministic") {
+    val h = Seq("a b c", "c b a", "a b c").toDF("t")
+      .select(TextAnalysis.rollingHash(col("t")).as("h")).as[Long].collect()
+    assert(h(0) === h(2))
+    assert(h(0) !== h(1))
+  }
+
+  test("fingerprints normalize case/whitespace") {
+    val fps = Seq("Hello World", "  hello world  ").toDF("t")
+      .select(TextAnalysis.fingerprintMd5(lower(col("t"))).as("f")).as[String].collect()
+    assert(fps(0) === fps(1))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Golden end-to-end run on the reference's own fixture extracts
+  * (/root/reference/rewards.csv + transactions.csv, read-only), asserting
+  * the invariants from FIXTURES.md §A3.
+  */
+class GoldenPipelineSpec extends SparkSpec {
+
+  private val rewardsCsv = "/root/reference/rewards.csv"
+  private val transactionsCsv = "/root/reference/transactions.csv"
+
+  private lazy val cashback = {
+    val rewards = Ingest.normalizeRewards(Ingest.csvAllStrings(spark, rewardsCsv))
+    val tx = Ingest.normalizeTransactions(Ingest.csvAllStrings(spark, transactionsCsv))
+    CashbackTransform.transform(rewards, tx).cache()
+  }
+
+  test("row count preserved by left join: 1753 rewards in, 1753 cashback rows out") {
+    assert(cashback.count() === 1753L)
+  }
+
+  test("transaction_amount = abs(amount)/100 for all matched rows") {
+    val bad = cashback.where(col("transaction_amount").isNotNull &&
+      col("transaction_amount") < 0).count()
+    assert(bad === 0L)
+  }
+
+  test("null-safe rejected filter keeps null reasons (P4, 57 null-reason rows)") {
+    val kept = MonthlyRewards.monthlyCount(
+      Ingest.normalizeRewards(Ingest.csvAllStrings(spark, rewardsCsv))
+        .withColumn("plu_amount", col("plu_amount").cast("double"))
+        .withColumn("plu_price", lit(1.0)))
+    // fixture: 1753 total, 140 'Rejected by admin' → 1613 rows survive,
+    // including all 57 null-reason rows
+    val raw = Ingest.normalizeRewards(Ingest.csvAllStrings(spark, rewardsCsv))
+    val surviving = raw.where(col("reason").isNull || col("reason") =!= "Rejected by admin")
+    assert(surviving.count() === 1613L)
+    assert(surviving.where(col("reason").isNull).count() === 57L)
+    assert(kept.count() >= 1)
+  }
+
+  test("idempotent load: appending twice equals appending once (J2)") {
+    val table = "cashback_golden_idem"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val first = IncrementalLoad.appendNew(spark, cashback, table, "reward_id",
+      Some("transaction_date"))
+    val second = IncrementalLoad.appendNew(spark, cashback, table, "reward_id",
+      Some("transaction_date"))
+    assert(first === 1753L)
+    assert(second === 0L)
+    assert(spark.table(table).count() === 1753L)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
+
+  test("nested fiat_transaction dict-literal parses to a 3-level struct (E10)") {
+    val raw = Ingest.normalizeRewards(Ingest.csvAllStrings(spark, rewardsCsv))
+    val parsed = raw.where(col("fiat_transaction").isNotNull)
+      .withColumn("ft", Ingest.parseDictLiteral("fiat_transaction", Schemas.fiatTransaction))
+    val withClean = parsed.where(col("ft.clean_description").isNotNull)
+    assert(withClean.count() > 0)
+  }
+
+  test("transactions_view pushdown semantics: filter+sort+limit+count (S4)") {
+    val tx = Ingest.normalizeTransactions(Ingest.csvAllStrings(spark, transactionsCsv))
+      .withColumn("date", col("date").cast("timestamp"))
+      .withColumn("amount", col("amount").cast("long"))
+    val page = TransactionsView.query(tx, "2024-01-01", "2024-12-31",
+      "CARD_SETTLEMENT", limit = 10)
+    assert(page.count() === 10)
+    val cnt = TransactionsView.totalCount(tx, "2024-01-01", "2024-12-31", "CARD_SETTLEMENT")
+    assert(cnt > 10)
+  }
+
+  test("warehouse DDL generation maps types like the reference (S11)") {
+    val ddl = IncrementalLoad.toWarehouseDdl("public.cashback", Schemas.cashback)
+    assert(ddl.startsWith("CREATE TABLE IF NOT EXISTS public.cashback ("))
+    assert(ddl.contains("reward_id VARCHAR(256)"))
+    assert(ddl.contains("plu_amount DOUBLE PRECISION"))
+    assert(ddl.contains("rebate_rate INTEGER"))
+    assert(ddl.contains("available BOOLEAN"))
+    assert(ddl.contains("created_at TIMESTAMP"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import java.sql.Timestamp
+
+case class Ev(reward_id: String, ts: Timestamp, event_type: String, value: Double)
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("streaming keyed dedup drops duplicate reward_ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streams.dedupStream(input.toDF(), "reward_id", "ts")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    input.addData(
+      Ev("r1", t("2024-01-01 10:00:00"), "a", 1.0),
+      Ev("r1", t("2024-01-01 10:05:00"), "a", 1.0), // dup key
+      Ev("r2", t("2024-01-01 11:00:00"), "b", 2.0))
+    q.processAllAvailable()
+    input.addData(Ev("r1", t("2024-01-02 09:00:00"), "a", 3.0)) // still within watermark
+    q.processAllAvailable()
+    val out = spark.table("dedup_out").select("reward_id").as[String].collect()
+    q.stop()
+    assert(out.sorted.toSeq === Seq("r1", "r2"))
+  }
+
+  test("incremental hourly rollup emits finalized windows after watermark passes") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = Streams.hourlyRollup(input.toDF(), "ts")
+      .writeStream.format("memory").queryName("rollup_out")
+      .outputMode("append").start()
+    input.addData(
+      Ev("r1", t("2024-01-01 10:05:00"), "purchase", 10.0),
+      Ev("r2", t("2024-01-01 10:45:00"), "purchase", 5.0),
+      Ev("r3", t("2024-01-01 10:50:00"), "view", 1.0))
+    q.processAllAvailable()
+    // advance event time far past the 10:00 window + 2h watermark
+    input.addData(Ev("r4", t("2024-01-01 15:00:00"), "view", 1.0))
+    q.processAllAvailable()
+    val out = spark.table("rollup_out")
+      .select("event_type", "n", "sum_value").as[(String, Long, Double)].collect().toSet
+    q.stop()
+    assert(out.contains(("purchase", 2L, 15.0)))
+    assert(out.contains(("view", 1L, 1.0)))
+  }
+}
