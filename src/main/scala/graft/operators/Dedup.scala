@@ -55,10 +55,19 @@ object Dedup {
     * use only when blocks are bounded; otherwise go through [[minHashPairs]]. */
   def jaccardPairs(df: DataFrame, id: String, tokenSet: String,
                    block: String, threshold: Double): DataFrame = {
-    val a = df.select(col(block), col(id).as("left_id"), col(tokenSet).as("ls"))
-    val b = df.select(col(block), col(id).as("right_id"), col(tokenSet).as("rs"))
+    // Perf: J ≥ τ implies min(|A|,|B|) ≥ τ·max(|A|,|B|), so a cheap size-ratio
+    // prefilter (epsilon only ever loosens it — results unchanged) prunes most
+    // pairs before the O(|A|+|B|) intersection.
+    val a = df.select(col(block), col(id).as("left_id"), col(tokenSet).as("ls"),
+      size(col(tokenSet)).as("nl"))
+    val b = df.select(col(block), col(id).as("right_id"), col(tokenSet).as("rs"),
+      size(col(tokenSet)).as("nr"))
     a.join(b, Seq(block)).where(col("left_id") < col("right_id"))
-      .withColumn("jaccard", jaccard(col("ls"), col("rs")))
+      .where(col("nl") >= lit(threshold) * col("nr") - 1e-9 &&
+             col("nr") >= lit(threshold) * col("nl") - 1e-9)
+      .withColumn("inter", size(array_intersect(col("ls"), col("rs"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("nl") + col("nr") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("left_id"), col("right_id"), col("jaccard"))
   }
@@ -82,14 +91,26 @@ object Dedup {
 
   /** LSH candidate pairs: band the signature, bucket-join, dedup pairs.
     * `bands` bands of `k/bands` rows each; a pair is a candidate if any band
-    * hashes identically. Returns (left_id, right_id) distinct. */
+    * hashes identically. Returns (left_id, right_id) distinct.
+    *
+    * Scale shape: signatures come from explode → xxhash64 once per token →
+    * groupBy(id) with k min-aggregates. That's one map-side-combinable
+    * shuffle on id — tokens are never re-hashed per hash function, and no
+    * wide per-row expression tree. Banding explodes k/rows rows per doc and
+    * joins on (band,bucket) — both exchanges are key-partitioned. */
   def minHashPairs(df: DataFrame, id: String, tokenSet: String,
-                   k: Int = 16, bands: Int = 8): DataFrame = {
+                   k: Int = 16, bands: Int = 4): DataFrame = {
     val rows = k / bands
-    val sig = df.select(col(id).as("mh_id"), minHashSignature(col(tokenSet), k).as("sig"))
+    val fam = hashFamily(k)
+    val tokenHashes = df.select(col(id).as("mh_id"), explode(col(tokenSet)).as("tok"))
+      .select(col("mh_id"), xxhash64(col("tok")).as("h"))
+    val sig = tokenHashes.groupBy("mh_id")
+      .agg(min(col("h") * fam.head._1 + fam.head._2).as("m0"),
+        fam.toSeq.tail.zipWithIndex.map { case ((a, b), i) =>
+          min(col("h") * a + b).as(s"m${i + 1}") }: _*)
     val banded = sig.select(col("mh_id"), posexplode(
       array((0 until bands).map(bnd =>
-        xxhash64(lit(bnd) +: (0 until rows).map(r => col("sig")(bnd * rows + r)): _*)): _*)
+        xxhash64(lit(bnd) +: (0 until rows).map(r => col(s"m${bnd * rows + r}")): _*)): _*)
     ).as(Seq("band", "bucket")))
     val l = banded.select(col("band"), col("bucket"), col("mh_id").as("left_id"))
     val r = banded.select(col("band"), col("bucket"), col("mh_id").as("right_id"))
@@ -101,7 +122,7 @@ object Dedup {
     * verification ≥ threshold. The verify join re-attaches token sets by id —
     * two shuffles on id, each O(candidates). */
   def minHashDedup(df: DataFrame, id: String, tokenSet: String,
-                   threshold: Double, k: Int = 16, bands: Int = 8): DataFrame = {
+                   threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
     val cands = minHashPairs(df, id, tokenSet, k, bands)
     val toks = df.select(col(id), col(tokenSet))
     cands

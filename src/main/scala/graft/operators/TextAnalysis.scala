@@ -65,6 +65,16 @@ object TextAnalysis {
     when(en >= 0.05, lit("en")).otherwise(lit("und"))
   }
 
+  /** n-token shingles (distinct), the canonical MinHash input: with any
+    * realistic vocabulary the shingle universe is huge, so shingle-set
+    * Jaccard measures ordered-content overlap rather than vocabulary
+    * overlap — this is what makes LSH buckets selective. */
+  def shingles(tokens: Column, n: Int = 3): Column =
+    when(size(tokens) >= n,
+      array_distinct(transform(sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j + 1)): _*))))
+      .otherwise(array(concat_ws(" ", tokens)))
+
   /** Content fingerprint for exact dedup: md5 of the normalized body. */
   def fingerprintMd5(text: Column): Column = md5(lower(trim(text)))
 

@@ -245,12 +245,13 @@ object Queries {
     Dedup.jaccardPairs(docs, "doc_id", "tok", "lang", 0.95)
   }
 
-  /** MinHash-LSH near-dup detection (no SQL oracle — rows-only check;
-    * validated against exact Jaccard in ScalaTest). */
+  /** MinHash-LSH near-dup detection over 3-token shingle sets (no SQL
+    * oracle — rows-only check; validated against exact Jaccard in ScalaTest). */
   val q25_minhash_dedup: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tok"))
-    Dedup.minHashDedup(docs, "doc_id", "tok", threshold = 0.9)
+      .select(col("doc_id"),
+        TextAnalysis.shingles(split(col("text"), " "), 3).as("sh"))
+    Dedup.minHashDedup(docs, "doc_id", "sh", threshold = 0.8)
   }
 
   /** SimHash near-dup detection (no SQL oracle — rows-only check). */

@@ -10,25 +10,29 @@ class DedupSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
-    .select(col("doc_id"), col("lang"),
-      array_distinct(split(col("text"), " ")).as("tok")).cache()
+    .select(col("doc_id"), col("lang"), lit(1).as("all"),
+      array_distinct(split(col("text"), " ")).as("tok"),
+      TextAnalysis.shingles(split(col("text"), " "), 3).as("sh")).cache()
 
-  test("minhash LSH recall: finds ≥80% of exact Jaccard ≥0.95 pairs, verified pairs are exact") {
-    val exact = Dedup.jaccardPairs(docs, "doc_id", "tok", "lang", 0.95)
+  test("minhash LSH over shingles: recall ≥90% of exact Jaccard ≥0.8 pairs") {
+    // ground truth: brute-force shingle Jaccard over ALL pairs (unblocked —
+    // the planted near-dups cross language labels)
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "sh", "all", 0.8)
       .select("left_id", "right_id").as[(Long, Long)].collect().toSet
-    val lsh = Dedup.minHashDedup(docs, "doc_id", "tok", threshold = 0.95)
+    val lsh = Dedup.minHashDedup(docs, "doc_id", "sh", threshold = 0.8)
       .select("left_id", "right_id").as[(Long, Long)].collect().toSet
-    // verification step makes precision exact w.r.t. the blocking-free truth,
-    // except pairs across langs (exact is lang-blocked) — restrict to exact's domain
     assert(exact.nonEmpty)
     val recall = exact.intersect(lsh).size.toDouble / exact.size
-    assert(recall >= 0.8, s"recall=$recall (${exact.size} truth pairs, ${lsh.size} lsh)")
+    assert(recall >= 0.9, s"recall=$recall (${exact.size} truth pairs, ${lsh.size} lsh)")
+    // verification step guarantees precision: every LSH pair is a truth pair
+    assert(lsh.subsetOf(exact), s"${lsh.diff(exact).size} false positives")
   }
 
   test("minhash verified jaccard values match the exact operator") {
-    val lsh = Dedup.minHashDedup(docs, "doc_id", "tok", threshold = 0.95)
+    val lsh = Dedup.minHashDedup(docs, "doc_id", "sh", threshold = 0.8)
       .select("left_id", "right_id", "jaccard").as[(Long, Long, Double)].collect()
-    val byPair = Dedup.jaccardPairs(docs, "doc_id", "tok", "lang", 0.0)
+    assert(lsh.nonEmpty)
+    val byPair = Dedup.jaccardPairs(docs, "doc_id", "sh", "all", 0.8)
       .select("left_id", "right_id", "jaccard").as[(Long, Long, Double)]
       .collect().map(t => (t._1, t._2) -> t._3).toMap
     lsh.foreach { case (l, r, j) =>
