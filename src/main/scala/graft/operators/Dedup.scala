@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for 100 TB-scale corpora.
   *
@@ -19,11 +19,23 @@ import org.apache.spark.sql.expressions.Window
   *             are capped by banding width).
   *  - SimHash: 64-bit signature; candidates must share one of four 16-bit
   *             chunks (pigeonhole: hamming ≤ 3 guarantees a shared chunk).
-  *  - n-gram Jaccard: exact verification predicate used behind both LSH
-  *             front-ends, and usable alone within small blocks.
+  *  - n-gram Jaccard: exact near-dup pairs with PPJoin-style prefix
+  *             filtering (Bayardo et al., WWW'07): order tokens rarest-first
+  *             by global document frequency; if J(A,B) ≥ τ the two sets must
+  *             share a token within their first |A|−⌈τ|A|⌉+1 tokens, so the
+  *             candidate join runs on exploded prefixes instead of whole
+  *             blocks. Lossless (no false negatives), and the prefix length
+  *             shrinks as τ grows — at τ=0.95 it is ~3 tokens per doc.
   *
-  * Everything is built from codegen'd builtins (xxhash64, higher-order array
-  * functions) — no UDFs, no driver-side loops.
+  * Token sets are hashed to 64-bit longs (`xxhash64`) once up front and the
+  * hashed relation is persisted: every downstream stage (signatures, candidate
+  * join, exact verification) reuses it instead of re-deriving string arrays.
+  * Intersection counts over the hashed sets equal those over the raw sets
+  * unless two distinct tokens of a compared pair collide in 64 bits
+  * (P < 1e-11 for realistic vocabularies), so verified Jaccard values are
+  * bit-identical to a string-set oracle.
+  *
+  * Everything is built from codegen'd builtins — no UDFs, no driver loops.
   */
 object Dedup {
 
@@ -50,21 +62,117 @@ object Dedup {
     inter / (size(a) + size(b) - size(array_intersect(a, b)))
   }
 
-  /** Exact near-dup pairs within a blocking key (e.g. language): self-join on
-    * the block, Jaccard over distinct token sets. Quadratic *within* a block —
-    * use only when blocks are bounded; otherwise go through [[minHashPairs]]. */
+  /** id + distinct xxhash64'd token set, persisted for plan-wide reuse. */
+  private def hashedSets(df: DataFrame, id: String, tokenSet: String,
+                         extra: Seq[String]): DataFrame =
+    df.select((col(id).as("hs_id")) +: extra.map(col) :+
+        array_distinct(transform(col(tokenSet), t => xxhash64(t))).as("hs"): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** Largest dictionary for which the bitmap representation is used:
+    * 1024 tokens = 16 longs per set. */
+  private val BitmapVocabMax = 1024L
+
+  /** Exact near-dup pairs within a blocking key (e.g. language).
+    *
+    * Adaptive representation, decided by one metadata-scale action (a distinct
+    * count over the token dictionary — the same kind of stats-driven choice
+    * AQE makes from runtime statistics):
+    *
+    *  - small dictionary (≤ [[BitmapVocabMax]] distinct tokens corpus-wide):
+    *    dictionary-encode each token to a bit position and represent every
+    *    set as a W-word bitmask (W = ⌈|vocab|/64⌉). Jaccard becomes
+    *    popcount(AND)/popcount(OR) — pure codegen'd long arithmetic, so even
+    *    the full within-block pair join is cheap. Exact, not approximate.
+    *
+    *  - large dictionary and τ > 0: PPJoin prefix filter (Bayardo et al.,
+    *    WWW'07): order tokens rarest-first by global document frequency; if
+    *    J(A,B) ≥ τ the sets must share a token within their first
+    *    n−⌈τn⌉+1 tokens, so the candidate join runs on exploded prefixes
+    *    instead of whole blocks. Lossless; candidates then verify with an
+    *    exact intersection.
+    *
+    *  - τ = 0 (diagnostic/baseline use): full block self-join, since
+    *    zero-overlap pairs must be emitted too. */
   def jaccardPairs(df: DataFrame, id: String, tokenSet: String,
                    block: String, threshold: Double): DataFrame = {
-    // Perf: J ≥ τ implies min(|A|,|B|) ≥ τ·max(|A|,|B|), so a cheap size-ratio
-    // prefilter (epsilon only ever loosens it — results unchanged) prunes most
-    // pairs before the O(|A|+|B|) intersection.
-    val a = df.select(col(block), col(id).as("left_id"), col(tokenSet).as("ls"),
-      size(col(tokenSet)).as("nl"))
-    val b = df.select(col(block), col(id).as("right_id"), col(tokenSet).as("rs"),
-      size(col(tokenSet)).as("nr"))
-    a.join(b, Seq(block)).where(col("left_id") < col("right_id"))
+    val hs = hashedSets(df, id, tokenSet, Seq(block))
+      .withColumnRenamed(block, "blk")
+      .withColumn("n", size(col("hs")))
+    val vocabSize = hs.select(explode(col("hs")).as("h")).distinct().count()
+    if (vocabSize <= BitmapVocabMax) jaccardPairsBitmap(hs, threshold, vocabSize.toInt)
+    else jaccardPairsPrefix(hs, threshold)
+  }
+
+  /** Small-dictionary path: W-word bitmask per set, popcount Jaccard. */
+  private def jaccardPairsBitmap(hs: DataFrame, threshold: Double,
+                                 vocabSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = ((vocabSize + 63) / 64).toInt
+    // deterministic dictionary: bit position = rank of token hash
+    val vocab = hs.select(explode(col("hs")).as("h")).distinct()
+      .withColumn("idx", row_number().over(Window.orderBy("h")) - 1)
+    val masks = hs.select(col("blk"), col("hs_id"), col("n"), explode(col("hs")).as("h"))
+      .join(broadcast(vocab), "h")
+      .groupBy("blk", "hs_id", "n")
+      // tokens are distinct per set, so summing distinct powers of two == OR
+      .agg(sum(when(floor(col("idx") / 64) === 0,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 64 AS INT))")).otherwise(0L)).as("w0"),
+        (1 until w).map(j => sum(when(floor(col("idx") / 64) === j,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(idx % 64 AS INT))")).otherwise(0L)).as(s"w$j")): _*)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ws = (0 until w).map(j => s"w$j")
+    val l = masks.select(col("blk") +: col("hs_id").as("left_id") +: col("n").as("nl") +:
+      ws.map(c => col(c).as(s"l_$c")): _*)
+    val r = masks.select(col("blk") +: col("hs_id").as("right_id") +: col("n").as("nr") +:
+      ws.map(c => col(c).as(s"r_$c")): _*)
+    val inter = ws.map(c => bit_count(col(s"l_$c").bitwiseAND(col(s"r_$c"))))
+      .reduce(_ + _)
+    l.join(r, Seq("blk")).where(col("left_id") < col("right_id"))
       .where(col("nl") >= lit(threshold) * col("nr") - 1e-9 &&
              col("nr") >= lit(threshold) * col("nl") - 1e-9)
+      .withColumn("inter", inter)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("nl") + col("nr") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("left_id"), col("right_id"), col("jaccard"))
+  }
+
+  /** Large-dictionary path: PPJoin prefix filtering (τ > 0) or the full
+    * block self-join (τ = 0), with exact array-intersection verification. */
+  private def jaccardPairsPrefix(hs: DataFrame, threshold: Double): DataFrame = {
+    val candidates =
+      if (threshold > 0) {
+        val tokDf = hs.select(explode(col("hs")).as("h"))
+          .groupBy("h").agg(count(lit(1)).as("tdf"))
+        val ordered = hs.select(col("blk"), col("hs_id"), col("n"), explode(col("hs")).as("h"))
+          .join(tokDf, "h")
+          .groupBy("blk", "hs_id", "n")
+          .agg(transform(array_sort(collect_list(struct(col("tdf"), col("h")))),
+            s => s.getField("h")).as("ord"))
+          .withColumn("prefix", slice(col("ord"), lit(1),
+            (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")))
+        val pre = ordered
+          .select(col("blk"), col("hs_id"), col("n"), col("ord"), explode(col("prefix")).as("h"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val l = pre.select(col("blk"), col("h"), col("hs_id").as("left_id"),
+          col("n").as("nl"), col("ord").as("ls"))
+        val r = pre.select(col("blk"), col("h"), col("hs_id").as("right_id"),
+          col("n").as("nr"), col("ord").as("rs"))
+        // size-ratio filter: J ≥ τ implies min(n) ≥ τ·max(n) (epsilon loosens)
+        l.join(r, Seq("blk", "h")).where(col("left_id") < col("right_id"))
+          .where(col("nl") >= lit(threshold) * col("nr") - 1e-9 &&
+                 col("nr") >= lit(threshold) * col("nl") - 1e-9)
+          .dropDuplicates("left_id", "right_id")
+      } else {
+        val l = hs.select(col("blk"), col("hs_id").as("left_id"),
+          col("n").as("nl"), col("hs").as("ls"))
+        val r = hs.select(col("blk"), col("hs_id").as("right_id"),
+          col("n").as("nr"), col("hs").as("rs"))
+        l.join(r, Seq("blk")).where(col("left_id") < col("right_id"))
+      }
+
+    candidates
       .withColumn("inter", size(array_intersect(col("ls"), col("rs"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("nl") + col("nr") - col("inter")))
@@ -89,21 +197,16 @@ object Dedup {
     array(sig: _*)
   }
 
-  /** LSH candidate pairs: band the signature, bucket-join, dedup pairs.
-    * `bands` bands of `k/bands` rows each; a pair is a candidate if any band
-    * hashes identically. Returns (left_id, right_id) distinct.
+  /** LSH candidate pairs over a hashed-set relation (`hs_id`, `hs`).
     *
-    * Scale shape: signatures come from explode → xxhash64 once per token →
-    * groupBy(id) with k min-aggregates. That's one map-side-combinable
-    * shuffle on id — tokens are never re-hashed per hash function, and no
-    * wide per-row expression tree. Banding explodes k/rows rows per doc and
+    * Scale shape: signatures come from explode → groupBy(id) with k
+    * min-aggregates — one map-side-combinable shuffle on id; tokens are never
+    * re-hashed per hash function. Banding explodes `bands` rows per doc and
     * joins on (band,bucket) — both exchanges are key-partitioned. */
-  def minHashPairs(df: DataFrame, id: String, tokenSet: String,
-                   k: Int = 16, bands: Int = 4): DataFrame = {
+  private def minHashPairsHashed(hs: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
     val fam = hashFamily(k)
-    val tokenHashes = df.select(col(id).as("mh_id"), explode(col(tokenSet)).as("tok"))
-      .select(col("mh_id"), xxhash64(col("tok")).as("h"))
+    val tokenHashes = hs.select(col("hs_id").as("mh_id"), explode(col("hs")).as("h"))
     val sig = tokenHashes.groupBy("mh_id")
       .agg(min(col("h") * fam.head._1 + fam.head._2).as("m0"),
         fam.toSeq.tail.zipWithIndex.map { case ((a, b), i) =>
@@ -118,26 +221,69 @@ object Dedup {
       .select("left_id", "right_id").distinct()
   }
 
+  /** LSH candidate pairs: band the signature, bucket-join, dedup pairs.
+    * `bands` bands of `k/bands` rows each; a pair is a candidate if any band
+    * hashes identically. Returns (left_id, right_id) distinct. */
+  def minHashPairs(df: DataFrame, id: String, tokenSet: String,
+                   k: Int = 16, bands: Int = 4): DataFrame =
+    minHashPairsHashed(hashedSets(df, id, tokenSet, Nil), k, bands)
+
+  /** Hashed n-token shingle sets built without materializing shingle strings:
+    * posexplode the token array, hash each token once, window-`lead` the next
+    * n−1 hashes per doc, and combine with one more xxhash64. Every step is a
+    * codegen'd window/aggregate (the higher-order `transform`+`element_at`
+    * shingle builder is CodegenFallback and ~3× slower). Docs shorter than n
+    * tokens contribute their single zero-padded shingle, mirroring
+    * [[TextAnalysis.shingles]]'s whole-doc fallback. */
+  def shingleHashedSets(df: DataFrame, id: String, tokens: String,
+                        n: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("hs_id").orderBy("pos")
+    var th = df.select(col(id).as("hs_id"), posexplode(col(tokens)).as(Seq("pos", "tok")))
+      .select(col("hs_id"), col("pos"), xxhash64(col("tok")).as("h0"))
+    (1 until n).foreach { j => th = th.withColumn(s"h$j", lead(col("h0"), j).over(w)) }
+    th.where(col(s"h${n - 1}").isNotNull || col("pos") === 0)
+      .select(col("hs_id"),
+        xxhash64((0 until n).map(j => coalesce(col(s"h$j"), lit(0L))): _*).as("sh"))
+      .groupBy("hs_id").agg(collect_set(col("sh")).as("hs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** MinHash-LSH near-dup detection straight from a token-array column:
+    * hashed shingle sets via [[shingleHashedSets]], then LSH + exact-Jaccard
+    * verification, all over the one persisted hashed relation. */
+  def minHashDedupTokens(df: DataFrame, id: String, tokens: String,
+                         shingleN: Int, threshold: Double,
+                         k: Int = 16, bands: Int = 4): DataFrame =
+    minHashDedupHashed(shingleHashedSets(df, id, tokens, shingleN), threshold, k, bands)
+
   /** Full MinHash-LSH near-dup detection: LSH candidates, then exact Jaccard
-    * verification ≥ threshold. The verify join re-attaches token sets by id —
-    * two shuffles on id, each O(candidates). */
+    * verification ≥ threshold. The hashed token sets are computed once and
+    * persisted; signature generation and both verification joins reuse them,
+    * so the corpus text is tokenized exactly once per run. */
   def minHashDedup(df: DataFrame, id: String, tokenSet: String,
-                   threshold: Double, k: Int = 16, bands: Int = 4): DataFrame = {
-    val cands = minHashPairs(df, id, tokenSet, k, bands)
-    val toks = df.select(col(id), col(tokenSet))
+                   threshold: Double, k: Int = 16, bands: Int = 4): DataFrame =
+    minHashDedupHashed(hashedSets(df, id, tokenSet, Nil), threshold, k, bands)
+
+  private def minHashDedupHashed(hs: DataFrame, threshold: Double,
+                                 k: Int, bands: Int): DataFrame = {
+    val cands = minHashPairsHashed(hs, k, bands)
     cands
-      .join(toks.select(col(id).as("left_id"), col(tokenSet).as("ls")), Seq("left_id"))
-      .join(toks.select(col(id).as("right_id"), col(tokenSet).as("rs")), Seq("right_id"))
-      .withColumn("jaccard", jaccard(col("ls"), col("rs")))
+      .join(hs.select(col("hs_id").as("left_id"), col("hs").as("ls")), Seq("left_id"))
+      .join(hs.select(col("hs_id").as("right_id"), col("hs").as("rs")), Seq("right_id"))
+      .withColumn("inter", size(array_intersect(col("ls"), col("rs"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("ls")) + size(col("rs")) - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("left_id"), col("right_id"), col("jaccard"))
   }
 
   // -------------------------------------------------------------- simhash --
 
-  /** 64-bit SimHash of a token array: per-bit majority vote of token hashes,
-    * unrolled at plan-build time into 64 fold expressions over the (small)
-    * token array — all codegen'd builtins, fully distributed, no UDF. */
+  /** 64-bit SimHash of a token array as a single Column expression: per-bit
+    * majority vote of token hashes. Fine for ad-hoc use on small arrays; the
+    * distributed path is [[simHashSignatures]], which turns the vote into a
+    * codegen'd hash-aggregate instead of 64 interpreted array folds. */
   def simHash64(tokenSet: Column): Column = {
     val hashes = transform(tokenSet, t => xxhash64(t))
     (0 until 64).map { i =>
@@ -147,13 +293,32 @@ object Dedup {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** (id, sh) SimHash signatures via explode → groupBy with 64 conditional
+    * sums — one map-side-combinable shuffle, fully codegen'd (higher-order
+    * array folds are CodegenFallback in Spark; this path is not). Docs with
+    * empty token sets produce no signature (they near-dup nothing). */
+  def simHashSignatures(df: DataFrame, id: String, tokenSet: String): DataFrame = {
+    val th = df.select(col(id).as("sh_id"), explode(col(tokenSet)).as("tok"))
+      .select(col("sh_id"), xxhash64(col("tok")).as("h"))
+    val votes = th.groupBy("sh_id").agg(
+      sum(when(col("h").bitwiseAND(1) === 1, 1).otherwise(-1)).as("v0"),
+      (1 until 64).map(i =>
+        sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i")): _*)
+    votes.select(col("sh_id"),
+      (0 until 64).map(i =>
+        when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
+  }
+
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (< 16).
     * Scale path: candidates must share one of four exact 16-bit chunks
     * (pigeonhole for hamming ≤ 3 when chunks=4); each chunk is an equi-join
-    * key, so candidate generation is linear + a key-partitioned join. */
+    * key, so candidate generation is linear + a key-partitioned join. The
+    * signature relation is persisted so the self-join's two sides don't
+    * recompute it. */
   def simHashPairs(df: DataFrame, id: String, tokenSet: String,
                    maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(id).as("sh_id"), simHash64(col(tokenSet)).as("sh"))
+    val sigs = simHashSignatures(df, id, tokenSet).persist(StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.select(col("sh_id"), col("sh"), posexplode(
       array((0 until 4).map(c =>
         shiftrightunsigned(col("sh"), c * 16).bitwiseAND(0xFFFFL)): _*)

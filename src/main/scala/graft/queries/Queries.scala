@@ -246,12 +246,13 @@ object Queries {
   }
 
   /** MinHash-LSH near-dup detection over 3-token shingle sets (no SQL
-    * oracle — rows-only check; validated against exact Jaccard in ScalaTest). */
+    * oracle — rows-only check; validated against exact Jaccard in ScalaTest).
+    * Shingles are hashed via the window-lead path — no shingle strings are
+    * ever materialized. */
   val q25_minhash_dedup: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        TextAnalysis.shingles(split(col("text"), " "), 3).as("sh"))
-    Dedup.minHashDedup(docs, "doc_id", "sh", threshold = 0.8)
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+    Dedup.minHashDedupTokens(docs, "doc_id", "tok", shingleN = 3, threshold = 0.8)
   }
 
   /** SimHash near-dup detection (no SQL oracle — rows-only check). */

@@ -1,0 +1,116 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+import graft.sources.Tables
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Scratch profiler for the dedup family — times each sub-stage so we
+  * optimize the actual bottleneck, not a guess. Not part of the library. */
+object ProfileDedup {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = GraftSession.local()
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s  -> $r")
+      r
+    }
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.shingles(split(col("text"), " "), 3).as("sh"))
+    docs.cache().count()
+
+    t("sig:explode+groupBy") {
+      docs.select(col("doc_id").as("mh_id"), explode(col("sh")).as("tok"))
+        .select(col("mh_id"), xxhash64(col("tok")).as("h"))
+        .groupBy("mh_id").agg(min("h")).count()
+    }
+    t("minhash:candidates") { Dedup.minHashPairs(docs, "doc_id", "sh").count() }
+    t("minhash:full") { Dedup.minHashDedup(docs, "doc_id", "sh", 0.8).count() }
+
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), array_distinct(split(col("text"), " ")).as("tok"))
+    toks.cache().count()
+    t("jaccard:pairs-full") { Dedup.jaccardPairs(toks, "doc_id", "tok", "lang", 0.95) .count() }
+    t("jaccard:join-only") {
+      val a = toks.select(col("lang"), col("doc_id").as("l"), size(col("tok")).as("nl"))
+      val b = toks.select(col("lang"), col("doc_id").as("r"), size(col("tok")).as("nr"))
+      a.join(b, Seq("lang")).where(col("l") < col("r"))
+        .where(col("nl") >= lit(0.95) * col("nr") - 1e-9 && col("nr") >= lit(0.95) * col("nl") - 1e-9)
+        .count()
+    }
+    t("simhash:pairs") { Dedup.simHashPairs(toks, "doc_id", "tok", 3).count() }
+    val sigOnly = toks.select(col("doc_id"), Dedup.simHash64(col("tok")).as("s"))
+    t("simhash:sig-only") { sigOnly.agg(sum("s")).count() }
+    spark.stop()
+  }
+}
+object ProfileSimhash {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = graft.GraftSession.local()
+    import org.apache.spark.sql.functions._
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s  -> $r")
+      r
+    }
+    val toks = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tok"))
+    toks.cache().count()
+    t("sig:agg64-path") { Dedup.simHashSignatures(toks, "doc_id", "tok").agg(sum("sh")).collect() }
+    t("sig:agg64-path-2nd") { Dedup.simHashSignatures(toks, "doc_id", "tok").agg(sum("sh")).collect() }
+    t("sig:fold-column") { toks.select(Dedup.simHash64(col("tok")).as("sh")).agg(sum("sh")).collect() }
+    val sigs = Dedup.simHashSignatures(toks, "doc_id", "tok").persist()
+    t("sig:materialize") { sigs.count() }
+    t("cand:join+distinct") {
+      val chunked = sigs.select(col("sh_id"), col("sh"), posexplode(
+        array((0 until 4).map(c => shiftrightunsigned(col("sh"), c * 16).bitwiseAND(0xFFFFL)): _*)
+      ).as(Seq("chunk", "ckey")))
+      val l = chunked.select(col("chunk"), col("ckey"), col("sh_id").as("left_id"), col("sh").as("lsh"))
+      val r = chunked.select(col("chunk"), col("ckey"), col("sh_id").as("right_id"), col("sh").as("rsh"))
+      val raw = l.join(r, Seq("chunk", "ckey")).where(col("left_id") < col("right_id"))
+      raw.count()
+    }
+    spark.stop()
+  }
+}
+object ProfileJaccard {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val spark = graft.GraftSession.local()
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.storage.StorageLevel
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s  -> $r")
+      r
+    }
+    val threshold = 0.95
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val hs = docs.select(col("lang").as("blk"), col("doc_id").as("hs_id"),
+        array_distinct(transform(array_distinct(split(col("text"), " ")), x => xxhash64(x))).as("hs"))
+      .withColumn("n", size(col("hs"))).persist(StorageLevel.MEMORY_AND_DISK)
+    t("hs:materialize") { hs.count() }
+    val tokDf = hs.select(explode(col("hs")).as("h")).groupBy("h").agg(count(lit(1)).as("tdf"))
+    t("tokDf") { tokDf.count() }
+    val ordered = hs.select(col("blk"), col("hs_id"), col("n"), explode(col("hs")).as("h"))
+      .join(tokDf, "h").groupBy("blk", "hs_id", "n")
+      .agg(transform(array_sort(collect_list(struct(col("tdf"), col("h")))), s => s.getField("h")).as("ord"))
+      .withColumn("prefix", slice(col("ord"), lit(1), (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")))
+    val pre = ordered.select(col("blk"), col("hs_id"), col("n"), col("ord"), explode(col("prefix")).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    t("pre:materialize") { pre.count() }
+    val l = pre.select(col("blk"), col("h"), col("hs_id").as("left_id"), col("n").as("nl"), col("ord").as("ls"))
+    val r = pre.select(col("blk"), col("h"), col("hs_id").as("right_id"), col("n").as("nr"), col("ord").as("rs"))
+    val raw = l.join(r, Seq("blk", "h")).where(col("left_id") < col("right_id"))
+      .where(col("nl") >= lit(threshold) * col("nr") - 1e-9 && col("nr") >= lit(threshold) * col("nl") - 1e-9)
+    t("cand:raw") { raw.count() }
+    val dd = raw.dropDuplicates("left_id", "right_id")
+    t("cand:dropDup") { dd.count() }
+    t("verify") { dd.withColumn("inter", size(array_intersect(col("ls"), col("rs"))))
+      .withColumn("jaccard", col("inter").cast("double") / (col("nl") + col("nr") - col("inter")))
+      .where(col("jaccard") >= threshold).count() }
+    spark.stop()
+  }
+}

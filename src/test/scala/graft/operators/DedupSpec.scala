@@ -10,7 +10,7 @@ class DedupSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
-    .select(col("doc_id"), col("lang"), lit(1).as("all"),
+    .select(col("doc_id"), col("lang"), col("text"), lit(1).as("all"),
       array_distinct(split(col("text"), " ")).as("tok"),
       TextAnalysis.shingles(split(col("text"), " "), 3).as("sh")).cache()
 
@@ -37,6 +37,19 @@ class DedupSpec extends SparkSpec {
       .collect().map(t => (t._1, t._2) -> t._3).toMap
     lsh.foreach { case (l, r, j) =>
       byPair.get((l, r)).foreach(ex => assert(math.abs(ex - j) < 1e-12)) }
+  }
+
+  test("string-free shingle path (minHashDedupTokens) matches exact Jaccard like the string path") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "sh", "all", 0.8)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashDedupTokens(
+        docs.select(col("doc_id"), split(col("text"), " ").as("tok")),
+        "doc_id", "tok", shingleN = 3, threshold = 0.8)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty)
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall (${exact.size} truth pairs, ${lsh.size} lsh)")
+    assert(lsh.subsetOf(exact), s"${lsh.diff(exact).size} false positives")
   }
 
   test("simhash pairs are far more similar than the population baseline") {
