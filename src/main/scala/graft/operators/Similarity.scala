@@ -16,19 +16,19 @@ import org.apache.spark.sql.expressions.Window
   *    buckets. At 100 TB the bucket key becomes the partition key, so a query
   *    touches a bounded slice of the corpus instead of all of it.
   *
-  * All arithmetic is done in double precision after an explicit cast (float
-  * accumulation drifts and is not reproducible across engines), as left-fold
-  * `aggregate` — deterministic order, codegen-friendly, no UDFs.
+  * All arithmetic is done in double precision with strictly index-ascending
+  * accumulation (deterministic and engine-portable), through the native
+  * codegen'd kernels in [[graft.functions.VectorExpressions]] — a single
+  * primitive loop per row instead of interpreted higher-order folds.
   */
 object Similarity {
+  import graft.functions.VectorFunctions
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = VectorFunctions.vectorDot(a, b)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = VectorFunctions.vectorNorm(a)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column = VectorFunctions.vectorCosine(a, b)
 
   /** Exact top-k cosine neighbors for each row of `queries` against `corpus`.
     * `queries` is expected to be small — Catalyst broadcasts it, so the big

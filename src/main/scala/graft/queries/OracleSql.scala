@@ -40,7 +40,8 @@ object OracleSql {
     "q03_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment
         |FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin,
 
     "q04_filter_sort_page" ->
       """SELECT event_id,
@@ -129,6 +130,59 @@ object OracleSql {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    "q14_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q15_moving_avg" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trail_sum,
+        |       count(*) OVER w AS trail_n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |         / (count(*) OVER w) AS trail_avg
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q16_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_orderpriority = '1-URGENT' AND o.o_orderstatus = 'O')""".stripMargin,
+
+    "q17_incremental_union" ->
+      """WITH u AS (
+        |  SELECT event_id, 1 AS src, ts FROM events WHERE event_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT event_id, 2 AS src, ts FROM events WHERE event_id % 2 = 0)
+        |SELECT event_id, src AS winning_src,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY src DESC) AS rk
+        |      FROM u) WHERE rk = 1""".stripMargin,
+
+    "q18_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'click') AS DOUBLE) AS click,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'view') AS DOUBLE) AS view,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'purchase') AS DOUBLE) AS purchase,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'signup') AS DOUBLE) AS signup,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (event_type = 'error') AS DOUBLE) AS error
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q19_asof_join" ->
+      """WITH v AS (SELECT user_id, ts, max(event_id) AS view_id
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |     p AS (SELECT event_id, user_id, ts, value
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id,
+        |       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS ts_s, p.value,
+        |       v.view_id AS matched_view,
+        |       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS matched_ts_s
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts < p.ts""".stripMargin,
+
     "q20_text_stats" ->
       """SELECT doc_id,
         |       CAST(length(text) AS BIGINT) AS n_chars_calc,
@@ -201,6 +255,34 @@ object OracleSql {
         |       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
         |       CAST(64 + doc_id % 512 AS BIGINT) AS fake_width,
         |       CAST(64 + (doc_id * 7) % 512 AS BIGINT) AS fake_height
+        |FROM documents""".stripMargin,
+
+    "q30_embedding_neardup" ->
+      """WITH pair AS (
+        |  SELECT a.vec_id AS l, b.vec_id AS r,
+        |         unnest(a.embedding) AS ua, unnest(b.embedding) AS ub
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT l AS left_id, r AS right_id,
+        |         round(sum(CAST(ua AS DOUBLE) * CAST(ub AS DOUBLE))
+        |           / (sqrt(sum(CAST(ua AS DOUBLE) * CAST(ua AS DOUBLE)))
+        |            * sqrt(sum(CAST(ub AS DOUBLE) * CAST(ub AS DOUBLE)))), 6) AS cosine
+        |  FROM pair GROUP BY 1, 2)
+        |SELECT left_id, right_id, cosine FROM scored WHERE cosine >= 0.35""".stripMargin,
+
+    "q32_subword_tokens" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_subtokens,
+        |       md5(array_to_string(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'), chr(1))) AS subtoken_fp
+        |FROM documents""".stripMargin,
+
+    "q33_quality_score" ->
+      """SELECT doc_id, round(
+        |    least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
+        |  + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |       / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0)) * 0.3
+        |  + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |       / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.3, 6) AS quality
         |FROM documents""".stripMargin,
   )
 }

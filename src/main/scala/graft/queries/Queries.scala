@@ -66,10 +66,13 @@ object Queries {
         (li("l_returnflag") === "R").as("is_return"))
   }
 
-  /** J2/P8 (idempotent load anti-join, load_to_redshift_lambda.py:88-100). */
+  /** J2/P8 (idempotent load anti-join, load_to_redshift_lambda.py:88-100):
+    * customers with no high-value order. The filter keeps the result
+    * non-vacuous at every SF (an anti-join against all orders matches zero
+    * rows on this data, which would make the check meaningless). */
   val q03_anti_join: Q = (s, dir) => {
     val c = Tables.customer(s, dir)
-    val o = Tables.orders(s, dir)
+    val o = Tables.orders(s, dir).where(col("o_totalprice") > 300000)
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
   }
@@ -201,6 +204,93 @@ object Queries {
       .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hour_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Multi-level aggregation: ROLLUP over (returnflag, linestatus) — subtotal
+    * and grand-total rows with null group keys, decimal-exact sums. */
+  val q14_rollup: Q = (s, dir) => {
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(12,2)")
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+  }
+
+  /** Window frames: trailing-3-order moving sum/avg per customer, decimal
+    * sums inside the frame so the values are order-independent-exact. */
+  val q15_moving_avg: Q = (s, dir) => {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(-2, Window.currentRow)
+    Tables.orders(s, dir).select(
+      col("o_custkey"), col("o_orderkey"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double").as("trail_sum"),
+      count(lit(1)).over(w).as("trail_n"))
+      .withColumn("trail_avg", col("trail_sum") / col("trail_n"))
+  }
+
+  /** Semi-join (EXISTS): customers having at least one urgent open order. */
+  val q16_semi_join: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+      .where(col("o_orderpriority") === "1-URGENT" && col("o_orderstatus") === "O")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+  }
+
+  /** Incremental load with late/duplicate data: two overlapping batches,
+    * union, newest-batch-wins dedup by key via row_number (deterministic —
+    * never dropDuplicates, whose survivor is partition-order-dependent). */
+  val q17_incremental_union: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val batchA = ev.where(pmod(col("event_id"), lit(3)) =!= 0).withColumn("src", lit(1))
+    val batchB = ev.where(pmod(col("event_id"), lit(2)) === 0).withColumn("src", lit(2))
+    val w = Window.partitionBy("event_id").orderBy(col("src").desc)
+    batchA.unionByName(batchB)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("event_id"), col("src").as("winning_src"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"))
+  }
+
+  /** Pivot: per-day event_type value matrix (explicit value list so the plan
+    * is one pass, no distinct-collect on the driver). */
+  val q18_pivot: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
+
+  /** As-of join (trades-and-quotes shape): each purchase matched to the same
+    * user's most recent strictly-earlier view. Implemented with the union +
+    * keyed-window trick — one shuffle on user_id, no range join blow-up; at
+    * 100 TB this is the standard scalable as-of plan. Views are first deduped
+    * per (user, ts) so the match is deterministic. */
+  val q19_asof_join: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val views = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("view_id"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    val tagged = purchases
+      .select(col("user_id"), col("ts"), lit(0).as("side"), col("event_id"), col("value"),
+        lit(null).cast("long").as("view_id"), lit(null).cast("timestamp").as("view_ts"))
+      .unionByName(views.select(col("user_id"), col("ts"), lit(1).as("side"),
+        lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"),
+        col("view_id"), col("ts").as("view_ts")))
+    // strictly-earlier: views at the same ts sort AFTER purchases (side 1 > 0),
+    // so the unbounded-to-previous-row frame can never see them
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tagged
+      .withColumn("matched_view", last(col("view_id"), ignoreNulls = true).over(w))
+      .withColumn("matched_ts", last(col("view_ts"), ignoreNulls = true).over(w))
+      .where(col("side") === 0)
+      .select(col("event_id"), col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"), col("value"),
+        col("matched_view"),
+        date_format(col("matched_ts"), "yyyy-MM-dd HH:mm:ss").as("matched_ts_s"))
+  }
+
   // --------------------------------------------------- text / dedup / ann --
 
   private val Stopwords = Seq("the", "a")
@@ -285,6 +375,54 @@ object Queries {
       (lit(64) + pmod(col("doc_id"), lit(512))).cast("long").as("fake_width"),
       (lit(64) + pmod(col("doc_id") * 7, lit(512))).cast("long").as("fake_height"))
 
+  /** Embedding-cosine near-dup pairs — exact all-pairs self-join; the cosine
+    * is the native codegen'd [[graft.functions.VectorCosine]] kernel, so the
+    * O(n²) candidate stream is a tight primitive loop, not an interpreted
+    * fold. (At corpus scale the same kernel runs behind the SRP-bucketed
+    * candidate join — q31.) */
+  val q30_embedding_neardup: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("vec_id").as("left_id"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("right_id"), col("embedding").as("vb"))
+    val cos = round(Similarity.cosine(col("va"), col("vb")), 6)
+    // the cosine threshold lives in the join condition: the nested-loop join
+    // then evaluates the kernel on a zero-copy JoinedRow and only survivors
+    // (a tiny fraction) are materialized with their array payloads
+    a.join(b, col("left_id") < col("right_id") && cos >= 0.35)
+      .select(col("left_id"), col("right_id"), cos.as("cosine"))
+  }
+
+  /** SRP-bucketed ANN top-3 (the 100 TB path: bucket equi-join instead of a
+    * cross join; no SQL oracle — approximate by construction, validated as a
+    * subset of brute force in ScalaTest). */
+  val q31_ann_srp: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    Similarity.srpBucketTopK(e.where(col("vec_id") < 50), e, k = 3, dim = 64, nbits = 8)
+  }
+
+  /** BPE-ish subword tokenization: run-class regex, count + order-sensitive
+    * fingerprint so the oracle checks the exact token stream. */
+  val q32_subword_tokens: Q = (s, dir) => {
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_subtokens"),
+      md5(concat_ws("\u0001", toks)).as("subtoken_fp"))
+  }
+
+  /** Composite text-quality score (length / diversity / punctuation soup). */
+  val q33_quality_score: Q = (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.qualityScore(col("text"), Stopwords).as("quality"))
+
+  /** Rolling polynomial hash over the token stream (winnowing-style document
+    * fingerprint; xxhash64 seed — no SQL oracle, spec-validated). */
+  val q34_rolling_hash: Q = (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.rollingHash(col("text")).as("roll_hash"))
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -301,6 +439,12 @@ object Queries {
     "q11_top_revenue" -> q11_top_revenue,
     "q12_coalesce_fill" -> q12_coalesce_fill,
     "q13_hourly_rollup" -> q13_hourly_rollup,
+    "q14_rollup" -> q14_rollup,
+    "q15_moving_avg" -> q15_moving_avg,
+    "q16_semi_join" -> q16_semi_join,
+    "q17_incremental_union" -> q17_incremental_union,
+    "q18_pivot" -> q18_pivot,
+    "q19_asof_join" -> q19_asof_join,
     "q20_text_stats" -> q20_text_stats,
     "q21_lang_guess" -> q21_lang_guess,
     "q22_fingerprint" -> q22_fingerprint,
@@ -311,5 +455,10 @@ object Queries {
     "q27_ann_cosine" -> q27_ann_cosine,
     "q28_embedding_stats" -> q28_embedding_stats,
     "q29_binary_meta" -> q29_binary_meta,
+    "q30_embedding_neardup" -> q30_embedding_neardup,
+    "q31_ann_srp" -> q31_ann_srp,
+    "q32_subword_tokens" -> q32_subword_tokens,
+    "q33_quality_score" -> q33_quality_score,
+    "q34_rolling_hash" -> q34_rolling_hash,
   )
 }
