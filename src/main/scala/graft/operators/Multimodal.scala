@@ -63,24 +63,26 @@ object Multimodal {
         octet_length(col("payload")).cast("long").as("n_bytes")))
 
   /** Decode pass: fills width/height + emits a feature vector, one codec
-    * instance per partition (the `mapPartitions` batch shape). */
+    * instance per partition — a typed `Dataset.mapPartitions` (the Scala
+    * analog of `mapInPandas` batches: Encoders serialize straight between
+    * Tungsten rows and JVM primitives, no Row-object round trip). */
   def decodeAndFeaturize(media: DataFrame, dim: Int = 8): DataFrame = {
-    val spark = media.sparkSession
-    val outSchema = StructType(mediaSchema.fields.toSeq :+
-      StructField("features", ArrayType(FloatType)))
-    val rdd = media.select("media_id", "payload", "meta").rdd.mapPartitions { it =>
-      // per-partition codec init would go here
-      it.map { r =>
-        val id = r.getLong(0)
-        val payload = r.getAs[Array[Byte]](1)
-        val meta = r.getStruct(2)
-        val (w, h) = FakeCodec.decode(payload)
-        Row(id, payload,
-          Row(meta.getString(0), w, h, meta.getLong(3)),
-          FakeCodec.features(payload, dim).toSeq)
+    import media.sparkSession.implicits._
+    media
+      .select(col("media_id"), col("payload"), col("meta.mime"), col("meta.n_bytes"))
+      .as[(Long, Array[Byte], String, Long)]
+      .mapPartitions { it =>
+        // per-partition codec init would go here
+        it.map { case (id, payload, mime, nBytes) =>
+          val (w, h) = FakeCodec.decode(payload)
+          (id, payload, mime, w, h, nBytes, FakeCodec.features(payload, dim))
+        }
       }
-    }
-    spark.createDataFrame(rdd, outSchema)
+      .toDF("media_id", "payload", "mime", "w", "h", "n_bytes", "features")
+      .select(col("media_id"), col("payload"),
+        struct(col("mime"), col("w").as("width"), col("h").as("height"),
+          col("n_bytes")).as("meta"),
+        col("features"))
   }
 
   /** Frame-sampling shape for video-like payloads: split a payload into

@@ -423,6 +423,19 @@ object Queries {
       col("doc_id"),
       TextAnalysis.rollingHash(col("text")).as("roll_hash"))
 
+  /** Multimodal decode/featurize pass over binary payloads: the mapPartitions
+    * batch shape with the stubbed codec (see graft.operators.Multimodal — the
+    * plumbing is real, the codec is a deterministic fake; no SQL oracle). */
+  val q35_media_features: Q = (s, dir) => {
+    import graft.operators.Multimodal
+    val media = Multimodal.toMedia(Tables.documents(s, dir), "doc_id", "text", "text/plain")
+    Multimodal.decodeAndFeaturize(media, dim = 8)
+      .select(col("media_id"), col("meta.width").as("width"),
+        col("meta.height").as("height"), col("meta.n_bytes").as("n_bytes"),
+        round(aggregate(col("features"), lit(0.0d),
+          (acc, x) => acc + x.cast("double")), 4).as("feature_sum"))
+  }
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -460,5 +473,6 @@ object Queries {
     "q32_subword_tokens" -> q32_subword_tokens,
     "q33_quality_score" -> q33_quality_score,
     "q34_rolling_hash" -> q34_rolling_hash,
+    "q35_media_features" -> q35_media_features,
   )
 }
