@@ -276,6 +276,24 @@ object OracleSql {
         |       md5(array_to_string(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'), chr(1))) AS subtoken_fp
         |FROM documents""".stripMargin,
 
+    "q36_percentiles" ->
+      """SELECT o_orderpriority,
+        |       quantile_cont(o_totalprice, 0.5) AS med_price,
+        |       quantile_cont(o_totalprice, 0.9) AS p90_price,
+        |       count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q37_string_funcs" ->
+      """SELECT c_custkey,
+        |       upper(c_mktsegment) AS seg_upper,
+        |       substr(c_name, 1, 8) AS name_prefix,
+        |       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+        |       reverse(c_name) AS name_rev,
+        |       regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+        |       CAST(levenshtein(c_mktsegment, 'BUILDING') AS BIGINT) AS lev_building,
+        |       CAST(length(trim(c_name)) AS BIGINT) AS name_len
+        |FROM customer""".stripMargin,
+
     "q33_quality_score" ->
       """SELECT doc_id, round(
         |    least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4

@@ -260,10 +260,11 @@ object Queries {
       .agg(sum(col("value").cast("decimal(18,2)")).cast("double"))
 
   /** As-of join (trades-and-quotes shape): each purchase matched to the same
-    * user's most recent strictly-earlier view. Implemented with the union +
-    * keyed-window trick — one shuffle on user_id, no range join blow-up; at
-    * 100 TB this is the standard scalable as-of plan. Views are first deduped
-    * per (user, ts) so the match is deterministic. */
+    * user's most recent strictly-earlier view, via the generic
+    * [[graft.operators.AsOf.joinAsOf]] operator (union + keyed window — one
+    * shuffle on user_id, no range-join blow-up). Views are first deduped per
+    * (user, ts) so the match is deterministic; the oracle is DuckDB's native
+    * ASOF LEFT JOIN. */
   val q19_asof_join: Q = (s, dir) => {
     val ev = Tables.events(s, dir)
     val views = ev.where(col("event_type") === "view")
@@ -271,24 +272,12 @@ object Queries {
       .agg(max(col("event_id")).as("view_id"))
     val purchases = ev.where(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-    val tagged = purchases
-      .select(col("user_id"), col("ts"), lit(0).as("side"), col("event_id"), col("value"),
-        lit(null).cast("long").as("view_id"), lit(null).cast("timestamp").as("view_ts"))
-      .unionByName(views.select(col("user_id"), col("ts"), lit(1).as("side"),
-        lit(null).cast("long").as("event_id"), lit(null).cast("double").as("value"),
-        col("view_id"), col("ts").as("view_ts")))
-    // strictly-earlier: views at the same ts sort AFTER purchases (side 1 > 0),
-    // so the unbounded-to-previous-row frame can never see them
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("side"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    tagged
-      .withColumn("matched_view", last(col("view_id"), ignoreNulls = true).over(w))
-      .withColumn("matched_ts", last(col("view_ts"), ignoreNulls = true).over(w))
-      .where(col("side") === 0)
+    graft.operators.AsOf.joinAsOf(purchases, views,
+        by = Seq("user_id"), leftTs = "ts", rightTs = "ts", strict = true)
       .select(col("event_id"), col("user_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_s"), col("value"),
-        col("matched_view"),
-        date_format(col("matched_ts"), "yyyy-MM-dd HH:mm:ss").as("matched_ts_s"))
+        col("view_id").as("matched_view"),
+        date_format(col("ts_right"), "yyyy-MM-dd HH:mm:ss").as("matched_ts_s"))
   }
 
   // --------------------------------------------------- text / dedup / ann --
@@ -436,6 +425,35 @@ object Queries {
           (acc, x) => acc + x.cast("double")), 4).as("feature_sum"))
   }
 
+  /** Exact percentiles (linear interpolation — one sort-based aggregate per
+    * group; bit-identical to DuckDB quantile_cont). */
+  val q36_percentiles: Q = (s, dir) =>
+    Tables.orders(s, dir).groupBy(col("o_orderpriority")).agg(
+      percentile(col("o_totalprice"), lit(0.5)).as("med_price"),
+      percentile(col("o_totalprice"), lit(0.9)).as("p90_price"),
+      count(lit(1)).as("n"))
+
+  /** Scalar string-function battery (trim/case/pad/substr/replace/reverse/
+    * levenshtein) — per-row, no shuffle. */
+  val q37_string_funcs: Q = (s, dir) =>
+    Tables.customer(s, dir).select(
+      col("c_custkey"),
+      upper(col("c_mktsegment")).as("seg_upper"),
+      substring(col("c_name"), 1, 8).as("name_prefix"),
+      lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
+      reverse(col("c_name")).as("name_rev"),
+      regexp_replace(col("c_name"), "[0-9]", "#").as("name_masked"),
+      levenshtein(col("c_mktsegment"), lit("BUILDING")).cast("long").as("lev_building"),
+      length(trim(col("c_name"))).cast("long").as("name_len"))
+
+  /** HLL++ sketch distinct-count per event_type vs the exact count — the
+    * approximate-aggregate tier (no SQL oracle: sketch estimates are
+    * implementation-specific; bounded-error property is spec-checked). */
+  val q38_hll_distinct: Q = (s, dir) =>
+    Tables.events(s, dir).groupBy(col("event_type")).agg(
+      approx_count_distinct(col("user_id")).as("approx_users"),
+      countDistinct(col("user_id")).as("exact_users"))
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -474,5 +492,8 @@ object Queries {
     "q33_quality_score" -> q33_quality_score,
     "q34_rolling_hash" -> q34_rolling_hash,
     "q35_media_features" -> q35_media_features,
+    "q36_percentiles" -> q36_percentiles,
+    "q37_string_funcs" -> q37_string_funcs,
+    "q38_hll_distinct" -> q38_hll_distinct,
   )
 }

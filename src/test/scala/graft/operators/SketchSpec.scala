@@ -1,0 +1,22 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bounded-error property for the approximate-aggregate tier (q38): HLL++
+  * estimates must land within the configured relative error of the exact
+  * distinct counts (default rsd = 5%; allow 3× slack for small groups). */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("approx_count_distinct is within tolerance of exact counts") {
+    val rows = graft.queries.Queries.q38_hll_distinct(spark, sf)
+      .select("event_type", "approx_users", "exact_users")
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, approx, exact) =>
+      val err = math.abs(approx - exact).toDouble / math.max(exact, 1L)
+      assert(err <= 0.15, s"$et: approx=$approx exact=$exact err=$err")
+    }
+  }
+}
