@@ -66,6 +66,70 @@ object Similarity {
     bits.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  // ------------------------------------------------------------------ IVF --
+
+  /** IVF (inverted-file) coarse quantizer: k centroids seeded from the k
+    * lowest-id vectors (deterministic), refined with `iters` Lloyd steps.
+    * Each refinement is fully distributed (assign = per-row argmax against
+    * literal centroids; means = posexplode + per-(cluster,dim) average); only
+    * the k×dim centroid matrix itself ever reaches the driver — metadata
+    * scale, like collecting broadcast-join build keys. */
+  def ivfCentroids(corpus: DataFrame, k: Int, iters: Int = 1,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    var cents = corpus.orderBy(col(idCol)).limit(k).select(col(vecCol))
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 0 until iters) {
+      val means = corpus
+        .select(nearestCentroid(col(vecCol), cents).as("cluster"),
+          posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cluster", "pos").agg(avg(col("x").cast("double")).as("m"))
+        .groupBy("cluster")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("cent"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i))).toArray
+    }
+    cents
+  }
+
+  /** Index of the nearest centroid (argmax cosine), as a pure row-local
+    * expression over literal centroids — no shuffle, broadcast-free. */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    array_max(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(graft.functions.VectorFunctions.vectorCosine(vec, typedLit(c.toSeq)).as("cos"),
+        lit(i).as("cluster"))
+    }: _*)).getField("cluster")
+
+  /** The query side probes its `nprobe` nearest centroids. */
+  private def probeCentroids(vec: Column, centroids: Array[Array[Double]],
+                             nprobe: Int): Column =
+    slice(reverse(array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+      struct(graft.functions.VectorFunctions.vectorCosine(vec, typedLit(c.toSeq)).as("cos"),
+        lit(i).as("cluster"))
+    }: _*))), 1, nprobe)
+
+  /** IVF ANN top-k: corpus partitioned by nearest-centroid cluster, queries
+    * probe their `nprobe` closest clusters — candidate generation is an
+    * equi-join on cluster id. At 100 TB the corpus is *stored* clustered
+    * (partitionBy(cluster)), so a probe reads nprobe/k of the data; recall
+    * is tuned by nprobe exactly as in FAISS-style IVF deployments. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              centroids: Array[Array[Double]], nprobe: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+      nearestCentroid(col(vecCol), centroids).as("cluster"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(probeCentroids(col(vecCol), centroids, nprobe)).as("probe"))
+      .select(col("query_id"), col("qv"), col("probe.cluster").as("cluster"))
+    val scored = q.join(c, Seq("cluster"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("qv"), col("nv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk").cast("long").as("rk"))
+  }
+
   /** ANN top-k searching only within the query's SRP bucket (plus callers can
     * union multiple probe buckets). Trades recall for a corpus-partitioned
     * equi-join — the 100 TB-scale path. */

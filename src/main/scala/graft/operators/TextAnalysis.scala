@@ -86,4 +86,32 @@ object TextAnalysis {
   def rollingHash(text: Column, base: Long = 1000003L): Column =
     aggregate(tokens(text), lit(0L),
       (acc, t) => acc * base + xxhash64(t))
+
+  /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 variant):
+    * k-gram hashes via posexplode + window-lead (codegen'd, no strings
+    * materialized), then keep each hash that is the minimum of the w-window
+    * ending at its position — a deterministic cover of every w-window's
+    * minimum, so any match of ≥ w+k-1 consecutive tokens between two docs
+    * shares a fingerprint. Returns (id, fp) rows, distinct per doc.
+    *
+    * Scale shape: one exchange on the doc id + a per-doc sort (the window);
+    * output is O(n/w) of the k-gram stream — the standard plagiarism/near-
+    * dup index build. */
+  def winnowedFingerprints(df: org.apache.spark.sql.DataFrame, id: String,
+                           tokensCol: String, k: Int = 3, w: Int = 4)
+  : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("wf_id").orderBy("pos")
+    var th = df.select(col(id).as("wf_id"), posexplode(col(tokensCol)).as(Seq("pos", "tok")))
+      .select(col("wf_id"), col("pos"), xxhash64(col("tok")).as("h0"))
+    (1 until k).foreach { j => th = th.withColumn(s"h$j", lead(col("h0"), j).over(byDoc)) }
+    val grams = th.where(col(s"h${k - 1}").isNotNull)
+      .select(col("wf_id"), col("pos"),
+        xxhash64((0 until k).map(j => col(s"h$j")): _*).as("gh"))
+    val win = Window.partitionBy("wf_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    grams.withColumn("wmin", min(col("gh")).over(win))
+      .where(col("gh") === col("wmin"))
+      .select(col("wf_id").as(id), col("gh").as("fp"))
+      .distinct()
+  }
 }

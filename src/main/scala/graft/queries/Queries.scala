@@ -425,6 +425,15 @@ object Queries {
           (acc, x) => acc + x.cast("double")), 4).as("feature_sum"))
   }
 
+  /** IVF ANN top-3: deterministic centroid build (lowest-id seeds + one
+    * Lloyd step), corpus bucketed by nearest centroid, queries probe their 2
+    * closest clusters (rows-only — approximate; recall spec-checked). */
+  val q39_ann_ivf: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val cents = Similarity.ivfCentroids(e, k = 8, iters = 1)
+    Similarity.ivfTopK(e.where(col("vec_id") < 50), e, k = 3, cents, nprobe = 2)
+  }
+
   /** Exact percentiles (linear interpolation — one sort-based aggregate per
     * group; bit-identical to DuckDB quantile_cont). */
   val q36_percentiles: Q = (s, dir) =>
@@ -453,6 +462,12 @@ object Queries {
     Tables.events(s, dir).groupBy(col("event_type")).agg(
       approx_count_distinct(col("user_id")).as("approx_users"),
       countDistinct(col("user_id")).as("exact_users"))
+
+  /** Winnowing fingerprints per document (rows-only; spec-validated). */
+  val q40_winnow_fingerprints: Q = (s, dir) =>
+    TextAnalysis.winnowedFingerprints(
+      Tables.documents(s, dir).select(col("doc_id"), split(col("text"), " ").as("tok")),
+      "doc_id", "tok")
 
   // -------------------------------------------------------------- registry --
 
@@ -495,5 +510,7 @@ object Queries {
     "q36_percentiles" -> q36_percentiles,
     "q37_string_funcs" -> q37_string_funcs,
     "q38_hll_distinct" -> q38_hll_distinct,
+    "q39_ann_ivf" -> q39_ann_ivf,
+    "q40_winnow_fingerprints" -> q40_winnow_fingerprints,
   )
 }

@@ -4,6 +4,24 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 class SimilaritySpec extends SparkSpec {
+
+  test("IVF: clusters partition the corpus; probing more clusters raises recall to 1") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cents = Similarity.ivfCentroids(e, k = 4, iters = 1)
+    assert(cents.length === 4)
+    val q = e.where(org.apache.spark.sql.functions.col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(q, e, k = 3)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // probing ALL clusters must reproduce brute force exactly
+    val full = Similarity.ivfTopK(q, e, k = 3, cents, nprobe = 4)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full === exact)
+    // probing 2/4 clusters is a subset with nonzero recall
+    val probed = Similarity.ivfTopK(q, e, k = 3, cents, nprobe = 2)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(probed).size.toDouble / exact.size
+    assert(recall > 0.3, s"ivf recall=$recall")
+  }
   import spark.implicits._
 
   private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()

@@ -4,6 +4,20 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
+
+  test("winnowed fingerprints: deterministic, compressive, and shared by near-dup docs") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("tok")).cache()
+    val fp = TextAnalysis.winnowedFingerprints(docs, "doc_id", "tok").cache()
+    val nGrams = docs.select(col("doc_id"), explode(col("tok"))).count()
+    assert(fp.count() > 0 && fp.count() < nGrams / 2, "winnowing must compress the gram stream")
+    // identical token streams produce identical fingerprint sets
+    val a = fp.where(col("doc_id") === 0).select("fp").as[Long].collect().toSet
+    val again = TextAnalysis.winnowedFingerprints(docs, "doc_id", "tok")
+      .where(col("doc_id") === 0).select("fp").as[Long].collect().toSet
+    assert(a === again && a.nonEmpty)
+  }
   import spark.implicits._
 
   test("token counts agree with n_chars bookkeeping on the documents table") {
