@@ -32,4 +32,28 @@ object Streams {
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
+
+  /** Watermarked stream-stream interval join: each purchase joined to the
+    * same user's views from the preceding `lookback`. Both sides carry
+    * watermarks and the join condition bounds the event-time gap, so state
+    * eviction is provable — the requirements Structured Streaming imposes
+    * for unbounded-input joins. (The batch analog of "most recent prior
+    * view" is the as-of join, q19; streaming keeps ALL views in the window
+    * because later purchases may still match them.) */
+  def purchaseViewJoin(purchases: DataFrame, views: DataFrame,
+                       lookback: String = "1 hour",
+                       watermark: String = "2 hours"): DataFrame = {
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id").as("v_user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    p.join(v,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookback"))
+      .select(col("user_id"), col("purchase_id"), col("purchase_ts"),
+        col("view_id"), col("view_ts"), col("value"))
+  }
 }

@@ -30,6 +30,29 @@ class StreamsSpec extends SparkSpec {
     assert(out.sorted.toSeq === Seq("r1", "r2"))
   }
 
+  test("stream-stream interval join matches views within the lookback only") {
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Ev]
+    val views = MemoryStream[Ev]
+    val joined = Streams.purchaseViewJoin(
+      purchases.toDF().withColumnRenamed("reward_id", "event_id")
+        .withColumn("user_id", org.apache.spark.sql.functions.lit(1L)),
+      views.toDF().withColumnRenamed("reward_id", "event_id")
+        .withColumn("user_id", org.apache.spark.sql.functions.lit(1L)),
+      lookback = "1 hour")
+    val q = joined.writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    views.addData(
+      Ev("v1", t("2024-01-01 09:30:00"), "view", 0.0),  // within 1h of purchase
+      Ev("v2", t("2024-01-01 07:00:00"), "view", 0.0))  // too old
+    purchases.addData(Ev("p1", t("2024-01-01 10:00:00"), "purchase", 42.0))
+    q.processAllAvailable()
+    val out = spark.table("ssj_out").select("purchase_id", "view_id")
+      .as[(String, String)].collect().toSet
+    q.stop()
+    assert(out === Set(("p1", "v1")))
+  }
+
   test("incremental hourly rollup emits finalized windows after watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
