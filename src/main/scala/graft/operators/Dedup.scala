@@ -278,6 +278,54 @@ object Dedup {
       .select(col("left_id"), col("right_id"), col("jaccard"))
   }
 
+  // ------------------------------------------------------------- clusters --
+
+  /** Connected components over a near-dup pair graph by min-label
+    * propagation: every vertex adopts the smallest component id among itself
+    * and its neighbors until fixpoint. Iterations are bounded by the
+    * component diameter — near-dup clusters produced by the pair operators
+    * are dense (quasi-cliques), so this converges in 2–3 rounds; each round
+    * is one key-partitioned join + aggregate, with the frontier persisted
+    * and the previous one released. (For adversarial long-chain graphs,
+    * swap in large-star/small-star contraction — same interface.)
+    *
+    * Returns (id, component) where component = min doc id in the cluster. */
+  def connectedComponents(pairs: DataFrame, left: String = "left_id",
+                          right: String = "right_id", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(left).as("src"), col(right).as("dst"))
+      .unionByName(pairs.select(col(right).as("src"), col(left).as("dst")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("comp")).as("nbr"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("comp"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp2"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.where(col("comp2") =!= col("comp")).count()
+      val prev = labels
+      labels = next.select(col("id"), col("comp2").as("comp"))
+      prev.unpersist()
+      i += 1
+    }
+    labels
+  }
+
+  /** Cluster-level dedup decision: every doc in a near-dup component keeps
+    * the component minimum as its canonical id (docs in no pair are their
+    * own canonical). */
+  def canonicalIds(allIds: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(pairs)
+    allIds.select(col(idCol).as("id")).distinct()
+      .join(comps, Seq("id"), "left")
+      .select(col("id").as(idCol), coalesce(col("comp"), col("id")).as("canonical_id"))
+  }
+
   // -------------------------------------------------------------- simhash --
 
   /** 64-bit SimHash of a token array as a single Column expression: per-bit

@@ -257,6 +257,23 @@ object OracleSql {
         |       CAST(64 + (doc_id * 7) % 512 AS BIGINT) AS fake_height
         |FROM documents""".stripMargin,
 
+    "q41_dedup_clusters" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS s FROM documents),
+        |pairs AS (
+        |  SELECT left_id, right_id FROM (
+        |    SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+        |           CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+        |             / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) AS jaccard
+        |    FROM tok a JOIN tok b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.95),
+        |edges AS (SELECT left_id AS src, right_id AS dst FROM pairs
+        |          UNION SELECT right_id, left_id FROM pairs),
+        |reach(id, anc) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.id)
+        |SELECT id AS doc_id, min(anc) AS canonical_id FROM reach GROUP BY 1""".stripMargin,
+
     "q30_embedding_neardup" ->
       """WITH pair AS (
         |  SELECT a.vec_id AS l, b.vec_id AS r,

@@ -463,6 +463,17 @@ object Queries {
       approx_count_distinct(col("user_id")).as("approx_users"),
       countDistinct(col("user_id")).as("exact_users"))
 
+  /** Cluster-level dedup decision: q24's exact near-dup pairs → connected
+    * components (min-label propagation) → canonical id per document.
+    * Oracle: DuckDB recursive CTE computing reachability minima. */
+  val q41_dedup_clusters: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(split(col("text"), " ")).as("tok"))
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "tok", "lang", 0.95)
+    Dedup.canonicalIds(docs.select("doc_id"), "doc_id", pairs)
+  }
+
   /** Winnowing fingerprints per document (rows-only; spec-validated). */
   val q40_winnow_fingerprints: Q = (s, dir) =>
     TextAnalysis.winnowedFingerprints(
@@ -512,5 +523,6 @@ object Queries {
     "q38_hll_distinct" -> q38_hll_distinct,
     "q39_ann_ivf" -> q39_ann_ivf,
     "q40_winnow_fingerprints" -> q40_winnow_fingerprints,
+    "q41_dedup_clusters" -> q41_dedup_clusters,
   )
 }

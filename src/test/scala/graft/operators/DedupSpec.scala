@@ -74,6 +74,33 @@ class DedupSpec extends SparkSpec {
     assert(out === Set((1L, 2L), (3L, 1L)))
   }
 
+  test("connected components labels chains and cliques with the min id") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),           // chain {1,2,3}
+      (10L, 11L), (10L, 12L), (11L, 12L), // clique {10,11,12}
+      (20L, 21L),                   // pair {20,21}
+    ).toDF("left_id", "right_id")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("canonicalIds covers singletons and real near-dup clusters") {
+    val pairs = Dedup.minHashDedup(docs, "doc_id", "sh", threshold = 0.8)
+    val canon = Dedup.canonicalIds(docs.select("doc_id"), "doc_id", pairs)
+    assert(canon.count() === docs.count())
+    // canonical ids are always ≤ the doc id (min-of-cluster convention)
+    assert(canon.where(col("canonical_id") > col("doc_id")).count() === 0)
+    // every paired doc shares its canonical id with its partner's
+    val viol = pairs.join(canon.withColumnRenamed("doc_id", "left_id")
+        .withColumnRenamed("canonical_id", "lc"), Seq("left_id"))
+      .join(canon.withColumnRenamed("doc_id", "right_id")
+        .withColumnRenamed("canonical_id", "rc"), Seq("right_id"))
+      .where(col("lc") =!= col("rc")).count()
+    assert(viol === 0)
+  }
+
   test("anti-join load is idempotent (property: J2)") {
     val existing = Seq(1L, 2L).toDF("k")
     val incoming = Seq(1L, 2L, 3L).toDF("k")
