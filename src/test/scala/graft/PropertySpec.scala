@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.operators.{AsOf, Dedup}
+
+/** Property-based checks (SURVEY §5.2): scalacheck generators drive the
+  * inputs; each property evaluates one batched Spark job against a
+  * driver-side reference implementation. Seeds are fixed — failures
+  * reproduce deterministically. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("property: anti-join load ≡ set difference, and re-loading is a no-op (J2)") {
+    (1L to 5L).foreach { seed =>
+      val existing = sample(Gen.listOf(Gen.chooseNum(0L, 50L)), seed).distinct
+      val incoming = sample(Gen.listOf(Gen.chooseNum(0L, 50L)), seed + 100).distinct
+      val e = existing.toDF("k"); val i = incoming.toDF("k")
+      val fresh = Dedup.antiJoin(i, e, "k").as[Long].collect().toSet
+      assert(fresh === incoming.toSet.diff(existing.toSet), s"seed=$seed")
+      val after = e.select("k").union(fresh.toSeq.toDF("k"))
+      assert(Dedup.antiJoin(fresh.toSeq.toDF("k"), after, "k").count() === 0, s"seed=$seed")
+    }
+  }
+
+  test("property: pence→pounds scaling is sign-insensitive and exact at 2 d.p. (E1)") {
+    val amounts = sample(Gen.listOfN(500, Gen.chooseNum(-10000000L, 10000000L)), 7L)
+    val out = amounts.toDF("amount")
+      .select(col("amount"), (abs(col("amount")) / 100).as("major"))
+      .as[(Long, Double)].collect()
+    out.foreach { case (pence, major) =>
+      assert(major === math.abs(pence) / 100.0)
+      assert(major >= 0.0)
+    }
+  }
+
+  test("property: non-ANSI casts are total — arbitrary strings coerce to null, never throw (E4)") {
+    val strs = sample(Gen.listOfN(300, Gen.oneOf(
+      Gen.alphaNumStr, Gen.asciiPrintableStr,
+      Gen.chooseNum(-1e9, 1e9).map(_.toString))), 11L)
+    val out = strs.toDF("s").select(
+      col("s").cast("int").as("i"),
+      col("s").cast("double").as("d"),
+      col("s").cast("timestamp").as("t"),
+      col("s").cast("boolean").as("b"))
+    // totality: the job completes; coercions agree with Scala's parsers where defined
+    val rows = out.collect()
+    assert(rows.length === strs.length)
+    strs.zip(rows).foreach { case (s, r) =>
+      val expected = scala.util.Try(s.trim.toDouble).toOption
+      val got = Option(r.get(1)).map(_.asInstanceOf[Double])
+      (expected, got) match {
+        case (Some(e), Some(g)) if !e.isInfinite => assert(g === e, s"input '$s'")
+        case _ => // null/special-form disagreements are out of contract
+      }
+    }
+  }
+
+  test("property: strict as-of join matches a reference implementation (random events)") {
+    (1L to 3L).foreach { seed =>
+      val n = 60
+      val ts = sample(Gen.listOfN(n, Gen.chooseNum(0L, 30L)), seed)
+      val keys = sample(Gen.listOfN(n, Gen.chooseNum(1L, 4L)), seed + 50)
+      val rows = keys.zip(ts).zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val (leftRows, rightRows0) = rows.splitAt(n / 2)
+      // right side deduped per (key, ts) with max id — the operator's contract
+      val rightRows = rightRows0.groupBy(r => (r._2, r._3))
+        .map { case (_, g) => g.maxBy(_._1) }.toSeq
+      val left = leftRows.toDF("id", "k", "t")
+      val right = rightRows.toDF("rid", "k", "t")
+      val got = AsOf.joinAsOf(left, right, Seq("k"), "t", "t", strict = true)
+        .select("id", "rid").as[(Long, Option[Long])].collect().toMap
+      leftRows.foreach { case (id, k, t) =>
+        val expect = rightRows.filter(r => r._2 == k && r._3 < t)
+          .sortBy(r => (r._3, r._1)).lastOption.map(_._1)
+        assert(got(id) === expect, s"seed=$seed id=$id")
+      }
+    }
+  }
+
+  test("property: jaccardPairs at τ=0 equals the brute-force driver computation") {
+    val docs = (0L until 20L).map { i =>
+      val toks = sample(Gen.listOfN(6, Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")), i + 1)
+      (i, toks.distinct)
+    }
+    val df = docs.toDF("id", "tok").withColumn("blk", lit(1))
+    val got = Dedup.jaccardPairs(df, "id", "tok", "blk", 0.0)
+      .select("left_id", "right_id", "jaccard")
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    for ((i, a) <- docs; (j, b) <- docs if i < j) {
+      val inter = a.toSet.intersect(b.toSet).size
+      val expect = inter.toDouble / (a.toSet.size + b.toSet.size - inter)
+      assert(math.abs(got((i, j)) - expect) < 1e-12, s"pair ($i,$j)")
+    }
+  }
+}
