@@ -12,13 +12,15 @@ import org.apache.spark.storage.StorageLevel
   *
   *  - exact:   hash-groupBy on a content fingerprint (one shuffle on the
   *             fingerprint; representative = min id, deterministic).
-  *  - MinHash: shingle → k min-hashes → LSH banding → bucket self-join.
+  *  - MinHash: (Broder, SEQUENCES'97) shingle → k min-hashes → LSH banding →
+  *             bucket self-join.
   *             Candidate generation never compares all O(n²) pairs; the only
   *             shuffles are the explode-on-(band,bucket) exchange and the
   *             bucket join, both key-partitioned and skew-safe (bucket sizes
   *             are capped by banding width).
-  *  - SimHash: 64-bit signature; candidates must share one of four 16-bit
-  *             chunks (pigeonhole: hamming ≤ 3 guarantees a shared chunk).
+  *  - SimHash: (Charikar, STOC'02) 64-bit signature; candidates must share
+  *             one of four 16-bit chunks (pigeonhole: hamming ≤ 3 guarantees
+  *             a shared chunk).
   *  - n-gram Jaccard: exact near-dup pairs with PPJoin-style prefix
   *             filtering (Bayardo et al., WWW'07): order tokens rarest-first
   *             by global document frequency; if J(A,B) ≥ τ the two sets must
