@@ -293,26 +293,38 @@ object Dedup {
     *
     * Returns (id, component) where component = min doc id in the cluster. */
   def connectedComponents(pairs: DataFrame, left: String = "left_id",
-                          right: String = "right_id", maxIter: Int = 20): DataFrame = {
+                          right: String = "right_id", maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col(left).as("src"), col(right).as("dst"))
       .unionByName(pairs.select(col(right).as("src"), col(left).as("dst")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (eager) truncates lineage each round — without it the
+    // adaptive plan re-derives every prior iteration and rounds get slower
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var changed = 1L
+      .withColumn("comp", col("id")).localCheckpoint()
+    // labels only ever decrease, so Σcomp is a monotone convergence witness:
+    // fixpoint ⟺ the sum stops changing (one cheap agg, no join-and-count)
+    var prevSum = labels.agg(sum(col("comp"))).head.getLong(0)
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    var converged = false
+    while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("comp")).as("nbr"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"), col("comp"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp2"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      changed = next.where(col("comp2") =!= col("comp")).count()
-      val prev = labels
-      labels = next.select(col("id"), col("comp2").as("comp"))
-      prev.unpersist()
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+      // pointer jumping (path halving): comp ← comp's comp. Neighbor-min
+      // alone needs O(diameter) rounds on chain-shaped near-dup graphs;
+      // the jump collapses label chains exponentially → O(log d) rounds.
+      val next = stepped.as("x")
+        .join(stepped.select(col("id").as("cid"), col("comp").as("ccomp")),
+          col("x.comp") === col("cid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.comp"), coalesce(col("ccomp"), col("x.comp"))).as("comp"))
+        .localCheckpoint()
+      val s = next.agg(sum(col("comp"))).head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
       i += 1
     }
     labels

@@ -131,16 +131,25 @@ object Queries {
         col("rk").cast("long").as("rk"))
   }
 
-  /** §2.7 set operations (extension surface): union / intersect / except. */
+  /** §2.7 set operations: union / intersect / except, fused into ONE
+    * aggregation — tag each side, collect per-key presence flags with a
+    * single hash-agg shuffle, then derive all three results from the flags
+    * (semantically identical to chaining union/intersect/except, which
+    * would cost three separate wide exchanges). */
   val q09_set_ops: Q = (s, dir) => {
     val c = Tables.customer(s, dir)
     val o = Tables.orders(s, dir)
-    val a = c.where(col("c_mktsegment") === "BUILDING").select(col("c_custkey").as("k"))
-    val b = o.where(col("o_totalprice") > 300000).select(col("o_custkey").as("k")).distinct()
-    a.union(b).distinct().withColumn("op", lit("union"))
-      .unionAll(a.intersect(b).withColumn("op", lit("intersect")))
-      .unionAll(a.except(b).withColumn("op", lit("except")))
-      .select(col("op"), col("k"))
+    val a = c.where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"), lit(1).as("ina"), lit(0).as("inb"))
+    val b = o.where(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("k"), lit(0).as("ina"), lit(1).as("inb"))
+    val flags = a.unionByName(b).groupBy("k")
+      .agg(max(col("ina")).as("ina"), max(col("inb")).as("inb"))
+    flags.select(lit("union").as("op"), col("k"))
+      .unionAll(flags.where(col("ina") === 1 && col("inb") === 1)
+        .select(lit("intersect").as("op"), col("k")))
+      .unionAll(flags.where(col("ina") === 1 && col("inb") === 0)
+        .select(lit("except").as("op"), col("k")))
   }
 
   /** Headline: TPC-H Q1-shaped pricing summary (grouped multi-agg at scale;
@@ -429,7 +438,8 @@ object Queries {
     * Lloyd step), corpus bucketed by nearest centroid, queries probe their 2
     * closest clusters (rows-only — approximate; recall spec-checked). */
   val q39_ann_ivf: Q = (s, dir) => {
-    val e = Tables.embeddings(s, dir)
+    // one materialization feeds centroid build, corpus assignment, and probes
+    val e = Tables.embeddings(s, dir).persist()
     val cents = Similarity.ivfCentroids(e, k = 8, iters = 1)
     Similarity.ivfTopK(e.where(col("vec_id") < 50), e, k = 3, cents, nprobe = 2)
   }
