@@ -274,6 +274,41 @@ object OracleSql {
         |  SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.id)
         |SELECT id AS doc_id, min(anc) AS canonical_id FROM reach GROUP BY 1""".stripMargin,
 
+    "q42_train_split" ->
+      """SELECT doc_id,
+        |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+        |      FROM documents)""".stripMargin,
+
+    "q43_corpus_curation" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS s FROM documents),
+        |pairs AS (
+        |  SELECT left_id, right_id FROM (
+        |    SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+        |           CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+        |             / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) AS jaccard
+        |    FROM tok a JOIN tok b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.95),
+        |edges AS (SELECT left_id AS src, right_id AS dst FROM pairs
+        |          UNION SELECT right_id, left_id FROM pairs),
+        |reach(id, anc) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.id),
+        |canon AS (SELECT id AS doc_id, min(anc) AS canonical_id FROM reach GROUP BY 1),
+        |q AS (SELECT doc_id, lang,
+        |        least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
+        |      + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |           / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0)) * 0.3
+        |      + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |           / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.3 AS qual,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |      FROM documents)
+        |SELECT q.doc_id, q.lang, round(q.qual, 6) AS quality, q.n_tokens
+        |FROM q JOIN canon ON q.doc_id = canon.doc_id
+        |WHERE q.lang = 'en' AND q.doc_id = canon.canonical_id AND q.qual >= 0.8""".stripMargin,
+
     "q30_embedding_neardup" ->
       """WITH pair AS (
         |  SELECT a.vec_id AS l, b.vec_id AS r,

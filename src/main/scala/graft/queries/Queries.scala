@@ -490,6 +490,34 @@ object Queries {
       Tables.documents(s, dir).select(col("doc_id"), split(col("text"), " ").as("tok")),
       "doc_id", "tok")
 
+  /** Reproducible train/val/test split by content-hash bucketing (cross-
+    * engine deterministic: md5 is md5 — the oracle computes the identical
+    * assignment). */
+  val q42_train_split: Q = (s, dir) => {
+    import graft.operators.Sampling
+    Sampling.deterministicSplit(Tables.documents(s, dir).select(col("doc_id")),
+      col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+  }
+
+  /** End-to-end corpus curation — the composed LLM-data job this engine
+    * exists for: language filter + quality gate + near-dup cluster dedup
+    * (keep each cluster's canonical doc), emitting the kept corpus with its
+    * quality metadata. */
+  val q43_corpus_curation: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"), col("lang"),
+      array_distinct(split(col("text"), " ")).as("tok"))
+    val pairs = Dedup.jaccardPairs(toks, "doc_id", "tok", "lang", 0.95)
+    val canon = Dedup.canonicalIds(docs.select("doc_id"), "doc_id", pairs)
+    val quality = TextAnalysis.qualityScore(col("text"), Stopwords)
+    docs.join(canon, Seq("doc_id"))
+      .where(col("lang") === "en" && col("doc_id") === col("canonical_id")
+        && quality >= 0.8)
+      .select(col("doc_id"), col("lang"),
+        round(quality, 6).as("quality"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+  }
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -534,5 +562,7 @@ object Queries {
     "q39_ann_ivf" -> q39_ann_ivf,
     "q40_winnow_fingerprints" -> q40_winnow_fingerprints,
     "q41_dedup_clusters" -> q41_dedup_clusters,
+    "q42_train_split" -> q42_train_split,
+    "q43_corpus_curation" -> q43_corpus_curation,
   )
 }

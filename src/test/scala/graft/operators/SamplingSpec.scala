@@ -1,0 +1,37 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val ids = (0L until 2000L).toDF("id").cache()
+
+  test("deterministic split: exhaustive, disjoint, stable under repartitioning") {
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Sampling.deterministicSplit(ids, col("id"), splits)
+      .as[(Long, String)].collect().toMap
+    assert(a.size === 2000 && a.values.forall(Set("train", "val", "test")))
+    val b = Sampling.deterministicSplit(ids.repartition(17), col("id"), splits)
+      .as[(Long, String)].collect().toMap
+    assert(a === b, "split assignment must not depend on partition layout")
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05, s"train frac ${frac("train")}")
+    assert(math.abs(frac("val") - 0.1) < 0.04 && math.abs(frac("test") - 0.1) < 0.04)
+  }
+
+  test("growing the dataset never moves existing rows between splits") {
+    val splits = Seq("train" -> 0.9, "test" -> 0.1)
+    val small = Sampling.deterministicSplit(ids.limit(500), col("id"), splits)
+      .as[(Long, String)].collect().toMap
+    val big = Sampling.deterministicSplit(ids, col("id"), splits)
+      .as[(Long, String)].collect().toMap
+    small.foreach { case (id, s) => assert(big(id) === s) }
+  }
+
+  test("deterministic sample keeps the expected fraction") {
+    val n = Sampling.deterministicSample(ids, col("id"), 0.25).count()
+    assert(math.abs(n / 2000.0 - 0.25) < 0.05, s"got $n/2000")
+  }
+}
