@@ -504,15 +504,18 @@ object Queries {
     * (keep each cluster's canonical doc), emitting the kept corpus with its
     * quality metadata. */
   val q43_corpus_curation: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
+    // near-dup pairs are blocked by language, so clusters never cross
+    // languages — the lang filter pushes BELOW the expensive pair/cluster
+    // stage without changing any kept row (the quality gate must stay above
+    // dedup: canonical choice is min-id regardless of quality)
+    val docs = Tables.documents(s, dir).where(col("lang") === "en")
     val toks = docs.select(col("doc_id"), col("lang"),
       array_distinct(split(col("text"), " ")).as("tok"))
     val pairs = Dedup.jaccardPairs(toks, "doc_id", "tok", "lang", 0.95)
     val canon = Dedup.canonicalIds(docs.select("doc_id"), "doc_id", pairs)
     val quality = TextAnalysis.qualityScore(col("text"), Stopwords)
     docs.join(canon, Seq("doc_id"))
-      .where(col("lang") === "en" && col("doc_id") === col("canonical_id")
-        && quality >= 0.8)
+      .where(col("doc_id") === col("canonical_id") && quality >= 0.8)
       .select(col("doc_id"), col("lang"),
         round(quality, 6).as("quality"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
