@@ -13,14 +13,19 @@ object Bench {
     names.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => }
     }
-    // operators persist intermediate relations; drop them between queries so
-    // each timed run is independent (and pays for its own materialization)
-    spark.catalog.clearCache()
+    // operators persist/localCheckpoint intermediate relations; release all
+    // of it between queries so each timed run is independent (and pays for
+    // its own materialization) and block-manager pressure can't accumulate
+    def release(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+    release()
     val results = names.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
+      release()
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

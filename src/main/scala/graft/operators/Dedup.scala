@@ -321,11 +321,15 @@ object Dedup {
         .select(col("x.id").as("id"),
           least(col("x.comp"), coalesce(col("ccomp"), col("x.comp"))).as("comp"))
         .localCheckpoint()
-      val s = next.agg(sum(col("comp"))).head.getLong(0)
-      converged = s == prevSum
-      prevSum = s
       labels = next
       i += 1
+      // labels strictly decrease, so a convergence probe every other round
+      // halves the extra agg jobs at the cost of ≤1 surplus round
+      if (i % 2 == 0 || i >= maxIter) {
+        val s = next.agg(sum(col("comp"))).head.getLong(0)
+        converged = s == prevSum
+        prevSum = s
+      }
     }
     labels
   }
