@@ -297,6 +297,18 @@ object Dedup {
     val edges = pairs.select(col(left).as("src"), col(right).as("dst"))
       .unionByName(pairs.select(col(right).as("src"), col(left).as("dst")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // scale the loop's shuffle width to the measured graph size (~1M edges
+    // per partition): a near-dup graph is orders of magnitude smaller than
+    // the corpus, and iterating a tiny graph over the session's full
+    // partition count pays pure scheduling latency every round. Restored in
+    // the finally below; the returned labels are checkpointed, so nothing
+    // downstream re-executes under the narrowed conf.
+    val sess = pairs.sparkSession
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    val nEdges = edges.count()
+    sess.conf.set("spark.sql.shuffle.partitions",
+      math.max(1L, math.min(prevParts.toLong, nEdges / 1000000L + 1)).toString)
+    try {
     // localCheckpoint (eager) truncates lineage each round — without it the
     // adaptive plan re-derives every prior iteration and rounds get slower
     var labels = edges.select(col("src").as("id")).distinct()
@@ -332,6 +344,7 @@ object Dedup {
       }
     }
     labels
+    } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Cluster-level dedup decision: every doc in a near-dup component keeps
