@@ -82,7 +82,11 @@ object Similarity {
       val means = corpus
         .select(nearestCentroid(col(vecCol), cents).as("cluster"),
           posexplode(col(vecCol)).as(Seq("pos", "x")))
-        .groupBy("cluster", "pos").agg(avg(col("x").cast("double")).as("m"))
+        // decimal sums are order-independent, so centroids (and therefore
+        // bucket assignments) are identical under any partition layout
+        .groupBy("cluster", "pos")
+        .agg((sum(col("x").cast("decimal(30,10)")) / count(lit(1)))
+          .cast("double").as("m"))
         .groupBy("cluster")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cent"))
