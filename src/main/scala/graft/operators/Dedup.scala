@@ -110,7 +110,8 @@ object Dedup {
   private def jaccardPairsBitmap(hs: DataFrame, threshold: Double,
                                  vocabSize: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = ((vocabSize + 63) / 64).toInt
+    // empty corpus → zero-word mask; keep one word so the plan builds
+    val w = math.max(1, (vocabSize + 63) / 64)
     // deterministic dictionary: bit position = rank of token hash
     val vocab = hs.select(explode(col("hs")).as("h")).distinct()
       .withColumn("idx", row_number().over(Window.orderBy("h")) - 1)
@@ -315,7 +316,7 @@ object Dedup {
       .withColumn("comp", col("id")).localCheckpoint()
     // labels only ever decrease, so Σcomp is a monotone convergence witness:
     // fixpoint ⟺ the sum stops changing (one cheap agg, no join-and-count)
-    var prevSum = labels.agg(sum(col("comp"))).head.getLong(0)
+    var prevSum = labels.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -338,7 +339,7 @@ object Dedup {
       // labels strictly decrease, so a convergence probe every other round
       // halves the extra agg jobs at the cost of ≤1 surplus round
       if (i % 2 == 0 || i >= maxIter) {
-        val s = next.agg(sum(col("comp"))).head.getLong(0)
+        val s = next.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
         converged = s == prevSum
         prevSum = s
       }

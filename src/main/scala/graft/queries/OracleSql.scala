@@ -137,6 +137,15 @@ object OracleSql {
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
+    "q44_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
     "q15_moving_avg" ->
       """SELECT o_custkey, o_orderkey,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trail_sum,

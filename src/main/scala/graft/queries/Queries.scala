@@ -223,6 +223,16 @@ object Queries {
         count(lit(1)).as("n"))
   }
 
+  /** CUBE with grouping markers: all four aggregation levels plus the
+    * grouping() flags that disambiguate data-null from total-null keys. */
+  val q44_cube: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_prio"))
+
   /** Window frames: trailing-3-order moving sum/avg per customer, decimal
     * sums inside the frame so the values are order-independent-exact. */
   val q15_moving_avg: Q = (s, dir) => {
@@ -567,5 +577,6 @@ object Queries {
     "q41_dedup_clusters" -> q41_dedup_clusters,
     "q42_train_split" -> q42_train_split,
     "q43_corpus_curation" -> q43_corpus_curation,
+    "q44_cube" -> q44_cube,
   )
 }

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Degenerate-input behavior: a library operator must not throw on empty or
+  * trivial inputs — these are the shapes that appear at the edges of real
+  * partitioned data (empty date partitions, single-row groups, keys with no
+  * match). */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emptyDocs = Seq.empty[(Long, String, Seq[String])]
+    .toDF("doc_id", "lang", "tok")
+
+  test("dedup operators accept empty input") {
+    assert(Dedup.jaccardPairs(emptyDocs, "doc_id", "tok", "lang", 0.9).count() === 0)
+    assert(Dedup.minHashDedup(emptyDocs, "doc_id", "tok", 0.8).count() === 0)
+    assert(Dedup.simHashPairs(emptyDocs, "doc_id", "tok").count() === 0)
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("left_id", "right_id")).count() === 0)
+  }
+
+  test("a single document yields no pairs but a canonical id") {
+    val one = Seq((1L, "en", Seq("a", "b", "c"))).toDF("doc_id", "lang", "tok")
+    assert(Dedup.jaccardPairs(one, "doc_id", "tok", "lang", 0.5).count() === 0)
+    val canon = Dedup.canonicalIds(one.select("doc_id"), "doc_id",
+      Seq.empty[(Long, Long)].toDF("left_id", "right_id"))
+      .as[(Long, Long)].collect()
+    assert(canon.toSeq === Seq((1L, 1L)))
+  }
+
+  test("docs with empty token arrays don't break hashing paths") {
+    val docs = Seq((1L, "en", Seq.empty[String]), (2L, "en", Seq("a", "b")))
+      .toDF("doc_id", "lang", "tok")
+    assert(Dedup.jaccardPairs(docs, "doc_id", "tok", "lang", 0.5).count() === 0)
+    assert(Dedup.simHashPairs(docs, "doc_id", "tok").count() === 0)
+  }
+
+  test("as-of join with an empty right side returns all-null matches") {
+    val left = Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00"), 5.0))
+      .toDF("k", "ts", "v")
+    val right = Seq.empty[(Long, Timestamp, Double)].toDF("k", "ts", "bid")
+    val out = AsOf.joinAsOf(left, right, Seq("k"), "ts", "ts")
+    assert(out.count() === 1)
+    assert(out.select("bid").collect().head.isNullAt(0))
+  }
+
+  test("similarity search with empty query set returns nothing") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val none = e.where(col("vec_id") < 0)
+    assert(Similarity.bruteForceTopK(none, e, 3).count() === 0)
+    assert(Similarity.srpBucketTopK(none, e, 3, dim = 64).count() === 0)
+  }
+
+  test("sampling split covers fraction rounding (fractions summing to 1)") {
+    val d = (0L until 100L).toDF("id")
+    val out = Sampling.deterministicSplit(d, col("id"),
+      Seq("a" -> 0.33, "b" -> 0.33, "c" -> 0.34))
+    assert(out.where(col("split").isNull).count() === 0)
+  }
+}
