@@ -192,6 +192,16 @@ object OracleSql {
         |       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS matched_ts_s
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts < p.ts""".stripMargin,
 
+    "q45_interval_join" ->
+      """SELECT p.event_id,
+        |       count(*) AS n_views,
+        |       strftime(max(v.ts), '%Y-%m-%d %H:%M:%S') AS last_view_s
+        |FROM events p JOIN events v
+        |  ON p.user_id = v.user_id
+        | AND p.event_type = 'purchase' AND v.event_type = 'view'
+        | AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 HOUR
+        |GROUP BY 1""".stripMargin,
+
     "q20_text_stats" ->
       """SELECT doc_id,
         |       CAST(length(text) AS BIGINT) AS n_chars_calc,

@@ -531,6 +531,21 @@ object Queries {
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
   }
 
+  /** Batch interval join (bucketized range join): views within the hour
+    * before each purchase, per user — equi-join on (user, time-bucket) with
+    * the exact range as residual, never a per-key nested loop. */
+  val q45_interval_join: Q = (s, dir) => {
+    val ev = Tables.events(s, dir)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+    graft.operators.RangeJoin.intervalJoin(p, v, "user_id", "ts", "view_ts", 3600L)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_views"),
+        date_format(max(col("view_ts")), "yyyy-MM-dd HH:mm:ss").as("last_view_s"))
+  }
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -578,5 +593,6 @@ object Queries {
     "q42_train_split" -> q42_train_split,
     "q43_corpus_curation" -> q43_corpus_curation,
     "q44_cube" -> q44_cube,
+    "q45_interval_join" -> q45_interval_join,
   )
 }
