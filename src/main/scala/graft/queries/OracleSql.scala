@@ -192,6 +192,18 @@ object OracleSql {
         |       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS matched_ts_s
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.ts < p.ts""".stripMargin,
 
+    "q46_sliding_window" ->
+      """SELECT strftime(s, '%Y-%m-%d %H:%M') AS win_start,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT e.ts, e.value, unnest(generate_series(
+        |           to_timestamp(floor(epoch(e.ts) / 900) * 900) - INTERVAL 45 MINUTES,
+        |           to_timestamp(floor(epoch(e.ts) / 900) * 900), INTERVAL 15 MINUTES)) AS s
+        |  FROM events e) t
+        |WHERE ts >= s AND ts < s + INTERVAL 1 HOUR
+        |GROUP BY 1""".stripMargin,
+
     "q45_interval_join" ->
       """SELECT p.event_id,
         |       count(*) AS n_views,

@@ -531,6 +531,17 @@ object Queries {
         TextAnalysis.tokenCount(col("text")).as("n_tokens"))
   }
 
+  /** Sliding-window aggregate: 1-hour windows every 15 minutes — each event
+    * lands in 4 overlapping windows (the same incremental plan Structured
+    * Streaming runs; oracle enumerates windows via generate_series). */
+  val q46_sliding_window: Q = (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("n"), col("sum_value"))
+
   /** Batch interval join (bucketized range join): views within the hour
     * before each purchase, per user — equi-join on (user, time-bucket) with
     * the exact range as residual, never a per-key nested loop. */
@@ -594,5 +605,6 @@ object Queries {
     "q43_corpus_curation" -> q43_corpus_curation,
     "q44_cube" -> q44_cube,
     "q45_interval_join" -> q45_interval_join,
+    "q46_sliding_window" -> q46_sliding_window,
   )
 }
