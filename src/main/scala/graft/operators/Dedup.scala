@@ -328,6 +328,8 @@ object Dedup {
       // pointer jumping (path halving): comp ← comp's comp. Neighbor-min
       // alone needs O(diameter) rounds on chain-shaped near-dup graphs;
       // the jump collapses label chains exponentially → O(log d) rounds.
+      // (A second jump per round was measured SLOWER: the self-join
+      // duplicates the un-checkpointed subtree, outweighing saved rounds.)
       val next = stepped.as("x")
         .join(stepped.select(col("id").as("cid"), col("comp").as("ccomp")),
           col("x.comp") === col("cid"), "left")
