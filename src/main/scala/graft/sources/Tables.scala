@@ -15,8 +15,11 @@ object Tables {
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // Integer division (`div`), not `/`: at 2024-era nanos (~1.7e18) a double's
+    // ulp is 256 ns, so double division + cast truncates one micro low on some
+    // rows, diverging from DuckDB's exact integer truncation.
     if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

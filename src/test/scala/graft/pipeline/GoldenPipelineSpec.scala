@@ -63,6 +63,38 @@ class GoldenPipelineSpec extends SparkSpec {
     assert(withClean.count() > 0)
   }
 
+  test("E10 regression: every non-empty payload parses (pd.json_normalize parity)") {
+    // The old prepass blanket-replaced ' with ", silently nulling any payload
+    // whose value contained an apostrophe. Zero silent nulls allowed.
+    import org.apache.spark.sql.types._
+    val contisSchema = StructType(Seq(
+      StructField("description", StringType),
+      StructField("currency", StringType),
+      StructField("transaction_amount", StringType)))
+    val raw = Ingest.normalizeRewards(Ingest.csvAllStrings(spark, rewardsCsv))
+    val probes = Seq(
+      ("fiat_transaction", Schemas.fiatTransaction, "id"),
+      ("contis_transaction", contisSchema, "description"))
+    for ((c, schema, key) <- probes) {
+      val nonEmpty = raw.where(col(c).isNotNull && length(col(c)) > 2)
+        .withColumn("p", Ingest.parseDictLiteral(c, schema))
+      val total = nonEmpty.count()
+      val parsed = nonEmpty.where(col("p").isNotNull && col(s"p.$key").isNotNull).count()
+      assert(parsed === total, s"$c: $parsed of $total payloads parsed")
+    }
+  }
+
+  test("E10 regression: apostrophes in values survive (Domino's / Mery's rows)") {
+    val raw = Ingest.normalizeRewards(Ingest.csvAllStrings(spark, rewardsCsv))
+    val descs = raw.where(col("fiat_transaction").isNotNull)
+      .withColumn("ft", Ingest.parseDictLiteral("fiat_transaction", Schemas.fiatTransaction))
+      .select(col("ft.clean_description").as("d"))
+      .where(col("d").contains("'"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(descs.contains("Domino's Pizza"), s"got: $descs")
+    assert(descs.contains("Mery's Market Barcelo"), s"got: $descs")
+  }
+
   test("transactions_view pushdown semantics: filter+sort+limit+count (S4)") {
     val tx = Ingest.normalizeTransactions(Ingest.csvAllStrings(spark, transactionsCsv))
       .withColumn("date", col("date").cast("timestamp"))
