@@ -11,11 +11,15 @@ import org.apache.spark.sql.functions._
   *
   * Implementation is the union + keyed-window plan, not a range join: tag
   * both sides, union by name, one window over (by, ts, side) carrying
-  * `last(value, ignoreNulls)` with an unbounded-to-previous-row frame, then
-  * keep the left rows. Cost at any scale: ONE hash exchange on `by` + a
-  * per-partition sort — a range-condition join would be a nested loop or an
-  * interval-replication blow-up. State per key inside the sort is one "last
-  * seen right row" (the window frame never buffers more).
+  * `last(struct(right values), ignoreNulls)` with an unbounded-to-previous-row
+  * frame, then keep the left rows and unpack the struct. Cost at any scale:
+  * ONE hash exchange on `by` + a per-partition sort — a range-condition join
+  * would be a nested loop or an interval-replication blow-up. State per key
+  * inside the sort is one "last seen right row" (the window frame never
+  * buffers more). The right row travels as ONE struct so every attached
+  * column comes from the same matched row — per-column `last(ignoreNulls)`
+  * windows would stitch values from different rows when the right side has
+  * nulls.
   *
   * Equal-timestamp semantics are encoded in the sort's side tag: strict
   * places right rows after left rows at the same ts (invisible to the
@@ -39,25 +43,29 @@ object AsOf {
 
     val leftSide = if (strict) 0 else 1 // at equal ts: strict → right sorts after left
 
+    // the right row's value columns travel as ONE struct (null on left rows,
+    // never null on right rows — even if every field is null), so the window
+    // attaches a whole matched row atomically
+    val rvType = org.apache.spark.sql.types.StructType(rightVals)
     val lTagged = left.select(
       left.columns.map(col).toSeq ++
-        Seq(col(leftTs).as("__ts"), lit(leftSide).as("__side")) ++
-        rightVals.map(f => lit(null).cast(f.dataType).as(outName(f.name))): _*)
+        Seq(col(leftTs).as("__ts"), lit(leftSide).as("__side"),
+          lit(null).cast(rvType).as("__rv")): _*)
     val leftOnly = left.schema.fields.filterNot(f => by.contains(f.name)).toSeq
     val rTagged = right.select(
       by.map(col) ++
         leftOnly.map(f => lit(null).cast(f.dataType).as(f.name)) ++
-        Seq(col(rightTs).as("__ts"), lit(1 - leftSide).as("__side")) ++
-        rightVals.map(f => col(f.name).as(outName(f.name))): _*)
+        Seq(col(rightTs).as("__ts"), lit(1 - leftSide).as("__side"),
+          struct(rightVals.map(f => col(f.name).as(f.name)): _*).as("__rv")): _*)
 
     val w = Window.partitionBy(by.map(col): _*)
       .orderBy(col("__ts"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, -1)
 
-    val matched = rightVals.foldLeft(lTagged.unionByName(rTagged)) { (df, f) =>
-      df.withColumn(outName(f.name), last(col(outName(f.name)), ignoreNulls = true).over(w))
-    }
-    matched.where(col("__side") === leftSide)
-      .select(left.columns.map(col).toSeq ++ rightVals.map(f => col(outName(f.name))): _*)
+    lTagged.unionByName(rTagged)
+      .withColumn("__rv", last(col("__rv"), ignoreNulls = true).over(w))
+      .where(col("__side") === leftSide)
+      .select(left.columns.map(col).toSeq ++
+        rightVals.map(f => col("__rv").getField(f.name).as(outName(f.name))): _*)
   }
 }

@@ -102,7 +102,11 @@ object Dedup {
       .withColumnRenamed(block, "blk")
       .withColumn("n", size(col("hs")))
     val vocabSize = hs.select(explode(col("hs")).as("h")).distinct().count()
-    if (vocabSize <= BitmapVocabMax) jaccardPairsBitmap(hs, threshold, vocabSize.toInt)
+    // τ = 0 must emit zero-overlap pairs, which the bitmap path cannot: its
+    // explode drops empty-token docs entirely. Route τ = 0 to the full
+    // self-join branch of the prefix path, which keeps them.
+    if (threshold > 0 && vocabSize <= BitmapVocabMax)
+      jaccardPairsBitmap(hs, threshold, vocabSize.toInt)
     else jaccardPairsPrefix(hs, threshold)
   }
 

@@ -15,12 +15,26 @@ import org.apache.spark.sql.functions._
   * `buckets` times, and the join runs on (key, salt) — each shuffle
   * partition now holds ≤ 1/buckets of any key's rows. Row multiplicity is
   * unchanged, so the result is exactly the plain join's.
+  *
+  * Supported join types are the ones where replicating the small side is
+  * multiplicity-preserving: inner/cross, and the left-* family (a left row
+  * carries exactly one salt, so it meets each small-side key once; unmatched
+  * left rows survive once). Right/full outer are rejected: an unmatched
+  * small-side row exists in every replica and would be emitted `buckets`
+  * times — for those, salt the other way around or fall back to AQE.
   */
 object SkewJoin {
+
+  private val SupportedJoinTypes =
+    Set("inner", "cross", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
 
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  buckets: Int, joinType: String = "inner"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
+    require(SupportedJoinTypes.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin does not support '$joinType': replicating the small side " +
+        "would duplicate its unmatched rows in right/full outer joins")
     // deterministic per-row spread: hash of key + a physical-row discriminator
     val salted = big.withColumn("__salt",
       pmod(xxhash64(col(key), monotonically_increasing_id()), lit(buckets)))

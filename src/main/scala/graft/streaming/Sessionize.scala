@@ -63,8 +63,14 @@ object Sessionize {
             }
             cur.foreach { s =>
               state.update(s)
-              // the open session closes when the watermark passes last + gap
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // the open session closes when the watermark passes last + gap.
+              // Clamp: a late-but-within-watermark event can leave last + gap
+              // at or before the current watermark, and Spark throws on a
+              // timeout that isn't strictly in the event-time future — such a
+              // session times out on the very next trigger instead of crashing
+              // the query.
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(s.last + gapMs, wm + 1))
             }
             closed.reverseIterator.map(s =>
               Session(user, new Timestamp(s.start), new Timestamp(s.last), s.n, s.total))

@@ -39,6 +39,22 @@ class AsOfSpec extends SparkSpec {
     assert(out === 99.9)
   }
 
+  test("right-side nulls: attached columns all come from the same matched row") {
+    // regression: per-column last(ignoreNulls) windows would stitch bid=99.0
+    // from the 10:00 row onto the 11:00 match — the right row must travel
+    // as one struct
+    val left = Seq((1L, t("2024-01-01 12:00:00"), 1.0)).toDF("sym", "ts", "px")
+    val right = Seq(
+      (1L, t("2024-01-01 10:00:00"), Some(99.0), Option.empty[Double]),
+      (1L, t("2024-01-01 11:00:00"), Option.empty[Double], Some(101.0)),
+    ).toDF("sym", "ts", "bid", "ask")
+    val out = AsOf.joinAsOf(left, right, Seq("sym"), "ts", "ts")
+      .select("ts_right", "bid", "ask").collect().head
+    assert(out.getTimestamp(0) === t("2024-01-01 11:00:00"))
+    assert(out.isNullAt(1), "bid must be null — it was stitched from an older row")
+    assert(out.getDouble(2) === 101.0)
+  }
+
   test("name collisions get the right-suffix; left schema is preserved") {
     val out = AsOf.joinAsOf(trades, quotes, Seq("sym"), "ts", "ts")
     assert(out.columns.toSeq === Seq("sym", "ts", "px", "ts_right", "bid"))

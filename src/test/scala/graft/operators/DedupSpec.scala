@@ -67,6 +67,20 @@ class DedupSpec extends SparkSpec {
       s"simhash avg ${simStats.getDouble(0)} vs baseline $baseline — no signal")
   }
 
+  test("τ=0 emits zero-overlap pairs even when the vocab is bitmap-eligible") {
+    // regression: the bitmap path's explode dropped empty-token docs, so a
+    // small vocab at τ=0 silently lost their pairs; τ=0 must route to the
+    // full self-join
+    val d = Seq(
+      (1L, Seq("a", "b"), "en"),
+      (2L, Seq("c"), "en"),
+      (3L, Seq.empty[String], "en"), // empty-token doc must not vanish
+    ).toDF("doc_id", "tok", "lang")
+    val pairs = Dedup.jaccardPairs(d, "doc_id", "tok", "lang", 0.0)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
   test("exact dedup representative is deterministic (min id)") {
     val d = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "t")
     val out = Dedup.exact(d, md5(col("t")), col("id"))

@@ -26,4 +26,18 @@ class SkewJoinSpec extends SparkSpec {
     assert(out.count() === 3)
     assert(out.where(col("w").isNull).count() === 2)
   }
+
+  test("right/full outer joins are rejected — replication would duplicate unmatched rows") {
+    // regression: before the guard, an unmatched small-side row was emitted
+    // `buckets` times under right/full outer
+    val big = Seq((1L, "a")).toDF("k", "v")
+    val small = Seq((1L, "x"), (2L, "unmatched")).toDF("k", "w")
+    val e = intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(big, small, "k", buckets = 4, joinType = "right_outer")
+    }
+    assert(e.getMessage.contains("saltedJoin"))
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(big, small, "k", buckets = 4, joinType = "full")
+    }
+  }
 }
