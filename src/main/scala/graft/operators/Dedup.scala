@@ -369,9 +369,13 @@ object Dedup {
   /** 64-bit SimHash of a token array as a single Column expression: per-bit
     * majority vote of token hashes. Fine for ad-hoc use on small arrays; the
     * distributed path is [[simHashSignatures]], which turns the vote into a
-    * codegen'd hash-aggregate instead of 64 interpreted array folds. */
+    * codegen'd hash-aggregate instead of 64 interpreted array folds.
+    *
+    * Token hash is the cross-engine [[TextAnalysis.md5Long]] (60 effective
+    * bits; the top 4 signature bits are constant 0), so a SQL oracle can
+    * recompute signatures — and therefore pairs — exactly. */
   def simHash64(tokenSet: Column): Column = {
-    val hashes = transform(tokenSet, t => xxhash64(t))
+    val hashes = transform(tokenSet, t => TextAnalysis.md5Long(t))
     (0 until 64).map { i =>
       val vote = aggregate(hashes, lit(0),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
@@ -385,7 +389,7 @@ object Dedup {
     * empty token sets produce no signature (they near-dup nothing). */
   def simHashSignatures(df: DataFrame, id: String, tokenSet: String): DataFrame = {
     val th = df.select(col(id).as("sh_id"), explode(col(tokenSet)).as("tok"))
-      .select(col("sh_id"), xxhash64(col("tok")).as("h"))
+      .select(col("sh_id"), TextAnalysis.md5Long(col("tok")).as("h"))
     val votes = th.groupBy("sh_id").agg(
       sum(when(col("h").bitwiseAND(1) === 1, 1).otherwise(-1)).as("v0"),
       (1 until 64).map(i =>

@@ -43,10 +43,13 @@ object Multimodal {
       (64 + math.floorMod(h, 512), 64 + math.floorMod(h * 7, 512))
     }
     def features(payload: Array[Byte], dim: Int = 8): Array[Float] = {
-      val out = new Array[Float](dim)
+      // integer byte sums per slot, one float division at the end: exact and
+      // order-independent, so an external engine reproduces it bit-for-bit
+      // (float accumulation would be accumulation-order-dependent)
+      val sums = new Array[Long](dim)
       var i = 0
-      while (i < payload.length) { out(i % dim) += (payload(i) & 0xFF) / 255.0f; i += 1 }
-      out
+      while (i < payload.length) { sums(i % dim) += (payload(i) & 0xFF); i += 1 }
+      sums.map(s => (s / 255.0).toFloat)
     }
   }
 

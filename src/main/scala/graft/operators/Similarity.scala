@@ -46,8 +46,10 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk").cast("long").as("rk"))
   }
 
-  /** Deterministic pseudo-random hyperplanes: dim × nbits sign projections. */
-  private def hyperplanes(dim: Int, nbits: Int): Array[Array[Double]] = {
+  /** Deterministic pseudo-random hyperplanes: dim × nbits sign projections.
+    * Exposed within graft so the SQL oracle can embed the identical
+    * constants. */
+  private[graft] def hyperplanes(dim: Int, nbits: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(0xC0FFEEL)
     Array.fill(nbits)(Array.fill(dim)(rnd.nextGaussian()))
   }
@@ -83,10 +85,13 @@ object Similarity {
         .select(nearestCentroid(col(vecCol), cents).as("cluster"),
           posexplode(col(vecCol)).as(Seq("pos", "x")))
         // decimal sums are order-independent, so centroids (and therefore
-        // bucket assignments) are identical under any partition layout
+        // bucket assignments) are identical under any partition layout; the
+        // exact decimal sum is cast to double BEFORE the divide so the mean
+        // is one double÷int — reproducible by any engine, with no
+        // decimal-division scale/rounding semantics in play
         .groupBy("cluster", "pos")
-        .agg((sum(col("x").cast("decimal(30,10)")) / count(lit(1)))
-          .cast("double").as("m"))
+        .agg((sum(col("x").cast("decimal(30,10)")).cast("double") / count(lit(1)))
+          .as("m"))
         .groupBy("cluster")
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("cent"))

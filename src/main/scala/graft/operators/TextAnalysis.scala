@@ -80,19 +80,32 @@ object TextAnalysis {
 
   def fingerprintSha256(text: Column): Column = sha2(lower(trim(text)), 256)
 
+  /** Cross-engine 60-bit content hash: the first 15 hex digits of md5 as a
+    * non-negative long. md5 is md5 in every engine, and 15 hex digits always
+    * fit a signed 64-bit int, so any SQL engine computes the identical value
+    * (DuckDB: `('0x' || substr(md5(x), 1, 15))::BIGINT`) — which makes every
+    * operator built on it hard-oracle-able, unlike xxhash64. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** Rolling polynomial hash (Rabin-Karp style) over the token stream —
-    * basis for winnowing-style fingerprints. Computed as a left fold with
-    * wrapping Long arithmetic: deterministic and codegen-friendly. */
-  def rollingHash(text: Column, base: Long = 1000003L): Column =
+    * basis for winnowing-style fingerprints. A left fold over md5-hashed
+    * tokens mod p = 2^31−1: acc·base + h stays under 2^52, so the arithmetic
+    * is exact (no wrapping) and any engine reproduces it bit-for-bit. */
+  def rollingHash(text: Column, base: Long = 1000003L): Column = {
+    val p = lit(2147483647L) // 2^31 - 1
     aggregate(tokens(text), lit(0L),
-      (acc, t) => acc * base + xxhash64(t))
+      (acc, t) => pmod(acc * base + pmod(md5Long(t), p), p))
+  }
 
   /** Winnowing document fingerprints (Schleimer et al., SIGMOD'03 variant):
-    * k-gram hashes via posexplode + window-lead (codegen'd, no strings
-    * materialized), then keep each hash that is the minimum of the w-window
-    * ending at its position — a deterministic cover of every w-window's
-    * minimum, so any match of ≥ w+k-1 consecutive tokens between two docs
-    * shares a fingerprint. Returns (id, fp) rows, distinct per doc.
+    * k-gram hashes via posexplode + window-lead (codegen'd, the k-gram
+    * string exists only inside the hash call), then keep each hash that is
+    * the minimum of the w-window ending at its position — a deterministic
+    * cover of every w-window's minimum, so any match of ≥ w+k-1 consecutive
+    * tokens between two docs shares a fingerprint. Returns (id, fp) rows,
+    * distinct per doc. Gram hash is the cross-engine [[md5Long]], so a SQL
+    * oracle reproduces the fingerprints exactly.
     *
     * Scale shape: one exchange on the doc id + a per-doc sort (the window);
     * output is O(n/w) of the k-gram stream — the standard plagiarism/near-
@@ -103,11 +116,10 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("wf_id").orderBy("pos")
     var th = df.select(col(id).as("wf_id"), posexplode(col(tokensCol)).as(Seq("pos", "tok")))
-      .select(col("wf_id"), col("pos"), xxhash64(col("tok")).as("h0"))
-    (1 until k).foreach { j => th = th.withColumn(s"h$j", lead(col("h0"), j).over(byDoc)) }
-    val grams = th.where(col(s"h${k - 1}").isNotNull)
+    (1 until k).foreach { j => th = th.withColumn(s"t$j", lead(col("tok"), j).over(byDoc)) }
+    val grams = th.where(col(s"t${k - 1}").isNotNull)
       .select(col("wf_id"), col("pos"),
-        xxhash64((0 until k).map(j => col(s"h$j")): _*).as("gh"))
+        md5Long(concat_ws(" ", col("tok") +: (1 until k).map(j => col(s"t$j")): _*)).as("gh"))
     val win = Window.partitionBy("wf_id").orderBy("pos").rowsBetween(-(w - 1), 0)
     grams.withColumn("wmin", min(col("gh")).over(win))
       .where(col("gh") === col("wmin"))

@@ -343,17 +343,19 @@ object Queries {
     Dedup.jaccardPairs(docs, "doc_id", "tok", "lang", 0.95)
   }
 
-  /** MinHash-LSH near-dup detection over 3-token shingle sets (no SQL
-    * oracle — rows-only check; validated against exact Jaccard in ScalaTest).
-    * Shingles are hashed via the window-lead path — no shingle strings are
-    * ever materialized. */
+  /** MinHash-LSH near-dup detection over 3-token shingle sets. Shingles are
+    * hashed via the window-lead path — no shingle strings are ever
+    * materialized. Oracle: the exact shingle-Jaccard truth set (valid
+    * because the verify stage makes output ⊆ truth and banding recalls every
+    * truth pair on this data — recall also spec-asserted). */
   val q25_minhash_dedup: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("tok"))
     Dedup.minHashDedupTokens(docs, "doc_id", "tok", shingleN = 3, threshold = 0.8)
   }
 
-  /** SimHash near-dup detection (no SQL oracle — rows-only check). */
+  /** SimHash near-dup detection. Signatures are built on the cross-engine
+    * md5Long token hash, so the oracle recomputes them exactly. */
   val q26_simhash_pairs: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tok"))
@@ -401,8 +403,9 @@ object Queries {
   }
 
   /** SRP-bucketed ANN top-3 (the 100 TB path: bucket equi-join instead of a
-    * cross join; no SQL oracle — approximate by construction, validated as a
-    * subset of brute force in ScalaTest). */
+    * cross join). Approximate by construction, yet fully oracled: the SQL
+    * replays the same hyperplane constants, so buckets — and therefore the
+    * exact result set — match. */
   val q31_ann_srp: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
     Similarity.srpBucketTopK(e.where(col("vec_id") < 50), e, k = 3, dim = 64, nbits = 8)
@@ -425,7 +428,7 @@ object Queries {
       TextAnalysis.qualityScore(col("text"), Stopwords).as("quality"))
 
   /** Rolling polynomial hash over the token stream (winnowing-style document
-    * fingerprint; xxhash64 seed — no SQL oracle, spec-validated). */
+    * fingerprint; cross-engine md5Long + mod-p arithmetic — hash-oracled). */
   val q34_rolling_hash: Q = (s, dir) =>
     Tables.documents(s, dir).select(
       col("doc_id"),
@@ -433,7 +436,8 @@ object Queries {
 
   /** Multimodal decode/featurize pass over binary payloads: the mapPartitions
     * batch shape with the stubbed codec (see graft.operators.Multimodal — the
-    * plumbing is real, the codec is a deterministic fake; no SQL oracle). */
+    * plumbing is real, the codec is a deterministic fake whose byte-level
+    * arithmetic the oracle replays exactly). */
   val q35_media_features: Q = (s, dir) => {
     import graft.operators.Multimodal
     val media = Multimodal.toMedia(Tables.documents(s, dir), "doc_id", "text", "text/plain")
@@ -445,8 +449,9 @@ object Queries {
   }
 
   /** IVF ANN top-3: deterministic centroid build (lowest-id seeds + one
-    * Lloyd step), corpus bucketed by nearest centroid, queries probe their 2
-    * closest clusters (rows-only — approximate; recall spec-checked). */
+    * Lloyd step with exact decimal sums), corpus bucketed by nearest
+    * centroid, queries probe their 2 closest clusters. The oracle replays
+    * the whole centroid build in SQL, so the result hash-matches. */
   val q39_ann_ivf: Q = (s, dir) => {
     // one materialization feeds centroid build, corpus assignment, and probes
     val e = Tables.embeddings(s, dir).persist()
@@ -476,12 +481,16 @@ object Queries {
       length(trim(col("c_name"))).cast("long").as("name_len"))
 
   /** HLL++ sketch distinct-count per event_type vs the exact count — the
-    * approximate-aggregate tier (no SQL oracle: sketch estimates are
-    * implementation-specific; bounded-error property is spec-checked). */
+    * approximate-aggregate tier. The exact column hash-matches the oracle;
+    * the sketch estimate is implementation-specific, so it is exported as a
+    * bounded-error WITNESS: `approx_ok` asserts |approx−exact| ≤ 15%·exact,
+    * which DuckDB verifies against its own HLL — a broken sketch on either
+    * side flips the bit and fails the gate. */
   val q38_hll_distinct: Q = (s, dir) =>
     Tables.events(s, dir).groupBy(col("event_type")).agg(
-      approx_count_distinct(col("user_id")).as("approx_users"),
-      countDistinct(col("user_id")).as("exact_users"))
+      countDistinct(col("user_id")).as("exact_users"),
+      (abs(approx_count_distinct(col("user_id")) - countDistinct(col("user_id")))
+        <= lit(0.15) * countDistinct(col("user_id"))).as("approx_ok"))
 
   /** Cluster-level dedup decision: q24's exact near-dup pairs → connected
     * components (min-label propagation) → canonical id per document.
@@ -494,7 +503,7 @@ object Queries {
     Dedup.canonicalIds(docs.select("doc_id"), "doc_id", pairs)
   }
 
-  /** Winnowing fingerprints per document (rows-only; spec-validated). */
+  /** Winnowing fingerprints per document (md5Long grams — hash-oracled). */
   val q40_winnow_fingerprints: Q = (s, dir) =>
     TextAnalysis.winnowedFingerprints(
       Tables.documents(s, dir).select(col("doc_id"), split(col("text"), " ").as("tok")),
