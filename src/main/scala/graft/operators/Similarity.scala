@@ -139,6 +139,56 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk").cast("long").as("rk"))
   }
 
+  /** EXACT all-pairs cosine self-join above a threshold, as a tiled
+    * equi-join — the scale-safe form of the O(n²) comparison.
+    *
+    * Exact θ-joins on unstructured embeddings are inherently Ω(n²)
+    * comparisons (borderline pairs — e.g. cosine ≈ τ — are near-orthogonal
+    * to every LSH family, so no bucket/multi-probe scheme recalls them with
+    * probability → 1; the approximate tier for *near-duplicate* cosines is
+    * [[srpBucketTopK]]/q31). What CAN be fixed at scale is the plan shape:
+    * a naive `a.join(b, cos(a,b) ≥ τ)` is a BroadcastNestedLoopJoin — it
+    * broadcasts one whole side (OOM beyond a few GB) and serializes the
+    * comparison stream through however many tasks the OTHER side has.
+    *
+    * Tiling restores a real blocking key: each vector gets a block id
+    * g ∈ [0,B); the B(B+1)/2 unordered block pairs (bl ≤ br) form a tiny
+    * metadata relation; each side broadcast-joins onto its tile row/column
+    * and the two streams meet in ONE shuffled equi-join on the tile key
+    * (bl, br). Every tile is an independent (n/B)² comparison unit, so work
+    * spreads uniformly over the cluster, peak task memory is two blocks
+    * (choose B so n/B rows fit an executor — the classic O(n·B) replication
+    * / O(n√n) communication all-pairs scheme), and the cosine kernel runs
+    * as a codegen'd join filter. Output is bit-identical to the naive plan. */
+  def cosineSelfJoin(corpus: DataFrame, threshold: Double, blocks: Int = 8,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val blocked = corpus.select(col(idCol), col(vecCol),
+      pmod(xxhash64(col(idCol)), lit(blocks.toLong)).as("g"))
+    // B² ids unrolled from ONE range (a range×range cross join would itself
+    // plan a nested loop and muddy the "no BNLJ anywhere" contract)
+    val tiles = spark.range(blocks.toLong * blocks)
+      .select((col("id") / blocks).cast("long").as("bl"),
+        pmod(col("id"), lit(blocks.toLong)).as("br"))
+      .where(col("bl") <= col("br"))
+    val l = blocked.select(col(idCol).as("left_id"), col(vecCol).as("va"),
+        col("g").as("bl"))
+      .join(broadcast(tiles), Seq("bl"))
+    val r = blocked.select(col(idCol).as("right_id"), col(vecCol).as("vb"),
+        col("g").as("br"))
+      .join(broadcast(tiles), Seq("br"))
+    val cos = round(cosine(col("va"), col("vb")), 6)
+    // off-diagonal tiles hold each unordered pair exactly once (its two rows
+    // live in different blocks), whatever the id order; only the diagonal
+    // needs the id filter. Output order is then normalized by id — cosine is
+    // symmetric, and the element-wise product stream is identical either way.
+    l.join(r, Seq("bl", "br"))
+      .where((col("bl") < col("br") || col("left_id") < col("right_id")) && cos >= threshold)
+      .select(least(col("left_id"), col("right_id")).as("left_id"),
+        greatest(col("left_id"), col("right_id")).as("right_id"),
+        cos.as("cosine"))
+  }
+
   /** ANN top-k searching only within the query's SRP bucket (plus callers can
     * union multiple probe buckets). Trades recall for a corpus-partitioned
     * equi-join — the 100 TB-scale path. */

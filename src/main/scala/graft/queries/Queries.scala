@@ -385,22 +385,15 @@ object Queries {
       (lit(64) + pmod(col("doc_id"), lit(512))).cast("long").as("fake_width"),
       (lit(64) + pmod(col("doc_id") * 7, lit(512))).cast("long").as("fake_height"))
 
-  /** Embedding-cosine near-dup pairs — exact all-pairs self-join; the cosine
-    * is the native codegen'd [[graft.functions.VectorCosine]] kernel, so the
-    * O(n²) candidate stream is a tight primitive loop, not an interpreted
-    * fold. (At corpus scale the same kernel runs behind the SRP-bucketed
-    * candidate join — q31.) */
-  val q30_embedding_neardup: Q = (s, dir) => {
-    val e = Tables.embeddings(s, dir)
-    val a = e.select(col("vec_id").as("left_id"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("right_id"), col("embedding").as("vb"))
-    val cos = round(Similarity.cosine(col("va"), col("vb")), 6)
-    // the cosine threshold lives in the join condition: the nested-loop join
-    // then evaluates the kernel on a zero-copy JoinedRow and only survivors
-    // (a tiny fraction) are materialized with their array payloads
-    a.join(b, col("left_id") < col("right_id") && cos >= 0.35)
-      .select(col("left_id"), col("right_id"), cos.as("cosine"))
-  }
+  /** Embedding-cosine near-dup pairs — EXACT all-pairs via the tiled
+    * equi-join ([[Similarity.cosineSelfJoin]]): identical output to a naive
+    * cosine-θ join, but the plan is a shuffled equi-join on the tile key
+    * instead of a BroadcastNestedLoopJoin, so it survives a corpus that
+    * doesn't fit in one executor's broadcast budget. The cosine is the
+    * native codegen'd [[graft.functions.VectorCosine]] kernel running as a
+    * join filter. (The recall-tunable approximate tier is q31.) */
+  val q30_embedding_neardup: Q = (s, dir) =>
+    Similarity.cosineSelfJoin(Tables.embeddings(s, dir), threshold = 0.35)
 
   /** SRP-bucketed ANN top-3 (the 100 TB path: bucket equi-join instead of a
     * cross join). Approximate by construction, yet fully oracled: the SQL

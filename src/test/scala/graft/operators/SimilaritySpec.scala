@@ -26,6 +26,24 @@ class SimilaritySpec extends SparkSpec {
 
   private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet").cache()
 
+  test("tiled cosine self-join: equi-join plan, output identical to the naive θ-join") {
+    val tiled = Similarity.cosineSelfJoin(emb, threshold = 0.3, blocks = 4)
+    // the scale contract: no nested-loop/cartesian anywhere in the plan
+    val plan = tiled.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"tiled join must not plan a nested loop:\n$plan")
+    // bit-identical to the naive all-pairs join condition
+    val a = emb.select(col("vec_id").as("left_id"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("right_id"), col("embedding").as("vb"))
+    val cos = round(Similarity.cosine(col("va"), col("vb")), 6)
+    val naive = a.join(b, col("left_id") < col("right_id") && cos >= 0.3)
+      .select(col("left_id"), col("right_id"), cos.as("cosine"))
+      .as[(Long, Long, Double)].collect().toSet
+    val got = tiled.as[(Long, Long, Double)].collect().toSet
+    assert(got === naive)
+    assert(got.nonEmpty)
+  }
+
   test("cosine of a vector with itself is 1") {
     val one = emb.limit(5)
       .withColumn("c", Similarity.cosine(col("embedding"), col("embedding")))
