@@ -296,9 +296,22 @@ object Dedup {
     * and the previous one released. (For adversarial long-chain graphs,
     * swap in large-star/small-star contraction — same interface.)
     *
-    * Returns (id, component) where component = min doc id in the cluster. */
+    * Returns (id, component) where component = min doc id in the cluster.
+    *
+    * `reliable = true` switches the per-round lineage truncation from
+    * `localCheckpoint` (executor-local blocks — fast, but an executor loss
+    * mid-loop kills the job) to reliable `checkpoint` into
+    * `spark.sparkContext.getCheckpointDir` (HDFS/S3 on a real cluster —
+    * each round's labels survive executor churn). Local default stays
+    * `localCheckpoint`: single-JVM runs have no executor to lose. Callers
+    * must `setCheckpointDir` before passing `reliable = true`. */
   def connectedComponents(pairs: DataFrame, left: String = "left_id",
-                          right: String = "right_id", maxIter: Int = 25): DataFrame = {
+                          right: String = "right_id", maxIter: Int = 25,
+                          reliable: Boolean = false): DataFrame = {
+    require(!reliable || pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
+      "reliable=true requires spark.sparkContext.setCheckpointDir(...)")
+    def truncate(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     val edges = pairs.select(col(left).as("src"), col(right).as("dst"))
       .unionByName(pairs.select(col(right).as("src"), col(left).as("dst")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
@@ -314,10 +327,10 @@ object Dedup {
     sess.conf.set("spark.sql.shuffle.partitions",
       math.max(1L, math.min(prevParts.toLong, nEdges / 1000000L + 1)).toString)
     try {
-    // localCheckpoint (eager) truncates lineage each round — without it the
+    // eager checkpoint truncates lineage each round — without it the
     // adaptive plan re-derives every prior iteration and rounds get slower
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+    var labels = truncate(edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")))
     // labels only ever decrease, so Σcomp is a monotone convergence witness:
     // fixpoint ⟺ the sum stops changing (one cheap agg, no join-and-count)
     var prevSum = labels.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
@@ -334,12 +347,11 @@ object Dedup {
       // the jump collapses label chains exponentially → O(log d) rounds.
       // (A second jump per round was measured SLOWER: the self-join
       // duplicates the un-checkpointed subtree, outweighing saved rounds.)
-      val next = stepped.as("x")
+      val next = truncate(stepped.as("x")
         .join(stepped.select(col("id").as("cid"), col("comp").as("ccomp")),
           col("x.comp") === col("cid"), "left")
         .select(col("x.id").as("id"),
-          least(col("x.comp"), coalesce(col("ccomp"), col("x.comp"))).as("comp"))
-        .localCheckpoint()
+          least(col("x.comp"), coalesce(col("ccomp"), col("x.comp"))).as("comp")))
       labels = next
       i += 1
       // labels strictly decrease, so a convergence probe every other round
@@ -357,8 +369,9 @@ object Dedup {
   /** Cluster-level dedup decision: every doc in a near-dup component keeps
     * the component minimum as its canonical id (docs in no pair are their
     * own canonical). */
-  def canonicalIds(allIds: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
-    val comps = connectedComponents(pairs)
+  def canonicalIds(allIds: DataFrame, idCol: String, pairs: DataFrame,
+                   reliable: Boolean = false): DataFrame = {
+    val comps = connectedComponents(pairs, reliable = reliable)
     allIds.select(col(idCol).as("id")).distinct()
       .join(comps, Seq("id"), "left")
       .select(col("id").as(idCol), coalesce(col("comp"), col("id")).as("canonical_id"))

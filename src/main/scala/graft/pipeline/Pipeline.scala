@@ -16,18 +16,21 @@ object Pipeline {
 
   final case class Result(cashbackRows: Long, appendedRows: Long)
 
-  /** Run extract(fixture CSVs) → transform → partitioned write → idempotent
-    * warehouse append. `rewardsCsv`/`transactionsCsv` point at reference-shaped
-    * extracts (header CSV); `warehouseTable` is the managed target. */
+  /** Run extract(API or fixture CSVs) → transform → partitioned write →
+    * idempotent warehouse append. `rewardsCsv`/`transactionsCsv` point at
+    * reference-shaped extracts (header CSV); `warehouseTable` is the managed
+    * target; `apiClient` is the optional S3/S4 fetch adapter — when present
+    * the extracts come from the API with the CSVs as the failure fallback
+    * (reference pull_data_glue_job_lambda.py:40-63). */
   def run(spark: SparkSession, rewardsCsv: String, transactionsCsv: String,
-          warehouseTable: String = "cashback"): Result = {
+          warehouseTable: String = "cashback",
+          apiClient: Option[ApiIngest.Client] = None): Result = {
 
     // Extract (S1 header-only strings — casts happen inside the transform,
-    // matching glue_script.py:19-20) + ingest renames (P2/P3).
-    val rewards = Ingest.normalizeRewards(
-      Ingest.csvAllStrings(spark, rewardsCsv))
-    val transactions = Ingest.normalizeTransactions(
-      Ingest.csvAllStrings(spark, transactionsCsv))
+    // matching glue_script.py:19-20; or S3/S4 API payloads via the injected
+    // client) + ingest renames (P2/P3).
+    val (transactions, rewards) =
+      ApiIngest.fetchData(spark, apiClient, transactionsCsv, rewardsCsv)
 
     // Transform (J1 + E1–E6 + P1/P2 + E4).
     val cashback = CashbackTransform.transform(rewards, transactions)

@@ -100,6 +100,25 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("connected components with reliable checkpointing matches localCheckpoint") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("left_id", "right_id")
+    // flag without a checkpoint dir must fail loudly, not die mid-loop
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      intercept[IllegalArgumentException] {
+        Dedup.connectedComponents(pairs, reliable = true)
+      }
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val durable = Dedup.connectedComponents(pairs, reliable = true)
+        .as[(Long, Long)].collect().toMap
+      assert(durable === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("canonicalIds covers singletons and real near-dup clusters") {
     val pairs = Dedup.minHashDedup(docs, "doc_id", "sh", threshold = 0.8)
     val canon = Dedup.canonicalIds(docs.select("doc_id"), "doc_id", pairs)

@@ -115,4 +115,46 @@ class GoldenPipelineSpec extends SparkSpec {
     assert(ddl.contains("available BOOLEAN"))
     assert(ddl.contains("created_at TIMESTAMP"))
   }
+
+  test("API fetch adapter: a healthy client feeds the pipeline (S3/S4)") {
+    val client = new ApiIngest.Client {
+      def getTransactions(): String =
+        """[{"id":"t1","model":"m","user_id":"u1","currency":"GBP","amount":"100",
+          |"date":"2024-01-01","type":"CARD","is_debit":true,"__typename":"x",
+          |"description":"shop"}]""".stripMargin.replace("\n", "")
+      def getRewards(): String =
+        """[{"id":"r1","amount":"1.5","type":"cashback","reason":null}]"""
+    }
+    val (tx, rw) = ApiIngest.fetchData(spark, Some(client), transactionsCsv, rewardsCsv)
+    // API path taken: one row each, normalization applied to the payload
+    assert(tx.count() === 1 && rw.count() === 1)
+    assert(tx.columns.contains("transaction_id") && !tx.columns.contains("is_debit")
+      && !tx.columns.contains("__typename"))
+    assert(rw.columns.toSet.intersect(Set("reward_id", "plu_amount", "reward_type")).size === 3)
+  }
+
+  test("API fetch adapter: a failing client falls back to the fixture CSVs") {
+    val failing = new ApiIngest.Client {
+      def getTransactions(): String = throw new RuntimeException("status 500")
+      def getRewards(): String = sys.error("unreachable")
+    }
+    val (tx, rw) = ApiIngest.fetchData(spark, Some(failing), transactionsCsv, rewardsCsv)
+    assert(rw.count() === 1753L, "fallback must read the rewards fixture")
+    assert(tx.columns.contains("transaction_id"))
+    // no client at all (missing credentials) is the same fixture path
+    val (tx2, rw2) = ApiIngest.fetchData(spark, None, transactionsCsv, rewardsCsv)
+    assert(rw2.count() === 1753L && tx2.count() === tx.count())
+  }
+
+  test("Pipeline.run with a failing client still completes on fixtures (fallback seam)") {
+    val failing = new ApiIngest.Client {
+      def getTransactions(): String = throw new RuntimeException("api down")
+      def getRewards(): String = sys.error("unreachable")
+    }
+    val table = "cashback_golden_api_fallback"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val res = Pipeline.run(spark, rewardsCsv, transactionsCsv, table, Some(failing))
+    assert(res.cashbackRows === 1753L)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
