@@ -22,17 +22,20 @@ object Bench {
     // including localCheckpoint-unpersist WARNs — is noise on that channel
     spark.sparkContext.setLogLevel("ERROR")
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-    names.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => }
-    }
     // operators persist/localCheckpoint intermediate relations; release all
-    // of it between timed runs so each run is independent (and pays for its
-    // own materialization) and block-manager pressure can't accumulate
+    // of it between runs so each timed run is independent (and pays for its
+    // own materialization). Blocking: a deferred unpersist backlog from 46
+    // warm-up queries otherwise churns the block manager under the first
+    // timed queries (measured 3-4× inflation on q11).
     def release(): Unit = {
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
     }
-    release()
+    names.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => }
+      release()
+    }
+    System.gc()
     def timeOnce(fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
