@@ -63,4 +63,21 @@ object Ingest {
       ": False(?=\\s*[,\\}])", ": false")
     from_json(jsonish, schema)
   }
+
+  /** E10 drift guard: count payloads that are non-empty yet parse to null.
+    * `from_json` is permissive — a payload the quote heuristic corrupts
+    * becomes a silent null, so production loads should assert this is 0 (or
+    * below a drift budget) instead of discovering the nulls downstream. The
+    * heuristic is validated against ast.literal_eval on all 1,686 reference
+    * payloads; this counter is what keeps FUTURE data honest. */
+  def dictParseFailures(df: DataFrame, colName: String,
+                        schema: org.apache.spark.sql.types.StructType): Long = {
+    val parsed = parseDictLiteral(colName, schema)
+    // permissive from_json yields an ALL-NULL struct (not a null) for
+    // malformed input — both shapes are a parse failure for this guard
+    val allFieldsNull = schema.fields.map(f => parsed.getField(f.name).isNull)
+      .reduce(_ && _)
+    df.where(col(colName).isNotNull && trim(col(colName)) =!= "" &&
+      (parsed.isNull || allFieldsNull)).count()
+  }
 }

@@ -84,6 +84,14 @@ class GoldenPipelineSpec extends SparkSpec {
     }
   }
 
+  test("E10 drift guard: zero non-empty payloads parse to null on the fixture") {
+    val raw = Ingest.normalizeRewards(Ingest.csvAllStrings(spark, rewardsCsv))
+    assert(Ingest.dictParseFailures(raw, "fiat_transaction", Schemas.fiatTransaction) === 0L)
+    // the guard actually fires on corrupted payloads
+    val broken = spark.createDataFrame(Seq(Tuple1("{'unterminated: "))).toDF("fiat_transaction")
+    assert(Ingest.dictParseFailures(broken, "fiat_transaction", Schemas.fiatTransaction) === 1L)
+  }
+
   test("E10 regression: apostrophes in values survive (Domino's / Mery's rows)") {
     val raw = Ingest.normalizeRewards(Ingest.csvAllStrings(spark, rewardsCsv))
     val descs = raw.where(col("fiat_transaction").isNotNull)
