@@ -1,0 +1,34 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for pretraining batches: assign documents to
+  * fixed-token-budget packs (context windows) deterministically.
+  *
+  * True first-fit-decreasing is inherently sequential; the distributed
+  * packing used in practice is cumulative-offset binning within a shard:
+  * order documents by id inside each shard, take the running token count,
+  * and cut packs every `budgetTokens` — a document that straddles a
+  * boundary belongs to the pack its first token falls in (trainers truncate
+  * or roll the tail, exactly as with a concatenated-then-chunked corpus).
+  *
+  * Scale shape: ONE window (partitionBy shard, orderBy id) — a single hash
+  * exchange on the shard key + per-shard sort. Shards (language, date,
+  * source file, …) bound the window so no global single-partition sort
+  * exists; packs are only meaningful within a shard anyway, because that is
+  * the unit a data-loader worker reads. */
+object Packing {
+
+  /** Adds `pack_id` (0-based within shard) and `pack_offset` (token offset
+    * of this doc's first token inside its pack). */
+  def packByBudget(df: DataFrame, shard: Column, id: Column, nTokens: Column,
+                   budgetTokens: Long): DataFrame = {
+    val w = Window.partitionBy(shard).orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val before = coalesce(sum(nTokens).over(w), lit(0L))
+    df.withColumn("pack_id", (before / budgetTokens).cast("long"))
+      .withColumn("pack_offset", pmod(before, lit(budgetTokens)))
+  }
+}

@@ -27,6 +27,22 @@ object Sampling {
                           buckets: Int = 100): DataFrame =
     df.where(hashBucket(key, buckets) < lit((fraction * buckets).toLong))
 
+  /** Stratified deterministic sample: a per-stratum keep fraction (e.g.
+    * upsample rare languages, downsample English), decided by the same
+    * content-hash bucket as [[deterministicSample]] so the kept set is
+    * stable across runs, engines, and data growth — the property a training
+    * mixture needs. Rows in strata absent from `fractions` keep
+    * `defaultFraction`. Pure per-row expression, no shuffle. */
+  def stratifiedSample(df: DataFrame, key: Column, stratum: Column,
+                       fractions: Seq[(String, Double)],
+                       defaultFraction: Double = 0.0,
+                       buckets: Int = 100): DataFrame = {
+    val cut = fractions.foldLeft(lit((defaultFraction * buckets).toLong)) {
+      case (acc, (s, f)) => when(stratum === s, lit((f * buckets).toLong)).otherwise(acc)
+    }
+    df.where(hashBucket(key, buckets) < cut)
+  }
+
   /** Split assignment by cumulative bucket ranges, e.g.
     * `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`. Fractions are
     * interpreted in bucket units (buckets=100 → percent granularity). */

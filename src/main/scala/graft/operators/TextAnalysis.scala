@@ -75,6 +75,24 @@ object TextAnalysis {
         i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j + 1)): _*))))
       .otherwise(array(concat_ws(" ", tokens)))
 
+  /** n-gram arrays WITH duplicates (unlike [[shingles]]) — repetition
+    * signals need occurrence counts, not set membership. */
+  def ngrams(tokens: Column, n: Int): Column =
+    when(size(tokens) >= n,
+      transform(sequence(lit(0), size(tokens) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(tokens, i + j + 1)): _*)))
+      .otherwise(array(concat_ws(" ", tokens)))
+
+  /** Gopher-style repetition fraction: share of n-gram OCCURRENCES that are
+    * repeats of an earlier occurrence (1 − distinct/total). High values mean
+    * loops/boilerplate — a standard pretraining quality gate (Rae et al.,
+    * arXiv:2112.11446 §A1.1). Pure per-row expression, no shuffle. */
+  def dupNgramFraction(tokens: Column, n: Int): Column = {
+    val g = ngrams(tokens, n)
+    round(lit(1.0) - size(array_distinct(g)).cast("double")
+      / greatest(size(g), lit(1)).cast("double"), 6)
+  }
+
   /** Content fingerprint for exact dedup: md5 of the normalized body. */
   def fingerprintMd5(text: Column): Column = md5(lower(trim(text)))
 
