@@ -25,6 +25,7 @@ object Packing {
     * of this doc's first token inside its pack). */
   def packByBudget(df: DataFrame, shard: Column, id: Column, nTokens: Column,
                    budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
     val w = Window.partitionBy(shard).orderBy(id)
       .rowsBetween(Window.unboundedPreceding, -1)
     val before = coalesce(sum(nTokens).over(w), lit(0L))

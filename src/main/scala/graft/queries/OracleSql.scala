@@ -1,6 +1,6 @@
 package graft.queries
 
-/** DuckDB-dialect oracle SQL for every entry in [[Queries.all]] — 46/46.
+/** DuckDB-dialect oracle SQL for every entry in [[Queries.all]] — 49/49.
   *
   * The approximate operators are oracled by construction rather than skipped:
   *  - q25 (MinHash LSH) against the exact shingle-Jaccard truth set — valid
@@ -586,5 +586,39 @@ object OracleSql {
         |SELECT query_id, neighbor_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
         |  FROM scored) WHERE rk <= 3""".stripMargin,
+
+    "q47_pack_sequences" ->
+      """SELECT doc_id, lang, n_tokens,
+        |       CAST(before // 256 AS BIGINT) AS pack_id,
+        |       CAST(before % 256 AS BIGINT) AS pack_offset
+        |FROM (SELECT doc_id, lang, n_tokens,
+        |        coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+        |      FROM (SELECT doc_id, lang,
+        |              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |            FROM documents))""".stripMargin,
+
+    "q48_stratified_sample" ->
+      """SELECT doc_id, lang
+        |FROM (SELECT doc_id, lang,
+        |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
+        |      FROM documents)
+        |WHERE b < CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 100 ELSE 20 END""".stripMargin,
+
+    "q49_repetition_fraction" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(tok) >= 2
+        |             THEN list_transform(range(1, len(tok)), i -> tok[i] || ' ' || tok[i + 1])
+        |             ELSE [array_to_string(tok, ' ')] END AS g2,
+        |        CASE WHEN len(tok) >= 3
+        |             THEN list_transform(range(1, len(tok) - 1),
+        |                    i -> tok[i] || ' ' || tok[i + 1] || ' ' || tok[i + 2])
+        |             ELSE [array_to_string(tok, ' ')] END AS g3
+        |      FROM t)
+        |SELECT doc_id,
+        |       round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / greatest(len(g2), 1), 6) AS dup2_frac,
+        |       round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / greatest(len(g3), 1), 6) AS dup3_frac
+        |FROM g""".stripMargin,
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Packing, Sampling, Similarity, TextAnalysis}
 
 /** The engine's declared query surface — one entry per operator family from
   * SURVEY.md §2 plus the LLM-data-pipeline extensions, all expressed over the
@@ -506,7 +506,6 @@ object Queries {
     * engine deterministic: md5 is md5 — the oracle computes the identical
     * assignment). */
   val q42_train_split: Q = (s, dir) => {
-    import graft.operators.Sampling
     Sampling.deterministicSplit(Tables.documents(s, dir).select(col("doc_id")),
       col("doc_id"), Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
   }
@@ -559,6 +558,38 @@ object Queries {
         date_format(max(col("view_ts")), "yyyy-MM-dd HH:mm:ss").as("last_view_s"))
   }
 
+  /** Sequence packing for pretraining batches: documents binned into
+    * fixed-token-budget packs per language shard by cumulative token offset
+    * (oracle: the identical window sum + integer division in SQL). One hash
+    * exchange on the shard key — the shard bounds the window, so no global
+    * sort exists at any scale. */
+  val q47_pack_sequences: Q = (s, dir) => {
+    val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    Packing.packByBudget(d, col("lang"), col("doc_id"), col("n_tokens"), 256L)
+  }
+
+  /** Stratified deterministic sample: per-language keep fractions (downsample
+    * en, keep all fr, 20% of the rest) decided by the cross-engine md5 bucket
+    * of q42 — any engine computes the identical kept set. Pure per-row
+    * predicate: no shuffle, trivially 100 TB-safe. */
+  val q48_stratified_sample: Q = (s, dir) =>
+    Sampling.stratifiedSample(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+      col("doc_id"), col("lang"),
+      Seq("en" -> 0.5, "fr" -> 1.0), defaultFraction = 0.2)
+
+  /** Gopher-style repetition fractions (share of duplicate bigram/trigram
+    * occurrences, Rae et al. 2112.11446 §A1.1) — the standard boilerplate
+    * gate. Pure per-row list arithmetic; oracle recomputes the same n-gram
+    * lists in DuckDB. */
+  val q49_repetition_fraction: Q = (s, dir) => {
+    val tok = TextAnalysis.tokens(col("text"))
+    Tables.documents(s, dir).select(col("doc_id"),
+      TextAnalysis.dupNgramFraction(tok, 2).as("dup2_frac"),
+      TextAnalysis.dupNgramFraction(tok, 3).as("dup3_frac"))
+  }
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -608,5 +639,8 @@ object Queries {
     "q44_cube" -> q44_cube,
     "q45_interval_join" -> q45_interval_join,
     "q46_sliding_window" -> q46_sliding_window,
+    "q47_pack_sequences" -> q47_pack_sequences,
+    "q48_stratified_sample" -> q48_stratified_sample,
+    "q49_repetition_fraction" -> q49_repetition_fraction,
   )
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def packed(budget: Long) = {
+    val docs = Seq(
+      // (shard, id, nTokens)
+      ("a", 1L, 100L), ("a", 2L, 100L), ("a", 3L, 100L), ("a", 4L, 50L),
+      ("b", 1L, 300L), ("b", 2L, 10L)
+    ).toDF("shard", "id", "n")
+    Packing.packByBudget(docs, col("shard"), col("id"), col("n"), budget)
+      .select("shard", "id", "pack_id", "pack_offset")
+      .as[(String, Long, Long, Long)].collect().map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+  }
+
+  test("cumulative-offset binning: pack boundaries cut at the running token count") {
+    val p = packed(256L)
+    // shard a: offsets 0,100,200,300 -> packs 0,0,0,1; straddler (id 3, first
+    // token at 200) belongs to pack 0 per the documented contract
+    assert(p(("a", 1L)) === (0L, 0L))
+    assert(p(("a", 2L)) === (0L, 100L))
+    assert(p(("a", 3L)) === (0L, 200L))
+    assert(p(("a", 4L)) === (1L, 44L)) // offset 300 = pack 1, 300 % 256 = 44
+    // shard b is independent: its own window restarts at 0
+    assert(p(("b", 1L)) === (0L, 0L))
+    assert(p(("b", 2L)) === (1L, 44L)) // offset 300
+  }
+
+  test("matches a sequential re-computation on the documents corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val out = Packing.packByBudget(docs, col("lang"), col("doc_id"),
+        col("n_tokens"), 256L)
+      .select("lang", "doc_id", "n_tokens", "pack_id", "pack_offset")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      var before = 0L
+      rows.sortBy(_._2).foreach { case (_, _, n, packId, off) =>
+        assert(packId === before / 256 && off === before % 256)
+        assert(off >= 0 && off < 256)
+        before += n
+      }
+    }
+  }
+
+  test("budget must be positive") {
+    val df = Seq(("a", 1L, 1L)).toDF("shard", "id", "n")
+    intercept[IllegalArgumentException] {
+      Packing.packByBudget(df, col("shard"), col("id"), col("n"), 0L)
+    }
+  }
+}

@@ -34,4 +34,26 @@ class SamplingSpec extends SparkSpec {
     val n = Sampling.deterministicSample(ids, col("id"), 0.25).count()
     assert(math.abs(n / 2000.0 - 0.25) < 0.05, s"got $n/2000")
   }
+
+  test("stratified sample: per-stratum fractions, default for absent strata, stable keep set") {
+    val rows = ids.withColumn("stratum",
+      when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b").otherwise("c"))
+    val fractions = Seq("a" -> 0.5, "b" -> 1.0)
+    val kept = Sampling.stratifiedSample(rows, col("id"), col("stratum"),
+      fractions, defaultFraction = 0.1)
+    val byStratum = kept.groupBy("stratum").count()
+      .as[(String, Long)].collect().toMap
+    val totals = rows.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(math.abs(byStratum("a").toDouble / totals("a") - 0.5) < 0.06)
+    assert(byStratum("b") === totals("b"), "fraction 1.0 keeps every row")
+    assert(math.abs(byStratum("c").toDouble / totals("c") - 0.1) < 0.05)
+    // keep decision is per-row content hash: a row kept under one stratum
+    // labeling stays kept when other rows change strata (mixture re-tuning
+    // never resamples untouched strata)
+    val keptA = kept.where(col("stratum") === "a").select("id").as[Long].collect().toSet
+    val retuned = Sampling.stratifiedSample(rows, col("id"), col("stratum"),
+      Seq("a" -> 0.5, "b" -> 0.3), defaultFraction = 0.9)
+      .where(col("stratum") === "a").select("id").as[Long].collect().toSet
+    assert(keptA === retuned)
+  }
 }

@@ -30,6 +30,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(stats.forall(r => r.getLong(1) <= r.getLong(0)))
   }
 
+  test("repetition fraction: hand-computed bigram/trigram dup shares") {
+    val out = Seq("a b a b c", "x x x x", "solo").toDF("t")
+      .select(col("t"),
+        TextAnalysis.dupNgramFraction(TextAnalysis.tokens(col("t")), 2).as("d2"),
+        TextAnalysis.dupNgramFraction(TextAnalysis.tokens(col("t")), 3).as("d3"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // "a b a b c": bigrams [a b, b a, a b, b c] -> 1 - 3/4; trigrams all distinct
+    assert(out("a b a b c") === (0.25, 0.0))
+    // "x x x x": bigrams [x x, x x, x x] -> 1 - 1/3; trigrams [x x x]×2 -> 1/2
+    assert(out("x x x x") === (0.666667, 0.5))
+    // below n tokens: single whole-text gram, never a repeat
+    assert(out("solo") === (0.0, 0.0))
+  }
+
+  test("ngrams keeps duplicate occurrences that shingles collapses") {
+    val tok = Seq(Seq("a", "b", "a", "b")).toDF("tok")
+    val g = tok.select(TextAnalysis.ngrams(col("tok"), 2).as("g"),
+      TextAnalysis.shingles(col("tok"), 2).as("s"))
+      .as[(Seq[String], Seq[String])].collect().head
+    assert(g._1 === Seq("a b", "b a", "a b"))
+    assert(g._2 === Seq("a b", "b a"))
+  }
+
   test("subword tokenizer splits punctuation and digits off words") {
     val out = Seq("Hello, world! abc123").toDF("t")
       .select(TextAnalysis.subwordTokens(col("t")).as("tok"))
