@@ -8,10 +8,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * amount of log interleaving on the std streams.
   *
   * Each query is timed `SPARK_GRAFT_BENCH_RUNS` times (default 3) and the
-  * MEDIAN is reported: single-shot timings on a fresh JVM swing ±3× from
-  * JIT/page-cache warm-up, which two rounds of driver benches mistook for
-  * regressions. The first warm-up pass at sf0.001 additionally compiles
-  * every whole-stage-codegen class before anything is timed.
+  * MEDIAN OVER SUCCESSFUL RUNS is reported: single-shot timings on a fresh
+  * JVM swing ±3× from JIT/page-cache warm-up, which two rounds of driver
+  * benches mistook for regressions. The first warm-up pass at sf0.001
+  * additionally compiles every whole-stage-codegen class before anything is
+  * timed. Failed runs never enter a median or the total; they surface in
+  * `failed_runs` (query → #failures) and `n_failed_queries` (queries with
+  * zero successful runs, absent from `queries`/total).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -36,22 +39,28 @@ object Bench {
       release()
     }
     System.gc()
-    def timeOnce(fn: (SparkSession, String) => DataFrame): Double = {
+    // None = the run threw; failures are reported separately and NEVER enter
+    // the median or the total (a -1.0 sentinel would silently *shrink* the
+    // headline number — the worst possible failure mode for a benchmark).
+    def timeOnce(fn: (SparkSession, String) => DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       release()
-      if (ok) dt else -1.0
+      if (ok) Some(dt) else None
     }
     val results = names.map { case (name, fn) =>
-      val ts = Seq.fill(runs)(timeOnce(fn)).sorted
-      name -> ts(ts.length / 2)
+      val ts = Seq.fill(runs)(timeOnce(fn)).flatten.sorted
+      (name, if (ts.nonEmpty) Some(ts(ts.length / 2)) else None, runs - ts.length)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val failed = results.collect { case (n, _, f) if f > 0 => (n, f) }
+    val qs = results.collect { case (k, Some(v), _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val failedJson = failed.map { case (n, f) => s"\"" + n + "\":" + f }
+      .mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"failed_runs":$failedJson,"n_failed_queries":${results.count(_._2.isEmpty)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "bench_metric.json")),
       (json + "\n").getBytes("UTF-8"))
