@@ -30,9 +30,15 @@ object Bench {
     // own materialization). Blocking: a deferred unpersist backlog from 46
     // warm-up queries otherwise churns the block manager under the first
     // timed queries (measured 3-4× inflation on q11).
+    // System.gc() runs OUTSIDE every timed window: without it, garbage from
+    // one query's join buffers gets collected during the NEXT query's timed
+    // run, and medians drift with queue position instead of plan cost
+    // (measured: q25/q26 at 8.8/9.4 s mid-bench vs 1.6/2.7 s isolated under
+    // the identical protocol). Costs wall-clock, not measured time.
     def release(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
     }
     names.foreach { case (_, fn) =>
       try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => }

@@ -218,14 +218,21 @@ object Dedup {
       .agg(min(col("h") * fam.head._1 + fam.head._2).as("m0"),
         fam.toSeq.tail.zipWithIndex.map { case ((a, b), i) =>
           min(col("h") * a + b).as(s"m${i + 1}") }: _*)
-    val banded = sig.select(col("mh_id"), posexplode(
+    // each doc carries its full band→bucket array so a pair colliding in
+    // several bands can be kept only at the FIRST colliding band (a codegen'd
+    // filter) instead of distinct()-shuffling the candidate set again
+    val banded = sig.select(col("mh_id"),
       array((0 until bands).map(bnd =>
-        xxhash64(lit(bnd) +: (0 until rows).map(r => col(s"m${bnd * rows + r}")): _*)): _*)
-    ).as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"), col("mh_id").as("left_id"))
-    val r = banded.select(col("band"), col("bucket"), col("mh_id").as("right_id"))
+        xxhash64(lit(bnd) +: (0 until rows).map(r => col(s"m${bnd * rows + r}")): _*)): _*).as("bks"))
+      .select(col("mh_id"), col("bks"), posexplode(col("bks")).as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"), col("mh_id").as("left_id"), col("bks").as("lbks"))
+    val r = banded.select(col("band"), col("bucket"), col("mh_id").as("right_id"), col("bks").as("rbks"))
+    val firstMatch = (0 until bands - 1).map(b =>
+        col("band") <= b || element_at(col("lbks"), b + 1) =!= element_at(col("rbks"), b + 1))
+      .reduce(_ && _)
     l.join(r, Seq("band", "bucket")).where(col("left_id") < col("right_id"))
-      .select("left_id", "right_id").distinct()
+      .where(firstMatch)
+      .select("left_id", "right_id")
   }
 
   /** LSH candidate pairs: band the signature, bucket-join, dedup pairs.
@@ -418,7 +425,12 @@ object Dedup {
     * (pigeonhole for hamming ≤ 3 when chunks=4); each chunk is an equi-join
     * key, so candidate generation is linear + a key-partitioned join. The
     * signature relation is persisted so the self-join's two sides don't
-    * recompute it. */
+    * recompute it.
+    *
+    * A pair sharing several chunks would surface once per shared chunk; it
+    * is kept only where `chunk` is the FIRST match (all earlier chunks
+    * differ) — a codegen'd filter on bits already in the row, replacing a
+    * `distinct()` that would shuffle the whole candidate set again. */
   def simHashPairs(df: DataFrame, id: String, tokenSet: String,
                    maxHamming: Int = 3): DataFrame = {
     val sigs = simHashSignatures(df, id, tokenSet).persist(StorageLevel.MEMORY_AND_DISK)
@@ -430,9 +442,15 @@ object Dedup {
       col("sh_id").as("left_id"), col("sh").as("lsh"))
     val r = chunked.select(col("chunk"), col("ckey"),
       col("sh_id").as("right_id"), col("sh").as("rsh"))
+    def chunkOf(sig: Column, c: Int): Column =
+      shiftrightunsigned(sig, c * 16).bitwiseAND(0xFFFFL)
+    val firstMatch = (0 until 3).map(c =>
+        col("chunk") <= c || chunkOf(col("lsh"), c) =!= chunkOf(col("rsh"), c))
+      .reduce(_ && _)
     l.join(r, Seq("chunk", "ckey")).where(col("left_id") < col("right_id"))
+      .where(firstMatch)
       .withColumn("hamming", bit_count(col("lsh").bitwiseXOR(col("rsh"))))
       .where(col("hamming") <= maxHamming)
-      .select("left_id", "right_id", "hamming").distinct()
+      .select("left_id", "right_id", "hamming")
   }
 }

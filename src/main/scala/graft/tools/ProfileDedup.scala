@@ -45,6 +45,37 @@ object ProfileDedup {
     spark.stop()
   }
 }
+/** Times named queries under the exact Bench protocol (sf0.001 warm-up,
+  * blocking release between runs, median of 3) without running the other
+  * 46 — the iteration loop for per-query optimization. Args: sfDir q1 q2… */
+object ProfileBenchQ {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.tail.toSeq else Seq("q25_minhash_dedup", "q26_simhash_pairs")
+    val spark = graft.GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    def release(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
+    names.foreach { n =>
+      val fn = graft.queries.Queries.all(n)
+      try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => }
+      release()
+      val ts = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val c = fn(spark, dir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        release()
+        (dt, c)
+      }
+      val med = ts.map(_._1).sorted.apply(1)
+      println(f"[benchq] $n%-28s median $med%.2f s  (runs ${ts.map(t => f"${t._1}%.2f").mkString(", ")}; rows ${ts.head._2})")
+    }
+    spark.stop()
+  }
+}
+
 object ProfileSimhash {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
