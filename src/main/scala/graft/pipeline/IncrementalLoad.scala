@@ -18,12 +18,18 @@ object IncrementalLoad {
     val fresh =
       if (!spark.catalog.tableExists(table)) incoming
       else incoming.join(spark.table(table).select(key), Seq(key), "left_anti")
-    val n = fresh.count()
-    if (n > 0) {
-      val writer = fresh.write.mode("append").format("parquet")
-      partitionCol.fold(writer)(c => writer.partitionBy(c)).saveAsTable(table)
-    }
-    n
+    // one computation of the anti-join for BOTH the count and the write:
+    // without the scoped persist the plan executes twice (a full extra pass
+    // over incoming at warehouse scale) with a consistency window between
+    fresh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = fresh.count()
+      if (n > 0) {
+        val writer = fresh.write.mode("append").format("parquet")
+        partitionCol.fold(writer)(c => writer.partitionBy(c)).saveAsTable(table)
+      }
+      n
+    } finally fresh.unpersist()
   }
 
   /** S11: schema → warehouse DDL with the reference's type-mapping table

@@ -54,9 +54,14 @@ object JdbcSink {
     val existing = existingKeys.getOrElse(
       spark.read.format("jdbc").options(jdbcOptions(target)).load().select(key))
     val fresh = incoming.join(existing.select(key).distinct(), Seq(key), "left_anti")
-    val n = fresh.count()
-    if (n > 0) write(fresh, target)
-    n
+    // scoped persist: count and write see the same rows, and the warehouse
+    // key set goes over the wire once instead of once per action
+    fresh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = fresh.count()
+      if (n > 0) write(fresh, target)
+      n
+    } finally fresh.unpersist()
   }
 
   /** Plain append. Spark creates the table on first write; pass

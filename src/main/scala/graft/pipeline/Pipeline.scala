@@ -32,13 +32,16 @@ object Pipeline {
     val (transactions, rewards) =
       ApiIngest.fetchData(spark, apiClient, transactionsCsv, rewardsCsv)
 
-    // Transform (J1 + E1–E6 + P1/P2 + E4).
+    // Transform (J1 + E1–E6 + P1/P2 + E4). Persisted for the run's scope:
+    // the anti-join append and the row-count report both consume it, and
+    // re-deriving it means a second full extract+transform pass.
     val cashback = CashbackTransform.transform(rewards, transactions)
-
-    // Load: idempotent anti-join append on reward_id (J2).
-    val appended = IncrementalLoad.appendNew(
-      spark, cashback, warehouseTable, "reward_id", Some("transaction_date"))
-
-    Result(cashback.count(), appended)
+    cashback.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Load: idempotent anti-join append on reward_id (J2).
+      val appended = IncrementalLoad.appendNew(
+        spark, cashback, warehouseTable, "reward_id", Some("transaction_date"))
+      Result(cashback.count(), appended)
+    } finally cashback.unpersist()
   }
 }
