@@ -36,8 +36,7 @@ object Bench {
     // (measured: q25/q26 at 8.8/9.4 s mid-bench vs 1.6/2.7 s isolated under
     // the identical protocol). Costs wall-clock, not measured time.
     def release(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      GraftSession.releaseCaches(spark, blocking = true)
       System.gc()
     }
     names.foreach { case (_, fn) =>

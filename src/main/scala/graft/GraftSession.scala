@@ -40,4 +40,17 @@ object GraftSession {
     s.sparkContext.setLogLevel("WARN")
     s
   }
+
+  /** Lifecycle owner for the engine's internal persists. The dedup/ANN
+    * operators persist intermediate relations (hashed token sets, SimHash
+    * signatures, PPJoin prefixes) because their self-joins consume each one
+    * twice and Catalyst does not reuse those exchanges (measured: q24/q26
+    * run ~2×/1.5× slower without the persist). Those blocks are
+    * session-scoped by design — a long-lived session calls this between
+    * logical jobs to return to a clean block manager, exactly as
+    * `graft.Bench` does between timed runs. */
+  def releaseCaches(spark: SparkSession, blocking: Boolean = false): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking))
+  }
 }

@@ -37,6 +37,11 @@ import org.apache.spark.storage.StorageLevel
   * (P < 1e-11 for realistic vocabularies), so verified Jaccard values are
   * bit-identical to a string-set oracle.
   *
+  * Persist lifecycle: these internal persists are session-scoped (Catalyst
+  * does not reuse a self-join's two identical exchanges, so dropping them
+  * costs ~2× on the candidate joins — measured). Long-lived sessions release
+  * them between jobs with [[graft.GraftSession.releaseCaches]].
+  *
   * Everything is built from codegen'd builtins — no UDFs, no driver loops.
   */
 object Dedup {

@@ -189,14 +189,28 @@ object Similarity {
         cos.as("cosine"))
   }
 
-  /** ANN top-k searching only within the query's SRP bucket (plus callers can
-    * union multiple probe buckets). Trades recall for a corpus-partitioned
-    * equi-join — the 100 TB-scale path. */
+  /** ANN top-k searching within the query's SRP bucket, optionally unioned
+    * with every bucket within Hamming distance `probeHamming` of it
+    * (multi-probe LSH: a near-miss on one hyperplane sign flips one bucket
+    * bit, so the nearest misses live in Hamming-1 buckets). Trades recall
+    * for a corpus-partitioned equi-join — the 100 TB-scale path; the recall
+    * knob replicates only the SMALL query side (×Σ C(nbits,j), j≤probeHamming),
+    * never the corpus. */
   def srpBucketTopK(queries: DataFrame, corpus: DataFrame, k: Int, dim: Int,
-                    nbits: Int = 8, idCol: String = "vec_id",
+                    nbits: Int = 8, probeHamming: Int = 0,
+                    idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      srpBucket(col(vecCol), dim, nbits).as("bucket"))
+    require(probeHamming >= 0 && probeHamming <= nbits,
+      s"probeHamming must be in [0, $nbits], got $probeHamming")
+    // all bit masks with popcount <= probeHamming; mask 0 = the own bucket
+    val masks: Seq[Long] = (0L until (1L << nbits))
+      .filter(m => java.lang.Long.bitCount(m) <= probeHamming)
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      srpBucket(col(vecCol), dim, nbits).as("b0"))
+    val q =
+      if (probeHamming == 0) q0.withColumnRenamed("b0", "bucket")
+      else q0.select(col("query_id"), col("qv"),
+        explode(array(masks.map(m => col("b0").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
       srpBucket(col(vecCol), dim, nbits).as("bucket"))
     val scored = q.join(c, Seq("bucket"))

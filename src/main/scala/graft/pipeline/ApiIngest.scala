@@ -32,16 +32,18 @@ object ApiIngest {
 
   /** Fetch both extracts: API when a client is configured (the reference
     * gates on its four credential env vars, :42 — here, `Some(client)`),
-    * fixture CSVs when not, or when any API call fails mid-flight. Returns
+    * fixture CSVs when not, or when any API call fails mid-flight. Each API
+    * pull is retried per `retry` (reference Step Functions policy,
+    * infra/lambda.tf:161-173) BEFORE the fixture fallback engages. Returns
     * ingest-normalized (transactions, rewards). */
   def fetchData(spark: SparkSession, client: Option[Client],
-                transactionsCsv: String, rewardsCsv: String): (DataFrame, DataFrame) = {
+                transactionsCsv: String, rewardsCsv: String,
+                retry: Retry.Policy = Retry.Policy()): (DataFrame, DataFrame) = {
     val raw = client.flatMap { c =>
       try {
         // pull both payloads BEFORE building either frame: the reference
         // falls back for the pair, never half-API half-fixture
-        val t = c.getTransactions()
-        val r = c.getRewards()
+        val (t, r) = Retry(retry) { (c.getTransactions(), c.getRewards()) }
         Some((Ingest.jsonPayload(spark, t), Ingest.jsonPayload(spark, r)))
       } catch { case NonFatal(_) => None }
     }.getOrElse(

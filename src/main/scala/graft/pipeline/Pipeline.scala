@@ -24,13 +24,14 @@ object Pipeline {
     * (reference pull_data_glue_job_lambda.py:40-63). */
   def run(spark: SparkSession, rewardsCsv: String, transactionsCsv: String,
           warehouseTable: String = "cashback",
-          apiClient: Option[ApiIngest.Client] = None): Result = {
+          apiClient: Option[ApiIngest.Client] = None,
+          retry: Retry.Policy = Retry.Policy()): Result = {
 
     // Extract (S1 header-only strings — casts happen inside the transform,
     // matching glue_script.py:19-20; or S3/S4 API payloads via the injected
-    // client) + ingest renames (P2/P3).
+    // client, retried per the Step-Functions policy) + ingest renames (P2/P3).
     val (transactions, rewards) =
-      ApiIngest.fetchData(spark, apiClient, transactionsCsv, rewardsCsv)
+      ApiIngest.fetchData(spark, apiClient, transactionsCsv, rewardsCsv, retry)
 
     // Transform (J1 + E1–E6 + P1/P2 + E4). Persisted for the run's scope:
     // the anti-join append and the row-count report both consume it, and

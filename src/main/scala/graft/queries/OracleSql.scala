@@ -475,6 +475,11 @@ object OracleSql {
 
     "q35_media_features" ->
       """WITH f AS (
+        |  -- ASCII-ONLY ASSUMPTION: cs hashes character code points, while
+        |  -- Spark hashes signed UTF-8 payload bytes (Arrays.hashCode); the
+        |  -- two agree exactly for pure-ASCII text, which TESTDATA.md
+        |  -- guarantees (a 31-token a-z vocabulary). Non-ASCII testdata
+        |  -- would need cs derived from the UTF-8 byte stream instead.
         |  SELECT doc_id,
         |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |         list_transform(generate_series(1, length(text)), i -> ord(substr(text, i, 1))) AS cs
@@ -552,7 +557,14 @@ object OracleSql {
         |  FROM a1 JOIN (SELECT vec_id, unnest(list_transform(embedding, (x, i) -> {'x': x, 'i': i})) AS u
         |                FROM e) ex USING (vec_id)
         |  GROUP BY 1, 2),
-        |cents AS (SELECT cluster, list(m ORDER BY pos) AS cent FROM m GROUP BY 1),
+        |cents AS (
+        |  -- LEFT JOIN the seeds: a cluster that empties after the Lloyd
+        |  -- step keeps its seed centroid, mirroring Spark's
+        |  -- means.getOrElse(i, cents(i)) (Similarity.ivfCentroids)
+        |  SELECT s.cluster, coalesce(mm.cent, s.cent) AS cent
+        |  FROM seeds s LEFT JOIN
+        |    (SELECT cluster, list(m ORDER BY pos) AS cent FROM m GROUP BY 1) mm
+        |    ON s.cluster = mm.cluster),
         |cos2 AS (
         |  SELECT e.vec_id, c.cluster,
         |         list_sum(list_transform(generate_series(1, 64),

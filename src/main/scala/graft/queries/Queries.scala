@@ -446,9 +446,15 @@ object Queries {
     * centroid, queries probe their 2 closest clusters. The oracle replays
     * the whole centroid build in SQL, so the result hash-matches. */
   val q39_ann_ivf: Q = (s, dir) => {
-    // one materialization feeds centroid build, corpus assignment, and probes
-    val e = Tables.embeddings(s, dir).persist()
-    val cents = Similarity.ivfCentroids(e, k = 8, iters = 1)
+    // the centroid build runs its actions over a persisted relation scoped
+    // to the build (released here, not leaked into the session); the
+    // returned lazy plan re-scans the parquet — the normal IVF shape, where
+    // index build and search are separate passes over the corpus
+    val e = Tables.embeddings(s, dir)
+    val cached = e.persist()
+    val cents =
+      try Similarity.ivfCentroids(cached, k = 8, iters = 1)
+      finally cached.unpersist()
     Similarity.ivfTopK(e.where(col("vec_id") < 50), e, k = 3, cents, nprobe = 2)
   }
 

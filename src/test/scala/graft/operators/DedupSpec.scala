@@ -141,4 +141,16 @@ class DedupSpec extends SparkSpec {
     assert(fresh.as[Long].collect().toSet === Set(3L))
     assert(Dedup.antiJoin(fresh, existing.union(fresh), "k").count() === 0)
   }
+
+  test("releaseCaches drops every operator-internal persist (session lifecycle)") {
+    Dedup.simHashPairs(docs.select(col("doc_id"), col("tok")), "doc_id", "tok").count()
+    Dedup.minHashDedupTokens(
+      docs.select(col("doc_id"), split(col("text"), " ").as("t")),
+      "doc_id", "t", 3, 0.8).count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "the dedup operators are expected to persist intermediates")
+    graft.GraftSession.releaseCaches(spark, blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "releaseCaches must leave a clean block manager")
+  }
 }

@@ -75,6 +75,26 @@ class SimilaritySpec extends SparkSpec {
       brute.get((q, n)).foreach(bc => assert(math.abs(bc - c) < 1e-9)) }
   }
 
+  test("multi-probe SRP: recall vs brute force never below single-probe, still exact scores") {
+    val queries = emb.where(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def hits(probeHamming: Int): Set[(Long, Long)] =
+      Similarity.srpBucketTopK(queries, emb, k = 5, dim = 64, nbits = 4,
+          probeHamming = probeHamming)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+        .intersect(brute)
+    val single = hits(0)
+    val multi = hits(1)
+    assert(multi.size >= single.size,
+      s"multi-probe recall ${multi.size} < single-probe ${single.size}")
+    // full-radius probing searches every bucket == brute force exactly
+    val full = Similarity.srpBucketTopK(queries, emb, k = 5, dim = 64, nbits = 4,
+        probeHamming = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full === brute, "probing all 2^nbits buckets must equal brute force")
+  }
+
   test("srp bucket ids are stable and bounded") {
     val b = emb.withColumn("bucket", Similarity.srpBucket(col("embedding"), 64, 6))
       .select("bucket").as[Long].collect()

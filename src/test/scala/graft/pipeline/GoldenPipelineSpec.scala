@@ -146,7 +146,8 @@ class GoldenPipelineSpec extends SparkSpec {
       def getTransactions(): String = throw new RuntimeException("status 500")
       def getRewards(): String = sys.error("unreachable")
     }
-    val (tx, rw) = ApiIngest.fetchData(spark, Some(failing), transactionsCsv, rewardsCsv)
+    val (tx, rw) = ApiIngest.fetchData(spark, Some(failing), transactionsCsv, rewardsCsv,
+      retry = Retry.Policy(sleep = _ => ()))
     assert(rw.count() === 1753L, "fallback must read the rewards fixture")
     assert(tx.columns.contains("transaction_id"))
     // no client at all (missing credentials) is the same fixture path
@@ -161,7 +162,8 @@ class GoldenPipelineSpec extends SparkSpec {
     }
     val table = "cashback_golden_api_fallback"
     spark.sql(s"DROP TABLE IF EXISTS $table")
-    val res = Pipeline.run(spark, rewardsCsv, transactionsCsv, table, Some(failing))
+    val res = Pipeline.run(spark, rewardsCsv, transactionsCsv, table, Some(failing),
+      retry = Retry.Policy(sleep = _ => ()))
     assert(res.cashbackRows === 1753L)
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }

@@ -1,0 +1,57 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class RetrySpec extends AnyFunSuite {
+
+  private def policy(attempts: Int = 3, slept: collection.mutable.Buffer[Long] = null) =
+    Retry.Policy(attempts = attempts, initialDelayMs = 10L,
+      sleep = d => if (slept != null) slept += d)
+
+  test("a flaky operation succeeds on a later attempt with exponential backoff") {
+    val slept = collection.mutable.Buffer.empty[Long]
+    var calls = 0
+    val out = Retry(policy(slept = slept)) {
+      calls += 1
+      if (calls < 3) throw new java.io.IOException("connection reset")
+      "payload"
+    }
+    assert(out === "payload" && calls === 3)
+    assert(slept.toSeq === Seq(10L, 20L), "backoff rate 2.0 over the 10ms base")
+  }
+
+  test("attempts are exhausted and the last transient failure propagates") {
+    var calls = 0
+    val e = intercept[java.io.IOException] {
+      Retry(policy(attempts = 3)) { calls += 1; throw new java.io.IOException(s"down $calls") }
+    }
+    assert(calls === 3 && e.getMessage === "down 3")
+  }
+
+  test("non-transient failures never retry") {
+    var calls = 0
+    intercept[IllegalArgumentException] {
+      Retry(policy()) { calls += 1; throw new IllegalArgumentException("bad input") }
+    }
+    assert(calls === 1)
+  }
+
+  test("flaky API client: pipeline fetch succeeds without the fixture fallback") {
+    val spark = graft.SparkSpec.session
+    var calls = 0
+    val flaky = new ApiIngest.Client {
+      def getTransactions(): String = {
+        calls += 1
+        if (calls < 2) throw new RuntimeException("status 503")
+        """[{"transaction_id": "t1", "date": "2024-01-01", "amount": "1.00"}]"""
+      }
+      def getRewards(): String =
+        """[{"reward_id": "r1", "plu_amount": "5", "reward_type": "cashback"}]"""
+    }
+    val (tx, rw) = ApiIngest.fetchData(spark, Some(flaky),
+      "/nonexistent.csv", "/nonexistent.csv", retry = Retry.Policy(sleep = _ => ()))
+    // the fixture paths are unreadable, so rows can only have come from the
+    // retried API pull
+    assert(tx.count() === 1L && rw.count() === 1L && calls === 2)
+  }
+}
