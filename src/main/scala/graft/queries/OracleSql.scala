@@ -1,6 +1,6 @@
 package graft.queries
 
-/** DuckDB-dialect oracle SQL for every entry in [[Queries.all]] — 49/49.
+/** DuckDB-dialect oracle SQL for every entry in [[Queries.all]] — 50/50.
   *
   * The approximate operators are oracled by construction rather than skipped:
   *  - q25 (MinHash LSH) against the exact shingle-Jaccard truth set — valid
@@ -616,6 +616,40 @@ object OracleSql {
         |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS b
         |      FROM documents)
         |WHERE b < CASE lang WHEN 'en' THEN 50 WHEN 'fr' THEN 100 ELSE 20 END""".stripMargin,
+
+    "q50_ann_srp_multiprobe" ->
+      s"""WITH planes(bit, w) AS (VALUES
+         |$srpPlanes),
+         |proj AS (
+         |  SELECT e.vec_id, p.bit,
+         |         list_sum(list_transform(generate_series(1, 64),
+         |           i -> CAST(e.embedding[i] AS DOUBLE) * p.w[i])) AS s
+         |  FROM embeddings e, planes p),
+         |bkt AS (
+         |  SELECT vec_id,
+         |         sum(CASE WHEN s >= 0 THEN (1::BIGINT << bit) ELSE 0::BIGINT END) AS bucket
+         |  FROM proj GROUP BY 1),
+         |q AS (
+         |  -- multi-probe: own bucket plus the 8 Hamming-1 neighbors
+         |  SELECT e.vec_id AS query_id, e.embedding AS qv,
+         |         unnest(list_prepend(b.bucket,
+         |           list_transform(range(0, 8), i -> xor(b.bucket, 1::BIGINT << i)))) AS bucket
+         |  FROM embeddings e JOIN bkt b USING (vec_id) WHERE e.vec_id < 50),
+         |c AS (SELECT e.vec_id AS neighbor_id, e.embedding AS nv, b.bucket
+         |      FROM embeddings e JOIN bkt b USING (vec_id)),
+         |pair AS (
+         |  SELECT q.query_id, c.neighbor_id,
+         |         unnest(q.qv) AS uq, unnest(c.nv) AS ue
+         |  FROM q JOIN c ON q.bucket = c.bucket AND q.query_id <> c.neighbor_id),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |         round(sum(CAST(uq AS DOUBLE) * CAST(ue AS DOUBLE))
+         |           / (sqrt(sum(CAST(uq AS DOUBLE) * CAST(uq AS DOUBLE)))
+         |            * sqrt(sum(CAST(ue AS DOUBLE) * CAST(ue AS DOUBLE)))), 6) AS cosine
+         |  FROM pair GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+         |  FROM scored) WHERE rk <= 3""".stripMargin,
 
     "q49_repetition_fraction" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),

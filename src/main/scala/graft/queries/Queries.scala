@@ -404,6 +404,16 @@ object Queries {
     Similarity.srpBucketTopK(e.where(col("vec_id") < 50), e, k = 3, dim = 64, nbits = 8)
   }
 
+  /** Multi-probe SRP ANN top-3: q31 with the recall knob on — each query
+    * also searches the 8 buckets at Hamming distance 1 (one hyperplane sign
+    * away). Only the 50-row query side replicates ×9; the corpus is scanned
+    * and bucketed exactly once. Same constant-embedding oracle as q31. */
+  val q50_ann_srp_multiprobe: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    Similarity.srpBucketTopK(e.where(col("vec_id") < 50), e, k = 3, dim = 64,
+      nbits = 8, probeHamming = 1)
+  }
+
   /** BPE-ish subword tokenization: run-class regex, count + order-sensitive
     * fingerprint so the oracle checks the exact token stream. */
   val q32_subword_tokens: Q = (s, dir) => {
@@ -648,5 +658,6 @@ object Queries {
     "q47_pack_sequences" -> q47_pack_sequences,
     "q48_stratified_sample" -> q48_stratified_sample,
     "q49_repetition_fraction" -> q49_repetition_fraction,
+    "q50_ann_srp_multiprobe" -> q50_ann_srp_multiprobe,
   )
 }
