@@ -359,11 +359,17 @@ object Dedup {
       // the jump collapses label chains exponentially → O(log d) rounds.
       // (A second jump per round was measured SLOWER: the self-join
       // duplicates the un-checkpointed subtree, outweighing saved rounds.)
-      val next = truncate(stepped.as("x")
-        .join(stepped.select(col("id").as("cid"), col("comp").as("ccomp")),
-          col("x.comp") === col("cid"), "left")
-        .select(col("x.id").as("id"),
-          least(col("x.comp"), coalesce(col("ccomp"), col("x.comp"))).as("comp")))
+      // The jump self-joins `stepped`; a round-scoped persist computes its
+      // two-join subtree once per round instead of twice (self-join
+      // exchanges are not reused by Catalyst — measured).
+      stepped.persist(StorageLevel.MEMORY_AND_DISK)
+      val next =
+        try truncate(stepped.as("x")
+          .join(stepped.select(col("id").as("cid"), col("comp").as("ccomp")),
+            col("x.comp") === col("cid"), "left")
+          .select(col("x.id").as("id"),
+            least(col("x.comp"), coalesce(col("ccomp"), col("x.comp"))).as("comp")))
+        finally stepped.unpersist(blocking = false)
       labels = next
       i += 1
       // labels strictly decrease, so a convergence probe every other round
