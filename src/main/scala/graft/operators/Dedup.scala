@@ -372,13 +372,14 @@ object Dedup {
         finally stepped.unpersist(blocking = false)
       labels = next
       i += 1
-      // labels strictly decrease, so a convergence probe every other round
-      // halves the extra agg jobs at the cost of ≤1 surplus round
-      if (i % 2 == 0 || i >= maxIter) {
-        val s = next.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
-        converged = s == prevSum
-        prevSum = s
-      }
+      // labels only decrease, so Σcomp is a fixpoint witness. Probe EVERY
+      // round: the agg is one tiny job over the just-checkpointed labels,
+      // while a skipped probe costs a surplus ROUND (joins + checkpoint) —
+      // near-dup graphs are quasi-cliques converging in 1-2 rounds, so
+      // probe frequency directly bounds the round count.
+      val s = next.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
     }
     labels
     } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)

@@ -49,6 +49,20 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("plan shape: one exchange on the shard key, nothing global") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    val out = Packing.packByBudget(docs, col("lang"), col("doc_id"),
+      col("n_tokens"), 256L)
+    out.count() // finalize the adaptive plan before inspecting it
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(lang"),
+      s"window must hash-partition by the shard key, got:\n$plan")
+    assert(!plan.contains("SinglePartition") && !plan.contains("rangepartitioning"),
+      s"no global sort/single-partition stage may exist:\n$plan")
+  }
+
   test("budget must be positive") {
     val df = Seq(("a", 1L, 1L)).toDF("shard", "id", "n")
     intercept[IllegalArgumentException] {

@@ -35,6 +35,16 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(n / 2000.0 - 0.25) < 0.05, s"got $n/2000")
   }
 
+  test("plan shape: stratified sample is a pure per-row filter (zero exchanges)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val kept = Sampling.stratifiedSample(docs.select(col("doc_id"), col("lang")),
+      col("doc_id"), col("lang"), Seq("en" -> 0.5), defaultFraction = 0.2)
+    kept.count()
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"a per-row sample must not shuffle:\n$plan")
+  }
+
   test("stratified sample: per-stratum fractions, default for absent strata, stable keep set") {
     val rows = ids.withColumn("stratum",
       when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b").otherwise("c"))
