@@ -60,4 +60,30 @@ class EdgeCaseSpec extends SparkSpec {
       Seq("a" -> 0.33, "b" -> 0.33, "c" -> 0.34))
     assert(out.where(col("split").isNull).count() === 0)
   }
+
+  test("packing: a document longer than the budget spans packs without corrupting successors") {
+    val d = Seq(("s", 1L, 700L), ("s", 2L, 10L)).toDF("shard", "id", "n")
+    val out = Packing.packByBudget(d, col("shard"), col("id"), col("n"), 256L)
+      .select("id", "pack_id", "pack_offset")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) === (0L, 0L))
+    // next doc starts at token 700: pack 700/256 = 2, offset 700 % 256 = 188
+    assert(out(2L) === (2L, 188L))
+  }
+
+  test("stratified sample with no per-stratum overrides applies the default everywhere") {
+    val d = (0L until 500L).toDF("id").withColumn("s", lit("x"))
+    val kept = Sampling.stratifiedSample(d, col("id"), col("s"), Nil,
+      defaultFraction = 0.3).count()
+    assert(math.abs(kept / 500.0 - 0.3) < 0.07, s"got $kept/500")
+    assert(Sampling.stratifiedSample(d, col("id"), col("s"), Nil,
+      defaultFraction = 0.0).count() === 0)
+  }
+
+  test("repetition fraction handles empty and single-token text") {
+    val out = Seq("", "word").toDF("t")
+      .select(TextAnalysis.dupNgramFraction(TextAnalysis.tokens(col("t")), 2).as("d"))
+      .as[Double].collect()
+    assert(out.toSeq === Seq(0.0, 0.0))
+  }
 }
