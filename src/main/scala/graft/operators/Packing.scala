@@ -32,4 +32,30 @@ object Packing {
     df.withColumn("pack_id", (before / budgetTokens).cast("long"))
       .withColumn("pack_offset", pmod(before, lit(budgetTokens)))
   }
+
+  /** Document → overlapping fixed-size context windows: chunk c covers
+    * tokens [c·stride, c·stride + chunkTokens) (0-based; overlap =
+    * chunkTokens − stride). A doc at or under chunkTokens yields exactly
+    * itself as chunk 0; otherwise chunks are emitted while they start
+    * strictly inside the doc, so the tail is covered and no chunk is empty.
+    *
+    * Scale shape: pure per-row explode — no shuffle, no state; output rows
+    * ≈ n_tokens/stride per doc. The standard pre-packing shaper (chunk here,
+    * then [[packByBudget]] the chunks). */
+  def chunkByTokens(df: DataFrame, id: Column, tokens: Column,
+                    chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
+    require(stride > 0 && stride <= chunkTokens,
+      s"stride must be in [1, $chunkTokens], got $stride")
+    val n = size(tokens)
+    val nChunks = when(n <= chunkTokens, lit(1)).otherwise(
+      lit(1) + ceil((n - chunkTokens).cast("double") / stride).cast("int"))
+    df.select(id.as("doc_id"), tokens.as("tok"),
+        explode(sequence(lit(0), nChunks - 1)).as("c"))
+      .select(col("doc_id"), col("c").cast("long").as("chunk_id"),
+        concat_ws(" ", slice(col("tok"), col("c") * stride + 1, lit(chunkTokens)))
+          .as("chunk_text"),
+        least(size(col("tok")) - col("c") * stride, lit(chunkTokens))
+          .cast("long").as("n_tokens"))
+  }
 }

@@ -93,6 +93,28 @@ object TextAnalysis {
       / greatest(size(g), lit(1)).cast("double"), 6)
   }
 
+  /** Test-set decontamination (the GPT-3-style n-gram contamination gate):
+    * for every corpus doc, count the distinct n-grams it shares with ANY
+    * benchmark doc. Docs with hits are contaminated and dropped before
+    * training; returns (id, n_hits) for hit docs only.
+    *
+    * Scale shape: the benchmark gram set is tiny (eval suites are thousands
+    * of docs), so Catalyst broadcasts it and the corpus side is one linear
+    * explode + semi-style join + per-doc count — the corpus never shuffles
+    * on anything bigger than its own doc ids. Grams join as strings here
+    * (cross-engine oracle-able for free); at 100 TB hash them first with
+    * [[md5Long]] — containment is preserved. */
+  def contaminationHits(corpus: org.apache.spark.sql.DataFrame,
+                        benchmark: org.apache.spark.sql.DataFrame,
+                        id: String, textCol: String, n: Int = 8)
+  : org.apache.spark.sql.DataFrame = {
+    def grams(df: org.apache.spark.sql.DataFrame) =
+      df.select(col(id), explode(ngrams(tokens(col(textCol)), n)).as("g"))
+    val bench = grams(benchmark).select(col("g")).distinct()
+    grams(corpus).join(bench, Seq("g"))
+      .groupBy(col(id)).agg(countDistinct(col("g")).as("n_hits"))
+  }
+
   /** Content fingerprint for exact dedup: md5 of the normalized body. */
   def fingerprintMd5(text: Column): Column = md5(lower(trim(text)))
 

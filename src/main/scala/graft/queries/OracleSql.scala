@@ -1,6 +1,6 @@
 package graft.queries
 
-/** DuckDB-dialect oracle SQL for every entry in [[Queries.all]] — 50/50.
+/** DuckDB-dialect oracle SQL for every entry in [[Queries.all]] — 52/52.
   *
   * The approximate operators are oracled by construction rather than skipped:
   *  - q25 (MinHash LSH) against the exact shingle-Jaccard truth set — valid
@@ -666,5 +666,32 @@ object OracleSql {
         |       round(1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / greatest(len(g2), 1), 6) AS dup2_frac,
         |       round(1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / greatest(len(g3), 1), 6) AS dup3_frac
         |FROM g""".stripMargin,
+
+    "q51_chunk_documents" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok,
+        |                 len(string_split(text, ' ')) AS n
+        |          FROM documents),
+        |c AS (SELECT doc_id, tok, n,
+        |        unnest(range(0, CASE WHEN n <= 64 THEN 1
+        |                            ELSE 1 + CAST(ceil((n - 64) / 48.0) AS INT) END)) AS c
+        |      FROM t)
+        |SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+        |       array_to_string(list_slice(tok, c * 48 + 1, c * 48 + 64), ' ') AS chunk_text,
+        |       CAST(least(n - c * 48, 64) AS BIGINT) AS n_tokens
+        |FROM c""".stripMargin,
+
+    "q52_decontamination" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |g AS (SELECT doc_id,
+        |        unnest(CASE WHEN len(tok) >= 4
+        |               THEN list_transform(range(1, len(tok) - 2),
+        |                      i -> array_to_string(list_slice(tok, i, i + 3), ' '))
+        |               ELSE [array_to_string(tok, ' ')] END) AS g
+        |      FROM t),
+        |b AS (SELECT DISTINCT g FROM g WHERE doc_id < 10)
+        |SELECT g.doc_id, count(DISTINCT g.g) AS n_hits
+        |FROM g JOIN b USING (g)
+        |WHERE g.doc_id >= 10
+        |GROUP BY 1""".stripMargin,
   )
 }

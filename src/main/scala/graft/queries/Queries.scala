@@ -606,6 +606,25 @@ object Queries {
       TextAnalysis.dupNgramFraction(tok, 3).as("dup3_frac"))
   }
 
+  /** Document chunking: long docs → 64-token context windows with stride 48
+    * (16-token overlap) — the pre-packing shaper. Per-row explode, no
+    * shuffle; the oracle recomputes the identical slices in SQL. */
+  val q51_chunk_documents: Q = (s, dir) =>
+    Packing.chunkByTokens(Tables.documents(s, dir), col("doc_id"),
+      split(col("text"), " "), chunkTokens = 64, stride = 48)
+
+  /** Test-set decontamination: docs ≥ 10 sharing any 4-gram with the
+    * "benchmark" docs < 10 (the eval-set contamination gate; real corpora
+    * use 8-13 grams — the synthetic 31-token vocab needs a shorter gram for
+    * a non-trivial hit set). The benchmark gram set broadcasts; the corpus
+    * side is linear. */
+  val q52_decontamination: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.contaminationHits(
+      docs.where(col("doc_id") >= 10), docs.where(col("doc_id") < 10),
+      "doc_id", "text", n = 4)
+  }
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -659,5 +678,7 @@ object Queries {
     "q48_stratified_sample" -> q48_stratified_sample,
     "q49_repetition_fraction" -> q49_repetition_fraction,
     "q50_ann_srp_multiprobe" -> q50_ann_srp_multiprobe,
+    "q51_chunk_documents" -> q51_chunk_documents,
+    "q52_decontamination" -> q52_decontamination,
   )
 }

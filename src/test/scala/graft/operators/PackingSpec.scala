@@ -69,4 +69,35 @@ class PackingSpec extends SparkSpec {
       Packing.packByBudget(df, col("shard"), col("id"), col("n"), 0L)
     }
   }
+
+  test("chunking: windows cover every token, overlap by chunk-stride, short docs pass through") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens, 2 chunks
+      (2L, "a b c")                                   // under one chunk
+    ).toDF("doc_id", "text")
+    val out = Packing.chunkByTokens(docs, col("doc_id"), split(col("text"), " "),
+        chunkTokens = 6, stride = 4)
+      .select("doc_id", "chunk_id", "chunk_text", "n_tokens")
+      .as[(Long, Long, String, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(out((1L, 0L)) === ("t1 t2 t3 t4 t5 t6", 6L))
+    assert(out((1L, 1L)) === ("t5 t6 t7 t8 t9 t10", 6L)) // 2-token overlap
+    assert(out((2L, 0L)) === ("a b c", 3L))
+    assert(out.size === 3)
+    // exact-fit doc emits exactly one chunk (no empty tail chunk)
+    val exact = Packing.chunkByTokens(
+      Seq((3L, "x y z w")).toDF("doc_id", "text"), col("doc_id"),
+      split(col("text"), " "), chunkTokens = 4, stride = 2).count()
+    assert(exact === 1L)
+  }
+
+  test("chunking validates window parameters") {
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Packing.chunkByTokens(df, col("doc_id"), split(col("text"), " "), 0, 1)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.chunkByTokens(df, col("doc_id"), split(col("text"), " "), 4, 5)
+    }
+  }
 }

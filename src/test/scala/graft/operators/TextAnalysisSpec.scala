@@ -44,6 +44,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out("solo") === (0.0, 0.0))
   }
 
+  test("decontamination: only docs sharing an n-gram with the benchmark are flagged") {
+    val corpus = Seq(
+      (10L, "one two three four five six"),  // shares "two three four" run
+      (11L, "totally different words here"),
+      (12L, "three four five and more")      // shares only a 3-token run
+    ).toDF("doc_id", "text")
+    val bench = Seq((1L, "zero one two three four five")).toDF("doc_id", "text")
+    val hits = TextAnalysis.contaminationHits(corpus, bench, "doc_id", "text", n = 4)
+      .as[(Long, Long)].collect().toMap
+    // doc 10 shares 4-grams "one two three four" + "two three four five"
+    assert(hits === Map(10L -> 2L), s"got $hits")
+    // a stricter gram kills the partial overlap too
+    val strict = TextAnalysis.contaminationHits(corpus, bench, "doc_id", "text", n = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(strict === Map.empty[Long, Long])
+  }
+
   test("ngrams keeps duplicate occurrences that shingles collapses") {
     val tok = Seq(Seq("a", "b", "a", "b")).toDF("tok")
     val g = tok.select(TextAnalysis.ngrams(col("tok"), 2).as("g"),
