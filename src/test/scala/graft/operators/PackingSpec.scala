@@ -91,6 +91,15 @@ class PackingSpec extends SparkSpec {
     assert(exact === 1L)
   }
 
+  test("plan shape: chunking is a pure per-row explode (zero exchanges)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Packing.chunkByTokens(docs, col("doc_id"), split(col("text"), " "),
+      chunkTokens = 64, stride = 48)
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+  }
+
   test("chunking validates window parameters") {
     val df = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {

@@ -61,6 +61,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(strict === Map.empty[Long, Long])
   }
 
+  test("plan shape: decontamination broadcasts the benchmark gram set") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = TextAnalysis.contaminationHits(
+      docs.where(col("doc_id") >= 10), docs.where(col("doc_id") < 10),
+      "doc_id", "text", n = 4)
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the small benchmark side must broadcast — the corpus may not shuffle on grams:\n$plan")
+  }
+
   test("ngrams keeps duplicate occurrences that shingles collapses") {
     val tok = Seq(Seq("a", "b", "a", "b")).toDF("tok")
     val g = tok.select(TextAnalysis.ngrams(col("tok"), 2).as("g"),
