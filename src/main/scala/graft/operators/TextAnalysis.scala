@@ -103,13 +103,19 @@ object TextAnalysis {
     * explode + semi-style join + per-doc count — the corpus never shuffles
     * on anything bigger than its own doc ids. Grams join as strings here
     * (cross-engine oracle-able for free); at 100 TB hash them first with
-    * [[md5Long]] — containment is preserved. */
+    * [[md5Long]] — containment is preserved.
+    *
+    * The token array is projected to an attribute BEFORE the n-gram lambda:
+    * an inline `split` gets duplicated into every `element_at` of the
+    * (interpreted) higher-order function, re-splitting the text n times per
+    * gram — measured 5× slower at sf0.1. */
   def contaminationHits(corpus: org.apache.spark.sql.DataFrame,
                         benchmark: org.apache.spark.sql.DataFrame,
                         id: String, textCol: String, n: Int = 8)
   : org.apache.spark.sql.DataFrame = {
     def grams(df: org.apache.spark.sql.DataFrame) =
-      df.select(col(id), explode(ngrams(tokens(col(textCol)), n)).as("g"))
+      df.select(col(id), tokens(col(textCol)).as("cg_tok"))
+        .select(col(id), explode(ngrams(col("cg_tok"), n)).as("g"))
     val bench = grams(benchmark).select(col("g")).distinct()
     grams(corpus).join(bench, Seq("g"))
       .groupBy(col(id)).agg(countDistinct(col("g")).as("n_hits"))

@@ -599,12 +599,14 @@ object Queries {
     * occurrences, Rae et al. 2112.11446 §A1.1) — the standard boilerplate
     * gate. Pure per-row list arithmetic; oracle recomputes the same n-gram
     * lists in DuckDB. */
-  val q49_repetition_fraction: Q = (s, dir) => {
-    val tok = TextAnalysis.tokens(col("text"))
-    Tables.documents(s, dir).select(col("doc_id"),
-      TextAnalysis.dupNgramFraction(tok, 2).as("dup2_frac"),
-      TextAnalysis.dupNgramFraction(tok, 3).as("dup3_frac"))
-  }
+  val q49_repetition_fraction: Q = (s, dir) =>
+    // tok is projected to an attribute first: an inline split would be
+    // duplicated into every element_at of the interpreted n-gram lambda
+    Tables.documents(s, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tok"))
+      .select(col("doc_id"),
+        TextAnalysis.dupNgramFraction(col("tok"), 2).as("dup2_frac"),
+        TextAnalysis.dupNgramFraction(col("tok"), 3).as("dup3_frac"))
 
   /** Document chunking: long docs → 64-token context windows with stride 48
     * (16-token overlap) — the pre-packing shaper. Per-row explode, no
