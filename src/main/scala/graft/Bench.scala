@@ -17,6 +17,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * zero successful runs, absent from `queries`/total).
   */
 object Bench {
+
+  /** Per-run outcomes → (median over successes or None, #failed runs).
+    * Pure, spec-covered: this is the arithmetic an earlier -1.0 sentinel
+    * silently corrupted. */
+  private[graft] def medianOverSuccesses(runs: Seq[Option[Double]]): (Option[Double], Int) = {
+    val ok = runs.flatten.sorted
+    (if (ok.nonEmpty) Some(ok(ok.length / 2)) else None, runs.size - ok.size)
+  }
+
+  /** (name, median, failedRuns) rows → the metric JSON line. Queries with
+    * no successful run are excluded from `queries` and the total and
+    * counted in `n_failed_queries`. */
+  private[graft] def renderJson(results: Seq[(String, Option[Double], Int)],
+                                runsPerQuery: Int, sfDir: String): String = {
+    val qs = results.collect { case (k, Some(v), _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val failedJson = results.collect { case (n, _, f) if f > 0 => s"\"" + n + "\":" + f }
+      .mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
+    s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"failed_runs":$failedJson,"n_failed_queries":${results.count(_._2.isEmpty)},"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
@@ -55,17 +77,10 @@ object Bench {
       if (ok) Some(dt) else None
     }
     val results = names.map { case (name, fn) =>
-      val ts = Seq.fill(runs)(timeOnce(fn)).flatten.sorted
-      (name, if (ts.nonEmpty) Some(ts(ts.length / 2)) else None, runs - ts.length)
+      val (med, nFailed) = medianOverSuccesses(Seq.fill(runs)(timeOnce(fn)))
+      (name, med, nFailed)
     }
-    val failed = results.collect { case (n, _, f) if f > 0 => (n, f) }
-    val qs = results.collect { case (k, Some(v), _) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val failedJson = failed.map { case (n, f) => s"\"" + n + "\":" + f }
-      .mkString("{", ",", "}")
-    val total = results.flatMap(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runs,"queries":$qs,"failed_runs":$failedJson,"n_failed_queries":${results.count(_._2.isEmpty)},"sf":"$sfDir"}"""
+    val json = renderJson(results, runs, sfDir)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "bench_metric.json")),
       (json + "\n").getBytes("UTF-8"))
