@@ -121,6 +121,24 @@ object TextAnalysis {
       .groupBy(col(id)).agg(countDistinct(col("g")).as("n_hits"))
   }
 
+  /** Frequency-ranked corpus vocabulary — the statistic tokenizer training
+    * (BPE/unigram) starts from. Returns (token, freq, rank) for the topK
+    * most frequent tokens; rank is deterministic (freq desc, token asc).
+    *
+    * Scale shape: explode + ONE map-side-combinable groupBy on the token;
+    * the cut is a distributed TakeOrdered (sort-limit) over the vocabulary
+    * relation — the single-partition window that assigns ranks only ever
+    * sees the topK surviving rows, never the corpus or the full vocab. */
+  def tokenVocabulary(df: org.apache.spark.sql.DataFrame, textCol: String,
+                      topK: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freq = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val top = freq.orderBy(col("freq").desc, col("token")).limit(topK)
+    val w = Window.orderBy(col("freq").desc, col("token"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+  }
+
   /** Content fingerprint for exact dedup: md5 of the normalized body. */
   def fingerprintMd5(text: Column): Column = md5(lower(trim(text)))
 

@@ -1,6 +1,6 @@
 package graft.queries
 
-/** DuckDB-dialect oracle SQL for every entry in [[Queries.all]] — 52/52.
+/** DuckDB-dialect oracle SQL for every entry in [[Queries.all]] — 53/53.
   *
   * The approximate operators are oracled by construction rather than skipped:
   *  - q25 (MinHash LSH) against the exact shingle-Jaccard truth set — valid
@@ -693,5 +693,13 @@ object OracleSql {
         |FROM g JOIN b USING (g)
         |WHERE g.doc_id >= 10
         |GROUP BY 1""".stripMargin,
+
+    "q53_token_vocab" ->
+      """SELECT token, freq, CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank
+        |FROM (SELECT u AS token, count(*) AS freq
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS u FROM documents)
+        |      GROUP BY 1
+        |      ORDER BY freq DESC, token
+        |      LIMIT 20)""".stripMargin,
   )
 }

@@ -627,6 +627,12 @@ object Queries {
       "doc_id", "text", n = 4)
   }
 
+  /** Frequency-ranked vocabulary (top 20 tokens): the tokenizer-training
+    * statistic. One combinable groupBy on the token; the rank window sees
+    * only the topK cut. */
+  val q53_token_vocab: Q = (s, dir) =>
+    TextAnalysis.tokenVocabulary(Tables.documents(s, dir), "text", topK = 20)
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -682,5 +688,6 @@ object Queries {
     "q50_ann_srp_multiprobe" -> q50_ann_srp_multiprobe,
     "q51_chunk_documents" -> q51_chunk_documents,
     "q52_decontamination" -> q52_decontamination,
+    "q53_token_vocab" -> q53_token_vocab,
   )
 }

@@ -61,6 +61,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(strict === Map.empty[Long, Long])
   }
 
+  test("token vocabulary: ranked by freq desc with deterministic tie-break, corpus-complete counts") {
+    val docs = Seq("a b a", "b a c").toDF("text")
+    val v = TextAnalysis.tokenVocabulary(docs, "text", topK = 2)
+      .as[(String, Long, Long)].collect().toSeq
+    // a appears 3x, b 2x; c is cut at topK=2
+    assert(v === Seq(("a", 3L, 1L), ("b", 2L, 2L)))
+    // tie-break: equal freq ranks by token ascending
+    val tie = TextAnalysis.tokenVocabulary(Seq("z y").toDF("text"), "text", 2)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(tie === Seq(("y", 1L, 1L), ("z", 1L, 2L)))
+  }
+
   test("plan shape: decontamination broadcasts the benchmark gram set") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = TextAnalysis.contaminationHits(
