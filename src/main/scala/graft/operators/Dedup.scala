@@ -341,11 +341,16 @@ object Dedup {
     try {
     // eager checkpoint truncates lineage each round — without it the
     // adaptive plan re-derives every prior iteration and rounds get slower
-    var labels = truncate(edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")))
     // labels only ever decrease, so Σcomp is a monotone convergence witness:
-    // fixpoint ⟺ the sum stops changing (one cheap agg, no join-and-count)
-    var prevSum = labels.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
+    // fixpoint ⟺ the sum stops changing. Every sum (this one and each
+    // round's) rides its checkpoint's materialization job as an observe()
+    // metric — verified to fire for both localCheckpoint and reliable
+    // checkpoint — so convergence detection costs zero extra jobs.
+    val obs0 = org.apache.spark.sql.Observation("cc_init")
+    var labels = truncate(edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .observe(obs0, coalesce(sum(col("comp")), lit(0L)).as("s")))
+    var prevSum = obs0.get("s").asInstanceOf[Long]
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -363,21 +368,23 @@ object Dedup {
       // two-join subtree once per round instead of twice (self-join
       // exchanges are not reused by Catalyst — measured).
       stepped.persist(StorageLevel.MEMORY_AND_DISK)
+      // labels only decrease, so Σcomp is a fixpoint witness, checked EVERY
+      // round (a skipped probe costs a surplus ROUND of joins + checkpoint;
+      // quasi-clique near-dup graphs converge in 1-2 rounds). The sum rides
+      // the checkpoint's own materialization job as an observe() metric —
+      // no separate agg job per round.
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$i")
       val next =
         try truncate(stepped.as("x")
           .join(stepped.select(col("id").as("cid"), col("comp").as("ccomp")),
             col("x.comp") === col("cid"), "left")
           .select(col("x.id").as("id"),
-            least(col("x.comp"), coalesce(col("ccomp"), col("x.comp"))).as("comp")))
+            least(col("x.comp"), coalesce(col("ccomp"), col("x.comp"))).as("comp"))
+          .observe(obs, coalesce(sum(col("comp")), lit(0L)).as("s")))
         finally stepped.unpersist(blocking = false)
       labels = next
       i += 1
-      // labels only decrease, so Σcomp is a fixpoint witness. Probe EVERY
-      // round: the agg is one tiny job over the just-checkpointed labels,
-      // while a skipped probe costs a surplus ROUND (joins + checkpoint) —
-      // near-dup graphs are quasi-cliques converging in 1-2 rounds, so
-      // probe frequency directly bounds the round count.
-      val s = next.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
+      val s = obs.get("s").asInstanceOf[Long]
       converged = s == prevSum
       prevSum = s
     }
