@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
-import graft.operators.{AsOf, Dedup}
+import graft.operators.{AsOf, Dedup, Packing, TextAnalysis}
 
 /** Property-based checks (SURVEY §5.2): scalacheck generators drive the
   * inputs; each property evaluates one batched Spark job against a
@@ -97,5 +97,56 @@ class PropertySpec extends SparkSpec {
       val expect = inter.toDouble / (a.toSet.size + b.toSet.size - inter)
       assert(math.abs(got((i, j)) - expect) < 1e-12, s"pair ($i,$j)")
     }
+  }
+
+  test("property: packing conserves tokens — offset+pack arithmetic reconstructs the running sum") {
+    (1L to 3L).foreach { seed =>
+      val docs = sample(Gen.listOfN(40, Gen.chooseNum(1L, 300L)), seed)
+        .zipWithIndex.map { case (n, i) => (i.toLong, n, s"s${i % 3}") }
+      val out = Packing.packByBudget(docs.toDF("id", "n", "shard"),
+          col("shard"), col("id"), col("n"), 128L)
+        .select("shard", "id", "n", "pack_id", "pack_offset")
+        .as[(String, Long, Long, Long, Long)].collect()
+      out.groupBy(_._1).foreach { case (_, rows) =>
+        var running = 0L
+        rows.sortBy(_._2).foreach { case (_, _, n, packId, off) =>
+          // pack_id * budget + pack_offset IS the running token sum — no
+          // token is lost or double-assigned anywhere in the shard
+          assert(packId * 128L + off === running, s"seed=$seed")
+          running += n
+        }
+      }
+    }
+  }
+
+  test("property: every token index lands in ≥1 chunk and chunk slices tile the doc") {
+    (1L to 3L).foreach { seed =>
+      val nTok = sample(Gen.chooseNum(1, 50), seed)
+      val toks = (0 until nTok).map(i => s"w$i")
+      val out = Packing.chunkByTokens(Seq((1L, toks.mkString(" "))).toDF("doc_id", "text"),
+          col("doc_id"), split(col("text"), " "), chunkTokens = 7, stride = 5)
+        .select("chunk_id", "chunk_text").as[(Long, String)].collect()
+      val covered = out.flatMap(_._2.split(" ")).toSet
+      assert(covered === toks.toSet, s"seed=$seed nTok=$nTok: every token appears in some chunk")
+      out.foreach { case (c, text) =>
+        val words = text.split(" ")
+        assert(words.toSeq === toks.slice((c * 5).toInt, (c * 5).toInt + 7), s"seed=$seed chunk=$c")
+      }
+    }
+  }
+
+  test("property: vocabulary frequencies equal driver-side token counts") {
+    val texts = (1L to 3L).flatMap { seed =>
+      sample(Gen.listOfN(30, Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e"))), seed)
+        .map(_.mkString(" "))
+    }
+    val expect = texts.flatMap(_.split(" ")).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = TextAnalysis.tokenVocabulary(texts.toDF("text"), "text", topK = 5)
+      .as[(String, Long, Long)].collect()
+    got.foreach { case (tok, freq, _) => assert(freq === expect(tok), s"token $tok") }
+    // ranks are 1..k and frequencies non-increasing
+    assert(got.map(_._3).sorted.toSeq === (1L to got.length))
+    val byRank = got.sortBy(_._3).map(_._2)
+    assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
   }
 }
