@@ -148,9 +148,14 @@ object TextAnalysis {
     * non-negative long. md5 is md5 in every engine, and 15 hex digits always
     * fit a signed 64-bit int, so any SQL engine computes the identical value
     * (DuckDB: `('0x' || substr(md5(x), 1, 15))::BIGINT`) — which makes every
-    * operator built on it hard-oracle-able, unlike xxhash64. */
-  def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    * operator built on it hard-oracle-able, unlike xxhash64.
+    *
+    * Computed by the native [[graft.functions.Md5Long]] expression (60 bits
+    * straight off the digest bytes, codegen'd) — bit-identical to the
+    * built-in `conv(substring(md5(c),1,15),16,10)::long` route it replaces
+    * (spec-asserted), minus the per-row hex-string round trip and base-16
+    * string parse. */
+  def md5Long(c: Column): Column = graft.functions.Md5LongFunction.md5Long(c)
 
   /** Rolling polynomial hash (Rabin-Karp style) over the token stream —
     * basis for winnowing-style fingerprints. A left fold over md5-hashed

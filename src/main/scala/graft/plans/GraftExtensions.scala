@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{VectorCosine, VectorDot}
+import graft.functions.{Md5Long, VectorCosine, VectorDot}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions as SQL functions, so `spark.sql("... vector_cosine
@@ -22,5 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vector_cosine"),
       new ExpressionInfo(classOf[VectorCosine].getName, "vector_cosine"),
       (children: Seq[Expression]) => VectorCosine(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("md5_long"),
+      new ExpressionInfo(classOf[Md5Long].getName, "md5_long"),
+      (children: Seq[Expression]) => Md5Long(children.head)))
   }
 }
