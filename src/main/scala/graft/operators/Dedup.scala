@@ -80,11 +80,27 @@ object Dedup {
     * 1024 tokens = 16 longs per set. */
   private val BitmapVocabMax = 1024L
 
+  /** Exactness guard for the bitmap path: if the sampled estimate
+    * under-shot and the TRUE dictionary exceeds this, the bitmap build
+    * hands off to the prefix path instead of producing 64+-word masks. */
+  private val BitmapVocabHardMax = 4 * BitmapVocabMax
+
+  /** Token-occurrence budget for the representation-choice estimate: a
+    * LocalLimit stops each partition's scan after this many rows, so the
+    * decision never costs a full corpus pass. */
+  private val VocabSampleTokens = 1 << 20
+
   /** Exact near-dup pairs within a blocking key (e.g. language).
     *
-    * Adaptive representation, decided by one metadata-scale action (a distinct
-    * count over the token dictionary — the same kind of stats-driven choice
-    * AQE makes from runtime statistics):
+    * Adaptive representation. The choice is driven by a BOUNDED estimate —
+    * `approx_count_distinct` over at most [[VocabSampleTokens]] token
+    * occurrences (a LocalLimit, so no full corpus pass is ever spent just
+    * deciding; the same kind of stats-driven choice AQE makes from runtime
+    * statistics) — or skipped entirely when the caller passes `vocabHint`.
+    * The choice need not be exact to be safe: both representations are
+    * exact, and the bitmap path re-checks the TRUE dictionary size while
+    * building its dictionary (which it needs anyway), handing off to the
+    * prefix path beyond [[BitmapVocabHardMax]].
     *
     *  - small dictionary (≤ [[BitmapVocabMax]] distinct tokens corpus-wide):
     *    dictionary-encode each token to a bit position and represent every
@@ -102,27 +118,40 @@ object Dedup {
     *  - τ = 0 (diagnostic/baseline use): full block self-join, since
     *    zero-overlap pairs must be emitted too. */
   def jaccardPairs(df: DataFrame, id: String, tokenSet: String,
-                   block: String, threshold: Double): DataFrame = {
+                   block: String, threshold: Double,
+                   vocabHint: Option[Long] = None): DataFrame = {
     val hs = hashedSets(df, id, tokenSet, Seq(block))
       .withColumnRenamed(block, "blk")
       .withColumn("n", size(col("hs")))
-    val vocabSize = hs.select(explode(col("hs")).as("h")).distinct().count()
     // τ = 0 must emit zero-overlap pairs, which the bitmap path cannot: its
     // explode drops empty-token docs entirely. Route τ = 0 to the full
     // self-join branch of the prefix path, which keeps them.
-    if (threshold > 0 && vocabSize <= BitmapVocabMax)
-      jaccardPairsBitmap(hs, threshold, vocabSize.toInt)
+    if (threshold <= 0) return jaccardPairsPrefix(hs, threshold)
+    val est = vocabHint.getOrElse(
+      hs.select(explode(col("hs")).as("h")).limit(VocabSampleTokens)
+        .agg(approx_count_distinct(col("h")).as("v")).head.getLong(0))
+    if (est <= BitmapVocabMax) jaccardPairsBitmap(hs, threshold)
     else jaccardPairsPrefix(hs, threshold)
   }
 
-  /** Small-dictionary path: W-word bitmask per set, popcount Jaccard. */
-  private def jaccardPairsBitmap(hs: DataFrame, threshold: Double,
-                                 vocabSize: Int): DataFrame = {
+  /** Small-dictionary path: W-word bitmask per set, popcount Jaccard.
+    * Builds (and therefore exactly counts) the token dictionary itself;
+    * if the sampled estimate under-shot and the true dictionary exceeds
+    * [[BitmapVocabHardMax]], delegates to the prefix path — so a wrong
+    * estimate can only cost time, never correctness. */
+  private def jaccardPairsBitmap(hs: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val vocabIds = hs.select(explode(col("hs")).as("h")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val vocabSize = vocabIds.count()
+    if (vocabSize > BitmapVocabHardMax) {
+      vocabIds.unpersist(blocking = false)
+      return jaccardPairsPrefix(hs, threshold)
+    }
     // empty corpus → zero-word mask; keep one word so the plan builds
-    val w = math.max(1, (vocabSize + 63) / 64)
+    val w = math.max(1, (vocabSize.toInt + 63) / 64)
     // deterministic dictionary: bit position = rank of token hash
-    val vocab = hs.select(explode(col("hs")).as("h")).distinct()
+    val vocab = vocabIds
       .withColumn("idx", row_number().over(Window.orderBy("h")) - 1)
     val masks = hs.select(col("blk"), col("hs_id"), col("n"), explode(col("hs")).as("h"))
       .join(broadcast(vocab), "h")
@@ -216,6 +245,10 @@ object Dedup {
     * re-hashed per hash function. Banding explodes `bands` rows per doc and
     * joins on (band,bucket) — both exchanges are key-partitioned. */
   private def minHashPairsHashed(hs: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(bands >= 1 && k >= 1, s"k and bands must be >= 1, got k=$k bands=$bands")
+    require(k % bands == 0,
+      s"k must be a multiple of bands (rows = k/bands would silently drop " +
+        s"signature rows), got k=$k bands=$bands")
     val rows = k / bands
     val fam = hashFamily(k)
     val tokenHashes = hs.select(col("hs_id").as("mh_id"), explode(col("hs")).as("h"))
@@ -232,9 +265,11 @@ object Dedup {
       .select(col("mh_id"), col("bks"), posexplode(col("bks")).as(Seq("band", "bucket")))
     val l = banded.select(col("band"), col("bucket"), col("mh_id").as("left_id"), col("bks").as("lbks"))
     val r = banded.select(col("band"), col("bucket"), col("mh_id").as("right_id"), col("bks").as("rbks"))
+    // foldLeft, not reduce: bands = 1 has no earlier bands to exclude, so
+    // the predicate sequence is empty and the filter is just `true`
     val firstMatch = (0 until bands - 1).map(b =>
         col("band") <= b || element_at(col("lbks"), b + 1) =!= element_at(col("rbks"), b + 1))
-      .reduce(_ && _)
+      .foldLeft(lit(true))(_ && _)
     l.join(r, Seq("band", "bucket")).where(col("left_id") < col("right_id"))
       .where(firstMatch)
       .select("left_id", "right_id")
@@ -324,21 +359,24 @@ object Dedup {
       "reliable=true requires spark.sparkContext.setCheckpointDir(...)")
     def truncate(df: DataFrame): DataFrame =
       if (reliable) df.checkpoint() else df.localCheckpoint()
-    val edges = pairs.select(col(left).as("src"), col(right).as("dst"))
+    val edgesSrc = pairs.select(col(left).as("src"), col(right).as("dst"))
       .unionByName(pairs.select(col(right).as("src"), col(left).as("dst")))
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val callerParts = pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    val nEdges = edgesSrc.count()
     // scale the loop's shuffle width to the measured graph size (~1M edges
     // per partition): a near-dup graph is orders of magnitude smaller than
     // the corpus, and iterating a tiny graph over the session's full
-    // partition count pays pure scheduling latency every round. Restored in
-    // the finally below; the returned labels are checkpointed, so nothing
-    // downstream re-executes under the narrowed conf.
-    val sess = pairs.sparkSession
-    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
-    val nEdges = edges.count()
-    sess.conf.set("spark.sql.shuffle.partitions",
-      math.max(1L, math.min(prevParts.toLong, nEdges / 1000000L + 1)).toString)
-    try {
+    // partition count pays pure scheduling latency every round. The
+    // narrowed width lives on a CHILD session (same SparkContext — shared
+    // executors, block manager, checkpoint dir — but isolated SQL conf), so
+    // queries planned concurrently on the caller's session can never
+    // inherit it; the returned labels are checkpointed (LogicalRDD), so
+    // they re-plan cleanly in any session downstream.
+    val iso = pairs.sparkSession.newSession()
+    iso.conf.set("spark.sql.shuffle.partitions",
+      math.max(1L, math.min(callerParts.toLong, nEdges / 1000000L + 1)).toString)
+    val edges = iso.createDataFrame(edgesSrc.toJavaRDD, edgesSrc.schema)
     // eager checkpoint truncates lineage each round — without it the
     // adaptive plan re-derives every prior iteration and rounds get slower
     // labels only ever decrease, so Σcomp is a monotone convergence witness:
@@ -389,7 +427,6 @@ object Dedup {
       prevSum = s
     }
     labels
-    } finally sess.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   /** Cluster-level dedup decision: every doc in a near-dup component keeps
@@ -439,35 +476,76 @@ object Dedup {
         .reduce((a, b) => a.bitwiseOR(b)).as("sh"))
   }
 
-  /** SimHash near-dup pairs with hamming distance ≤ maxHamming (< 16).
-    * Scale path: candidates must share one of four exact 16-bit chunks
-    * (pigeonhole for hamming ≤ 3 when chunks=4); each chunk is an equi-join
-    * key, so candidate generation is linear + a key-partitioned join. The
-    * signature relation is persisted so the self-join's two sides don't
-    * recompute it.
+  /** Near-even split of the 64 signature bits into `blocks` contiguous
+    * blocks (low bits first; the first 64 % blocks blocks get the extra
+    * bit). blocks = 4 reproduces the classic 4×16-bit chunking exactly. */
+  private def simHashBlockWidths(blocks: Int): Seq[Int] = {
+    val base = 64 / blocks
+    val extra = 64 % blocks
+    Seq.tabulate(blocks)(i => base + (if (i < extra) 1 else 0))
+  }
+
+  /** Candidate pairs from a (sh_id, sh) signature relation via Manku-style
+    * block-combination tables (Manku, Jain, Das Sarma, WWW'07 §3): split the
+    * 64 bits into `blocks` blocks; a pair with hamming ≤ maxHamming leaves
+    * ≥ blocks − maxHamming blocks untouched (pigeonhole), so it MUST agree
+    * on at least one of the C(blocks, blocks−maxHamming) block combinations.
+    * Each combination is one table, keyed by that combination's bits packed
+    * into a long — an equi-join key, so candidate generation is a linear
+    * explode (×#tables) + a key-partitioned self-join, never all-pairs.
     *
-    * A pair sharing several chunks would surface once per shared chunk; it
-    * is kept only where `chunk` is the FIRST match (all earlier chunks
-    * differ) — a codegen'd filter on bits already in the row, replacing a
-    * `distinct()` that would shuffle the whole candidate set again. */
-  def simHashPairs(df: DataFrame, id: String, tokenSet: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sigs = simHashSignatures(df, id, tokenSet).persist(StorageLevel.MEMORY_AND_DISK)
-    val chunked = sigs.select(col("sh_id"), col("sh"), posexplode(
-      array((0 until 4).map(c =>
-        shiftrightunsigned(col("sh"), c * 16).bitwiseAND(0xFFFFL)): _*)
-    ).as(Seq("chunk", "ckey")))
-    val l = chunked.select(col("chunk"), col("ckey"),
+    * Sizing (the 100 TB knob — full math in SCALE.md): per-table key width
+    * is ≈ 64·(blocks−maxHamming)/blocks bits, so expected in-bucket
+    * candidate volume is Θ(N²/2^width) per table. blocks=4, h=3 gives 4
+    * tables on 16-bit keys (fine to ~10⁷ docs); blocks=6, h=3 gives 20
+    * tables on ~32-bit keys, keeping buckets O(N/2³²) at web scale — the
+    * Manku trade of bounded replication for sub-quadratic buckets.
+    *
+    * A pair agreeing on several tables would surface once per table; it is
+    * kept only where `tbl` is the FIRST agreeing table (some block of every
+    * earlier table differs) — a codegen'd filter on bits already in the
+    * row, replacing a `distinct()` that would shuffle the whole candidate
+    * set again. Exposed within graft so specs can bound candidate counts. */
+  private[graft] def simHashCandidates(sigs: DataFrame, maxHamming: Int,
+                                       blocks: Int): DataFrame = {
+    require(blocks >= 2 && blocks <= 32, s"blocks must be in [2, 32], got $blocks")
+    require(maxHamming >= 0 && maxHamming < blocks,
+      s"pigeonhole completeness needs maxHamming < blocks, got " +
+        s"maxHamming=$maxHamming blocks=$blocks")
+    val widths = simHashBlockWidths(blocks)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    def blockOf(sig: Column, b: Int): Column =
+      shiftrightunsigned(sig, offsets(b)).bitwiseAND((1L << widths(b)) - 1)
+    def keyOf(sig: Column, tbl: Seq[Int]): Column =
+      tbl.foldLeft(lit(0L))((k, b) => shiftleft(k, widths(b)).bitwiseOR(blockOf(sig, b)))
+    val tables: Seq[Seq[Int]] =
+      (0 until blocks).combinations(blocks - maxHamming).map(_.toSeq).toSeq
+    val keyed = sigs.select(col("sh_id"), col("sh"), posexplode(
+      array(tables.map(t => keyOf(col("sh"), t)): _*)).as(Seq("tbl", "tkey")))
+    val l = keyed.select(col("tbl"), col("tkey"),
       col("sh_id").as("left_id"), col("sh").as("lsh"))
-    val r = chunked.select(col("chunk"), col("ckey"),
+    val r = keyed.select(col("tbl"), col("tkey"),
       col("sh_id").as("right_id"), col("sh").as("rsh"))
-    def chunkOf(sig: Column, c: Int): Column =
-      shiftrightunsigned(sig, c * 16).bitwiseAND(0xFFFFL)
-    val firstMatch = (0 until 3).map(c =>
-        col("chunk") <= c || chunkOf(col("lsh"), c) =!= chunkOf(col("rsh"), c))
-      .reduce(_ && _)
-    l.join(r, Seq("chunk", "ckey")).where(col("left_id") < col("right_id"))
+    val firstMatch = tables.indices.init.map { t =>
+        col("tbl") <= t ||
+          tables(t).map(b => blockOf(col("lsh"), b) =!= blockOf(col("rsh"), b))
+            .reduce(_ || _)
+      }.foldLeft(lit(true))(_ && _)
+    l.join(r, Seq("tbl", "tkey")).where(col("left_id") < col("right_id"))
       .where(firstMatch)
+  }
+
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming.
+    * Candidate generation via [[simHashCandidates]] block-combination
+    * tables — `blocks` is the scale knob (default 4 = the classic 16-bit
+    * chunk scheme; raise to 6 for ≥10⁸-doc corpora). The pigeonhole bound
+    * is structural: maxHamming < blocks is required, so no parameterization
+    * can silently miss pairs. The signature relation is persisted so the
+    * self-join's two sides don't recompute it. */
+  def simHashPairs(df: DataFrame, id: String, tokenSet: String,
+                   maxHamming: Int = 3, blocks: Int = 4): DataFrame = {
+    val sigs = simHashSignatures(df, id, tokenSet).persist(StorageLevel.MEMORY_AND_DISK)
+    simHashCandidates(sigs, maxHamming, blocks)
       .withColumn("hamming", bit_count(col("lsh").bitwiseXOR(col("rsh"))))
       .where(col("hamming") <= maxHamming)
       .select("left_id", "right_id", "hamming")

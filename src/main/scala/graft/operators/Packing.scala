@@ -37,7 +37,11 @@ object Packing {
     * tokens [c·stride, c·stride + chunkTokens) (0-based; overlap =
     * chunkTokens − stride). A doc at or under chunkTokens yields exactly
     * itself as chunk 0; otherwise chunks are emitted while they start
-    * strictly inside the doc, so the tail is covered and no chunk is empty.
+    * strictly inside the doc, so the tail is covered and every chunk of a
+    * multi-chunk doc is non-empty. A doc whose token array is empty yields
+    * one chunk with `chunk_text = ""` and `n_tokens = 0` — the whole-doc
+    * fallback applies to it too (and SQL engines that split "" to a
+    * 1-element array agree on this shape, so the oracle matches).
     *
     * Scale shape: pure per-row explode — no shuffle, no state; output rows
     * ≈ n_tokens/stride per doc. The standard pre-packing shaper (chunk here,

@@ -200,11 +200,16 @@ object Similarity {
                     nbits: Int = 8, probeHamming: Int = 0,
                     idCol: String = "vec_id",
                     vecCol: String = "embedding"): DataFrame = {
+    require(nbits >= 1 && nbits <= 62, s"nbits must be in [1, 62], got $nbits")
     require(probeHamming >= 0 && probeHamming <= nbits,
       s"probeHamming must be in [0, $nbits], got $probeHamming")
-    // all bit masks with popcount <= probeHamming; mask 0 = the own bucket
-    val masks: Seq[Long] = (0L until (1L << nbits))
-      .filter(m => java.lang.Long.bitCount(m) <= probeHamming)
+    // all bit masks with popcount <= probeHamming; mask 0 = the own bucket.
+    // Built combinatorially (Σ_j C(nbits, j) masks) — never by scanning the
+    // full 2^nbits space, which at the wide keys a 100 TB corpus wants
+    // (nbits 24-32) would be a multi-second-to-hung driver loop.
+    val masks: Seq[Long] = (0 to probeHamming).flatMap(j =>
+      (0 until nbits).combinations(j)
+        .map(_.foldLeft(0L)((m, b) => m | (1L << b))).toSeq)
     val q0 = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       srpBucket(col(vecCol), dim, nbits).as("b0"))
     val q =

@@ -101,9 +101,15 @@ object TextAnalysis {
     * Scale shape: the benchmark gram set is tiny (eval suites are thousands
     * of docs), so Catalyst broadcasts it and the corpus side is one linear
     * explode + semi-style join + per-doc count — the corpus never shuffles
-    * on anything bigger than its own doc ids. Grams join as strings here
-    * (cross-engine oracle-able for free); at 100 TB hash them first with
-    * [[md5Long]] — containment is preserved.
+    * on anything bigger than its own doc ids. With `hashGrams` (the
+    * default) every gram is reduced to its [[md5Long]] before the join, so
+    * the broadcast set, the join keys, and the per-doc distinct count all
+    * carry 8-byte longs instead of n-token strings — the 100 TB shape.
+    * Containment is preserved; a false hit needs a 60-bit collision between
+    * a corpus gram and a benchmark gram (P ≈ gram-pairs / 2⁶⁰ — and [[md5Long]]
+    * is cross-engine, so an oracle reproduces the hashed path exactly).
+    * `hashGrams = false` keeps the raw-string join for debugging — the hit
+    * sets are identical (spec-asserted).
     *
     * The token array is projected to an attribute BEFORE the n-gram lambda:
     * an inline `split` gets duplicated into every `element_at` of the
@@ -111,11 +117,13 @@ object TextAnalysis {
     * gram — measured 5× slower at sf0.1. */
   def contaminationHits(corpus: org.apache.spark.sql.DataFrame,
                         benchmark: org.apache.spark.sql.DataFrame,
-                        id: String, textCol: String, n: Int = 8)
+                        id: String, textCol: String, n: Int = 8,
+                        hashGrams: Boolean = true)
   : org.apache.spark.sql.DataFrame = {
     def grams(df: org.apache.spark.sql.DataFrame) =
       df.select(col(id), tokens(col(textCol)).as("cg_tok"))
-        .select(col(id), explode(ngrams(col("cg_tok"), n)).as("g"))
+        .select(col(id), explode(ngrams(col("cg_tok"), n)).as("gs"))
+        .select(col(id), (if (hashGrams) md5Long(col("gs")) else col("gs")).as("g"))
     val bench = grams(benchmark).select(col("g")).distinct()
     grams(corpus).join(bench, Seq("g"))
       .groupBy(col(id)).agg(countDistinct(col("g")).as("n_hits"))

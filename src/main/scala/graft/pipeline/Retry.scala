@@ -21,15 +21,22 @@ object Retry {
     require(attempts >= 1, s"attempts must be >= 1, got $attempts")
   }
 
-  /** Transient = I/O-shaped: network/timeouts and generic runtime failures
-    * from remote surfaces; argument/state bugs are not retried. */
+  /** Explicit transient signal for remote-status failures (HTTP 5xx,
+    * throttling) that surface as something other than an IOException —
+    * clients raise this to opt a failure into the default retry set. */
+  final class TransientFailure(message: String, cause: Throwable = null)
+    extends RuntimeException(message, cause)
+
+  /** Transient = an explicit allowlist: network I/O, timeouts, and the
+    * explicit [[TransientFailure]] signal. Everything else — including
+    * RuntimeException subclasses like MatchError or ClassCastException —
+    * is a programming error and re-throws immediately rather than being
+    * masked behind backoff sleeps; callers needing broader retry pass a
+    * custom predicate. */
   def defaultTransient(e: Throwable): Boolean = e match {
+    case _: TransientFailure                      => true
     case _: java.io.IOException                   => true
     case _: java.util.concurrent.TimeoutException => true
-    case _: IllegalArgumentException              => false
-    case _: IllegalStateException                 => false
-    case _: NullPointerException                  => false
-    case NonFatal(_)                              => true
     case _                                        => false
   }
 

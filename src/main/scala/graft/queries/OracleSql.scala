@@ -682,12 +682,13 @@ object OracleSql {
 
     "q52_decontamination" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
-        |g AS (SELECT doc_id,
+        |g0 AS (SELECT doc_id,
         |        unnest(CASE WHEN len(tok) >= 4
         |               THEN list_transform(range(1, len(tok) - 2),
         |                      i -> array_to_string(list_slice(tok, i, i + 3), ' '))
-        |               ELSE [array_to_string(tok, ' ')] END) AS g
+        |               ELSE [array_to_string(tok, ' ')] END) AS gs
         |      FROM t),
+        |g AS (SELECT doc_id, ('0x' || substr(md5(gs), 1, 15))::BIGINT AS g FROM g0),
         |b AS (SELECT DISTINCT g FROM g WHERE doc_id < 10)
         |SELECT g.doc_id, count(DISTINCT g.g) AS n_hits
         |FROM g JOIN b USING (g)

@@ -67,6 +67,77 @@ class DedupSpec extends SparkSpec {
       s"simhash avg ${simStats.getDouble(0)} vs baseline $baseline — no signal")
   }
 
+  test("simhash Manku tables: wider keys bound candidates, same pairs (completeness)") {
+    // plant an adversarial corpus for the 16-bit-chunk scheme: EVERY
+    // signature shares low chunk 0x1234, so blocks=4 makes all C(40,2)
+    // pairs candidates; upper 48 bits are random, so with blocks=6
+    // (3-block ≈32-bit keys) only genuinely close pairs collide
+    val rnd = new scala.util.Random(7)
+    val sigs = (0 until 20).flatMap { i =>
+      val a = (rnd.nextLong() & ~0xFFFFL) | 0x1234L
+      val b = a ^ (1L << (16 + (i % 48))) // hamming-1 partner, chunk 0 intact
+      Seq((2L * i, a), (2L * i + 1, b))
+    }
+    val df = sigs.toDF("sh_id", "sh")
+    // ground truth by brute force on the driver (40 sigs)
+    val truth = (for {
+      (il, sl) <- sigs; (ir, sr) <- sigs
+      if il < ir && java.lang.Long.bitCount(sl ^ sr) <= 3
+    } yield (il, ir)).toSet
+    assert(truth.size >= 20, "planted partners must be in the truth set")
+    def pairsFor(blocks: Int) = Dedup.simHashCandidates(df, 3, blocks)
+      .withColumn("hamming", bit_count(col("lsh").bitwiseXOR(col("rsh"))))
+      .where(col("hamming") <= 3)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    // pigeonhole completeness holds for both parameterizations
+    assert(pairsFor(4) === truth)
+    assert(pairsFor(6) === truth)
+    // ...but the wider keys collapse the candidate volume
+    val c4 = Dedup.simHashCandidates(df, 3, 4).count()
+    val c6 = Dedup.simHashCandidates(df, 3, 6).count()
+    assert(c4 === 40L * 39 / 2, "shared chunk makes every pair a blocks=4 candidate")
+    assert(c6 * 10 < c4, s"blocks=6 candidates ($c6) not ≪ blocks=4 ($c4)")
+    // the pigeonhole bound is structural, not a silent recall loss
+    intercept[IllegalArgumentException] { Dedup.simHashCandidates(df, 4, 4) }
+  }
+
+  test("connected components never mutates the caller session's shuffle width") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    // a long chain forces several label-propagation rounds
+    val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("left_id", "right_id")
+    val fut = Future {
+      Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    }
+    // poll the CALLER session's conf while the loop runs on its child session
+    val seen = collection.mutable.Set.empty[String]
+    while (!fut.isCompleted) {
+      seen += spark.conf.get("spark.sql.shuffle.partitions")
+      Thread.sleep(1)
+    }
+    val comps = Await.result(fut, scala.concurrent.duration.Duration.Inf)
+    assert(seen.subsetOf(Set(before)),
+      s"caller conf drifted during the CC loop: saw $seen, expected only $before")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
+    assert(comps === (1L to 60L).map(_ -> 1L).toMap)
+  }
+
+  test("minhash with a single band (bands=1) is legal and exact-verified") {
+    // regression: the first-match filter was an empty reduce at bands=1
+    val pairs = Dedup.minHashDedup(docs, "doc_id", "sh", threshold = 0.8,
+        k = 16, bands = 1)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "sh", "all", 0.8)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    // one 16-row band is maximally precise, minimally sensitive: whatever it
+    // returns must still be verified truth pairs
+    assert(pairs.subsetOf(exact))
+    intercept[IllegalArgumentException] {
+      Dedup.minHashDedup(docs, "doc_id", "sh", threshold = 0.8, k = 16, bands = 5)
+    }
+  }
+
   test("τ=0 emits zero-overlap pairs even when the vocab is bitmap-eligible") {
     // regression: the bitmap path's explode dropped empty-token docs, so a
     // small vocab at τ=0 silently lost their pairs; τ=0 must route to the
@@ -79,6 +150,20 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.jaccardPairs(d, "doc_id", "tok", "lang", 0.0)
       .select("left_id", "right_id").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("bitmap and prefix jaccard representations are interchangeable (vocabHint)") {
+    // fixture vocab is tiny → the sampled estimate picks the bitmap path; a
+    // large vocabHint forces PPJoin prefixes. Both are exact: identical pairs
+    val bitmap = Dedup.jaccardPairs(docs, "doc_id", "tok", "lang", 0.95)
+      .select("left_id", "right_id", "jaccard").as[(Long, Long, Double)]
+      .collect().map { case (l, r, j) => (l, r, math.rint(j * 1e9)) }.toSet
+    val prefix = Dedup.jaccardPairs(docs, "doc_id", "tok", "lang", 0.95,
+        vocabHint = Some(1L << 20))
+      .select("left_id", "right_id", "jaccard").as[(Long, Long, Double)]
+      .collect().map { case (l, r, j) => (l, r, math.rint(j * 1e9)) }.toSet
+    assert(bitmap.nonEmpty)
+    assert(bitmap === prefix)
   }
 
   test("exact dedup representative is deterministic (min id)") {

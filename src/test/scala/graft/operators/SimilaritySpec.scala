@@ -95,6 +95,20 @@ class SimilaritySpec extends SparkSpec {
     assert(full === brute, "probing all 2^nbits buckets must equal brute force")
   }
 
+  test("multi-probe masks generate combinatorially — wide bucket keys stay cheap") {
+    // regression: masks came from filtering the full 0..2^nbits range on the
+    // driver — a ~10⁹-iteration loop at nbits=30; the combinatorial path
+    // builds Σ C(nbits,j) = 31 masks. Scores stay exact (same kernel).
+    val queries = emb.where(col("vec_id") < 3)
+    val out = Similarity.srpBucketTopK(queries, emb, k = 3, dim = 64,
+      nbits = 30, probeHamming = 1)
+    val rows = out.select("query_id", "rk").as[(Long, Long)].collect()
+    assert(rows.forall(_._2 <= 3) && rows.map(_._1).distinct.length <= 3)
+    intercept[IllegalArgumentException] {
+      Similarity.srpBucketTopK(queries, emb, k = 3, dim = 64, nbits = 63)
+    }
+  }
+
   test("srp bucket ids are stable and bounded") {
     val b = emb.withColumn("bucket", Similarity.srpBucket(col("embedding"), 64, 6))
       .select("bucket").as[Long].collect()

@@ -61,6 +61,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(strict === Map.empty[Long, Long])
   }
 
+  test("decontamination: hashed-gram path flags the identical hit sets") {
+    // the default joins on md5Long(gram) (8-byte keys — the 100 TB shape);
+    // the raw-string path must agree doc-for-doc and count-for-count
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpus = docs.where(col("doc_id") >= 10)
+    val bench = docs.where(col("doc_id") < 10)
+    val hashed = TextAnalysis.contaminationHits(corpus, bench, "doc_id", "text", n = 4)
+      .as[(Long, Long)].collect().toMap
+    val strings = TextAnalysis.contaminationHits(corpus, bench, "doc_id", "text",
+        n = 4, hashGrams = false)
+      .as[(Long, Long)].collect().toMap
+    assert(hashed.nonEmpty, "fixture corpus must produce contamination hits")
+    assert(hashed === strings)
+  }
+
   test("token vocabulary: ranked by freq desc with deterministic tie-break, corpus-complete counts") {
     val docs = Seq("a b a", "b a c").toDF("text")
     val v = TextAnalysis.tokenVocabulary(docs, "text", topK = 2)

@@ -36,13 +36,38 @@ class RetrySpec extends AnyFunSuite {
     assert(calls === 1)
   }
 
+  test("programming errors that extend RuntimeException are not retried") {
+    // the transient default is an allowlist: anything outside it — including
+    // RuntimeException subclasses like MatchError — re-throws on attempt 1
+    var calls = 0
+    intercept[MatchError] {
+      Retry(policy()) { calls += 1; (calls: Any) match { case "never" => } }
+    }
+    assert(calls === 1)
+    var calls2 = 0
+    intercept[ClassCastException] {
+      Retry(policy()) { calls2 += 1; throw new ClassCastException("bad cast") }
+    }
+    assert(calls2 === 1)
+  }
+
+  test("the explicit TransientFailure signal opts a failure into retry") {
+    var calls = 0
+    val out = Retry(policy()) {
+      calls += 1
+      if (calls < 2) throw new Retry.TransientFailure("status 503")
+      "ok"
+    }
+    assert(out === "ok" && calls === 2)
+  }
+
   test("flaky API client: pipeline fetch succeeds without the fixture fallback") {
     val spark = graft.SparkSpec.session
     var calls = 0
     val flaky = new ApiIngest.Client {
       def getTransactions(): String = {
         calls += 1
-        if (calls < 2) throw new RuntimeException("status 503")
+        if (calls < 2) throw new Retry.TransientFailure("status 503")
         """[{"transaction_id": "t1", "date": "2024-01-01", "amount": "1.00"}]"""
       }
       def getRewards(): String =
