@@ -345,6 +345,17 @@ object Dedup {
     *
     * Returns (id, component) where component = min doc id in the cluster.
     *
+    * The pair graph's size is MEASURED first (one count on the persisted
+    * edge relation, which the loop would reuse anyway). At or under
+    * `maxDriverEdges` undirected edges the component labels are computed by
+    * union-find on the driver — the same runtime regime as collecting a
+    * broadcast-join build side (a few-MB bounded relation), and O(E·α(E))
+    * in one job instead of O(log d) rounds each costing a join cascade plus
+    * a checkpoint. Near-dup graphs are orders of magnitude smaller than
+    * their corpus (pairs, not docs), so this is the common case even at
+    * 100 TB; a genuinely huge graph (`maxDriverEdges = 0` forces it) runs
+    * the distributed min-label/pointer-jumping loop below.
+    *
     * `reliable = true` switches the per-round lineage truncation from
     * `localCheckpoint` (executor-local blocks — fast, but an executor loss
     * mid-loop kills the job) to reliable `checkpoint` into
@@ -354,7 +365,8 @@ object Dedup {
     * must `setCheckpointDir` before passing `reliable = true`. */
   def connectedComponents(pairs: DataFrame, left: String = "left_id",
                           right: String = "right_id", maxIter: Int = 25,
-                          reliable: Boolean = false): DataFrame = {
+                          reliable: Boolean = false,
+                          maxDriverEdges: Long = 1L << 22): DataFrame = {
     require(!reliable || pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
       "reliable=true requires spark.sparkContext.setCheckpointDir(...)")
     def truncate(df: DataFrame): DataFrame =
@@ -364,6 +376,9 @@ object Dedup {
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     val callerParts = pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
     val nEdges = edgesSrc.count()
+    // nEdges counts both directions; the driver threshold is undirected
+    if (nEdges <= 2 * maxDriverEdges)
+      return driverComponents(edgesSrc, pairs.sparkSession)
     // scale the loop's shuffle width to the measured graph size (~1M edges
     // per partition): a near-dup graph is orders of magnitude smaller than
     // the corpus, and iterating a tiny graph over the session's full
@@ -427,6 +442,46 @@ object Dedup {
       prevSum = s
     }
     labels
+  }
+
+  /** Driver-side union-find over a measured-small symmetrized edge relation
+    * (each undirected edge collected once, as two longs — the broadcast-
+    * build-side regime). Path-compressed, union by rank; labels resolve to
+    * the component-minimum vertex id, bit-identical to the distributed
+    * loop's fixpoint. Returns a local relation — downstream joins against
+    * the corpus broadcast it, exactly like a built dimension. */
+  private def driverComponents(edges: DataFrame,
+                               spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    // src <= dst keeps each undirected edge once and retains degenerate
+    // self-edges, whose vertices must still surface in the labeling
+    val es = edges.where(col("src") <= col("dst"))
+      .select(col("src"), col("dst")).as[(Long, Long)].collect()
+    val parent = collection.mutable.LongMap.empty[Long]
+    val rank = collection.mutable.LongMap.empty[Int]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    def add(x: Long): Unit = if (!parent.contains(x)) { parent(x) = x; rank(x) = 0 }
+    es.foreach { case (a, b) =>
+      add(a); add(b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (rank(ra) < rank(rb)) parent(ra) = rb
+        else if (rank(ra) > rank(rb)) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) = rank(ra) + 1 }
+      }
+    }
+    val minOfRoot = collection.mutable.LongMap.empty[Long]
+    parent.keys.foreach { v =>
+      val r = find(v)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, Long.MaxValue), v)
+    }
+    parent.keys.toSeq.sorted.map(v => (v, minOfRoot(find(v)))).toDF("id", "comp")
   }
 
   /** Cluster-level dedup decision: every doc in a near-dup component keeps

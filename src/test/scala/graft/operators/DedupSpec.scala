@@ -108,7 +108,9 @@ class DedupSpec extends SparkSpec {
     // a long chain forces several label-propagation rounds
     val pairs = (1L until 60L).map(i => (i, i + 1)).toDF("left_id", "right_id")
     val fut = Future {
-      Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+      // force the distributed loop — the driver fast path never narrows conf
+      Dedup.connectedComponents(pairs, maxDriverEdges = 0L)
+        .as[(Long, Long)].collect().toMap
     }
     // poll the CALLER session's conf while the loop runs on its child session
     val seen = collection.mutable.Set.empty[String]
@@ -179,10 +181,32 @@ class DedupSpec extends SparkSpec {
       (10L, 11L), (10L, 12L), (11L, 12L), // clique {10,11,12}
       (20L, 21L),                   // pair {20,21}
     ).toDF("left_id", "right_id")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    // driver union-find fast path (the measured-small default)...
     val comps = Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toMap
-    assert(comps === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
-      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(comps === expected)
+    // ...and the distributed min-label loop agree bit-for-bit
+    val dist = Dedup.connectedComponents(pairs, maxDriverEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist === expected)
+  }
+
+  test("driver union-find and the distributed loop agree on a larger random graph") {
+    val rnd = new scala.util.Random(11)
+    // 400 vertices, ~300 random edges → a mix of chains, merges, singleton-
+    // free clusters; plus a long chain to stress pointer jumping
+    val randomPairs = Seq.fill(300)((rnd.nextInt(400).toLong, rnd.nextInt(400).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    val chain = (500L until 560L).map(i => (i, i + 1))
+    val pairs = (randomPairs ++ chain).toDF("left_id", "right_id")
+    val fast = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    val dist = Dedup.connectedComponents(pairs, maxDriverEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(fast === dist)
+    assert(fast.nonEmpty && (500L to 560L).forall(fast(_) == 500L))
   }
 
   test("connected components with reliable checkpointing matches localCheckpoint") {
@@ -196,7 +220,10 @@ class DedupSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
     try {
-      val durable = Dedup.connectedComponents(pairs, reliable = true)
+      // maxDriverEdges = 0 forces the distributed loop — the path reliable
+      // checkpointing exists for
+      val durable = Dedup.connectedComponents(pairs, reliable = true,
+          maxDriverEdges = 0L)
         .as[(Long, Long)].collect().toMap
       assert(durable === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
     } finally {
