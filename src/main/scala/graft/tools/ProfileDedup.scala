@@ -106,6 +106,41 @@ object ProfileSimhash {
     spark.stop()
   }
 }
+/** Measures the IVF Lloyd-iteration knob: centroid build cost and
+  * recall@k of ivfTopK vs the brute-force truth, per iters value.
+  * Feeds the knob-curve table in SCALE.md. Args: sfDir [k] [nprobe] */
+object ProfileIvf {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = if (args.length > 1) args(1).toInt else 5
+    val nprobe = if (args.length > 2) args(2).toInt else 2
+    val spark = graft.GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val emb = graft.sources.Tables.embeddings(spark, dir).cache()
+    emb.count()
+    val queries = emb.where(col("vec_id") < 30).cache()
+    queries.count()
+    val truth = Similarity.bruteForceTopK(queries, emb, k)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (1 to 3).foreach { iters =>
+      val t0 = System.nanoTime()
+      val cents = Similarity.ivfCentroids(emb, k = 16, iters = iters)
+      val buildS = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val got = Similarity.ivfTopK(queries, emb, k, cents, nprobe)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val queryS = (System.nanoTime() - t1) / 1e9
+      val recall = truth.intersect(got).size.toDouble / truth.size
+      println(f"[ivf] iters=$iters build=$buildS%.2fs query=$queryS%.2fs recall@$k(nprobe=$nprobe)=$recall%.3f")
+    }
+    spark.stop()
+  }
+}
+
 object ProfileJaccard {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"

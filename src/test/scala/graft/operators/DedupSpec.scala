@@ -254,6 +254,24 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.antiJoin(fresh, existing.union(fresh), "k").count() === 0)
   }
 
+  test("withCaches bracket structurally releases operator persists, even on failure") {
+    val n = graft.GraftSession.withCaches(spark, blocking = true) {
+      Dedup.minHashDedup(docs, "doc_id", "sh", threshold = 0.8).count()
+    }
+    assert(n >= 0)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "bracket must leave a clean block manager")
+    intercept[RuntimeException] {
+      graft.GraftSession.withCaches(spark, blocking = true) {
+        Dedup.simHashPairs(docs.select(col("doc_id"), col("tok")), "doc_id", "tok")
+          .count()
+        throw new RuntimeException("job failed mid-composition")
+      }
+    }
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "bracket must release persists on the failure path too")
+  }
+
   test("releaseCaches drops every operator-internal persist (session lifecycle)") {
     Dedup.simHashPairs(docs.select(col("doc_id"), col("tok")), "doc_id", "tok").count()
     Dedup.minHashDedupTokens(
