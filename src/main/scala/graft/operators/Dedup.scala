@@ -495,6 +495,27 @@ object Dedup {
       .select(col("id").as(idCol), coalesce(col("comp"), col("id")).as("canonical_id"))
   }
 
+  /** Cross-document passage dedup (the C4/CCNet line-dedup step, applied to
+    * any (doc, position, passage) relation — lines, sentences, or fixed
+    * token windows from [[Packing.chunkByTokens]]): every passage keeps only
+    * its globally FIRST occurrence, ordered by (doc id, position), so
+    * boilerplate repeated across documents survives exactly once.
+    *
+    * Scale shape: one exchange on the passage's [[TextAnalysis.md5Long]]
+    * hash + a per-group sort (the window) — key-partitioned; group sizes
+    * are occurrence counts of one passage, and the heaviest boilerplate key
+    * is exactly what AQE skew splitting handles. The hash is cross-engine,
+    * so an oracle can replay the grouping on the raw passage text. */
+  def dropDuplicatePassages(segments: DataFrame, id: String, pos: String,
+                            passage: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("dp_hash").orderBy(col(id), col(pos))
+    segments.withColumn("dp_hash", TextAnalysis.md5Long(col(passage)))
+      .withColumn("dp_rn", row_number().over(w))
+      .where(col("dp_rn") === 1)
+      .drop("dp_rn", "dp_hash")
+  }
+
   // -------------------------------------------------------------- simhash --
 
   /** 64-bit SimHash of a token array as a single Column expression: per-bit

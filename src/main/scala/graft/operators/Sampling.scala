@@ -43,6 +43,43 @@ object Sampling {
     df.where(hashBucket(key, buckets) < cut)
   }
 
+  /** Mix a corpus to target stratum weights (the pretraining "data mixture"
+    * step: e.g. 50% en / 30% code / 20% math): measure each named stratum's
+    * population, find the binding stratum (smallest count/weight ratio —
+    * the one that runs out first), size every stratum's keep-target off
+    * that scale, and keep rows by the same content-hash bucket as
+    * [[deterministicSample]]. Strata not named in `weights` are dropped.
+    *
+    * The kept set is as large as the targets allow without upsampling: the
+    * binding stratum keeps (almost) everything, the rest downsample to
+    * weight proportion. Bucket granularity (default 1%) quantizes the
+    * fractions — floor'd, so realized shares never overshoot their weight.
+    *
+    * Scale shape: one map-side-combinable count per stratum (a metadata
+    * relation), a broadcast join of the per-stratum cut back onto the
+    * corpus, and a pure per-row hash predicate — no corpus shuffle, and
+    * the decision replays identically in any engine (md5 is md5; the cut
+    * arithmetic is plain IEEE doubles). */
+  def mixToWeights(df: DataFrame, key: Column, stratum: Column,
+                   weights: Seq[(String, Double)], buckets: Int = 100): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"weights must be positive, got $weights")
+    val w = weights.foldLeft(lit(null).cast("double")) {
+      case (acc, (s, f)) => when(lit(s) === col("mx_stratum"), lit(f)).otherwise(acc)
+    }
+    val counts = df.groupBy(stratum.as("mx_stratum"))
+      .agg(count(lit(1)).as("mx_cnt"))
+      .withColumn("mx_w", w)
+      .where(col("mx_w").isNotNull)
+    val scale = counts.agg(min(col("mx_cnt") / col("mx_w")).as("mx_scale"))
+    val cuts = counts.crossJoin(broadcast(scale))
+      .select(col("mx_stratum"),
+        floor(col("mx_w") * col("mx_scale") / col("mx_cnt") * buckets).as("mx_cut"))
+    df.join(broadcast(cuts), stratum === col("mx_stratum"))
+      .where(hashBucket(key, buckets) < col("mx_cut"))
+      .drop("mx_stratum", "mx_cut")
+  }
+
   /** Split assignment by cumulative bucket ranges, e.g.
     * `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`. Fractions are
     * interpreted in bucket units (buckets=100 → percent granularity). */

@@ -702,5 +702,52 @@ object OracleSql {
         |      GROUP BY 1
         |      ORDER BY freq DESC, token
         |      LIMIT 20)""".stripMargin,
+
+    // weight literals CAST to DOUBLE (DuckDB parses 0.5 as DECIMAL) and the
+    // cut arithmetic written in the same order as the Spark plan, so the
+    // IEEE doubles — and the floor boundary — replay bit-for-bit
+    "q54_corpus_mix" ->
+      """WITH counts AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY 1),
+        |w AS (SELECT lang, cnt,
+        |        CASE lang WHEN 'en' THEN CAST(0.5 AS DOUBLE)
+        |                  WHEN 'fr' THEN CAST(0.2 AS DOUBLE)
+        |                  WHEN 'de' THEN CAST(0.3 AS DOUBLE) END AS w
+        |      FROM counts),
+        |ws AS (SELECT * FROM w WHERE w IS NOT NULL),
+        |s AS (SELECT min(cnt / w) AS scale FROM ws),
+        |cuts AS (SELECT lang, floor(w * scale / cnt * 100) AS cut FROM ws, s)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN cuts USING (lang)
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < cut""".stripMargin,
+
+    "q55_passage_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |c AS (SELECT doc_id, tok, len(tok) AS n,
+        |        unnest(range(0, CASE WHEN n <= 16 THEN 1
+        |                            ELSE 1 + CAST(ceil((n - 16) / 16.0) AS INT) END)) AS c
+        |      FROM t),
+        |segs AS (SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+        |        array_to_string(list_slice(tok, c * 16 + 1, c * 16 + 16), ' ') AS chunk_text,
+        |        CAST(least(n - c * 16, 16) AS BIGINT) AS n_tokens
+        |      FROM c),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY chunk_text
+        |                                   ORDER BY doc_id, chunk_id) AS rn
+        |      FROM segs)
+        |SELECT doc_id, chunk_id, chunk_text, n_tokens FROM r WHERE rn = 1""".stripMargin,
+
+    "q56_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding,
+        |        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |          / CAST(127 AS DOUBLE) AS scale
+        |      FROM embeddings),
+        |x AS (SELECT vec_id, scale, embedding,
+        |        unnest(generate_series(1, len(embedding))) AS i
+        |      FROM e)
+        |SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+        |       CASE WHEN scale = 0 THEN 0
+        |            ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) / scale + 0.5) AS BIGINT)
+        |       END AS q,
+        |       round(scale, 6) AS scale
+        |FROM x""".stripMargin,
   )
 }

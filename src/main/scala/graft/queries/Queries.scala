@@ -633,6 +633,32 @@ object Queries {
   val q53_token_vocab: Q = (s, dir) =>
     TextAnalysis.tokenVocabulary(Tables.documents(s, dir), "text", topK = 20)
 
+  /** Corpus mixing to target language weights (the pretraining data-mixture
+    * step): the binding stratum keeps ~everything, the rest downsample to
+    * weight proportion, decided by the cross-engine md5 bucket. es/zh are
+    * unnamed → dropped. */
+  val q54_corpus_mix: Q = (s, dir) =>
+    Sampling.mixToWeights(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+      col("doc_id"), col("lang"),
+      Seq("en" -> 0.5, "fr" -> 0.2, "de" -> 0.3))
+
+  /** Cross-document passage dedup (C4-style): 16-token windows via
+    * chunkByTokens, every repeated window keeps only its globally first
+    * (doc, pos) occurrence. The synthetic near-dup docs share long runs, so
+    * the planted boilerplate actually dedups. */
+  val q55_passage_dedup: Q = (s, dir) => {
+    val segs = Packing.chunkByTokens(Tables.documents(s, dir), col("doc_id"),
+      split(col("text"), " "), chunkTokens = 16, stride = 16)
+    Dedup.dropDuplicatePassages(segs, "doc_id", "chunk_id", "chunk_text")
+  }
+
+  /** Symmetric int8 embedding quantization, emitted as the exploded
+    * (vec_id, pos, q, scale) stream — rounding is explicit floor(x+0.5) so
+    * the oracle replays it bit-for-bit. */
+  val q56_quantize_int8: Q = (s, dir) =>
+    Similarity.quantizeInt8(Tables.embeddings(s, dir))
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -689,5 +715,8 @@ object Queries {
     "q51_chunk_documents" -> q51_chunk_documents,
     "q52_decontamination" -> q52_decontamination,
     "q53_token_vocab" -> q53_token_vocab,
+    "q54_corpus_mix" -> q54_corpus_mix,
+    "q55_passage_dedup" -> q55_passage_dedup,
+    "q56_quantize_int8" -> q56_quantize_int8,
   )
 }

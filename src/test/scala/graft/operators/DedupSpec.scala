@@ -154,6 +154,24 @@ class DedupSpec extends SparkSpec {
     assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("passage dedup keeps the globally first occurrence only") {
+    val segs = Seq(
+      (1L, 0L, "the same boilerplate"),
+      (1L, 1L, "unique passage one"),
+      (2L, 0L, "the same boilerplate"), // cross-doc repeat → dropped
+      (2L, 1L, "unique passage two"),
+      (3L, 0L, "fresh text"),
+      (3L, 1L, "fresh text"),           // within-doc repeat → dropped
+    ).toDF("doc_id", "pos", "passage")
+    val kept = Dedup.dropDuplicatePassages(segs, "doc_id", "pos", "passage")
+      .as[(Long, Long, String)].collect().toSet
+    assert(kept === Set(
+      (1L, 0L, "the same boilerplate"),
+      (1L, 1L, "unique passage one"),
+      (2L, 1L, "unique passage two"),
+      (3L, 0L, "fresh text")))
+  }
+
   test("bitmap and prefix jaccard representations are interchangeable (vocabHint)") {
     // fixture vocab is tiny → the sampled estimate picks the bitmap path; a
     // large vocabHint forces PPJoin prefixes. Both are exact: identical pairs

@@ -30,6 +30,34 @@ class SamplingSpec extends SparkSpec {
     small.foreach { case (id, s) => assert(big(id) === s) }
   }
 
+  test("corpus mixing hits target weights from the binding stratum, drops unnamed strata") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val weights = Seq("en" -> 0.5, "fr" -> 0.2, "de" -> 0.3)
+    val mixed = Sampling.mixToWeights(docs, col("doc_id"), col("lang"), weights)
+      .as[(Long, String)].collect()
+    val byLang = mixed.groupBy(_._2).view.mapValues(_.length.toDouble).toMap
+    assert(byLang.keySet === Set("en", "fr", "de"), "unnamed strata must be dropped")
+    val total = mixed.length.toDouble
+    weights.foreach { case (lang, w) =>
+      val share = byLang(lang) / total
+      // bucket quantization (1%) + hash granularity: generous ±6pp window
+      assert(math.abs(share - w) < 0.06, s"$lang share $share vs weight $w")
+    }
+    // the binding stratum (largest count/weight ratio deficit) keeps ~all rows
+    val counts = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val binding = weights.minBy { case (l, w) => counts(l) / w }._1
+    assert(byLang(binding) / counts(binding) > 0.9,
+      s"binding stratum $binding should keep nearly everything")
+    // deterministic: the identical keep set on a second evaluation
+    val again = Sampling.mixToWeights(docs, col("doc_id"), col("lang"), weights)
+      .as[(Long, String)].collect()
+    assert(again.map(_._1).sorted.toSeq === mixed.map(_._1).sorted.toSeq)
+    intercept[IllegalArgumentException] {
+      Sampling.mixToWeights(docs, col("doc_id"), col("lang"), Seq("en" -> -1.0))
+    }
+  }
+
   test("deterministic sample keeps the expected fraction") {
     val n = Sampling.deterministicSample(ids, col("id"), 0.25).count()
     assert(math.abs(n / 2000.0 - 0.25) < 0.05, s"got $n/2000")

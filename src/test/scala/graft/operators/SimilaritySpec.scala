@@ -109,6 +109,28 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8 quantization: bounded range, bounded reconstruction error, zero-vector safe") {
+    val q = Similarity.quantizeInt8(emb)
+      .select("vec_id", "pos", "q", "scale")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(q.nonEmpty && q.forall(r => r._3 >= -127 && r._3 <= 127))
+    // reconstruction x̂ = q·scale is within half a quantization step of x
+    // (scale itself is rounded to 6dp in the output, hence the epsilon)
+    val xs = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("vec_id"), col("pos").cast("long"), col("x").cast("double"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    q.foreach { case (id, pos, qv, scale) =>
+      assert(math.abs(qv * scale - xs((id, pos))) <= scale / 2 + 1e-4) }
+    // handcrafted extremes: the max-|x| component maps to ±127; all-zero
+    // vectors quantize to all-zero
+    val hand = Seq((1L, Array(0.5f, -1.0f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val hq = Similarity.quantizeInt8(hand)
+      .select("vec_id", "pos", "q").as[(Long, Long, Long)].collect().toSet
+    assert(hq === Set((1L, 0L, 64L), (1L, 1L, -127L), (2L, 0L, 0L), (2L, 1L, 0L)))
+  }
+
   test("srp bucket ids are stable and bounded") {
     val b = emb.withColumn("bucket", Similarity.srpBucket(col("embedding"), 64, 6))
       .select("bucket").as[Long].collect()
