@@ -186,6 +186,25 @@ class DedupSpec extends SparkSpec {
     assert(bitmap === prefix)
   }
 
+  test("bitmap path reroutes to prefix when the vocab estimate under-shot") {
+    // 295 distinct 20-token dictionaries (5,901 tokens — over the bitmap
+    // hard cap); docs 295-299 duplicate docs 0-4. A tiny vocabHint forces
+    // the bitmap attempt, whose exact dictionary count must hand off to the
+    // PPJoin path — results identical to forcing prefix directly, so a bad
+    // estimate can never corrupt output
+    val big = (0 until 300).map { i =>
+      (i.toLong, (0 until 20).map(j => s"tok_${i % 295}_$j") :+ "shared", "en")
+    }.toDF("doc_id", "tok", "lang")
+    val viaFallback = Dedup.jaccardPairs(big, "doc_id", "tok", "lang", 0.9,
+        vocabHint = Some(10L))
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    val direct = Dedup.jaccardPairs(big, "doc_id", "tok", "lang", 0.9,
+        vocabHint = Some(1L << 20))
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    assert(viaFallback === (0 until 5).map(i => (i.toLong, (i + 295).toLong)).toSet)
+    assert(viaFallback === direct)
+  }
+
   test("exact dedup representative is deterministic (min id)") {
     val d = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "t")
     val out = Dedup.exact(d, md5(col("t")), col("id"))

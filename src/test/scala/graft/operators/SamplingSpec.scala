@@ -58,6 +58,19 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("plan shape: mixing broadcasts the stratum cuts — the corpus never shuffles") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val out = Sampling.mixToWeights(docs, col("doc_id"), col("lang"),
+      Seq("en" -> 0.5, "fr" -> 0.5))
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the metadata-scale cut relation must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"the corpus must not shuffle on the stratum key:\n$plan")
+  }
+
   test("deterministic sample keeps the expected fraction") {
     val n = Sampling.deterministicSample(ids, col("id"), 0.25).count()
     assert(math.abs(n / 2000.0 - 0.25) < 0.05, s"got $n/2000")

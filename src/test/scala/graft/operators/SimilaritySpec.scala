@@ -131,6 +131,12 @@ class SimilaritySpec extends SparkSpec {
     assert(hq === Set((1L, 0L, 64L), (1L, 1L, -127L), (2L, 0L, 0L), (2L, 1L, 0L)))
   }
 
+  test("plan shape: quantization is a pure per-row explode (zero exchanges)") {
+    val plan = Similarity.quantizeInt8(emb).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"quantization must not shuffle — it is a per-row map at any scale:\n$plan")
+  }
+
   test("srp bucket ids are stable and bounded") {
     val b = emb.withColumn("bucket", Similarity.srpBucket(col("embedding"), 64, 6))
       .select("bucket").as[Long].collect()
