@@ -85,18 +85,24 @@ object Dedup {
     * hands off to the prefix path instead of producing 64+-word masks. */
   private val BitmapVocabHardMax = 4 * BitmapVocabMax
 
-  /** Token-occurrence budget for the representation-choice estimate: a
-    * LocalLimit stops each partition's scan after this many rows, so the
-    * decision never costs a full corpus pass. */
+  /** Token-occurrence budget for the representation-choice estimate,
+    * split evenly across partitions and enforced as a pure per-row
+    * predicate on the within-partition ordinal — never via `.limit(n)`,
+    * which before an aggregate plans GlobalLimit: a single-partition
+    * exchange of up to n rows PER PARTITION. The capped estimate's only
+    * exchange is the final single-row aggregate. */
   private val VocabSampleTokens = 1 << 20
 
   /** Exact near-dup pairs within a blocking key (e.g. language).
     *
     * Adaptive representation. The choice is driven by a BOUNDED estimate —
     * `approx_count_distinct` over at most [[VocabSampleTokens]] token
-    * occurrences (a LocalLimit, so no full corpus pass is ever spent just
-    * deciding; the same kind of stats-driven choice AQE makes from runtime
-    * statistics) — or skipped entirely when the caller passes `vocabHint`.
+    * occurrences, capped per partition with no extra exchange (the same
+    * kind of stats-driven choice AQE makes from runtime statistics); the
+    * scan itself is not early-stopped, but it is the action that populates
+    * the persisted `hs` cache every downstream stage reuses, so no
+    * additional corpus pass is ever spent just deciding. Skipped entirely
+    * when the caller passes `vocabHint`.
     * The choice need not be exact to be safe: both representations are
     * exact, and the bitmap path re-checks the TRUE dictionary size while
     * building its dictionary (which it needs anyway), handing off to the
@@ -127,9 +133,18 @@ object Dedup {
     // explode drops empty-token docs entirely. Route τ = 0 to the full
     // self-join branch of the prefix path, which keeps them.
     if (threshold <= 0) return jaccardPairsPrefix(hs, threshold)
-    val est = vocabHint.getOrElse(
-      hs.select(explode(col("hs")).as("h")).limit(VocabSampleTokens)
-        .agg(approx_count_distinct(col("h")).as("v")).head.getLong(0))
+    val est = vocabHint.getOrElse {
+      val toks = hs.select(explode(col("hs")).as("h"))
+      val parts = math.max(1, toks.rdd.getNumPartitions)
+      // monotonically_increasing_id puts the within-partition ordinal in
+      // the low 33 bits: `ordinal < cap` bounds every partition's
+      // contribution as a codegen'd predicate, with no exchange anywhere
+      // before the final single-row aggregate
+      toks.withColumn("ord",
+          monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+        .where(col("ord") < lit(math.max(1L, VocabSampleTokens.toLong / parts)))
+        .agg(approx_count_distinct(col("h")).as("v")).head().getLong(0)
+    }
     if (est <= BitmapVocabMax) jaccardPairsBitmap(hs, threshold)
     else jaccardPairsPrefix(hs, threshold)
   }
@@ -366,7 +381,7 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, left: String = "left_id",
                           right: String = "right_id", maxIter: Int = 25,
                           reliable: Boolean = false,
-                          maxDriverEdges: Long = 1L << 22): DataFrame = {
+                          maxDriverEdges: Long = 1L << 21): DataFrame = {
     require(!reliable || pairs.sparkSession.sparkContext.getCheckpointDir.isDefined,
       "reliable=true requires spark.sparkContext.setCheckpointDir(...)")
     def truncate(df: DataFrame): DataFrame =
@@ -376,8 +391,14 @@ object Dedup {
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     val callerParts = pairs.sparkSession.conf.get("spark.sql.shuffle.partitions")
     val nEdges = edgesSrc.count()
-    // nEdges counts both directions; the driver threshold is undirected
-    if (nEdges <= 2 * maxDriverEdges)
+    // nEdges counts both directions; the driver threshold is undirected.
+    // Besides the caller's edge cap, the driver path must fit the ACTUAL
+    // heap: the dominant resident cost is the boxed local output relation
+    // (~[[DriverBytesPerEdge]] B/edge, math in the scaladoc there), capped
+    // at 1/8 of driver maxMemory so a small driver degrades to the
+    // distributed loop instead of OOMing.
+    if (nEdges <= 2 * maxDriverEdges &&
+        (nEdges / 2) * DriverBytesPerEdge <= Runtime.getRuntime.maxMemory / 8)
       return driverComponents(edgesSrc, pairs.sparkSession)
     // scale the loop's shuffle width to the measured graph size (~1M edges
     // per partition): a near-dup graph is orders of magnitude smaller than
@@ -386,8 +407,8 @@ object Dedup {
     // narrowed width lives on a CHILD session (same SparkContext — shared
     // executors, block manager, checkpoint dir — but isolated SQL conf), so
     // queries planned concurrently on the caller's session can never
-    // inherit it; the returned labels are checkpointed (LogicalRDD), so
-    // they re-plan cleanly in any session downstream.
+    // inherit it; the final labels are rebound to the caller's session
+    // before returning (below), so no child-session handle ever escapes.
     val iso = pairs.sparkSession.newSession()
     iso.conf.set("spark.sql.shuffle.partitions",
       math.max(1L, math.min(callerParts.toLong, nEdges / 1000000L + 1)).toString)
@@ -441,47 +462,95 @@ object Dedup {
       converged = s == prevSum
       prevSum = s
     }
-    labels
+    // the loop ran on the hidden child session; rebind the checkpointed
+    // labels (a LogicalRDD — the RDD is already materialized, so this is a
+    // plan-level rewrap, not a recompute) to the CALLER's session, so
+    // downstream createOrReplaceTempView / catalog lookups / SQL-conf-
+    // sensitive ops target the session the caller owns, not iso's
+    pairs.sparkSession.createDataFrame(labels.toJavaRDD, labels.schema)
   }
 
-  /** Driver-side union-find over a measured-small symmetrized edge relation
-    * (each undirected edge collected once, as two longs — the broadcast-
-    * build-side regime). Path-compressed, union by rank; labels resolve to
-    * the component-minimum vertex id, bit-identical to the distributed
-    * loop's fixpoint. Returns a local relation — downstream joins against
-    * the corpus broadcast it, exactly like a built dimension. */
+  /** Estimated resident driver bytes per undirected edge on the union-find
+    * path. The primitive state is small — 16 B edge arrays, plus per vertex
+    * (≤ 2/edge) 8 B sorted id + 4 B parent + 1 B rank + 8 B component min ≈
+    * 58 B/edge — but the boxed LOCAL OUTPUT relation dominates: one
+    * GenericRow + two boxed Longs per vertex is ~110 B, i.e. ~220 B/edge in
+    * the worst (all-distinct-vertices) case. 300 B/edge covers both with
+    * slack; at the 1<<21 default cap that is ~600 MB — a deliberate
+    * broadcast-build-side-sized budget, additionally gated to 1/8 of the
+    * driver's real maxMemory at the call site. */
+  private val DriverBytesPerEdge = 300L
+
+  /** Driver-side union-find over a measured-small symmetrized edge relation.
+    * Rows stream through `toLocalIterator` into two PRIMITIVE long arrays —
+    * one live Row at a time, never an Array of boxed tuples — and the
+    * union-find itself runs on dense int indices (vertex ids sorted +
+    * binary-searched), so its state is three primitive arrays, not boxed
+    * LongMaps. Path-compressed, union by rank; labels resolve to the
+    * component-minimum vertex id, bit-identical to the distributed loop's
+    * fixpoint. Returns a local relation — downstream joins against the
+    * corpus broadcast it, exactly like a built dimension. */
   private def driverComponents(edges: DataFrame,
                                spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
     // src <= dst keeps each undirected edge once and retains degenerate
     // self-edges, whose vertices must still surface in the labeling
-    val es = edges.where(col("src") <= col("dst"))
-      .select(col("src"), col("dst")).as[(Long, Long)].collect()
-    val parent = collection.mutable.LongMap.empty[Long]
-    val rank = collection.mutable.LongMap.empty[Int]
-    def find(x: Long): Long = {
+    val srcB = new scala.collection.mutable.ArrayBuilder.ofLong
+    val dstB = new scala.collection.mutable.ArrayBuilder.ofLong
+    val it = edges.where(col("src") <= col("dst")).select("src", "dst")
+      .toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      srcB += r.getLong(0)
+      dstB += r.getLong(1)
+    }
+    val src = srcB.result()
+    val dst = dstB.result()
+    val nE = src.length
+    // dense vertex index: sort a primitive scratch array, dedupe in place
+    val all = new Array[Long](2 * nE)
+    System.arraycopy(src, 0, all, 0, nE)
+    System.arraycopy(dst, 0, all, nE, nE)
+    java.util.Arrays.sort(all)
+    var nV = 0
+    var last = 0L
+    var i = 0
+    while (i < all.length) {
+      if (nV == 0 || all(i) != last) { last = all(i); all(nV) = all(i); nV += 1 }
+      i += 1
+    }
+    val verts = java.util.Arrays.copyOf(all, nV)
+    def idx(v: Long): Int = java.util.Arrays.binarySearch(verts, v)
+    val parent = Array.tabulate(nV)(identity)
+    val rank = new Array[Byte](nV)
+    def find(x: Int): Int = {
       var r = x
       while (parent(r) != r) r = parent(r)
       var c = x
       while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    def add(x: Long): Unit = if (!parent.contains(x)) { parent(x) = x; rank(x) = 0 }
-    es.foreach { case (a, b) =>
-      add(a); add(b)
-      val (ra, rb) = (find(a), find(b))
+    var e = 0
+    while (e < nE) {
+      val ra = find(idx(src(e)))
+      val rb = find(idx(dst(e)))
       if (ra != rb) {
         if (rank(ra) < rank(rb)) parent(ra) = rb
         else if (rank(ra) > rank(rb)) parent(rb) = ra
-        else { parent(rb) = ra; rank(ra) = rank(ra) + 1 }
+        else { parent(rb) = ra; rank(ra) = (rank(ra) + 1).toByte }
       }
+      e += 1
     }
-    val minOfRoot = collection.mutable.LongMap.empty[Long]
-    parent.keys.foreach { v =>
-      val r = find(v)
-      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, Long.MaxValue), v)
+    // verts is ascending, so the FIRST vertex reaching a root is its min
+    val minOfRoot = new Array[Long](nV)
+    java.util.Arrays.fill(minOfRoot, Long.MaxValue)
+    i = 0
+    while (i < nV) {
+      val r = find(i)
+      if (minOfRoot(r) == Long.MaxValue) minOfRoot(r) = verts(i)
+      i += 1
     }
-    parent.keys.toSeq.sorted.map(v => (v, minOfRoot(find(v)))).toDF("id", "comp")
+    (0 until nV).map(i => (verts(i), minOfRoot(find(i)))).toDF("id", "comp")
   }
 
   /** Cluster-level dedup decision: every doc in a near-dup component keeps

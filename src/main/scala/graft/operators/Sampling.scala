@@ -55,29 +55,41 @@ object Sampling {
     * weight proportion. Bucket granularity (default 1%) quantizes the
     * fractions — floor'd, so realized shares never overshoot their weight.
     *
-    * Scale shape: one map-side-combinable count per stratum (a metadata
-    * relation), a broadcast join of the per-stratum cut back onto the
-    * corpus, and a pure per-row hash predicate — no corpus shuffle, and
+    * Scale shape: one map-side-combinable count per named stratum (a
+    * metadata relation — ≤ weights.size rows — collected once), then a pure
+    * per-row hash predicate on the corpus: no corpus shuffle, no join, and
     * the decision replays identically in any engine (md5 is md5; the cut
-    * arithmetic is plain IEEE doubles). */
+    * arithmetic is plain IEEE doubles).
+    *
+    * Fails fast (IllegalArgumentException) when none of the named strata
+    * exist in the corpus — a mixture whose every source is missing is a
+    * config error, not an empty result — and on duplicate stratum names,
+    * which would otherwise silently last-win. */
   def mixToWeights(df: DataFrame, key: Column, stratum: Column,
                    weights: Seq[(String, Double)], buckets: Int = 100): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 > 0),
       s"weights must be positive, got $weights")
-    val w = weights.foldLeft(lit(null).cast("double")) {
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate stratum names in weights (a duplicate would silently " +
+        s"last-win): ${weights.map(_._1)}")
+    val wExpr = weights.foldLeft(lit(null).cast("double")) {
       case (acc, (s, f)) => when(lit(s) === col("mx_stratum"), lit(f)).otherwise(acc)
     }
     val counts = df.groupBy(stratum.as("mx_stratum"))
       .agg(count(lit(1)).as("mx_cnt"))
-      .withColumn("mx_w", w)
+      .withColumn("mx_w", wExpr)
       .where(col("mx_w").isNotNull)
-    val scale = counts.agg(min(col("mx_cnt") / col("mx_w")).as("mx_scale"))
-    val cuts = counts.crossJoin(broadcast(scale))
-      .select(col("mx_stratum"),
-        floor(col("mx_w") * col("mx_scale") / col("mx_cnt") * buckets).as("mx_cut"))
-    df.join(broadcast(cuts), stratum === col("mx_stratum"))
-      .where(hashBucket(key, buckets) < col("mx_cut"))
-      .drop("mx_stratum", "mx_cut")
+      .collect()
+    require(counts.nonEmpty,
+      s"none of the named strata ${weights.map(_._1)} exist in the corpus")
+    val scale = counts.iterator
+      .map(r => r.getLong(1).toDouble / r.getDouble(2)).min
+    val cut = counts.foldLeft(lit(0L)) { (acc, r) =>
+      when(stratum === r.getString(0),
+        lit(math.floor(r.getDouble(2) * scale / r.getLong(1) * buckets).toLong))
+        .otherwise(acc)
+    }
+    df.where(hashBucket(key, buckets) < cut)
   }
 
   /** Split assignment by cumulative bucket ranges, e.g.

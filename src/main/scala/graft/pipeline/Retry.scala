@@ -27,17 +27,35 @@ object Retry {
   final class TransientFailure(message: String, cause: Throwable = null)
     extends RuntimeException(message, cause)
 
-  /** Transient = an explicit allowlist: network I/O, timeouts, and the
-    * explicit [[TransientFailure]] signal. Everything else — including
-    * RuntimeException subclasses like MatchError or ClassCastException —
-    * is a programming error and re-throws immediately rather than being
-    * masked behind backoff sleeps; callers needing broader retry pass a
-    * custom predicate. */
-  def defaultTransient(e: Throwable): Boolean = e match {
-    case _: TransientFailure                      => true
-    case _: java.io.IOException                   => true
-    case _: java.util.concurrent.TimeoutException => true
-    case _                                        => false
+  /** Bound on the cause-chain walk: deep enough for any realistic client
+    * wrapper stack, finite even if a pathological chain cycles. */
+  private val MaxCauseDepth = 8
+
+  /** Transient = an explicit allowlist: network I/O (wrapped or not),
+    * timeouts, and the explicit [[TransientFailure]] signal. Client
+    * libraries routinely wrap the transient root (UncheckedIOException,
+    * ExecutionException, bespoke RuntimeExceptions), so the WHOLE cause
+    * chain is inspected, bounded by [[MaxCauseDepth]]. Everything else —
+    * including RuntimeException subclasses like MatchError or
+    * ClassCastException — is a programming error and re-throws immediately
+    * rather than being masked behind backoff sleeps; callers needing
+    * broader retry pass a custom predicate. */
+  def defaultTransient(e: Throwable): Boolean = {
+    def matches(t: Throwable): Boolean = t match {
+      case _: TransientFailure                      => true
+      case _: java.io.IOException                   => true
+      case _: java.io.UncheckedIOException          => true
+      case _: java.util.concurrent.TimeoutException => true
+      case _                                        => false
+    }
+    var t = e
+    var depth = 0
+    while (t != null && depth < MaxCauseDepth) {
+      if (matches(t)) return true
+      t = if (t.getCause eq t) null else t.getCause
+      depth += 1
+    }
+    false
   }
 
   /** Run `f`, retrying per `policy`. The last failure propagates. */

@@ -125,6 +125,18 @@ class DedupSpec extends SparkSpec {
     assert(comps === (1L to 60L).map(_ -> 1L).toMap)
   }
 
+  test("distributed CC labels come back bound to the CALLER's session") {
+    val pairs = (1L until 20L).map(i => (i, i + 1)).toDF("left_id", "right_id")
+    val labels = Dedup.connectedComponents(pairs, maxDriverEdges = 0L)
+    // if the hidden child session leaked, temp views / SQL-conf-sensitive
+    // ops downstream would silently target the wrong catalog
+    assert(labels.sparkSession eq spark,
+      "connectedComponents must rebind its result to the caller's session")
+    labels.createOrReplaceTempView("cc_rebind_check")
+    assert(spark.sql("SELECT count(*) FROM cc_rebind_check").head().getLong(0) === 20L)
+    spark.catalog.dropTempView("cc_rebind_check")
+  }
+
   test("minhash with a single band (bands=1) is legal and exact-verified") {
     // regression: the first-match filter was an empty reduce at bands=1
     val pairs = Dedup.minHashDedup(docs, "doc_id", "sh", threshold = 0.8,

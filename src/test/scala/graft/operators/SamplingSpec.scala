@@ -58,17 +58,34 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
-  test("plan shape: mixing broadcasts the stratum cuts — the corpus never shuffles") {
+  test("mixing fails fast on duplicate stratum names and on all-absent strata") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    // a duplicate would silently last-win; reject at the door
+    intercept[IllegalArgumentException] {
+      Sampling.mixToWeights(docs, col("doc_id"), col("lang"),
+        Seq("en" -> 0.5, "en" -> 0.5))
+    }
+    // none of the named strata in the corpus = a config error, not an
+    // empty mixture
+    intercept[IllegalArgumentException] {
+      Sampling.mixToWeights(docs, col("doc_id"), col("lang"),
+        Seq("klingon" -> 0.5, "elvish" -> 0.5))
+    }
+  }
+
+  test("plan shape: the mixing keep-predicate is a pure per-row filter (no join, no exchange)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("lang"))
     val out = Sampling.mixToWeights(docs, col("doc_id"), col("lang"),
       Seq("en" -> 0.5, "fr" -> 0.5))
     out.count()
     val plan = out.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"the metadata-scale cut relation must broadcast:\n$plan")
-    assert(!plan.contains("SortMergeJoin"),
-      s"the corpus must not shuffle on the stratum key:\n$plan")
+    // the cuts are collected from the metadata-scale counts relation and
+    // folded into a literal predicate: the corpus plan has no join at all
+    assert(!plan.contains("Join"), s"the corpus side must not join:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"a per-row keep predicate must not shuffle the corpus:\n$plan")
   }
 
   test("deterministic sample keeps the expected fraction") {

@@ -51,6 +51,41 @@ class RetrySpec extends AnyFunSuite {
     assert(calls2 === 1)
   }
 
+  test("wrapped transients are retried: the cause chain is inspected") {
+    // client wrappers routinely bury the transient root one or two causes
+    // deep (UncheckedIOException, ExecutionException-style wrappers)
+    var calls = 0
+    val out = Retry(policy()) {
+      calls += 1
+      if (calls < 2) throw new java.io.UncheckedIOException(
+        new java.io.IOException("connection reset"))
+      "ok"
+    }
+    assert(out === "ok" && calls === 2)
+    var calls2 = 0
+    val out2 = Retry(policy()) {
+      calls2 += 1
+      if (calls2 < 2) throw new RuntimeException("client wrapper",
+        new RuntimeException("inner wrapper",
+          new java.util.concurrent.TimeoutException("read timed out")))
+      "ok"
+    }
+    assert(out2 === "ok" && calls2 === 2)
+    // a wrapper whose chain holds no transient root is still a programming
+    // error — no retry
+    var calls3 = 0
+    intercept[RuntimeException] {
+      Retry(policy()) { calls3 += 1
+        throw new RuntimeException("wrapper", new IllegalStateException("bug")) }
+    }
+    assert(calls3 === 1)
+    // a cyclic cause chain must not hang the classifier
+    val cyclic = new RuntimeException("a")
+    val inner = new RuntimeException("b", cyclic)
+    cyclic.initCause(inner)
+    assert(!Retry.defaultTransient(cyclic))
+  }
+
   test("the explicit TransientFailure signal opts a failure into retry") {
     var calls = 0
     val out = Retry(policy()) {
