@@ -147,6 +147,81 @@ object TextAnalysis {
     top.withColumn("rank", row_number().over(w).cast("long"))
   }
 
+  /** Okapi BM25 top-k retrieval over a tokenized corpus for a fixed query
+    * term set — the lexical-retrieval baseline every RAG / data-curation
+    * stack keeps next to its ANN index (Robertson & Zaragoza, FnTIR'09).
+    *
+    * Scale shape: one explode + ONE map-side-combinable groupBy(id)
+    * producing doc length and one tf column per query term (terms are a
+    * handful — this is a query, not a matrix); corpus stats (N, Σdl, per-
+    * term df) reduce to a single metadata row; the final cut is a
+    * distributed TakeOrdered (sort-limit) — the rank window only ever sees
+    * the topK survivors. The corpus never shuffles on anything except its
+    * own doc ids.
+    *
+    * Determinism: tf/dl/df/N are exact integers; avgdl = Σdl/N is one IEEE
+    * division; the per-term score sum is a FIXED-ORDER expression (term 0
+    * first), not an aggregate — so an oracle replaying the same arithmetic
+    * order matches bit-for-bit, with round(…,6) squashing only ln() ulp
+    * noise. Ties at the cut break on doc id. */
+  def bm25TopK(df: org.apache.spark.sql.DataFrame, id: String, textCol: String,
+               terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+               topK: Int = 20): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(terms.distinct.size == terms.size, s"duplicate query terms: $terms")
+    val toks = df.select(col(id).as("bm_id"), explode(tokens(col(textCol))).as("tok"))
+    val perDoc = toks.groupBy("bm_id").agg(
+      count(lit(1)).as("dl"),
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf$i") }: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = perDoc.agg(
+      count(lit(1)).as("n"),
+      sum(col("dl")).as("sdl") +: terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+      .head()
+    val n = stats.getLong(0)
+    val avgdl = stats.getLong(1).toDouble / n
+    val score = terms.indices.map { i =>
+      val dfi = stats.getLong(2 + i)
+      val idf = math.log(1.0 + (n - dfi + 0.5) / (dfi + 0.5))
+      lit(idf) * (col(s"tf$i") * lit(k1 + 1)) /
+        (col(s"tf$i") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl)))
+    }.reduce(_ + _)
+    val scored = perDoc.withColumn("score", round(score, 6))
+      .where(col("score") > 0)
+      .select(col("bm_id").as(id), col("dl"), col("score"))
+      .orderBy(col("score").desc, col(id))
+      .limit(topK)
+    scored.withColumn("rk",
+      row_number().over(Window.orderBy(col("score").desc, col(id))).cast("long"))
+  }
+
+  /** Per-document unigram negative log-likelihood under the corpus's own
+    * unigram distribution — the cheap perplexity proxy quality filters use
+    * when a real LM is too expensive (high NLL ≈ rare-token soup, low NLL ≈
+    * repetitive boilerplate; both tails get reviewed).
+    *
+    * Scale shape: explode + one map-side-combinable groupBy(token) builds
+    * the frequency relation (vocabulary-sized, persisted); the corpus side
+    * then joins it — Catalyst broadcasts a small vocab, and even a shuffled
+    * join keys on the token with AQE skew-split handling the stopword
+    * heads — and reduces per doc. p(tok) = freq/total is an exact-integer
+    * division; round(…,6) on the averaged NLL squashes fold-order and ln()
+    * ulp noise per the repo's vector-math convention. */
+  def unigramLogProb(df: org.apache.spark.sql.DataFrame, id: String,
+                     textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(id).as("ul_id"), explode(tokens(col(textCol))).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = freq.agg(sum(col("freq"))).head().getLong(0)
+    toks.join(freq, Seq("tok"))
+      .groupBy(col("ul_id").as(id))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(avg(-log(col("freq").cast("double") / lit(total))), 6).as("nll"))
+  }
+
   /** Content fingerprint for exact dedup: md5 of the normalized body. */
   def fingerprintMd5(text: Column): Column = md5(lower(trim(text)))
 

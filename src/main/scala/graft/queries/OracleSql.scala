@@ -749,5 +749,69 @@ object OracleSql {
         |       END AS q,
         |       round(scale, 6) AS scale
         |FROM x""".stripMargin,
+
+    // patterns are the Java-regex/RE2 intersection; DuckDB regexp_replace
+    // needs the explicit 'g' flag to match Spark's replace-all
+    "q57_pii_redact" ->
+      """WITH c AS (
+        |  SELECT c_custkey AS customer_id,
+        |         'user' || CAST(c_custkey AS VARCHAR) || '@' || lower(c_mktsegment)
+        |           || '.example.com tel 555-'
+        |           || lpad(CAST(c_custkey * 7919 % 10000 AS VARCHAR), 4, '0')
+        |           || ' ip 10.' || CAST(c_custkey % 256 AS VARCHAR)
+        |           || '.' || CAST(c_custkey * 3 % 256 AS VARCHAR) || '.7' AS contact
+        |  FROM customer)
+        |SELECT customer_id, contact,
+        |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(contact,
+        |         '\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{4}\b', '[card]', 'g'),
+        |         '\b\d{3}-\d{2}-\d{4}\b', '[ssn]', 'g'),
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[email]', 'g'),
+        |         '\b\d{3}[- ]\d{4}\b', '[phone]', 'g'),
+        |         '\b\d{1,3}(?:\.\d{1,3}){3}\b', '[ip]', 'g') AS redacted,
+        |       CAST(len(regexp_extract_all(contact, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |       CAST(len(regexp_extract_all(contact, '\b\d{3}[- ]\d{4}\b')) AS BIGINT) AS n_phone,
+        |       CAST(len(regexp_extract_all(contact, '\b\d{1,3}(?:\.\d{1,3}){3}\b')) AS BIGINT) AS n_ip
+        |FROM c""".stripMargin,
+
+    // arithmetic written in the exact order of the Spark expression (term 0
+    // + term 1 + term 2, each idf * (tf*(k1+1)) / (tf + k1*((1-b) + b*dl/avgdl)))
+    // with double literals CAST so DuckDB never routes through DECIMAL
+    "q58_bm25" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS dl,
+        |         sum(CASE WHEN tok = 'dup' THEN 1 ELSE 0 END) AS tf0,
+        |         sum(CASE WHEN tok = 'spark' THEN 1 ELSE 0 END) AS tf1,
+        |         sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS tf2
+        |  FROM tok GROUP BY 1),
+        |stats AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+        |         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM perdoc),
+        |scored AS (
+        |  SELECT doc_id, dl,
+        |         round(
+        |             ln(CAST(1.0 AS DOUBLE) + (n - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE)))
+        |               * (tf0 * CAST(2.2 AS DOUBLE)) / (tf0 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))
+        |           + ln(CAST(1.0 AS DOUBLE) + (n - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE)))
+        |               * (tf1 * CAST(2.2 AS DOUBLE)) / (tf1 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))
+        |           + ln(CAST(1.0 AS DOUBLE) + (n - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE)))
+        |               * (tf2 * CAST(2.2 AS DOUBLE)) / (tf2 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)),
+        |           6) AS score
+        |  FROM perdoc, stats)
+        |SELECT doc_id, CAST(dl AS BIGINT) AS dl, score, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+        |  FROM scored WHERE score > 0) WHERE rk <= 20""".stripMargin,
+
+    "q59_unigram_nll" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |freq AS (SELECT tok, count(*) AS freq FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(freq) AS total FROM freq)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       round(avg(-ln(CAST(freq AS DOUBLE) / total)), 6) AS nll
+        |FROM tok JOIN freq USING (tok), tot
+        |GROUP BY doc_id""".stripMargin,
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
-import graft.operators.{Dedup, Packing, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Packing, Redaction, Sampling, Similarity, TextAnalysis}
 
 /** The engine's declared query surface — one entry per operator family from
   * SURVEY.md §2 plus the LLM-data-pipeline extensions, all expressed over the
@@ -659,6 +659,39 @@ object Queries {
   val q56_quantize_int8: Q = (s, dir) =>
     Similarity.quantizeInt8(Tables.embeddings(s, dir))
 
+  /** PII redaction over a deterministic contact line derived from customer
+    * fields (the corpus tables hold no raw PII, so the query composes one
+    * from integer keys — every engine builds the identical string, and the
+    * patterns are Java-regex/RE2-portable, so DuckDB replays the scrub and
+    * the match counts exactly). */
+  val q57_pii_redact: Q = (s, dir) => {
+    val contact = concat(
+      lit("user"), col("c_custkey").cast("string"),
+      lit("@"), lower(col("c_mktsegment")), lit(".example.com tel 555-"),
+      lpad(pmod(col("c_custkey") * 7919, lit(10000)).cast("string"), 4, "0"),
+      lit(" ip 10."), pmod(col("c_custkey"), lit(256)).cast("string"),
+      lit("."), pmod(col("c_custkey") * 3, lit(256)).cast("string"), lit(".7"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey").as("customer_id"), contact.as("contact"))
+      .select(col("customer_id"), col("contact"),
+        Redaction.redact(col("contact")).as("redacted"),
+        Redaction.matchCount(col("contact"), Redaction.EmailPattern).as("n_email"),
+        Redaction.matchCount(col("contact"), Redaction.PhonePattern).as("n_phone"),
+        Redaction.matchCount(col("contact"), Redaction.Ipv4Pattern).as("n_ip"))
+  }
+
+  /** BM25 top-20 for a fixed query over the documents corpus: 'dup' is the
+    * planted rare marker (df ≈ 26 at sf0.01 — high idf), 'spark'/'join'
+    * are common terms; the blend exercises the full tf/dl/idf surface. */
+  val q58_bm25: Q = (s, dir) =>
+    TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+      terms = Seq("dup", "spark", "join"), topK = 20)
+
+  /** Per-doc unigram NLL under the corpus's own token distribution — the
+    * perplexity-proxy quality signal. */
+  val q59_unigram_nll: Q = (s, dir) =>
+    TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -718,5 +751,8 @@ object Queries {
     "q54_corpus_mix" -> q54_corpus_mix,
     "q55_passage_dedup" -> q55_passage_dedup,
     "q56_quantize_int8" -> q56_quantize_int8,
+    "q57_pii_redact" -> q57_pii_redact,
+    "q58_bm25" -> q58_bm25,
+    "q59_unigram_nll" -> q59_unigram_nll,
   )
 }

@@ -20,6 +20,44 @@ class TextAnalysisSpec extends SparkSpec {
   }
   import spark.implicits._
 
+  test("bm25 top-k matches the hand-computed Okapi formula on a fixture") {
+    val docs = Seq(
+      (1L, "dup spark spark x"),
+      (2L, "spark join join join"),
+      (3L, "x y z")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      terms = Seq("dup", "spark", "join"), topK = 10)
+      .select("doc_id", "dl", "score", "rk")
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1)
+    // N=3, Σdl=11, df(dup)=1, df(spark)=2, df(join)=1
+    val (n, avgdl, k1, b) = (3L, 11.0 / 3, 1.2, 0.75)
+    def idf(dfT: Long) = math.log(1.0 + (n - dfT + 0.5) / (dfT + 0.5))
+    def ts(tf: Long, dfT: Long, dl: Long) =
+      idf(dfT) * (tf * (k1 + 1)) / (tf + k1 * ((1 - b) + b * dl / avgdl))
+    def score(tfs: Seq[(Long, Long)], dl: Long) =
+      BigDecimal(tfs.map { case (tf, d) => ts(tf, d, dl) }.reduce(_ + _))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp1 = score(Seq((1L, 1L), (2L, 2L), (0L, 1L)), 4L)
+    val exp2 = score(Seq((0L, 1L), (1L, 2L), (3L, 1L)), 4L)
+    assert(out.map(_._1).toSeq === Seq(1L, 2L), "doc 3 has no term and no score")
+    assert(out(0)._3 === exp1 && out(1)._3 === exp2)
+    // doc 2's tf=3 on rare 'join' beats doc 1's single rare 'dup' hit
+    assert(out(0)._4 === 2L && out(1)._4 === 1L && exp2 > exp1)
+  }
+
+  test("unigram NLL: corpus-frequency language-model proxy on a fixture") {
+    val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // freq: a=2 b=2 c=1, total=5
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val exp1 = r6((-math.log(2.0 / 5) * 3) / 3)
+    val exp2 = r6((-math.log(2.0 / 5) - math.log(1.0 / 5)) / 2)
+    assert(out.toSeq === Seq((1L, 3L, exp1), (2L, 2L, exp2)))
+    // the rare-token doc reads as less likely under the corpus LM
+    assert(exp2 > exp1)
+  }
+
   test("token counts agree with n_chars bookkeeping on the documents table") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val bad = docs.where(length(col("text")) =!= col("n_chars")).count()
