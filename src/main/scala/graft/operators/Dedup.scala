@@ -194,21 +194,30 @@ object Dedup {
       .select(col("left_id"), col("right_id"), col("jaccard"))
   }
 
+  /** Rarest-first ordered token arrays + the PPJoin/containment prefix:
+    * every set's tokens sorted by (global document frequency, hash) with a
+    * `prefix` of the first n − ⌈τ·n⌉ + 1 — the tokens at least one of which
+    * any qualifying partner MUST share (pigeonhole over the ≤ n − ⌈τ·n⌉
+    * misses τ allows). Shared by Jaccard and containment candidate
+    * generation; both are lossless over it. */
+  private def orderedPrefix(hs: DataFrame, threshold: Double): DataFrame = {
+    val tokDf = hs.select(explode(col("hs")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("tdf"))
+    hs.select(col("blk"), col("hs_id"), col("n"), explode(col("hs")).as("h"))
+      .join(tokDf, "h")
+      .groupBy("blk", "hs_id", "n")
+      .agg(transform(array_sort(collect_list(struct(col("tdf"), col("h")))),
+        s => s.getField("h")).as("ord"))
+      .withColumn("prefix", slice(col("ord"), lit(1),
+        (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")))
+  }
+
   /** Large-dictionary path: PPJoin prefix filtering (τ > 0) or the full
     * block self-join (τ = 0), with exact array-intersection verification. */
   private def jaccardPairsPrefix(hs: DataFrame, threshold: Double): DataFrame = {
     val candidates =
       if (threshold > 0) {
-        val tokDf = hs.select(explode(col("hs")).as("h"))
-          .groupBy("h").agg(count(lit(1)).as("tdf"))
-        val ordered = hs.select(col("blk"), col("hs_id"), col("n"), explode(col("hs")).as("h"))
-          .join(tokDf, "h")
-          .groupBy("blk", "hs_id", "n")
-          .agg(transform(array_sort(collect_list(struct(col("tdf"), col("h")))),
-            s => s.getField("h")).as("ord"))
-          .withColumn("prefix", slice(col("ord"), lit(1),
-            (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")))
-        val pre = ordered
+        val pre = orderedPrefix(hs, threshold)
           .select(col("blk"), col("hs_id"), col("n"), col("ord"), explode(col("prefix")).as("h"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         val l = pre.select(col("blk"), col("h"), col("hs_id").as("left_id"),
@@ -234,6 +243,49 @@ object Dedup {
         col("inter").cast("double") / (col("nl") + col("nr") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("left_id"), col("right_id"), col("jaccard"))
+  }
+
+  /** ASYMMETRIC containment pairs within a blocking key: (A, B) with
+    * |A ∩ B| / |A| ≥ τ — the quote / subset-duplicate / templated-expansion
+    * detector (A's content lives inside B even when B is much larger, so
+    * symmetric Jaccard misses it). Returns (left_id, right_id, containment)
+    * with left = the contained side; both directions of a mutual pair
+    * surface as two rows.
+    *
+    * Scale shape: candidate generation explodes only A's rarest-first
+    * PREFIX (n − ⌈τ·n⌉ + 1 tokens — pigeonhole: a B covering ≥ τ of A must
+    * hit one; lossless) against B's full token postings, so the join keys
+    * are the globally rarest tokens — candidates ≈ true pairs, every
+    * exchange key-partitioned. A pair sharing several prefix tokens is kept
+    * only at A's FIRST shared token (a codegen'd array predicate on bits
+    * already in the row) instead of a distinct() reshuffle of the candidate
+    * set. The size filter |B| ≥ τ·|A| prunes before verification. */
+  def containmentPairs(df: DataFrame, id: String, tokenSet: String,
+                       block: String, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"containment threshold must be in (0, 1], got $threshold")
+    val hs = hashedSets(df, id, tokenSet, Seq(block))
+      .withColumnRenamed(block, "blk")
+      .withColumn("n", size(col("hs")))
+    val l = orderedPrefix(hs, threshold)
+      .select(col("blk"), col("hs_id").as("left_id"), col("n").as("nl"),
+        col("ord").as("ls"), explode(col("prefix")).as("h"))
+    val r = hs.select(col("blk"), col("hs_id").as("right_id"),
+      col("n").as("nr"), col("hs").as("rs"), explode(col("hs")).as("h"))
+    // first-match: no prefix token of A EARLIER than the joined one is in
+    // B's set (ls is rarest-first ordered, so the slice below h's position
+    // is exactly "the earlier prefix tokens")
+    val firstMatch = size(array_intersect(
+      slice(col("ls"), lit(1), (array_position(col("ls"), col("h")) - 1).cast("int")),
+      col("rs"))) === 0
+    l.join(r, Seq("blk", "h"))
+      .where(col("left_id") =!= col("right_id"))
+      .where(col("nr") >= lit(threshold) * col("nl") - 1e-9)
+      .where(firstMatch)
+      .withColumn("inter", size(array_intersect(col("ls"), col("rs"))))
+      .withColumn("containment", col("inter").cast("double") / col("nl"))
+      .where(col("containment") >= threshold)
+      .select(col("left_id"), col("right_id"), col("containment"))
   }
 
   // -------------------------------------------------------------- minhash --

@@ -813,5 +813,21 @@ object OracleSql {
         |       round(avg(-ln(CAST(freq AS DOUBLE) / total)), 6) AS nll
         |FROM tok JOIN freq USING (tok), tot
         |GROUP BY doc_id""".stripMargin,
+
+    "q60_containment" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN len(tk) >= 3
+        |              THEN list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |              ELSE [array_to_string(tk, ' ')] END AS s
+        |  FROM t)
+        |SELECT left_id, right_id, containment FROM (
+        |  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+        |         CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+        |           / len(a.s) AS containment
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id <> b.doc_id)
+        |WHERE containment >= 0.8""".stripMargin,
   )
 }

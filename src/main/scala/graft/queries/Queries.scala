@@ -692,6 +692,19 @@ object Queries {
   val q59_unigram_nll: Q = (s, dir) =>
     TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")
 
+  /** Asymmetric containment pairs (|A∩B|/|A| ≥ 0.8) over 3-token SHINGLE
+    * sets within a language block — the quote/subset-duplicate detector
+    * symmetric Jaccard misses (A's passages live inside a larger B). On
+    * shingles the universe is huge, so containment is selective — over raw
+    * tokens of this synthetic 31-word vocabulary it would be vacuous. Both
+    * directions of a mutual near-dup surface as two rows. */
+  val q60_containment: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.shingles(split(col("text"), " "), 3).as("sh"))
+    Dedup.containmentPairs(docs, "doc_id", "sh", "lang", 0.8)
+  }
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -754,5 +767,6 @@ object Queries {
     "q57_pii_redact" -> q57_pii_redact,
     "q58_bm25" -> q58_bm25,
     "q59_unigram_nll" -> q59_unigram_nll,
+    "q60_containment" -> q60_containment,
   )
 }

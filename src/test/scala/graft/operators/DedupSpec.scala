@@ -217,6 +217,33 @@ class DedupSpec extends SparkSpec {
     assert(viaFallback === direct)
   }
 
+  test("containment pairs: lossless vs brute force, and asymmetric on subsets") {
+    // quote detection: A fully inside a larger B → A→B hits, B→A misses
+    val fix = Seq(
+      (1L, "x", "al bo ci do el"),
+      (2L, "x", "al bo ci do el fa go hu io ju"),
+      (3L, "x", "zz yy"),
+      (4L, "y", "al bo ci do el")).toDF("doc_id", "lang", "text")
+      .select(col("doc_id"), col("lang"), array_distinct(split(col("text"), " ")).as("tok"))
+    val got = Dedup.containmentPairs(fix, "doc_id", "tok", "lang", 0.9)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    // doc 4 shares tokens but sits in another block; 2→1 is only 5/10
+    assert(got === Set((1L, 2L)))
+    // lossless vs the O(n²) truth on the small corpus
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), array_distinct(split(col("text"), " ")).as("tok"))
+    val fast = Dedup.containmentPairs(docs, "doc_id", "tok", "lang", 0.9)
+      .select("left_id", "right_id").as[(Long, Long)].collect().toSet
+    val a = docs.select(col("lang"), col("doc_id").as("aid"), col("tok").as("at"))
+    val b = docs.select(col("lang"), col("doc_id").as("bid"), col("tok").as("bt"))
+    val brute = a.join(b, Seq("lang")).where(col("aid") =!= col("bid"))
+      .where(size(array_intersect(col("at"), col("bt"))).cast("double")
+        / size(col("at")) >= 0.9)
+      .select("aid", "bid").as[(Long, Long)].collect().toSet
+    assert(fast === brute, s"prefix filter must be lossless: ${brute.diff(fast)} missed")
+    assert(brute.nonEmpty, "planted near-dups should produce containment pairs")
+  }
+
   test("exact dedup representative is deterministic (min id)") {
     val d = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("id", "t")
     val out = Dedup.exact(d, md5(col("t")), col("id"))
