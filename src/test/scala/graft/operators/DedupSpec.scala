@@ -242,6 +242,13 @@ class DedupSpec extends SparkSpec {
       .select("aid", "bid").as[(Long, Long)].collect().toSet
     assert(fast === brute, s"prefix filter must be lossless: ${brute.diff(fast)} missed")
     assert(brute.nonEmpty, "planted near-dups should produce containment pairs")
+    // candidate generation is an equi-join on (block, prefix-token): the
+    // plan must never fall back to an all-pairs nested loop
+    val q = Dedup.containmentPairs(docs, "doc_id", "tok", "lang", 0.9)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"containment must stay an equi-join:\n$plan")
   }
 
   test("exact dedup representative is deterministic (min id)") {
