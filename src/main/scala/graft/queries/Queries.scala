@@ -699,9 +699,14 @@ object Queries {
     * tokens of this synthetic 31-word vocabulary it would be vacuous. Both
     * directions of a mutual near-dup surface as two rows. */
   val q60_containment: Q = (s, dir) => {
+    // Two-step projection: materialize the token array as an attribute
+    // BEFORE the shingle lambda reads it — an inline split() as the HOF's
+    // array arg is re-evaluated inside every element_at (no CSE inside
+    // lambdas; see the q52/q49 fix), re-splitting text 3× per shingle.
     val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tok"))
       .select(col("doc_id"), col("lang"),
-        TextAnalysis.shingles(split(col("text"), " "), 3).as("sh"))
+        TextAnalysis.shingles(col("tok"), 3).as("sh"))
     Dedup.containmentPairs(docs, "doc_id", "sh", "lang", 0.8)
   }
 
