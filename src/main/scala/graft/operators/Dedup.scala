@@ -245,6 +245,48 @@ object Dedup {
       .select(col("left_id"), col("right_id"), col("jaccard"))
   }
 
+  /** CROSS-RELATION Jaccard pairs: (l from `left`, r from `right`) with
+    * J ≥ τ within a blocking key — the incremental-ingest dedup shape ("which
+    * docs in today's batch near-duplicate the existing corpus"). Ids must be
+    * disjoint across the two relations. Returns (left_id, right_id, jaccard).
+    *
+    * Scale shape: one global document-frequency pass over the UNION (the
+    * rarest-first order must be shared or the prefix theorem breaks), PPJoin
+    * prefixes on BOTH sides (R×S prefix filtering is lossless exactly as in
+    * the self-join case: J(A,B) ≥ τ forces a shared token inside each side's
+    * n − ⌈τn⌉ + 1 prefix), candidate join keyed on the globally rarest
+    * tokens, exact intersection verify. The batch side is typically ≪ the
+    * corpus side; AQE broadcasts its exploded prefix when it fits. */
+  def crossJaccardPairs(left: DataFrame, right: DataFrame, id: String,
+                        tokenSet: String, block: String,
+                        threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"cross-jaccard threshold must be in (0, 1], got $threshold")
+    val both = left.select(lit(0).as("side"), col(id), col(block), col(tokenSet))
+      .unionByName(right.select(lit(1).as("side"), col(id), col(block), col(tokenSet)))
+    val hs = hashedSets(both, id, tokenSet, Seq(block, "side"))
+      .withColumnRenamed(block, "blk")
+      .withColumn("n", size(col("hs")))
+    val pre = orderedPrefix(hs, threshold)
+      .join(hs.select(col("hs_id"), col("side")), "hs_id")
+      .select(col("blk"), col("side"), col("hs_id"), col("n"), col("ord"),
+        explode(col("prefix")).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val l = pre.where(col("side") === 0).select(col("blk"), col("h"),
+      col("hs_id").as("left_id"), col("n").as("nl"), col("ord").as("ls"))
+    val r = pre.where(col("side") === 1).select(col("blk"), col("h"),
+      col("hs_id").as("right_id"), col("n").as("nr"), col("ord").as("rs"))
+    l.join(r, Seq("blk", "h"))
+      .where(col("nl") >= lit(threshold) * col("nr") - 1e-9 &&
+             col("nr") >= lit(threshold) * col("nl") - 1e-9)
+      .dropDuplicates("left_id", "right_id")
+      .withColumn("inter", size(array_intersect(col("ls"), col("rs"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("nl") + col("nr") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("left_id"), col("right_id"), col("jaccard"))
+  }
+
   /** ASYMMETRIC containment pairs within a blocking key: (A, B) with
     * |A ∩ B| / |A| ≥ τ — the quote / subset-duplicate / templated-expansion
     * detector (A's content lives inside B even when B is much larger, so

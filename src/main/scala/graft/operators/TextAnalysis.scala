@@ -222,6 +222,101 @@ object TextAnalysis {
         round(avg(-log(col("freq").cast("double") / lit(total))), 6).as("nll"))
   }
 
+  /** Per-document bigram negative log-likelihood under the corpus's own
+    * bigram distribution with add-one smoothing — the KenLM-style order-2
+    * quality signal (a doc whose transitions are rare under the corpus LM
+    * reads as noise/boilerplate): p(w2|w1) = (c(w1,w2)+1)/(c(w1,·)+V),
+    * V = corpus unigram vocabulary, c(w1,·) = bigram-context count.
+    * Docs with < 2 tokens have no bigram and are absent from the output.
+    *
+    * Scale shape: the bigram relation shuffles once on (w1,w2); the context
+    * counts reduce from the ALREADY-AGGREGATED bigram counts (a second
+    * groupBy over ≤|V|² rows, not a second corpus pass), both joins key on
+    * tokens with AQE handling stopword-head skew, and V is one
+    * count-distinct action whose scan doubles as the persist-materializer.
+    * round(…,6) on the averaged NLL squashes fold-order ulp noise per the
+    * repo's vector-math convention. */
+  def bigramLogProb(df: org.apache.spark.sql.DataFrame, id: String,
+                    textCol: String): org.apache.spark.sql.DataFrame = {
+    val tok = df.select(col(id).as("bl_id"), tokens(col(textCol)).as("tk"))
+    // tk is an attribute (not an inline split) before the lambda reads it —
+    // no CSE inside HOF lambdas, see the q52/q60 projection rule
+    val bg = tok.where(size(col("tk")) >= 2)
+      .select(col("bl_id"), explode(transform(sequence(lit(1), size(col("tk")) - 1),
+        i => struct(element_at(col("tk"), i).as("w1"),
+                    element_at(col("tk"), i + 1).as("w2")))).as("b"))
+      .select(col("bl_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cbg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cw1 = cbg.groupBy("w1").agg(sum(col("c")).as("ctx"))
+    val vocab = tok.select(explode(col("tk")).as("t"))
+      .agg(countDistinct(col("t"))).head().getLong(0)
+    bg.join(cbg, Seq("w1", "w2")).join(cw1, Seq("w1"))
+      .groupBy(col("bl_id").as(id))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(avg(-log((col("c") + lit(1.0)) / (col("ctx") + lit(vocab.toDouble)))), 6)
+          .as("nll"))
+  }
+
+  /** Per-slice distribution drift: KL(P_slice ‖ P_corpus) over unigram
+    * distributions — the corpus-QA monitor that flags a source/shard whose
+    * token mix diverges from the blend (scraper drift, encoding breakage,
+    * language contamination) before it trains. Every slice token is by
+    * construction in the corpus, so no zero-probability guard is needed.
+    *
+    * Scale shape: ONE corpus pass builds (slice, token) counts; slice
+    * totals, corpus token counts, and the grand total all reduce from that
+    * already-aggregated relation (≤ |slices|·|vocab| rows, not the corpus);
+    * the grand total rides a broadcast single-row cross join — no driver
+    * action anywhere. round(…,6) squashes fold-order ulp noise. */
+  def unigramDrift(df: org.apache.spark.sql.DataFrame, sliceCol: String,
+                   textCol: String): org.apache.spark.sql.DataFrame = {
+    val gc = df.select(col(sliceCol).as("g"), explode(tokens(col(textCol))).as("t"))
+      .groupBy("g", "t").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gTot = gc.groupBy("g").agg(sum(col("c")).as("gn"))
+    val cTok = gc.groupBy("t").agg(sum(col("c")).as("cc"))
+    val tot = gc.agg(sum(col("c")).as("tot"))
+    val pS = col("c").cast("double") / col("gn")
+    val pC = col("cc").cast("double") / col("tot")
+    gc.join(gTot, "g").join(cTok, "t").crossJoin(tot)
+      .groupBy(col("g").as(sliceCol))
+      .agg(max(col("gn")).cast("long").as("n_tokens"),
+        round(sum(pS * log(pS / pC)), 6).as("kl"))
+  }
+
+  /** Top-k DISTINCTIVE terms per slice, ranked by frequency lift
+    * p_slice(t) / p_corpus(t) — the salient-keyword extractor behind
+    * per-domain corpus cards. Lift, not tf-idf: its score is a quotient of
+    * integer-valued counts, and IEEE division is correctly rounded, so both
+    * engines (and every executor) compute bit-identical doubles — an
+    * ln()-based idf could flip near-tie rankings by one ulp. Ties break on
+    * the term itself.
+    *
+    * Scale shape: identical to [[unigramDrift]] — one corpus pass to
+    * (slice, token) counts, everything else reduces from that aggregate;
+    * the rank window partitions by slice over ≤ |slices|·|vocab| rows. */
+  def distinctiveTerms(df: org.apache.spark.sql.DataFrame, sliceCol: String,
+                       textCol: String, topK: Int): org.apache.spark.sql.DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    import org.apache.spark.sql.expressions.Window
+    val gc = df.select(col(sliceCol).as("g"), explode(tokens(col(textCol))).as("t"))
+      .groupBy("g", "t").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gTot = gc.groupBy("g").agg(sum(col("c")).as("gn"))
+    val cTok = gc.groupBy("t").agg(sum(col("c")).as("cc"))
+    val tot = gc.agg(sum(col("c")).as("tot"))
+    val lift = (col("c").cast("double") / col("gn")) /
+      (col("cc").cast("double") / col("tot"))
+    val w = Window.partitionBy(col("g")).orderBy(lift.desc, col("t").asc)
+    gc.join(gTot, "g").join(cTok, "t").crossJoin(tot)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("g").as(sliceCol), col("t").as("term"),
+        col("rank").cast("long").as("rank"), round(lift, 6).as("lift"))
+  }
+
   /** Content fingerprint for exact dedup: md5 of the normalized body. */
   def fingerprintMd5(text: Column): Column = md5(lower(trim(text)))
 

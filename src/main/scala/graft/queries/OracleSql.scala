@@ -829,5 +829,67 @@ object OracleSql {
         |           / len(a.s) AS containment
         |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id <> b.doc_id)
         |WHERE containment >= 0.8""".stripMargin,
+
+    "q61_bigram_nll" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+        |  FROM tok WHERE len(tk) >= 2),
+        |cbg AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+        |cw1 AS (SELECT w1, sum(c) AS ctx FROM cbg GROUP BY 1),
+        |v AS (SELECT count(DISTINCT t) AS vocab
+        |      FROM (SELECT unnest(tk) AS t FROM tok))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(avg(-ln((c + 1.0) / (ctx + vocab))), 6) AS nll
+        |FROM bg JOIN cbg USING (w1, w2) JOIN cw1 USING (w1), v
+        |GROUP BY doc_id""".stripMargin,
+
+    "q62_cross_dedup" ->
+      """WITH t AS (SELECT doc_id, lang, source, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id, lang, source,
+        |         CASE WHEN len(tk) >= 3
+        |              THEN list_distinct(list_transform(generate_series(1, len(tk) - 2),
+        |                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+        |              ELSE [array_to_string(tk, ' ')] END AS s
+        |  FROM t)
+        |SELECT left_id, right_id, jaccard FROM (
+        |  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+        |         CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+        |           / (len(a.s) + len(b.s)
+        |              - len(list_filter(a.s, x -> list_contains(b.s, x)))) AS jaccard
+        |  FROM sh a JOIN sh b ON a.lang = b.lang
+        |  WHERE a.source IN ('src1', 'src2', 'src3')
+        |    AND b.source NOT IN ('src1', 'src2', 'src3'))
+        |WHERE jaccard >= 0.8""".stripMargin,
+
+    "q63_source_drift" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+        |gc AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |gt AS (SELECT source, sum(c) AS gn FROM gc GROUP BY 1),
+        |ct AS (SELECT t, sum(c) AS cc FROM gc GROUP BY 1),
+        |tot AS (SELECT sum(c) AS tot FROM gc)
+        |SELECT source, CAST(max(gn) AS BIGINT) AS n_tokens,
+        |       round(sum((CAST(c AS DOUBLE) / gn)
+        |                 * ln((CAST(c AS DOUBLE) / gn) / (CAST(cc AS DOUBLE) / tot))), 6) AS kl
+        |FROM gc JOIN gt USING (source) JOIN ct USING (t), tot
+        |GROUP BY source""".stripMargin,
+
+    "q64_distinctive_terms" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+        |gc AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |gt AS (SELECT source, sum(c) AS gn FROM gc GROUP BY 1),
+        |ct AS (SELECT t, sum(c) AS cc FROM gc GROUP BY 1),
+        |tot AS (SELECT sum(c) AS tot FROM gc),
+        |scored AS (
+        |  SELECT source, t,
+        |         (CAST(c AS DOUBLE) / gn) / (CAST(cc AS DOUBLE) / tot) AS lift
+        |  FROM gc JOIN gt USING (source) JOIN ct USING (t), tot)
+        |SELECT source, t AS term, CAST(rank AS BIGINT) AS rank, round(lift, 6) AS lift
+        |FROM (SELECT source, t, lift,
+        |             row_number() OVER (PARTITION BY source
+        |                                ORDER BY lift DESC, t ASC) AS rank
+        |      FROM scored)
+        |WHERE rank <= 3""".stripMargin,
   )
 }

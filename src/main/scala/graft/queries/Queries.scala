@@ -710,6 +710,41 @@ object Queries {
     Dedup.containmentPairs(docs, "doc_id", "sh", "lang", 0.8)
   }
 
+  /** Per-doc bigram NLL under the corpus's own add-one-smoothed bigram LM —
+    * the order-2 extension of q59's unigram perplexity proxy (rare
+    * TRANSITIONS, not just rare words, flag noise/shuffled boilerplate). */
+  val q61_bigram_nll: Q = (s, dir) =>
+    TextAnalysis.bigramLogProb(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Incremental-ingest dedup: which docs in the "new batch" (sources
+    * src1–src3) near-duplicate the EXISTING corpus (every other source) at
+    * shingle Jaccard ≥ 0.8 — the cross-relation PPJoin, the shape every
+    * nightly crawl-ingest job runs before appending to the training corpus. */
+  val q62_cross_dedup: Q = (s, dir) => {
+    val batchSources = Seq("src1", "src2", "src3")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"),
+        split(col("text"), " ").as("tok"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        TextAnalysis.shingles(col("tok"), 3).as("sh"))
+    Dedup.crossJaccardPairs(
+      docs.where(col("source").isin(batchSources: _*)),
+      docs.where(!col("source").isin(batchSources: _*)),
+      "doc_id", "sh", "lang", 0.8)
+  }
+
+  /** Per-source KL divergence vs the corpus unigram distribution — the
+    * drift monitor that catches a scraper/shard whose token mix has
+    * diverged from the blend before it contaminates a training run. */
+  val q63_source_drift: Q = (s, dir) =>
+    TextAnalysis.unigramDrift(Tables.documents(s, dir), "source", "text")
+
+  /** Top-3 distinctive terms per source by frequency lift — the
+    * corpus-card keyword extractor (which tokens over-index in each
+    * slice relative to the blend). */
+  val q64_distinctive_terms: Q = (s, dir) =>
+    TextAnalysis.distinctiveTerms(Tables.documents(s, dir), "source", "text", 3)
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -773,5 +808,9 @@ object Queries {
     "q58_bm25" -> q58_bm25,
     "q59_unigram_nll" -> q59_unigram_nll,
     "q60_containment" -> q60_containment,
+    "q61_bigram_nll" -> q61_bigram_nll,
+    "q62_cross_dedup" -> q62_cross_dedup,
+    "q63_source_drift" -> q63_source_drift,
+    "q64_distinctive_terms" -> q64_distinctive_terms,
   )
 }

@@ -355,6 +355,28 @@ class DedupSpec extends SparkSpec {
       "bracket must release persists on the failure path too")
   }
 
+  test("crossJaccardPairs: batch-vs-corpus pairs only, both prefixes lossless") {
+    val batch = Seq(
+      (1L, "g", Seq("a", "b", "c")),
+      (2L, "g", Seq("a", "b", "c"))).toDF("id", "blk", "toks")
+    val corpus = Seq(
+      (10L, "g", Seq("a", "b", "c")),  // J=1 with both batch docs
+      (11L, "g", Seq("a", "b", "d")),  // J=0.5
+      (12L, "g", Seq("x", "y", "z")),  // J=0
+      (13L, "h", Seq("a", "b", "c"))   // identical but different block
+    ).toDF("id", "blk", "toks")
+    val out = Dedup.crossJaccardPairs(batch, corpus, "id", "toks", "blk", 0.6)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(out === Set((1L, 10L, 1.0), (2L, 10L, 1.0)),
+      "within-batch pair (1,2) and cross-block (·,13) must not surface")
+    // threshold low enough to admit the 0.5 pair — prefix filter is lossless
+    val loose = Dedup.crossJaccardPairs(batch, corpus, "id", "toks", "blk", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(loose === Set((1L, 10L, 1.0), (2L, 10L, 1.0),
+      (1L, 11L, 0.5), (2L, 11L, 0.5)))
+    graft.GraftSession.releaseCaches(spark, blocking = true)
+  }
+
   test("releaseCaches drops every operator-internal persist (session lifecycle)") {
     Dedup.simHashPairs(docs.select(col("doc_id"), col("tok")), "doc_id", "tok").count()
     Dedup.minHashDedupTokens(

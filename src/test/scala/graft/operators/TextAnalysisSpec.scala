@@ -45,6 +45,57 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(0)._4 === 2L && out(1)._4 === 1L && exp2 > exp1)
   }
 
+  test("bigram NLL: add-one-smoothed order-2 LM on a fixture; <2-token docs absent") {
+    val docs = Seq((1L, "a b a"), (2L, "b a"), (3L, "z")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLogProb(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // bigrams: doc1 (a,b),(b,a); doc2 (b,a) → c(a,b)=1 c(b,a)=2; ctx a=1 b=2
+    // vocab = {a, b, z} → V=3 (the lone-token doc still counts toward V)
+    val p_ab = (1.0 + 1) / (1 + 3); val p_ba = (2.0 + 1) / (2 + 3)
+    val exp1 = r6((-math.log(p_ab) - math.log(p_ba)) / 2)
+    val exp2 = r6(-math.log(p_ba))
+    assert(out.toSeq === Seq((1L, 2L, exp1), (2L, 1L, exp2)),
+      "doc 3 has no bigram and must be absent")
+    // the doc containing the rarer transition scores higher NLL
+    assert(exp1 > exp2)
+  }
+
+  test("unigram drift: per-slice KL vs corpus distribution on a fixture; zero for a lone slice") {
+    val docs = Seq((1L, "s1", "a a b"), (2L, "s2", "b b b c"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.unigramDrift(docs, "source", "text")
+      .as[(String, Long, Double)].collect().sortBy(_._1)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // corpus: a=2 b=4 c=1, tot=7; s1: a=2 b=1 gn=3; s2: b=3 c=1 gn=4
+    val kl1 = r6(2.0 / 3 * math.log((2.0 / 3) / (2.0 / 7)) +
+                 1.0 / 3 * math.log((1.0 / 3) / (4.0 / 7)))
+    val kl2 = r6(3.0 / 4 * math.log((3.0 / 4) / (4.0 / 7)) +
+                 1.0 / 4 * math.log((1.0 / 4) / (1.0 / 7)))
+    assert(out.toSeq === Seq(("s1", 3L, kl1), ("s2", 4L, kl2)))
+    assert(kl1 > 0 && kl2 > 0, "diverging slices have strictly positive KL")
+    // a single slice IS the corpus distribution → KL exactly 0
+    val lone = TextAnalysis.unigramDrift(
+      Seq((1L, "s1", "a b b")).toDF("doc_id", "source", "text"), "source", "text")
+      .as[(String, Long, Double)].collect()
+    assert(lone.toSeq === Seq(("s1", 3L, 0.0)))
+  }
+
+  test("distinctive terms: lift ranking with term-asc tie-break") {
+    val docs = Seq((1L, "s1", "a a b"), (2L, "s2", "b c"))
+      .toDF("doc_id", "source", "text")
+    val out = TextAnalysis.distinctiveTerms(docs, "source", "text", topK = 1)
+      .as[(String, String, Long, Double)].collect().sortBy(_._1)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // corpus: a=2 b=2 c=1 tot=5; lift(s1,a)=(2/3)/(2/5)=5/3; lift(s2,c)=(1/2)/(1/5)=5/2
+    assert(out.toSeq === Seq(("s1", "a", 1L, r6(5.0 / 3)), ("s2", "c", 1L, 2.5)))
+    // equal lifts (every token once, one slice) break ties on the term
+    val tie = TextAnalysis.distinctiveTerms(
+      Seq((1L, "s1", "b a")).toDF("doc_id", "source", "text"), "source", "text", 1)
+      .as[(String, String, Long, Double)].collect()
+    assert(tie.toSeq === Seq(("s1", "a", 1L, 1.0)))
+  }
+
   test("unigram NLL: corpus-frequency language-model proxy on a fixture") {
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val out = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
