@@ -30,6 +30,32 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = VectorFunctions.vectorCosine(a, b)
 
+  /** Per-vector cohesion against its group's centroid: cosine(v, mean of the
+    * group's vectors) — the SemDeDup-style outlier signal (a low score marks
+    * an embedding that doesn't belong to its cluster/label: mislabeled,
+    * noise, or a semantic stray worth pruning before training).
+    *
+    * Scale shape: the centroid build is ONE shuffle of (group, dim, value)
+    * partial sums — map-side combined, ≤ |groups|·dim rows after — and the
+    * centroid relation (|groups| rows) broadcasts back onto the corpus, so
+    * the big side is never reshuffled. Centroid components are rounded to
+    * 6 d.p. BEFORE the cosine so both engines (and any executor fold order)
+    * agree on the exact centroid bits; the cosine itself runs in the native
+    * index-ordered kernel. */
+  def centroidCohesion(df: DataFrame, groupCol: String,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    val cent = df.select(col(groupCol).as("g"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy("g", "pos").agg(round(avg(col("v").cast("double")), 6).as("c"))
+      .groupBy("g")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        s => s.getField("c")).as("centroid"))
+    df.select(col(idCol), col(groupCol), col(vecCol))
+      .join(broadcast(cent), col(groupCol) === col("g"))
+      .select(col(idCol), col(groupCol),
+        round(cosine(col(vecCol), col("centroid")), 6).as("cos_centroid"))
+  }
+
   /** Exact top-k cosine neighbors for each row of `queries` against `corpus`.
     * `queries` is expected to be small — Catalyst broadcasts it, so the big
     * corpus is never shuffled; only the per-query window sorts candidates. */

@@ -891,5 +891,21 @@ object OracleSql {
         |                                ORDER BY lift DESC, t ASC) AS rank
         |      FROM scored)
         |WHERE rank <= 3""".stripMargin,
+
+    "q65_centroid_cohesion" ->
+      """WITH comp AS (
+        |  SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        |  GROUP BY 1, 2),
+        |cent AS (SELECT label, list(c ORDER BY i) AS centroid FROM comp GROUP BY 1)
+        |SELECT vec_id, label,
+        |       round(
+        |         list_sum(list_transform(generate_series(1, len(embedding)),
+        |           i -> CAST(embedding[i] AS DOUBLE) * centroid[i]))
+        |         / (sqrt(list_sum(list_transform(generate_series(1, len(embedding)),
+        |              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+        |            * sqrt(list_sum(list_transform(generate_series(1, len(centroid)),
+        |                i -> centroid[i] * centroid[i])))), 6) AS cos_centroid
+        |FROM embeddings JOIN cent USING (label)""".stripMargin,
   )
 }

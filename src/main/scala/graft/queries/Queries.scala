@@ -745,6 +745,12 @@ object Queries {
   val q64_distinctive_terms: Q = (s, dir) =>
     TextAnalysis.distinctiveTerms(Tables.documents(s, dir), "source", "text", 3)
 
+  /** Per-vector cosine against its label's centroid — the SemDeDup-style
+    * cohesion/outlier signal over the embedding table (low score = semantic
+    * stray worth pruning). */
+  val q65_centroid_cohesion: Q = (s, dir) =>
+    Similarity.centroidCohesion(Tables.embeddings(s, dir), "label")
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -812,5 +818,6 @@ object Queries {
     "q62_cross_dedup" -> q62_cross_dedup,
     "q63_source_drift" -> q63_source_drift,
     "q64_distinctive_terms" -> q64_distinctive_terms,
+    "q65_centroid_cohesion" -> q65_centroid_cohesion,
   )
 }

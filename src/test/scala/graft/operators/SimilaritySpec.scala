@@ -5,6 +5,21 @@ import org.apache.spark.sql.functions._
 
 class SimilaritySpec extends SparkSpec {
 
+  test("centroid cohesion: exact cosine to the group mean; lone vector scores 1") {
+    import spark.implicits._
+    val e = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(0.0f, 1.0f), 0),
+      (3L, Seq(3.0f, 4.0f), 1)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidCohesion(e, "label")
+      .as[(Long, Int, Double)].collect().sortBy(_._1)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // label 0 centroid = [0.5, 0.5]; cos([1,0],[.5,.5]) = 1/sqrt(2)
+    val c = r6(0.5 / (1.0 * math.sqrt(0.5)))
+    assert(out.toSeq === Seq((1L, 0, c), (2L, 0, c), (3L, 1, 1.0)),
+      "a group's lone vector IS its centroid and must score exactly 1")
+  }
+
   test("IVF: clusters partition the corpus; probing more clusters raises recall to 1") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val cents = Similarity.ivfCentroids(e, k = 4, iters = 1)
