@@ -129,6 +129,44 @@ object TextAnalysis {
       .groupBy(col(id)).agg(countDistinct(col("g")).as("n_hits"))
   }
 
+  /** Bloom-prefiltered decontamination: the CLEAN side of the n-gram
+    * contamination gate — corpus docs sharing NO n-gram with the benchmark
+    * suite, i.e. what [[contaminationHits]] drops, this keeps (together they
+    * partition the corpus; spec-asserted). Returns (id, n_grams) with each
+    * survivor's distinct-gram count.
+    *
+    * Scale shape: the benchmark gram set compiles to a [[Bloom]] bit-array
+    * literal (~1.5 bytes/key instead of an 8-byte-long broadcast hash
+    * relation), and the corpus gram stream is pruned by the codegen'd
+    * probe BEFORE any join — at a typical ≪1% true-hit rate the exact
+    * confirm join (which makes the output exact regardless of FPs) sees a
+    * few per-mille of the grams, not all of them. The clean count rides the
+    * same single corpus gram pass as the hit detection. */
+  def bloomDecontaminate(corpus: org.apache.spark.sql.DataFrame,
+                         benchmark: org.apache.spark.sql.DataFrame,
+                         id: String, textCol: String, n: Int = 4,
+                         bitsPerKey: Int = 12, k: Int = 6)
+  : org.apache.spark.sql.DataFrame = {
+    def grams(df: org.apache.spark.sql.DataFrame) =
+      df.select(col(id), tokens(col(textCol)).as("bd_tok"))
+        .select(col(id), explode(ngrams(col("bd_tok"), n)).as("gs"))
+        .select(col(id), md5Long(col("gs")).as("g"))
+    // reference side is small by construction (eval suites); driver build
+    val keys = grams(benchmark).select(col("g")).distinct()
+      .collect().map(_.getLong(0))
+    val bloom = Bloom.build(keys, bitsPerKey, k)
+    val cg = grams(corpus).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val benchSet = corpus.sparkSession.createDataFrame(
+      corpus.sparkSession.sparkContext.parallelize(keys.toSeq.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g", org.apache.spark.sql.types.LongType))))
+    val confirmed = cg.where(Bloom.mightContain(bloom, col("g")))
+      .join(broadcast(benchSet), Seq("g"))
+      .select(col(id)).distinct()
+    cg.groupBy(col(id)).agg(countDistinct(col("g")).as("n_grams"))
+      .join(confirmed, Seq(id), "left_anti")
+  }
+
   /** Frequency-ranked corpus vocabulary — the statistic tokenizer training
     * (BPE/unigram) starts from. Returns (token, freq, rank) for the topK
     * most frequent tokens; rank is deterministic (freq desc, token asc).

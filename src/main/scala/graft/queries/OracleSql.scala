@@ -907,5 +907,21 @@ object OracleSql {
         |            * sqrt(list_sum(list_transform(generate_series(1, len(centroid)),
         |                i -> centroid[i] * centroid[i])))), 6) AS cos_centroid
         |FROM embeddings JOIN cent USING (label)""".stripMargin,
+
+    "q66_bloom_decontam" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |g0 AS (SELECT doc_id,
+        |        unnest(CASE WHEN len(tok) >= 4
+        |               THEN list_transform(range(1, len(tok) - 2),
+        |                      i -> array_to_string(list_slice(tok, i, i + 3), ' '))
+        |               ELSE [array_to_string(tok, ' ')] END) AS gs
+        |      FROM t),
+        |g AS (SELECT doc_id, ('0x' || substr(md5(gs), 1, 15))::BIGINT AS g FROM g0),
+        |b AS (SELECT DISTINCT g FROM g WHERE doc_id < 10),
+        |hit AS (SELECT DISTINCT g.doc_id FROM g JOIN b USING (g) WHERE g.doc_id >= 10)
+        |SELECT g.doc_id, count(DISTINCT g.g) AS n_grams
+        |FROM g
+        |WHERE g.doc_id >= 10 AND g.doc_id NOT IN (SELECT doc_id FROM hit)
+        |GROUP BY 1""".stripMargin,
   )
 }

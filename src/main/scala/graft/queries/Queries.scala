@@ -751,6 +751,16 @@ object Queries {
   val q65_centroid_cohesion: Q = (s, dir) =>
     Similarity.centroidCohesion(Tables.embeddings(s, dir), "label")
 
+  /** Bloom-prefiltered decontamination — q52's complement (the CLEAN set),
+    * with the benchmark gram set compiled to a codegen'd bit-array probe
+    * that prunes the corpus gram stream before the exact confirm join. */
+  val q66_bloom_decontam: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.bloomDecontaminate(
+      docs.where(col("doc_id") >= 10), docs.where(col("doc_id") < 10),
+      "doc_id", "text", n = 4)
+  }
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -819,5 +829,6 @@ object Queries {
     "q63_source_drift" -> q63_source_drift,
     "q64_distinctive_terms" -> q64_distinctive_terms,
     "q65_centroid_cohesion" -> q65_centroid_cohesion,
+    "q66_bloom_decontam" -> q66_bloom_decontam,
   )
 }
