@@ -92,6 +92,37 @@ object Sampling {
     df.where(hashBucket(key, buckets) < cut)
   }
 
+  /** EXACTLY-k-per-stratum deterministic sample: rank each stratum's rows
+    * by the md5 of their key (key itself as the tie-break) and keep the k
+    * smallest — the fixed-BUDGET companion to [[stratifiedSample]]'s fixed
+    * FRACTION (eval-set carving, per-language probe sets, capped
+    * inspection dumps all want "give me exactly k of each"). The kept set
+    * is a pure function of content: stable across runs, engines,
+    * partitioning, and appends that don't displace the k smallest hashes.
+    *
+    * Scale shape: one shuffle on the stratum key into a per-stratum
+    * row_number window. The full sort per stratum is the cost at corpus
+    * scale; when strata are huge and k is small, pre-cut with the SAME
+    * rank hash first — `where(md5Long(key) < (f · 2⁶⁰))` for a fraction f
+    * safely above k/|stratum| — a pure per-row predicate that preserves
+    * the k smallest ranks exactly (it keeps a prefix of the rank order),
+    * so the window only ever sorts ~f of the stratum. (A mod-bucket cut
+    * like [[stratifiedSample]]'s does NOT compose this way: bucket id is
+    * not a prefix of the rank order.) */
+  def fixedSizeSample(df: DataFrame, key: Column, stratum: Column,
+                      k: Int): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fs_stratum"))
+      .orderBy(col("fs_rank").asc, col("fs_key").asc)
+    df.withColumn("fs_stratum", stratum)
+      .withColumn("fs_key", key.cast("string"))
+      .withColumn("fs_rank", graft.functions.Md5LongFunction.md5Long(col("fs_key")))
+      .withColumn("fs_rn", row_number().over(w))
+      .where(col("fs_rn") <= k)
+      .drop("fs_stratum", "fs_key", "fs_rank", "fs_rn")
+  }
+
   /** Split assignment by cumulative bucket ranges, e.g.
     * `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`. Fractions are
     * interpreted in bucket units (buckets=100 → percent granularity). */

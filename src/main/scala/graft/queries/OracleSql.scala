@@ -923,5 +923,14 @@ object OracleSql {
         |FROM g
         |WHERE g.doc_id >= 10 AND g.doc_id NOT IN (SELECT doc_id FROM hit)
         |GROUP BY 1""".stripMargin,
+
+    "q67_fixed_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |                    CAST(doc_id AS VARCHAR)) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5""".stripMargin,
   )
 }

@@ -751,6 +751,14 @@ object Queries {
   val q65_centroid_cohesion: Q = (s, dir) =>
     Similarity.centroidCohesion(Tables.embeddings(s, dir), "label")
 
+  /** Exactly-5-docs-per-language deterministic sample — the fixed-budget
+    * companion to q48's fixed fractions (eval carving / per-language probe
+    * sets), ranked by the cross-engine md5 of the doc id. */
+  val q67_fixed_sample: Q = (s, dir) =>
+    Sampling.fixedSizeSample(
+      Tables.documents(s, dir).select(col("doc_id"), col("lang")),
+      col("doc_id"), col("lang"), k = 5)
+
   /** Bloom-prefiltered decontamination — q52's complement (the CLEAN set),
     * with the benchmark gram set compiled to a codegen'd bit-array probe
     * that prunes the corpus gram stream before the exact confirm join. */
@@ -830,5 +838,6 @@ object Queries {
     "q64_distinctive_terms" -> q64_distinctive_terms,
     "q65_centroid_cohesion" -> q65_centroid_cohesion,
     "q66_bloom_decontam" -> q66_bloom_decontam,
+    "q67_fixed_sample" -> q67_fixed_sample,
   )
 }

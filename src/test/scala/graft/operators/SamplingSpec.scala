@@ -124,4 +124,33 @@ class SamplingSpec extends SparkSpec {
       .where(col("stratum") === "a").select("id").as[Long].collect().toSet
     assert(keptA === retuned)
   }
+
+  test("fixed-size sample: exactly k per stratum, layout-stable, pre-cut composable") {
+    import spark.implicits._
+    val rows = spark.range(0, 300).toDF("id").withColumn("stratum",
+      when(col("id") % 3 === 0, "a").when(col("id") % 3 === 1, "b").otherwise("c"))
+    val kept = Sampling.fixedSizeSample(rows, col("id"), col("stratum"), k = 7)
+    val byStratum = kept.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(byStratum === Map("a" -> 7L, "b" -> 7L, "c" -> 7L))
+    // a stratum smaller than k is kept whole
+    val tiny = Sampling.fixedSizeSample(rows.where(col("id") < 4),
+      col("id"), col("stratum"), k = 7)
+    assert(tiny.count() === 4)
+    // partition-layout independence: same set under a different layout
+    val ids = kept.select("id").as[Long].collect().toSet
+    val reshuffled = Sampling.fixedSizeSample(rows.repartition(13),
+      col("id"), col("stratum"), k = 7).select("id").as[Long].collect().toSet
+    assert(ids === reshuffled)
+    // a rank-prefix pre-cut that keeps >= k rows per stratum yields the
+    // SAME sample (it keeps a prefix of the md5Long order) — the
+    // huge-stratum scale path from the scaladoc
+    val cut = (0.5 * (1L << 60)).toLong
+    val precut = rows.where(
+      graft.functions.Md5LongFunction.md5Long(col("id").cast("string")) < cut)
+    assert(precut.groupBy("stratum").count().as[(String, Long)].collect()
+      .forall(_._2 >= 7), "pre-cut fraction must retain at least k per stratum")
+    val composed = Sampling.fixedSizeSample(precut, col("id"), col("stratum"), k = 7)
+      .select("id").as[Long].collect().toSet
+    assert(composed === ids)
+  }
 }
