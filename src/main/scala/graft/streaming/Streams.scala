@@ -33,6 +33,30 @@ object Streams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming decontamination gate: an unbounded document stream filtered
+    * against the benchmark gram set — the live-ingest pipeline that must
+    * never let eval data reach the training corpus. A doc's verdict is
+    * decided ROW-LOCALLY (a stream-derived dedup/anti-join would be an
+    * unsupported stream-stream shape): the gram array stays inside the row,
+    * a codegen'd [[graft.operators.Bloom]] probe prunes, and — only when
+    * the bloom fires; And short-circuits on false — an exact overlap test
+    * against the literal key set confirms. Stateless, so memory stays
+    * bounded at any stream length; the bench keys ride the plan exactly
+    * like the batch gate's broadcast. For a benchmark suite too big to
+    * inline, run the batch operator per micro-batch via foreachBatch
+    * instead — same semantics, same code path. */
+  def decontaminateStream(docs: DataFrame, benchKeys: Seq[Long],
+                          id: String, textCol: String, n: Int = 4): DataFrame = {
+    import graft.operators.{Bloom, TextAnalysis}
+    val bloom = Bloom.build(benchKeys)
+    docs.withColumn("sd_tok", TextAnalysis.tokens(col(textCol)))
+      .withColumn("sd_g", transform(TextAnalysis.ngrams(col("sd_tok"), n),
+        g => TextAnalysis.md5Long(g)))
+      .where(!(exists(col("sd_g"), h => Bloom.mightContain(bloom, h)) &&
+               arrays_overlap(col("sd_g"), typedlit(benchKeys.sorted))))
+      .drop("sd_tok", "sd_g")
+  }
+
   /** Watermarked stream-stream interval join: each purchase joined to the
     * same user's views from the preceding `lookback`. Both sides carry
     * watermarks and the join condition bounds the event-time gap, so state

@@ -30,6 +30,39 @@ class StreamsSpec extends SparkSpec {
     assert(out.sorted.toSeq === Seq("r1", "r2"))
   }
 
+  test("streaming decontamination gate matches the batch gate on a replayed stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpus = docs.where(col("doc_id") >= 10)
+    val bench = docs.where(col("doc_id") < 10)
+    // benchmark keys exactly as the batch gate hashes them
+    val benchKeys = bench
+      .select(graft.operators.TextAnalysis.tokens(col("text")).as("tok"))
+      .select(explode(graft.operators.TextAnalysis.ngrams(col("tok"), 4)).as("gs"))
+      .select(graft.operators.TextAnalysis.md5Long(col("gs")).as("g"))
+      .distinct().as[Long].collect().toSeq
+    val expectedClean = graft.operators.TextAnalysis
+      .bloomDecontaminate(corpus, bench, "doc_id", "text", n = 4)
+      .select("doc_id").as[Long].collect().toSet
+    val input = MemoryStream[(Long, String)]
+    val gated = Streams.decontaminateStream(
+      input.toDF().toDF("doc_id", "text"), benchKeys, "doc_id", "text", n = 4)
+    val q = gated.writeStream.format("memory").queryName("decon_out")
+      .outputMode("append").start()
+    // replay the corpus in two micro-batches
+    val rows = corpus.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    input.addData(b1.toIndexedSeq); q.processAllAvailable()
+    input.addData(b2.toIndexedSeq); q.processAllAvailable()
+    val streamed = spark.table("decon_out").select("doc_id").as[Long].collect().toSet
+    q.stop()
+    assert(streamed === expectedClean,
+      "the stateless streaming gate must pass exactly the batch gate's clean set")
+    assert(streamed.size < rows.length, "fixture should actually drop contaminated docs")
+    graft.GraftSession.releaseCaches(spark, blocking = true)
+  }
+
   test("stream-stream interval join matches views within the lookback only") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = MemoryStream[Ev]
