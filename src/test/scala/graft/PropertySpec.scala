@@ -99,6 +99,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: crossJaccardPairs equals the brute-force L×R computation at several thresholds") {
+    val left = (0L until 12L).map { i =>
+      (i, sample(Gen.listOfN(6, Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")), i + 1).distinct)
+    }
+    val right = (100L until 118L).map { i =>
+      (i, sample(Gen.listOfN(6, Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h")), i + 1).distinct)
+    }
+    val ldf = left.toDF("id", "tok").withColumn("blk", lit(1))
+    val rdf = right.toDF("id", "tok").withColumn("blk", lit(1))
+    Seq(0.3, 0.5, 0.8).foreach { tau =>
+      val got = Dedup.crossJaccardPairs(ldf, rdf, "id", "tok", "blk", tau)
+        .select("left_id", "right_id", "jaccard")
+        .as[(Long, Long, Double)].collect()
+        .map(t => (t._1, t._2) -> t._3).toMap
+      val expect = (for {
+        (i, a) <- left; (j, b) <- right
+        inter = a.toSet.intersect(b.toSet).size
+        jac = inter.toDouble / (a.toSet.size + b.toSet.size - inter)
+        if jac >= tau
+      } yield (i, j) -> jac).toMap
+      assert(got.keySet === expect.keySet, s"tau=$tau")
+      expect.foreach { case (k, v) =>
+        assert(math.abs(got(k) - v) < 1e-12, s"tau=$tau pair $k")
+      }
+    }
+    graft.GraftSession.releaseCaches(spark, blocking = true)
+  }
+
   test("property: packing conserves tokens — offset+pack arithmetic reconstructs the running sum") {
     (1L to 3L).foreach { seed =>
       val docs = sample(Gen.listOfN(40, Gen.chooseNum(1L, 300L)), seed)

@@ -20,6 +20,19 @@ class SimilaritySpec extends SparkSpec {
       "a group's lone vector IS its centroid and must score exactly 1")
   }
 
+  test("centroid cohesion plan: centroids broadcast back, corpus side never reshuffles") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val plan = Similarity.centroidCohesion(e, "label")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"the |groups|-row centroid relation must broadcast:\n$plan")
+    // only the centroid build shuffles: one exchange for the (group, dim)
+    // aggregate + one for the per-group assembly — never one on the corpus
+    val exchanges = plan.split("\n").count(l =>
+      l.contains("Exchange hashpartitioning") || l.contains("Exchange rangepartitioning"))
+    assert(exchanges <= 2, s"corpus side must not reshuffle ($exchanges exchanges):\n$plan")
+  }
+
   test("IVF: clusters partition the corpus; probing more clusters raises recall to 1") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val cents = Similarity.ivfCentroids(e, k = 4, iters = 1)

@@ -96,6 +96,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(tie.toSeq === Seq(("s1", "a", 1L, 1.0)))
   }
 
+  test("drift/distinctive-terms plans: stats reduce from ONE corpus token pass") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    Seq(
+      TextAnalysis.unigramDrift(docs, "source", "text"),
+      TextAnalysis.distinctiveTerms(docs, "source", "text", 3)
+    ).foreach { q =>
+      val plan = q.queryExecution.executedPlan.toString
+      // the (slice, token) aggregate is persisted and every downstream
+      // stat (slice totals, corpus counts, grand total) reads the CACHE —
+      // the corpus token explode materializes once, not per stat
+      val cacheReads = plan.split("\n").count(_.contains("InMemoryTableScan"))
+      assert(cacheReads >= 3,
+        s"expected ≥3 reads of the cached token aggregate, got $cacheReads:\n$plan")
+      assert(!plan.replaceAll("(?s)InMemoryRelation.*", "").contains("Generate explode"),
+        s"no token explode may run outside the cached aggregate:\n$plan")
+    }
+  }
+
   test("unigram NLL: corpus-frequency language-model proxy on a fixture") {
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val out = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
