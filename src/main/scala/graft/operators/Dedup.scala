@@ -55,6 +55,23 @@ object Dedup {
     df.groupBy(fingerprint.as("fp"))
       .agg(min(idCol).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Duplicate-family size histogram — the dedup ROI report (how much of
+    * the corpus is redundant, and in what family sizes: a long tail of
+    * pairs reads very differently from one 10⁵-copy boilerplate family).
+    * Works over ANY (row → cluster) assignment: exact fingerprints,
+    * [[canonicalIds]] output, passage keys. Returns one row per observed
+    * family size: (cluster_size, n_clusters, n_docs, n_redundant) where
+    * n_redundant = what dedup would delete (size − 1 per family).
+    *
+    * Scale shape: two map-side-combinable groupBys — the second over the
+    * family-size relation (≤ distinct sizes ≪ corpus). */
+  def clusterSizeHistogram(assign: DataFrame, clusterCol: String): DataFrame =
+    assign.groupBy(col(clusterCol)).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).cast("long").as("n_clusters"),
+        sum(col("sz")).cast("long").as("n_docs"),
+        sum(col("sz") - 1).cast("long").as("n_redundant"))
+
   /** Anti-join incremental load (reference J2): rows of `incoming` whose key
     * is absent from `existing`. Catalyst broadcasts `existing`'s key set when
     * small; at 100 TB it becomes a shuffled join on the key — still one pass. */

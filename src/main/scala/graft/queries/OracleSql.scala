@@ -932,5 +932,15 @@ object OracleSql {
         |                    CAST(doc_id AS VARCHAR)) AS rn
         |  FROM documents)
         |WHERE rn <= 5""".stripMargin,
+
+    "q68_dup_histogram" ->
+      """WITH fam AS (
+        |  SELECT md5(lower(trim(substr(text, 1, 120)))) AS fp, count(*) AS sz
+        |  FROM documents GROUP BY 1)
+        |SELECT sz AS cluster_size,
+        |       CAST(count(*) AS BIGINT) AS n_clusters,
+        |       CAST(sum(sz) AS BIGINT) AS n_docs,
+        |       CAST(sum(sz - 1) AS BIGINT) AS n_redundant
+        |FROM fam GROUP BY 1""".stripMargin,
   )
 }

@@ -759,6 +759,17 @@ object Queries {
       Tables.documents(s, dir).select(col("doc_id"), col("lang")),
       col("doc_id"), col("lang"), k = 5)
 
+  /** Duplicate-family size histogram over 120-char PREFIX fingerprints
+    * (the CCNet-style cheap near-dup key — this corpus's planted dups are
+    * edits, so full-text md5 sees none of them) — the dedup ROI report:
+    * how many families of each size, how many docs dedup would delete.
+    * cluster_size 1 = unique docs. */
+  val q68_dup_histogram: Q = (s, dir) =>
+    Dedup.clusterSizeHistogram(
+      Tables.documents(s, dir)
+        .select(TextAnalysis.fingerprintMd5(substring(col("text"), 1, 120)).as("fp")),
+      "fp")
+
   /** Bloom-prefiltered decontamination — q52's complement (the CLEAN set),
     * with the benchmark gram set compiled to a codegen'd bit-array probe
     * that prunes the corpus gram stream before the exact confirm join. */
@@ -839,5 +850,6 @@ object Queries {
     "q65_centroid_cohesion" -> q65_centroid_cohesion,
     "q66_bloom_decontam" -> q66_bloom_decontam,
     "q67_fixed_sample" -> q67_fixed_sample,
+    "q68_dup_histogram" -> q68_dup_histogram,
   )
 }

@@ -355,6 +355,19 @@ class DedupSpec extends SparkSpec {
       "bracket must release persists on the failure path too")
   }
 
+  test("cluster-size histogram: exact counts, docs conserved, redundancy = docs - families") {
+    val assign = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"),      // family of 3
+      (4L, "b"), (5L, "b"),                 // family of 2
+      (6L, "c"), (7L, "d")                  // two singletons
+    ).toDF("id", "cluster")
+    val h = Dedup.clusterSizeHistogram(assign, "cluster")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(h.toSeq === Seq((1L, 2L, 2L, 0L), (2L, 1L, 2L, 1L), (3L, 1L, 3L, 2L)))
+    // conservation: Σ n_docs = corpus size; Σ n_redundant = docs − families
+    assert(h.map(_._3).sum === 7L && h.map(_._4).sum === 7L - 4L)
+  }
+
   test("crossJaccardPairs: batch-vs-corpus pairs only, both prefixes lossless") {
     val batch = Seq(
       (1L, "g", Seq("a", "b", "c")),
