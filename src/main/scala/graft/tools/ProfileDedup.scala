@@ -17,7 +17,8 @@ object ProfileDedup {
       r
     }
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), TextAnalysis.shingles(split(col("text"), " "), 3).as("sh"))
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(col("doc_id"), TextAnalysis.shingles(col("tok"), 3).as("sh"))
     docs.cache().count()
 
     t("sig:explode+groupBy") {

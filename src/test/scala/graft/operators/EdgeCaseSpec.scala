@@ -86,4 +86,33 @@ class EdgeCaseSpec extends SparkSpec {
       .as[Double].collect()
     assert(out.toSeq === Seq(0.0, 0.0))
   }
+
+  test("bloom gate with an EMPTY benchmark keeps every doc (all-zero bit array)") {
+    val corpus = Seq((1L, "a b c d"), (2L, "e f g h")).toDF("doc_id", "text")
+    val bench = corpus.where(lit(false))
+    val clean = TextAnalysis.bloomDecontaminate(corpus, bench, "doc_id", "text", n = 2)
+    assert(clean.count() === 2, "nothing can be contaminated by an empty suite")
+    graft.GraftSession.releaseCaches(spark, blocking = true)
+  }
+
+  test("cross-corpus dedup with an empty batch side yields no pairs") {
+    val corpus = Seq((1L, "g", Seq("a", "b"))).toDF("id", "blk", "tok")
+    val empty = corpus.where(lit(false))
+    assert(Dedup.crossJaccardPairs(empty, corpus, "id", "tok", "blk", 0.5).count() === 0)
+    assert(Dedup.crossJaccardPairs(corpus, empty, "id", "tok", "blk", 0.5).count() === 0)
+    graft.GraftSession.releaseCaches(spark, blocking = true)
+  }
+
+  test("bigram NLL on a corpus with no 2-token doc is empty, not an error") {
+    val docs = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    assert(TextAnalysis.bigramLogProb(docs, "doc_id", "text").count() === 0)
+    graft.GraftSession.releaseCaches(spark, blocking = true)
+  }
+
+  test("centroid cohesion on a single-member group returns exactly 1.0") {
+    val e = Seq((1L, Seq(0.5f, 0.25f), 9)).toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidCohesion(e, "label")
+      .select("cos_centroid").as[Double].collect()
+    assert(out.toSeq === Seq(1.0))
+  }
 }
