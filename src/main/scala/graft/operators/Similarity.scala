@@ -165,6 +165,89 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk").cast("long").as("rk"))
   }
 
+  // ------------------------------------------------------------------- PQ --
+
+  /** Product-quantization codebooks (Jégou et al., PAMI'11 — the FAISS
+    * memory-compression standard): the `dim`-dim space splits into `m`
+    * contiguous subspaces of dim/m; each learns its own `ksub`-code
+    * codebook by the same deterministic k-means as [[ivfCentroids]]
+    * (seeds = the ksub lowest-id vectors' subvectors, `iters` Lloyd steps
+    * with order-independent DECIMAL sums). Returns codebooks(s)(code) =
+    * centroid of subspace s — m·ksub·(dim/m) doubles, metadata scale.
+    *
+    * Everything distributed is one pass per Lloyd step: assignment is a
+    * row-local argmin over literal codes (no shuffle — |c|² − 2x·c, the
+    * |x|² term cancels inside an argmin), and ALL subspaces' means ride a
+    * single posexplode + groupBy((subspace, code, pos)) — not m passes. */
+  def pqTrain(corpus: DataFrame, m: Int = 4, ksub: Int = 16, iters: Int = 1,
+              idCol: String = "vec_id", vecCol: String = "embedding")
+  : Array[Array[Array[Double]]] = {
+    require(m > 0 && ksub > 0, s"need positive sizing, got m=$m ksub=$ksub")
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val dsub = dim / m
+    var books: Array[Array[Array[Double]]] =
+      corpus.orderBy(col(idCol)).limit(ksub).select(col(vecCol)).collect()
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+        .map(v => Array.tabulate(m)(s => v.slice(s * dsub, (s + 1) * dsub)))
+        .transpose.map(_.toArray)
+    for (_ <- 0 until iters) {
+      // three-step projection: slices → attribute, assignment array →
+      // attribute, THEN the explode. Inlining either one re-evaluates the
+      // 16-code argmin (and its 16 dot kernels) once per generated row —
+      // the no-CSE trap, measured 24 s vs 1 s at sf0.1.
+      val means = corpus
+        .select(col(vecCol).as("pq_v") +: (0 until m).map(s =>
+          slice(col(vecCol), s * dsub + 1, dsub).as(s"pq_sub_$s")): _*)
+        .select(col("pq_v"), array((0 until m).map(s =>
+          nearestCode(col(s"pq_sub_$s"), books(s))): _*).as("asg"))
+        .select(col("asg"), posexplode(col("pq_v")).as(Seq("pos", "x")))
+        .withColumn("s", (col("pos") / dsub).cast("int"))
+        .withColumn("code", element_at(col("asg"), col("s") + 1))
+        .groupBy("s", "code", "pos")
+        .agg((sum(col("x").cast("decimal(30,10)")).cast("double") / count(lit(1)))
+          .as("mval"))
+        .groupBy("s", "code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mval")))),
+          r => r.getField("mval")).as("cent"))
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+      books = Array.tabulate(m)(s => Array.tabulate(ksub)(c =>
+        means.getOrElse((s, c), books(s)(c))))
+    }
+    books
+  }
+
+  /** Row-local nearest code for an already-PROJECTED subvector attribute:
+    * argmin over the literal codebook of |c|² − 2·x_s·c (the |x_s|² term is
+    * constant inside the argmin), ties to the LOWEST code index via struct
+    * ordering. Callers must pass the subvector as an attribute, not an
+    * inline slice — the slice would be re-evaluated per code. */
+  private def nearestCode(sub: Column, codes: Array[Array[Double]]): Column =
+    array_min(array(codes.zipWithIndex.map { case (c, j) =>
+      val dot = graft.functions.VectorFunctions.vectorDot(sub, typedLit(c.toSeq))
+      struct((lit(c.map(x => x * x).sum) - lit(2.0) * dot).as("d"),
+        lit(j).as("code"))
+    }: _*)).getField("code")
+
+  /** PQ-encode the corpus: each vector compresses to m small code columns
+    * (code_0…code_{m-1}) — dim·4 bytes → m bytes at ksub ≤ 256, the 100 TB
+    * ANN memory trick. Pure row-local argmins against literal codebooks:
+    * no shuffle, no join, whole output integer-deterministic (distance
+    * ties break to the lowest code). */
+  def pqEncode(corpus: DataFrame, codebooks: Array[Array[Array[Double]]],
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    require(m > 0 && codebooks.forall(_.nonEmpty), "codebooks must be non-empty")
+    val dsub = codebooks(0)(0).length
+    corpus
+      .select(col(idCol) +: (0 until m).map(s =>
+        slice(col(vecCol), s * dsub + 1, dsub).as(s"pq_sub_$s")): _*)
+      .select(col(idCol) +: (0 until m).map(s =>
+        nearestCode(col(s"pq_sub_$s"), codebooks(s))
+          .cast("long").as(s"code_$s")): _*)
+  }
+
   /** EXACT all-pairs cosine self-join above a threshold, as a tiled
     * equi-join — the scale-safe form of the O(n²) comparison.
     *

@@ -780,6 +780,17 @@ object Queries {
       "doc_id", "text", n = 4)
   }
 
+  /** Product-quantization codes (FAISS-style m=4 × 16-code codebooks,
+    * deterministic seeded k-means, 1 Lloyd step): every 64-dim float vector
+    * compresses to 4 small integer codes — the embedding-memory trick that
+    * makes 100 TB ANN fit RAM. Integer output; distance ties break to the
+    * lowest code in both engines. */
+  val q69_pq_codes: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val books = Similarity.pqTrain(e, m = 4, ksub = 16, iters = 1)
+    Similarity.pqEncode(e, books)
+  }
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -851,5 +862,6 @@ object Queries {
     "q66_bloom_decontam" -> q66_bloom_decontam,
     "q67_fixed_sample" -> q67_fixed_sample,
     "q68_dup_histogram" -> q68_dup_histogram,
+    "q69_pq_codes" -> q69_pq_codes,
   )
 }

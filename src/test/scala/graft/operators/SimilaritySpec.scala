@@ -5,6 +5,45 @@ import org.apache.spark.sql.functions._
 
 class SimilaritySpec extends SparkSpec {
 
+  test("PQ: codebook shape, layout-stable codes, argmin encoding, Lloyd never increases error") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val (m, ksub) = (4, 16)
+    val books = Similarity.pqTrain(e, m, ksub, iters = 1)
+    assert(books.length === m && books.forall(_.length === ksub) &&
+      books.forall(_.forall(_.length === 64 / m)))
+    val codes = Similarity.pqEncode(e, books)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(codes.forall(c => Seq(c._2, c._3, c._4, c._5).forall(x => x >= 0 && x < ksub)))
+    val again = Similarity.pqEncode(e.repartition(7), books)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(codes.toSeq === again.toSeq, "codes are row-local — layout cannot matter")
+    // driver-side checks on the raw vectors
+    val vecs = e.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def sqErr(v: Array[Double], c: Array[Double]) =
+      v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+    def totalErr(bks: Array[Array[Array[Double]]]) = vecs.values.map { v =>
+      (0 until m).map { s =>
+        val sub = v.slice(s * 16, (s + 1) * 16)
+        bks(s).map(sqErr(sub, _)).min
+      }.sum
+    }.sum
+    // every emitted code IS the argmin for its subspace
+    codes.take(50).foreach { case (id, c0, c1, c2, c3) =>
+      val v = vecs(id)
+      Seq(c0, c1, c2, c3).zipWithIndex.foreach { case (code, s) =>
+        val sub = v.slice(s * 16, (s + 1) * 16)
+        val errs = books(s).map(sqErr(sub, _))
+        assert(math.abs(errs(code.toInt) - errs.min) < 1e-9, s"vec $id subspace $s")
+      }
+    }
+    // k-means monotonicity: the refined codebook can't be worse than the seeds
+    val seedBooks = Similarity.pqTrain(e, m, ksub, iters = 0)
+    assert(totalErr(books) <= totalErr(seedBooks) + 1e-6,
+      "one Lloyd step must not increase total quantization error")
+  }
+
   test("centroid cohesion: exact cosine to the group mean; lone vector scores 1") {
     import spark.implicits._
     val e = Seq(
