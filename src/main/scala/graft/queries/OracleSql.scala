@@ -993,5 +993,69 @@ object OracleSql {
         |       CAST(max(CASE WHEN s = 2 THEN code END) AS BIGINT) AS code_2,
         |       CAST(max(CASE WHEN s = 3 THEN code END) AS BIGINT) AS code_3
         |FROM a1 GROUP BY 1""".stripMargin,
+
+    "q70_pq_adc" ->
+      """WITH params AS (SELECT unnest(generate_series(0, 3)) AS s),
+        |sub AS (
+        |  SELECT e.vec_id, p.s,
+        |         list_transform(e.embedding[p.s*16+1 : (p.s+1)*16],
+        |                        x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings e, params p),
+        |seeds AS (
+        |  SELECT s, code, v AS cent FROM (
+        |    SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS code, v
+        |    FROM sub) WHERE code < 16),
+        |d0 AS (
+        |  SELECT sub.vec_id, sub.s, seeds.code,
+        |         list_sum(list_transform(cent, x -> x * x))
+        |         - 2 * list_sum(list_transform(generate_series(1, 16),
+        |             i -> sub.v[i] * seeds.cent[i])) AS d
+        |  FROM sub JOIN seeds USING (s)),
+        |a0 AS (
+        |  SELECT vec_id, s, code FROM (
+        |    SELECT vec_id, s, code,
+        |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rk
+        |    FROM d0) WHERE rk = 1),
+        |m AS (
+        |  SELECT a0.s, a0.code, u.i AS pos,
+        |         CAST(sum(CAST(sub.v[u.i] AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS mval
+        |  FROM a0 JOIN sub USING (vec_id, s),
+        |       unnest(generate_series(1, 16)) AS u(i)
+        |  GROUP BY 1, 2, 3),
+        |cents AS (
+        |  SELECT seeds.s, seeds.code, coalesce(mm.cent, seeds.cent) AS cent
+        |  FROM seeds LEFT JOIN
+        |    (SELECT s, code, list(mval ORDER BY pos) AS cent FROM m GROUP BY 1, 2) mm
+        |    ON seeds.s = mm.s AND seeds.code = mm.code),
+        |d1 AS (
+        |  SELECT sub.vec_id, sub.s, cents.code,
+        |         list_sum(list_transform(cent, x -> x * x))
+        |         - 2 * list_sum(list_transform(generate_series(1, 16),
+        |             i -> sub.v[i] * cents.cent[i])) AS d
+        |  FROM sub JOIN cents USING (s)),
+        |a1 AS (
+        |  SELECT vec_id, s, code FROM (
+        |    SELECT vec_id, s, code,
+        |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rk
+        |    FROM d1) WHERE rk = 1),
+        |term AS (
+        |  SELECT q.vec_id AS query_id, a1.vec_id AS neighbor_id, q.s,
+        |         (list_sum(list_transform(q.v, x -> x * x))
+        |          + list_sum(list_transform(c.cent, x -> x * x)))
+        |         - 2 * list_sum(list_transform(generate_series(1, 16),
+        |             i -> q.v[i] * c.cent[i])) AS t
+        |  FROM (SELECT * FROM sub WHERE vec_id < 10) q
+        |  JOIN a1 ON q.s = a1.s AND q.vec_id <> a1.vec_id
+        |  JOIN cents c ON c.s = a1.s AND c.code = a1.code),
+        |dist AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(list_sum(list(t ORDER BY s)), 6) AS adc_dist
+        |  FROM term GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, adc_dist, CAST(rk AS BIGINT) AS rk
+        |FROM (SELECT query_id, neighbor_id, adc_dist,
+        |             row_number() OVER (PARTITION BY query_id
+        |               ORDER BY adc_dist ASC, neighbor_id ASC) AS rk
+        |      FROM dist)
+        |WHERE rk <= 5""".stripMargin,
   )
 }

@@ -791,6 +791,17 @@ object Queries {
     Similarity.pqEncode(e, books)
   }
 
+  /** PQ top-5 search by asymmetric distance computation over q69's codes —
+    * queries score the COMPRESSED corpus (m bytes/vector), the point of PQ:
+    * the index fits RAM at any corpus size. Approximate by construction;
+    * the spec measures recall vs brute force. */
+  val q70_pq_adc: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val books = Similarity.pqTrain(e, m = 4, ksub = 16, iters = 1)
+    Similarity.pqTopK(e.where(col("vec_id") < 10),
+      Similarity.pqEncode(e, books), books, k = 5)
+  }
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -863,5 +874,6 @@ object Queries {
     "q67_fixed_sample" -> q67_fixed_sample,
     "q68_dup_histogram" -> q68_dup_histogram,
     "q69_pq_codes" -> q69_pq_codes,
+    "q70_pq_adc" -> q70_pq_adc,
   )
 }

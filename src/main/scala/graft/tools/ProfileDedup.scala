@@ -181,3 +181,27 @@ object ProfileJaccard {
     spark.stop()
   }
 }
+
+object ProfilePq {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[pq] $name%-20s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+    val warm = t("train-warm")(graft.operators.Similarity.pqTrain(e, 4, 16, 1))
+    val books = t("train")(graft.operators.Similarity.pqTrain(e, 4, 16, 1))
+    val codes = graft.operators.Similarity.pqEncode(e, books)
+    t("encode-count")(codes.count())
+    t("encode-count2")(codes.count())
+    val q = e.where(col("vec_id") < 10)
+    t("topk")(graft.operators.Similarity.pqTopK(q, codes, books, 5).count())
+    t("topk2")(graft.operators.Similarity.pqTopK(q, codes, books, 5).count())
+    spark.stop()
+  }
+}

@@ -44,6 +44,37 @@ class SimilaritySpec extends SparkSpec {
       "one Lloyd step must not increase total quantization error")
   }
 
+  test("PQ ADC search: exactly the top-k by distance-to-reconstruction, tie-stable") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val (m, dsub, k) = (4, 16, 5)
+    val books = Similarity.pqTrain(e, m, 16, iters = 1)
+    val codes = Similarity.pqEncode(e, books)
+    val got = Similarity.pqTopK(e.where(col("vec_id") < 5), codes, books, k)
+      .as[(Long, Long, Double, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3))).toMap
+    // driver-side replay: same subspace-ascending fold, same rounding,
+    // same (rounded dist, neighbor id) tie rules
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val vecs = e.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.toArray }.toMap
+    val codeMap = codes.as[(Long, Long, Long, Long, Long)].collect()
+      .map(c => c._1 -> Array(c._2, c._3, c._4, c._5).map(_.toInt)).toMap
+    def adc(q: Array[Float], cs: Array[Int]): Double = r6(
+      (0 until m).map { s =>
+        val qs = q.slice(s * dsub, (s + 1) * dsub).map(_.toDouble)
+        val c = books(s)(cs(s))
+        (qs.map(x => x * x).sum + c.map(x => x * x).sum) -
+          2.0 * qs.zip(c).map { case (a, b) => a * b }.sum
+      }.reduce(_ + _))
+    (0L until 5L).foreach { qid =>
+      val expect = vecs.keys.filter(_ != qid).toSeq
+        .map(n => (n, adc(vecs(qid), codeMap(n))))
+        .sortBy { case (n, d) => (d, n) }.take(k)
+      assert(got(qid).toSeq === expect, s"query $qid")
+    }
+  }
+
   test("centroid cohesion: exact cosine to the group mean; lone vector scores 1") {
     import spark.implicits._
     val e = Seq(
