@@ -217,12 +217,16 @@ object Dedup {
     * any qualifying partner MUST share (pigeonhole over the ≤ n − ⌈τ·n⌉
     * misses τ allows). Shared by Jaccard and containment candidate
     * generation; both are lossless over it. */
-  private def orderedPrefix(hs: DataFrame, threshold: Double): DataFrame = {
+  private def orderedPrefix(hs: DataFrame, threshold: Double,
+                            carry: Seq[String] = Nil): DataFrame = {
     val tokDf = hs.select(explode(col("hs")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("tdf"))
-    hs.select(col("blk"), col("hs_id"), col("n"), explode(col("hs")).as("h"))
+    // carry columns ride the groupBy for free: hs_id is unique per row,
+    // so they are functionally dependent keys, not extra grouping work
+    val keys = Seq("blk", "hs_id", "n") ++ carry
+    hs.select(keys.map(col) :+ explode(col("hs")).as("h"): _*)
       .join(tokDf, "h")
-      .groupBy("blk", "hs_id", "n")
+      .groupBy(keys.map(col): _*)
       .agg(transform(array_sort(collect_list(struct(col("tdf"), col("h")))),
         s => s.getField("h")).as("ord"))
       .withColumn("prefix", slice(col("ord"), lit(1),
@@ -284,8 +288,7 @@ object Dedup {
     val hs = hashedSets(both, id, tokenSet, Seq(block, "side"))
       .withColumnRenamed(block, "blk")
       .withColumn("n", size(col("hs")))
-    val pre = orderedPrefix(hs, threshold)
-      .join(hs.select(col("hs_id"), col("side")), "hs_id")
+    val pre = orderedPrefix(hs, threshold, carry = Seq("side"))
       .select(col("blk"), col("side"), col("hs_id"), col("n"), col("ord"),
         explode(col("prefix")).as("h"))
       .persist(StorageLevel.MEMORY_AND_DISK)
