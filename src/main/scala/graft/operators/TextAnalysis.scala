@@ -355,6 +355,16 @@ object TextAnalysis {
         col("rank").cast("long").as("rank"), round(lift, 6).as("lift"))
   }
 
+  /** Collapse immediate token repetitions ("the the the" → "the") — the
+    * OCR/scrape de-stutter cleaner. Position-wise, not sequential: token i
+    * survives iff it differs from token i−1, which collapses ANY run to its
+    * first element in one pass (a kept token's predecessor in the original
+    * equals it only inside a run). Pure per-row lambda over an array
+    * attribute — no shuffle, and the caller must pass an attribute, not an
+    * inline split (the no-CSE-in-lambdas rule). */
+  def collapseRepeats(tokens: Column): Column =
+    filter(tokens, (t, i) => i === 0 || t =!= element_at(tokens, i))
+
   /** Content fingerprint for exact dedup: md5 of the normalized body. */
   def fingerprintMd5(text: Column): Column = md5(lower(trim(text)))
 

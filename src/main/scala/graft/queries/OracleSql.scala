@@ -1057,5 +1057,16 @@ object OracleSql {
         |               ORDER BY adc_dist ASC, neighbor_id ASC) AS rk
         |      FROM dist)
         |WHERE rk <= 5""".stripMargin,
+
+    "q71_destutter" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |c AS (SELECT doc_id, tk,
+        |             list_filter(tk, (x, i) -> i = 1 OR x <> tk[i-1]) AS ck
+        |      FROM t)
+        |SELECT doc_id,
+        |       CAST(len(tk) AS BIGINT) AS n_before,
+        |       CAST(len(ck) AS BIGINT) AS n_after,
+        |       array_to_string(ck, ' ') AS clean_text
+        |FROM c""".stripMargin,
   )
 }

@@ -802,6 +802,17 @@ object Queries {
       Similarity.pqEncode(e, books), books, k = 5)
   }
 
+  /** Token de-stutter: collapse immediate repetitions ("the the the" →
+    * "the"), the OCR/scrape cleaning pass — per-doc before/after counts
+    * plus the cleaned text. Pure per-row array lambda, no shuffle. */
+  val q71_destutter: Q = (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .select(col("doc_id"),
+        size(col("tok")).cast("long").as("n_before"),
+        size(TextAnalysis.collapseRepeats(col("tok"))).cast("long").as("n_after"),
+        array_join(TextAnalysis.collapseRepeats(col("tok")), " ").as("clean_text"))
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -875,5 +886,6 @@ object Queries {
     "q68_dup_histogram" -> q68_dup_histogram,
     "q69_pq_codes" -> q69_pq_codes,
     "q70_pq_adc" -> q70_pq_adc,
+    "q71_destutter" -> q71_destutter,
   )
 }

@@ -114,6 +114,19 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("de-stutter collapses every run to its first token and is idempotent") {
+    val rows = Seq("a a a b b c", "x", "", "y y", "a b a b")
+      .toDF("t").select(split(col("t"), " ").as("tok"))
+    val out = rows.select(
+      array_join(TextAnalysis.collapseRepeats(col("tok")), " ").as("once"),
+      array_join(TextAnalysis.collapseRepeats(
+        TextAnalysis.collapseRepeats(col("tok"))), " ").as("twice"))
+      .as[(String, String)].collect()
+    assert(out.map(_._1).toSeq === Seq("a b c", "x", "", "y", "a b a b"),
+      "runs collapse, non-adjacent repeats survive")
+    assert(out.forall(r => r._1 === r._2), "collapsing is idempotent")
+  }
+
   test("unigram NLL: corpus-frequency language-model proxy on a fixture") {
     val docs = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
     val out = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
