@@ -306,7 +306,7 @@ object TextAnalysis {
     * Scale shape: ONE corpus pass builds (slice, token) counts; slice
     * totals, corpus token counts, and the grand total all reduce from that
     * already-aggregated relation (≤ |slices|·|vocab| rows, not the corpus);
-    * the grand total rides a broadcast single-row cross join — no driver
+    * the grand total rides a single-row broadcast cross join — no driver
     * action anywhere. round(…,6) squashes fold-order ulp noise. */
   def unigramDrift(df: org.apache.spark.sql.DataFrame, sliceCol: String,
                    textCol: String): org.apache.spark.sql.DataFrame = {
@@ -318,7 +318,7 @@ object TextAnalysis {
     val tot = gc.agg(sum(col("c")).as("tot"))
     val pS = col("c").cast("double") / col("gn")
     val pC = col("cc").cast("double") / col("tot")
-    gc.join(gTot, "g").join(cTok, "t").crossJoin(tot)
+    gc.join(gTot, "g").join(cTok, "t").crossJoin(broadcast(tot))
       .groupBy(col("g").as(sliceCol))
       .agg(max(col("gn")).cast("long").as("n_tokens"),
         round(sum(pS * log(pS / pC)), 6).as("kl"))
@@ -348,7 +348,7 @@ object TextAnalysis {
     val lift = (col("c").cast("double") / col("gn")) /
       (col("cc").cast("double") / col("tot"))
     val w = Window.partitionBy(col("g")).orderBy(lift.desc, col("t").asc)
-    gc.join(gTot, "g").join(cTok, "t").crossJoin(tot)
+    gc.join(gTot, "g").join(cTok, "t").crossJoin(broadcast(tot))
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= topK)
       .select(col("g").as(sliceCol), col("t").as("term"),

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Engine-wide plan contract: NO declared query may plan a cartesian
+  * product, and nested-loop joins are allowed only where a broadcast
+  * all-pairs comparison is the intended algorithm. Catches any future
+  * operator or Catalyst upgrade that silently degrades an equi-join into
+  * a quadratic scan — across the whole surface, not one spec at a time. */
+class PlanContractSpec extends SparkSpec {
+
+  /** Queries whose PLAN legitimately contains a BroadcastNestedLoopJoin —
+    * every entry broadcasts a PROVABLY tiny side by design:
+    *  - q27: brute-force cosine baseline (small query set × corpus).
+    *  - q70: PQ ADC search (small query set × persisted code relation).
+    *  - q63/q64: a SINGLE-ROW grand-total cross join (an equi-join on a
+    *    constant key would be folded back to a BNLJ by ConstantPropagation
+    *    anyway — 1 × N is linear, not quadratic). */
+  private val intendedBnlj = Set("q27_ann_cosine", "q70_pq_adc",
+    "q63_source_drift", "q64_distinctive_terms")
+
+  test("no declared query plans a cartesian product; BNLJ only where intended") {
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    queries.Queries.all.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan
+      val nodes = plan.collectWithSubqueries {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }.flatMap(_.collect {
+        case c: CartesianProductExec => ("cartesian", c)
+        case b: BroadcastNestedLoopJoinExec => ("bnlj", b)
+      })
+      if (nodes.exists(_._1 == "cartesian")) offenders += s"$name: CartesianProduct"
+      if (nodes.exists(_._1 == "bnlj") && !intendedBnlj(name)) offenders += s"$name: BNLJ"
+      GraftSession.releaseCaches(spark, blocking = true)
+    }
+    assert(offenders.isEmpty,
+      s"quadratic join shapes outside the intended brute-force tiers:\n${offenders.mkString("\n")}")
+  }
+}
