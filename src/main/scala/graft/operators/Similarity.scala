@@ -281,7 +281,19 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = broadcast(q).crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
-    val dist = (0 until m).map { s =>
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
+    pairs.withColumn("adc_dist", round(adcDist(codebooks), 6))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
+        col("rk").cast("long").as("rk"))
+  }
+
+  /** Shared ADC distance: Σ_s (|q_s|² + |c_{code_s}|² − 2·q_s·c_{code_s}),
+    * folded subspace-ascending; expects q_sub_s / q_nrm_s attributes on the
+    * query side and code_s columns on the corpus side. */
+  private def adcDist(codebooks: Array[Array[Array[Double]]]): Column =
+    codebooks.indices.map { s =>
       val cents = typedLit(codebooks(s).map(_.toSeq).toSeq)
       val cNorms = typedLit(codebooks(s).map(c => c.map(x => x * x).sum).toSeq)
       val cent = element_at(cents, col(s"code_$s").cast("int") + 1)
@@ -289,9 +301,47 @@ object Similarity {
         element_at(cNorms, col(s"code_$s").cast("int") + 1) -
         lit(2.0) * graft.functions.VectorFunctions.vectorDot(col(s"q_sub_$s"), cent)
     }.reduce(_ + _)
+
+  /** IVF+PQ top-k — the production FAISS index shape, composed from the
+    * engine's own tiers: the coarse quantizer ([[ivfCentroids]]) partitions
+    * the corpus into clusters, PQ compresses each vector to m codes, and a
+    * query ADC-scores ONLY its `nprobe` probed clusters. Two scale wins
+    * over either tier alone: candidate generation is an EQUI-join on the
+    * cluster id (a probe touches ~nprobe/k of the corpus — at 100 TB the
+    * index is *stored* clustered, so that is an I/O bound, not just CPU),
+    * and the scored side is m bytes/vector. The (cluster, codes) relation
+    * is the stored index and is persisted — same discipline as [[pqTopK]].
+    * Deterministic end to end: coarse ties follow [[nearestCentroid]]
+    * (max cos, then max cluster id), code ties take the lowest code,
+    * distance ties the lowest neighbor id. */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                coarse: Array[Array[Double]],
+                codebooks: Array[Array[Array[Double]]], nprobe: Int = 2,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val idx = corpus
+      .select(col(idCol).as("neighbor_id") +:
+        nearestCentroid(col(vecCol), coarse).as("cluster") +:
+        (0 until m).map(s => slice(col(vecCol), s * dsub + 1, dsub).as(s"pq_sub_$s")): _*)
+      .select(col("neighbor_id") +: col("cluster") +: (0 until m).map(s =>
+        nearestCode(col(s"pq_sub_$s"), codebooks(s)).cast("long").as(s"code_$s")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id") +: (0 until m).map(s =>
+          slice(col("qv"), s * dsub + 1, dsub).as(s"q_sub_$s")) :+
+        explode(probeCentroids(col("qv"), coarse, nprobe)).as("probe"): _*)
+      .select(col("query_id") +:
+        (0 until m).map(s => col(s"q_sub_$s")) ++:
+        (0 until m).map(s => graft.functions.VectorFunctions
+          .vectorDot(col(s"q_sub_$s"), col(s"q_sub_$s")).as(s"q_nrm_$s")) :+
+        col("probe.cluster").as("cluster"): _*)
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_dist").asc, col("neighbor_id").asc)
-    pairs.withColumn("adc_dist", round(dist, 6))
+    broadcast(q).join(idx, Seq("cluster"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_dist", round(adcDist(codebooks), 6))
       .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("adc_dist"),
         col("rk").cast("long").as("rk"))

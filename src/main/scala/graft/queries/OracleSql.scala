@@ -1068,5 +1068,116 @@ object OracleSql {
         |       CAST(len(ck) AS BIGINT) AS n_after,
         |       array_to_string(ck, ' ') AS clean_text
         |FROM c""".stripMargin,
+
+    "q72_ivfpq" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |cseeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+        |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+        |ccos0 AS (
+        |  SELECT e.vec_id, s.cluster,
+        |         list_sum(list_transform(generate_series(1, 64),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * s.cent[i]))
+        |           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |            * sqrt(list_sum(list_transform(s.cent, x -> x * x)))) AS cos
+        |  FROM e, cseeds s),
+        |ca1 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, cluster,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster DESC) AS rk
+        |    FROM ccos0) WHERE rk = 1),
+        |cm AS (
+        |  SELECT ca1.cluster, u.i - 1 AS pos,
+        |         CAST(sum(CAST(u.x AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS m
+        |  FROM ca1 JOIN (SELECT vec_id, unnest(list_transform(embedding, (x, i) -> {'x': x, 'i': i})) AS u
+        |                 FROM e) ex USING (vec_id)
+        |  GROUP BY 1, 2),
+        |ccents AS (
+        |  SELECT s.cluster, coalesce(mm.cent, s.cent) AS cent
+        |  FROM cseeds s LEFT JOIN
+        |    (SELECT cluster, list(m ORDER BY pos) AS cent FROM cm GROUP BY 1) mm
+        |    ON s.cluster = mm.cluster),
+        |ccos2 AS (
+        |  SELECT e.vec_id, c.cluster,
+        |         list_sum(list_transform(generate_series(1, 64),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * c.cent[i]))
+        |           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |            * sqrt(list_sum(list_transform(c.cent, x -> x * x)))) AS cos
+        |  FROM e, ccents c),
+        |ca2 AS (
+        |  SELECT vec_id AS neighbor_id, cluster FROM (
+        |    SELECT vec_id, cluster,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster DESC) AS rk
+        |    FROM ccos2) WHERE rk = 1),
+        |probes AS (
+        |  SELECT vec_id AS query_id, cluster FROM (
+        |    SELECT vec_id, cluster,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster DESC) AS rk
+        |    FROM ccos2 WHERE vec_id < 10) WHERE rk <= 2),
+        |params AS (SELECT unnest(generate_series(0, 3)) AS s),
+        |sub AS (
+        |  SELECT e.vec_id, p.s,
+        |         list_transform(e.embedding[p.s*16+1 : (p.s+1)*16],
+        |                        x -> CAST(x AS DOUBLE)) AS v
+        |  FROM e, params p),
+        |pseeds AS (
+        |  SELECT s, code, v AS cent FROM (
+        |    SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS code, v
+        |    FROM sub) WHERE code < 16),
+        |pd0 AS (
+        |  SELECT sub.vec_id, sub.s, pseeds.code,
+        |         list_sum(list_transform(cent, x -> x * x))
+        |         - 2 * list_sum(list_transform(generate_series(1, 16),
+        |             i -> sub.v[i] * pseeds.cent[i])) AS d
+        |  FROM sub JOIN pseeds USING (s)),
+        |pa0 AS (
+        |  SELECT vec_id, s, code FROM (
+        |    SELECT vec_id, s, code,
+        |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rk
+        |    FROM pd0) WHERE rk = 1),
+        |pm AS (
+        |  SELECT pa0.s, pa0.code, u.i AS pos,
+        |         CAST(sum(CAST(sub.v[u.i] AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS mval
+        |  FROM pa0 JOIN sub USING (vec_id, s),
+        |       unnest(generate_series(1, 16)) AS u(i)
+        |  GROUP BY 1, 2, 3),
+        |pcents AS (
+        |  SELECT pseeds.s, pseeds.code, coalesce(mm.cent, pseeds.cent) AS cent
+        |  FROM pseeds LEFT JOIN
+        |    (SELECT s, code, list(mval ORDER BY pos) AS cent FROM pm GROUP BY 1, 2) mm
+        |    ON pseeds.s = mm.s AND pseeds.code = mm.code),
+        |pd1 AS (
+        |  SELECT sub.vec_id, sub.s, pcents.code,
+        |         list_sum(list_transform(cent, x -> x * x))
+        |         - 2 * list_sum(list_transform(generate_series(1, 16),
+        |             i -> sub.v[i] * pcents.cent[i])) AS d
+        |  FROM sub JOIN pcents USING (s)),
+        |pa1 AS (
+        |  SELECT vec_id, s, code FROM (
+        |    SELECT vec_id, s, code,
+        |           row_number() OVER (PARTITION BY vec_id, s ORDER BY d, code) AS rk
+        |    FROM pd1) WHERE rk = 1),
+        |term AS (
+        |  SELECT p.query_id, ca2.neighbor_id, q.s,
+        |         (list_sum(list_transform(q.v, x -> x * x))
+        |          + list_sum(list_transform(c.cent, x -> x * x)))
+        |         - 2 * list_sum(list_transform(generate_series(1, 16),
+        |             i -> q.v[i] * c.cent[i])) AS t
+        |  FROM probes p
+        |  JOIN ca2 ON p.cluster = ca2.cluster AND p.query_id <> ca2.neighbor_id
+        |  JOIN sub q ON q.vec_id = p.query_id
+        |  JOIN pa1 ON pa1.vec_id = ca2.neighbor_id AND pa1.s = q.s
+        |  JOIN pcents c ON c.s = pa1.s AND c.code = pa1.code),
+        |dist AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(list_sum(list(t ORDER BY s)), 6) AS adc_dist
+        |  FROM term GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, adc_dist, CAST(rk AS BIGINT) AS rk
+        |FROM (SELECT query_id, neighbor_id, adc_dist,
+        |             row_number() OVER (PARTITION BY query_id
+        |               ORDER BY adc_dist ASC, neighbor_id ASC) AS rk
+        |      FROM dist)
+        |WHERE rk <= 5""".stripMargin,
   )
 }

@@ -802,6 +802,18 @@ object Queries {
       Similarity.pqEncode(e, books), books, k = 5)
   }
 
+  /** IVF+PQ top-5 — the production FAISS index shape composed from the
+    * engine's own tiers: coarse clusters prune the corpus (equi-join on
+    * the probed cluster ids), PQ codes compress what remains to m bytes
+    * per vector, ADC scores only the probed slice. */
+  val q72_ivfpq: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val coarse = Similarity.ivfCentroids(e, k = 8, iters = 1)
+    val books = Similarity.pqTrain(e, m = 4, ksub = 16, iters = 1)
+    Similarity.ivfPqTopK(e.where(col("vec_id") < 10), e, k = 5,
+      coarse, books, nprobe = 2)
+  }
+
   /** Token de-stutter: collapse immediate repetitions ("the the the" →
     * "the"), the OCR/scrape cleaning pass — per-doc before/after counts
     * plus the cleaned text. Pure per-row array lambda, no shuffle. */
@@ -887,5 +899,6 @@ object Queries {
     "q69_pq_codes" -> q69_pq_codes,
     "q70_pq_adc" -> q70_pq_adc,
     "q71_destutter" -> q71_destutter,
+    "q72_ivfpq" -> q72_ivfpq,
   )
 }

@@ -75,6 +75,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("IVF+PQ: probing all clusters reproduces whole-corpus ADC exactly; probes prune") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = Similarity.ivfCentroids(e, k = 4, iters = 1)
+    val books = Similarity.pqTrain(e, 4, 16, iters = 1)
+    val q = e.where(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+    // nprobe = k clusters → every pair scored → identical to the flat ADC search
+    val full = rows(Similarity.ivfPqTopK(q, e, 5, coarse, books, nprobe = 4))
+    val flat = rows(Similarity.pqTopK(q, Similarity.pqEncode(e, books), books, 5))
+    assert(full.toSeq === flat.toSeq,
+      "full-probe IVF+PQ must equal the whole-corpus ADC search")
+    // nprobe = 1 returns a subset of clusters' members, still k rows per query
+    val pruned = Similarity.ivfPqTopK(q, e, 5, coarse, books, nprobe = 1)
+      .groupBy("query_id").count().as[(Long, Long)].collect()
+    assert(pruned.forall(_._2 <= 5) && pruned.nonEmpty)
+    graft.GraftSession.releaseCaches(spark, blocking = true)
+  }
+
   test("centroid cohesion: exact cosine to the group mean; lone vector scores 1") {
     import spark.implicits._
     val e = Seq(
