@@ -63,6 +63,32 @@ class StreamsSpec extends SparkSpec {
     graft.GraftSession.releaseCaches(spark, blocking = true)
   }
 
+  test("row-local text operators run unchanged on a stream (batch/stream unification)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(20)
+    // the same Column expressions the batch queries use, applied to a stream
+    def gate(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("tok", graft.operators.TextAnalysis.tokens(col("text")))
+      .select(col("doc_id"),
+        graft.operators.TextAnalysis.qualityScore(col("text"), Seq("the", "a")).as("q"),
+        graft.operators.TextAnalysis.dupNgramFraction(col("tok"), 2).as("rep"),
+        size(graft.operators.TextAnalysis.collapseRepeats(col("tok"))).as("n_clean"))
+    val expected = gate(docs).as[(Long, Double, Double, Int)].collect().sortBy(_._1)
+    val input = MemoryStream[(Long, String)]
+    val q = gate(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("txt_gate_out")
+      .outputMode("append").start()
+    input.addData(docs.as[(Long, String)].collect().toIndexedSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("txt_gate_out")
+      .as[(Long, Double, Double, Int)].collect().sortBy(_._1)
+    q.stop()
+    assert(streamed.toSeq === expected.toSeq,
+      "stateless Column expressions must produce identical values under streaming")
+  }
+
   test("stream-stream interval join matches views within the lookback only") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = MemoryStream[Ev]
