@@ -1179,5 +1179,31 @@ object OracleSql {
         |               ORDER BY adc_dist ASC, neighbor_id ASC) AS rk
         |      FROM dist)
         |WHERE rk <= 5""".stripMargin,
+
+    "q73_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       CAST(grouping(o_orderstatus) AS BIGINT) AS g_status,
+        |       CAST(grouping(o_orderpriority) AS BIGINT) AS g_prio
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), ())""".stripMargin,
+
+    "q74_above_avg" ->
+      """WITH ct AS (
+        |  SELECT c_custkey, c_nationkey,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS cust_total
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |n AS (
+        |  SELECT *,
+        |         sum(cust_total) OVER (PARTITION BY c_nationkey) AS nation_total,
+        |         count(*) OVER (PARTITION BY c_nationkey) AS n_cust
+        |  FROM ct)
+        |SELECT c_custkey, c_nationkey,
+        |       CAST(cust_total AS DOUBLE) AS cust_total,
+        |       CAST(n_cust AS BIGINT) AS n_cust
+        |FROM n WHERE cust_total * n_cust > nation_total""".stripMargin,
   )
 }

@@ -825,6 +825,46 @@ object Queries {
         size(TextAnalysis.collapseRepeats(col("tok"))).cast("long").as("n_after"),
         array_join(TextAnalysis.collapseRepeats(col("tok")), " ").as("clean_text"))
 
+  /** GROUPING SETS aggregate — the explicit multi-grain companion to q14's
+    * ROLLUP and q44's CUBE: exactly the grains the report asks for
+    * ((status, prio), (status), ()) computed in ONE shuffle (Catalyst
+    * expands the sets over a single Expand node, not one job per grain),
+    * with grouping flags disambiguating real NULL keys from subtotal rows. */
+  val q73_grouping_sets: Q = (s, dir) =>
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq.empty[org.apache.spark.sql.Column]),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"),
+        grouping(col("o_orderstatus")).cast("long").as("g_status"),
+        grouping(col("o_orderpriority")).cast("long").as("g_prio"))
+
+  /** Customers whose lifetime spend exceeds their nation's per-customer
+    * average — the correlated-aggregate shape (TPC-H Q22 family), decided
+    * in EXACT arithmetic: c_total > nation_sum/n  ⟺  c_total·n >
+    * nation_sum, so the comparison never touches a double and is
+    * bit-identical in any engine. One shuffle builds customer totals; the
+    * nation aggregate rides a window over the ALREADY-reduced relation
+    * (|customers| rows, not |orders|). */
+  val q74_above_avg: Q = (s, dir) => {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val ctot = o.groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("cust_total"))
+      .join(c, col("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_nationkey"), col("cust_total"))
+    val w = Window.partitionBy("c_nationkey")
+    ctot
+      .withColumn("nation_total", sum(col("cust_total")).over(w))
+      .withColumn("n_cust", count(lit(1)).over(w))
+      .where(col("cust_total") * col("n_cust") > col("nation_total"))
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("cust_total").cast("double").as("cust_total"),
+        col("n_cust").cast("long").as("n_cust"))
+  }
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -900,5 +940,7 @@ object Queries {
     "q70_pq_adc" -> q70_pq_adc,
     "q71_destutter" -> q71_destutter,
     "q72_ivfpq" -> q72_ivfpq,
+    "q73_grouping_sets" -> q73_grouping_sets,
+    "q74_above_avg" -> q74_above_avg,
   )
 }
