@@ -355,6 +355,94 @@ object TextAnalysis {
         col("rank").cast("long").as("rank"), round(lift, 6).as("lift"))
   }
 
+  /** Per-document token (Shannon) entropy in nats: H = ln(n) − Σc·ln(c)/n
+    * over the doc's own token counts — the complement of q49's repetition
+    * fraction (low entropy = a few tokens dominate = boilerplate/spam;
+    * Gopher-class pipelines gate on both). Also returns the raw counts the
+    * entropy reduces from.
+    *
+    * Scale shape: two shuffles over ALREADY-SHRINKING relations — (id,
+    * token) counts (≤ tokens), then per-id reduce (≤ distinct tokens per
+    * doc) — no corpus-wide state, no driver action. round(…,6) squashes
+    * fold-order ulp noise in the Σc·ln(c) double sum per the repo's
+    * convention (the counts themselves are exact integers). */
+  def tokenEntropy(df: org.apache.spark.sql.DataFrame, id: String,
+                   textCol: String): org.apache.spark.sql.DataFrame = {
+    val counts = df
+      .select(col(id).as("te_id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("te_id", "tok").agg(count(lit(1)).as("c"))
+    val n = sum(col("c")).cast("double")
+    counts.groupBy(col("te_id").as(id))
+      .agg(sum(col("c")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        round(log(n) - sum(col("c").cast("double") * log(col("c").cast("double"))) / n, 6)
+          .as("entropy"))
+  }
+
+  /** Cross-document n-gram novelty: for each doc, the fraction of its
+    * DISTINCT n-gram shingles that appear in no other document — the
+    * ExactSubstr-lite signal (Lee et al., arXiv:2107.06499 measure the
+    * same thing with a suffix array; at n=8 a shared gram is a verbatim
+    * 8-token passage, far beyond chance). novelty 1.0 = fully original,
+    * → 0 = assembled from passages that exist elsewhere.
+    *
+    * Scale shape: grams reduce to [[md5Long]] longs at the source, so the
+    * one shuffle (gram → doc-frequency) and the join back both carry
+    * 8-byte keys; per-doc novelty is an exact quotient of counts
+    * (bit-identical everywhere, no rounding needed). Short docs (< n
+    * tokens) contribute their whole text as one gram, mirroring
+    * [[shingles]]. */
+  def ngramNovelty(df: org.apache.spark.sql.DataFrame, id: String,
+                   textCol: String, n: Int = 8): org.apache.spark.sql.DataFrame = {
+    require(n > 0, s"gram order must be positive, got $n")
+    // token array → attribute BEFORE the shingle lambda (no CSE in lambdas)
+    val grams = df
+      .select(col(id).as("nv_id"), tokens(col(textCol)).as("tk"))
+      .select(col("nv_id"), shingles(col("tk"), n).as("sh"))
+      .select(col("nv_id"), explode(col("sh")).as("gs"))
+      .select(col("nv_id"), md5Long(col("gs")).as("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // grams is persisted because it feeds BOTH sides of the doc-frequency
+    // self-join (Catalyst never reuses the exchange — measured, see
+    // DedupSpec); lifecycle owner: GraftSession.releaseCaches.
+    val docFreq = grams.groupBy("g").agg(count(lit(1)).as("df"))
+    grams.join(docFreq, Seq("g"))
+      .groupBy(col("nv_id").as(id))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).cast("long").as("n_unique"))
+      .withColumn("novelty", col("n_unique").cast("double") / col("n_grams"))
+  }
+
+  /** DSIR-style importance score (Xie et al., arXiv:2302.03169): per doc,
+    * the mean token log-ratio ln(p_target/p_corpus) between a target
+    * slice's unigram LM (add-one smoothed — target misses tokens) and the
+    * corpus LM — rank by it and keep the top mass to tilt a generic corpus
+    * toward a target domain. Positive = reads like the target.
+    *
+    * Scale shape: ONE corpus pass builds (token, corpus-count,
+    * target-count); totals and vocabulary reduce from that vocab-sized
+    * relation (its scan doubles as the persist materializer); the corpus
+    * side then joins the tiny frequency table (broadcast) and reduces per
+    * doc. round(…,6) on the averaged log-ratio per the repo convention. */
+  def dsirScore(df: org.apache.spark.sql.DataFrame, id: String,
+                textCol: String, isTarget: Column): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(id).as("ds_id"), isTarget.as("is_t"),
+      explode(tokens(col(textCol))).as("tok"))
+    val freq = toks.groupBy("tok")
+      .agg(count(lit(1)).as("cf"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val t = freq.agg(sum(col("cf")), sum(col("tf")), count(lit(1))).head()
+    val (cTot, tTot, vocab) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    toks.join(freq, Seq("tok"))
+      .groupBy(col("ds_id").as(id))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(avg(
+          log((col("tf") + lit(1.0)) / lit((tTot + vocab).toDouble))
+            - log(col("cf").cast("double") / lit(cTot.toDouble))), 6)
+          .as("dsir_score"))
+  }
+
   /** Collapse immediate token repetitions ("the the the" → "the") — the
     * OCR/scrape de-stutter cleaner. Position-wise, not sequential: token i
     * survives iff it differs from token i−1, which collapses ANY run to its

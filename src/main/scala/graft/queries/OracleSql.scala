@@ -1205,5 +1205,53 @@ object OracleSql {
         |       CAST(cust_total AS DOUBLE) AS cust_total,
         |       CAST(n_cust AS BIGINT) AS n_cust
         |FROM n WHERE cust_total * n_cust > nation_total""".stripMargin,
+
+    "q75_token_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, t, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents)
+        |  GROUP BY 1, 2)
+        |SELECT doc_id,
+        |       CAST(sum(c) AS BIGINT) AS n_tokens,
+        |       count(*) AS n_distinct,
+        |       round(ln(CAST(sum(c) AS DOUBLE))
+        |             - sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+        |               / CAST(sum(c) AS DOUBLE), 6) AS entropy
+        |FROM c GROUP BY 1""".stripMargin,
+
+    "q76_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |sh AS (
+        |  SELECT doc_id,
+        |         CASE WHEN len(tk) >= 8
+        |              THEN list_distinct(list_transform(generate_series(1, len(tk) - 7),
+        |                     i -> array_to_string(tk[i:i+7], ' ')))
+        |              ELSE [array_to_string(tk, ' ')] END AS s
+        |  FROM t),
+        |g AS (SELECT doc_id, ('0x' || substr(md5(gs), 1, 15))::BIGINT AS g
+        |      FROM (SELECT doc_id, unnest(s) AS gs FROM sh)),
+        |dfq AS (SELECT g, count(*) AS df FROM g GROUP BY 1)
+        |SELECT doc_id,
+        |       CAST(count(*) AS BIGINT) AS n_grams,
+        |       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
+        |FROM g JOIN dfq USING (g) GROUP BY 1""".stripMargin,
+
+    "q77_dsir_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang = 'en' AS is_t,
+        |         unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (SELECT tok, count(*) AS cf,
+        |             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tf
+        |      FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS c_tot,
+        |               CAST(sum(tf) + count(*) AS DOUBLE) AS tv
+        |        FROM f)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       round(avg(ln((tf + 1.0) / tv) - ln(CAST(cf AS DOUBLE) / c_tot)), 6)
+        |         AS dsir_score
+        |FROM tk JOIN f USING (tok), tot
+        |GROUP BY 1""".stripMargin,
   )
 }

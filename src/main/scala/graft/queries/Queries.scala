@@ -865,6 +865,26 @@ object Queries {
         col("n_cust").cast("long").as("n_cust"))
   }
 
+  /** Per-doc token entropy — the distribution-shape quality gate (q49's
+    * repetition fraction catches verbatim loops; entropy catches
+    * few-tokens-dominate degeneracy even without exact repeats). */
+  val q75_token_entropy: Q = (s, dir) =>
+    TextAnalysis.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Cross-doc 8-gram novelty — the ExactSubstr-lite passage-originality
+    * score over the dup-planted corpus (planted edit-duplicates share most
+    * of their 8-token passages, so their novelty collapses toward 0). */
+  val q76_ngram_novelty: Q = (s, dir) =>
+    TextAnalysis.ngramNovelty(Tables.documents(s, dir), "doc_id", "text", n = 8)
+
+  /** DSIR importance score with the English slice as the target domain —
+    * rank-and-keep-top-mass tilts the blend toward the target (here the
+    * score separates en docs from the rest by construction, making the
+    * check non-vacuous at every SF). */
+  val q77_dsir_score: Q = (s, dir) =>
+    TextAnalysis.dsirScore(Tables.documents(s, dir), "doc_id", "text",
+      col("lang") === "en")
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -942,5 +962,8 @@ object Queries {
     "q72_ivfpq" -> q72_ivfpq,
     "q73_grouping_sets" -> q73_grouping_sets,
     "q74_above_avg" -> q74_above_avg,
+    "q75_token_entropy" -> q75_token_entropy,
+    "q76_ngram_novelty" -> q76_ngram_novelty,
+    "q77_dsir_score" -> q77_dsir_score,
   )
 }

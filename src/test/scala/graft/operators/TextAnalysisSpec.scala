@@ -259,4 +259,62 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.fingerprintMd5(lower(col("t"))).as("f")).as[String].collect()
     assert(fps(0) === fps(1))
   }
+
+  test("token entropy: ln(k) for uniform docs, 0 for constant docs, between otherwise") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "a a a a"), (3L, "a a a b"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(df, "doc_id", "text")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 4L, 4L, math.rint(math.log(4) * 1e6) / 1e6)))
+    assert(out(2L)._4 === 0.0 && out(2L)._3 === 1L)
+    assert(out(3L)._4 > 0.0 && out(3L)._4 < math.log(2) + 1e-9,
+      "3+1 split entropy must sit strictly between constant and uniform-over-2")
+  }
+
+  test("ngram novelty: clones score 0, originals 1, overlap in between") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h i j"), // cloned twice → every gram shared
+      (2L, "a b c d e f g h i j"),
+      (3L, "q r s t u v w x y z"), // fully original
+      (4L, "a b c d e f g h zz qq")) // shares a prefix of grams with 1/2
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(df, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._4 === 0.0 && out(2L)._4 === 0.0)
+    assert(out(3L)._4 === 1.0)
+    assert(out(4L)._4 > 0.0 && out(4L)._4 < 1.0)
+    // doc of 10 tokens has 3 8-grams
+    assert(out(1L)._2 === 3L)
+    graft.GraftSession.releaseCaches(spark)
+  }
+
+  test("ngram novelty: docs shorter than n survive as one whole-text gram") {
+    import spark.implicits._
+    val df = Seq((1L, "a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramNovelty(df, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out.size === 3 && out(1L)._4 === 0.0 && out(3L)._4 === 1.0)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.ngramNovelty(df, "doc_id", "text", n = 0)
+    }
+    graft.GraftSession.releaseCaches(spark)
+  }
+
+  test("dsir score: target-like docs rank above off-target docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "ml ml training data", true),
+      (2L, "ml training corpus data", true),
+      (3L, "cooking recipe pasta sauce cooking pasta", false),
+      (4L, "ml ml training data corpus", false)) // target-like but NOT in target
+      .toDF("doc_id", "text", "is_t")
+    val out = TextAnalysis.dsirScore(df, "doc_id", "text", col("is_t"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(4L) > out(3L),
+      "a doc written in the target's vocabulary must outscore an off-target doc")
+    assert(out(1L) > out(3L))
+    graft.GraftSession.releaseCaches(spark)
+  }
 }
