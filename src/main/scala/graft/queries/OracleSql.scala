@@ -1253,5 +1253,32 @@ object OracleSql {
         |         AS dsir_score
         |FROM tk JOIN f USING (tok), tot
         |GROUP BY 1""".stripMargin,
+
+    "q78_cms_heavy_hitters" ->
+      """WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |ds AS (SELECT unnest(generate_series(0, 3)) AS d),
+        |cells AS (
+        |  SELECT d,
+        |         ('0x' || substr(md5(CAST(d AS VARCHAR) || '|' || tok), 1, 15))::BIGINT % 64 AS b,
+        |         count(*) AS cnt
+        |  FROM toks, ds GROUP BY 1, 2),
+        |exact AS (SELECT tok, count(*) AS exact_count FROM toks GROUP BY 1),
+        |est AS (
+        |  SELECT tok, min(cnt) AS cms_count
+        |  FROM (SELECT e.tok, ds.d,
+        |               ('0x' || substr(md5(CAST(ds.d AS VARCHAR) || '|' || e.tok), 1, 15))::BIGINT % 64 AS b
+        |        FROM exact e, ds) p
+        |  JOIN cells USING (d, b) GROUP BY 1)
+        |SELECT tok, exact_count, cms_count,
+        |       cms_count >= exact_count AS never_undercounts
+        |FROM exact JOIN est USING (tok)""".stripMargin,
+
+    "q79_approx_quantiles" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |       quantile_cont(o_totalprice, 0.5) AS exact_med,
+        |       approx_quantile(o_totalprice, 0.5)
+        |         BETWEEN quantile_cont(o_totalprice, 0.45)
+        |             AND quantile_cont(o_totalprice, 0.55) AS approx_ok
+        |FROM orders GROUP BY 1""".stripMargin,
   )
 }

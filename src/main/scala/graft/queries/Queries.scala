@@ -885,6 +885,37 @@ object Queries {
     TextAnalysis.dsirScore(Tables.documents(s, dir), "doc_id", "text",
       col("lang") === "en")
 
+  /** Count-min sketch over the token stream, probed with the full
+    * vocabulary next to exact counts — the bounded-memory frequency tier
+    * (31 keys into a 4×64 grid forces collisions, so the overcount side
+    * of the CMS guarantee is actually exercised; `never_undercounts` is
+    * the structural CMS invariant, verified independently by both
+    * engines). */
+  val q78_cms_heavy_hitters: Q = (s, dir) => {
+    import graft.operators.Sketches
+    val toks = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val sketch = Sketches.countMinSketch(toks, "tok", depth = 4, width = 64)
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_count"))
+    Sketches.cmsEstimate(sketch, exact.select("tok"), "tok", depth = 4, width = 64)
+      .join(exact, Seq("tok"))
+      .select(col("tok"), col("exact_count"), col("cms_count"),
+        (col("cms_count") >= col("exact_count")).as("never_undercounts"))
+  }
+
+  /** Approximate-quantile sketch next to the exact percentile, q38-style:
+    * the exact median hash-matches the oracle, and `approx_ok` is a
+    * bounded-error WITNESS (estimate inside the exact p45–p55 band) that
+    * each engine checks against its OWN sketch — a broken sketch on
+    * either side flips the bit and fails the gate. */
+  val q79_approx_quantiles: Q = (s, dir) =>
+    Tables.orders(s, dir).groupBy(col("o_orderpriority")).agg(
+      count(lit(1)).as("n"),
+      percentile(col("o_totalprice"), lit(0.5)).as("exact_med"),
+      approx_percentile(col("o_totalprice"), lit(0.5), lit(10000))
+        .between(percentile(col("o_totalprice"), lit(0.45)),
+                 percentile(col("o_totalprice"), lit(0.55))).as("approx_ok"))
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -965,5 +996,7 @@ object Queries {
     "q75_token_entropy" -> q75_token_entropy,
     "q76_ngram_novelty" -> q76_ngram_novelty,
     "q77_dsir_score" -> q77_dsir_score,
+    "q78_cms_heavy_hitters" -> q78_cms_heavy_hitters,
+    "q79_approx_quantiles" -> q79_approx_quantiles,
   )
 }

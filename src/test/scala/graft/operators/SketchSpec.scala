@@ -19,4 +19,42 @@ class SketchSpec extends SparkSpec {
       assert(ok, s"$et: HLL estimate strayed beyond 15% of exact=$exact")
     }
   }
+
+  test("count-min sketch never undercounts, and is exact without collisions") {
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("tok"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact")).cache()
+    // narrow grid: collisions certain (vocab 31 into width 8)
+    val narrow = Sketches.cmsEstimate(
+      Sketches.countMinSketch(toks, "tok", depth = 2, width = 8),
+      exact.select("tok"), "tok", depth = 2, width = 8)
+    val n = narrow.join(exact, Seq("tok"))
+      .as[(String, Long, Long)].collect()
+    assert(n.nonEmpty && n.forall { case (_, est, ex) => est >= ex },
+      "CMS point estimates must never undercount")
+    assert(n.exists { case (_, est, ex) => est > ex },
+      "width 8 over a 31-token vocab must collide somewhere")
+    // wide grid: no collisions expected → estimates exact
+    val wide = Sketches.cmsEstimate(
+      Sketches.countMinSketch(toks, "tok", depth = 4, width = 4096),
+      exact.select("tok"), "tok", depth = 4, width = 4096)
+    assert(wide.join(exact, Seq("tok"))
+      .where(col("cms_count") =!= col("exact")).count() === 0,
+      "a 4096-wide grid over 31 keys should estimate exactly")
+    exact.unpersist()
+  }
+
+  test("count-min grids from disjoint shards merge by cell-wise addition") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def grid(df: org.apache.spark.sql.DataFrame) = Sketches.countMinSketch(
+      df.select(explode(split(col("text"), " ")).as("tok")), "tok", 4, 64)
+    val whole = grid(docs)
+    val merged = grid(docs.where(col("doc_id") % 2 === 0))
+      .unionByName(grid(docs.where(col("doc_id") % 2 === 1)))
+      .groupBy("d", "b").agg(sum(col("cnt")).as("cnt"))
+    assert(whole.join(merged, Seq("d", "b"))
+      .where(whole("cnt") =!= merged("cnt")).count() === 0
+      && whole.count() === merged.count(),
+      "sketch(A ∪ B) must equal sketch(A) + sketch(B) cell-wise")
+  }
 }
