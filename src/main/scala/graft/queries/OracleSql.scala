@@ -1280,5 +1280,62 @@ object OracleSql {
         |         BETWEEN quantile_cont(o_totalprice, 0.45)
         |             AND quantile_cont(o_totalprice, 0.55) AS approx_ok
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "q80_semantic_dedup" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |seeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster,
+        |         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+        |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 8)),
+        |cos0 AS (
+        |  SELECT e.vec_id, s.cluster,
+        |         list_sum(list_transform(generate_series(1, 64),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * s.cent[i]))
+        |           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |            * sqrt(list_sum(list_transform(s.cent, x -> x * x)))) AS cos
+        |  FROM e, seeds s),
+        |a1 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, cluster,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster DESC) AS rk
+        |    FROM cos0) WHERE rk = 1),
+        |m AS (
+        |  SELECT a1.cluster, u.i - 1 AS pos,
+        |         CAST(sum(CAST(u.x AS DECIMAL(30,10))) AS DOUBLE) / count(*) AS m
+        |  FROM a1 JOIN (SELECT vec_id, unnest(list_transform(embedding, (x, i) -> {'x': x, 'i': i})) AS u
+        |                FROM e) ex USING (vec_id)
+        |  GROUP BY 1, 2),
+        |cents AS (
+        |  SELECT s.cluster, coalesce(mm.cent, s.cent) AS cent
+        |  FROM seeds s LEFT JOIN
+        |    (SELECT cluster, list(m ORDER BY pos) AS cent FROM m GROUP BY 1) mm
+        |    ON s.cluster = mm.cluster),
+        |cos2 AS (
+        |  SELECT e.vec_id, c.cluster,
+        |         list_sum(list_transform(generate_series(1, 64),
+        |           i -> CAST(e.embedding[i] AS DOUBLE) * c.cent[i]))
+        |           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |            * sqrt(list_sum(list_transform(c.cent, x -> x * x)))) AS cos
+        |  FROM e, cents c),
+        |a2 AS (
+        |  SELECT vec_id, cluster FROM (
+        |    SELECT vec_id, cluster,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cluster DESC) AS rk
+        |    FROM cos2) WHERE rk = 1),
+        |pair AS (
+        |  SELECT a.vec_id AS lo, b.vec_id AS hi,
+        |         unnest(ea.embedding) AS ua, unnest(eb.embedding) AS ub
+        |  FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |  JOIN e ea ON ea.vec_id = a.vec_id
+        |  JOIN e eb ON eb.vec_id = b.vec_id),
+        |dropped AS (
+        |  SELECT DISTINCT hi FROM (
+        |    SELECT lo, hi,
+        |           round(sum(CAST(ua AS DOUBLE) * CAST(ub AS DOUBLE))
+        |             / (sqrt(sum(CAST(ua AS DOUBLE) * CAST(ua AS DOUBLE)))
+        |              * sqrt(sum(CAST(ub AS DOUBLE) * CAST(ub AS DOUBLE)))), 6) AS cos
+        |    FROM pair GROUP BY 1, 2) WHERE cos >= 0.35)
+        |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
+        |FROM a2 WHERE vec_id NOT IN (SELECT hi FROM dropped)""".stripMargin,
   )
 }

@@ -916,6 +916,21 @@ object Queries {
         .between(percentile(col("o_totalprice"), lit(0.45)),
                  percentile(col("o_totalprice"), lit(0.55))).as("approx_ok"))
 
+  /** SemDeDup over the embedding table: q39's deterministic IVF centroids
+    * coarse-cluster the space, pairs are compared within clusters only,
+    * and any vector with a lower-id cluster-mate at cosine ≥ 0.35
+    * is pruned — the semantic tier of the dedup family (exact tier: q30;
+    * the oracle replays the whole centroid build + prune in SQL). */
+  val q80_semantic_dedup: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val cached = e.persist()
+    val cents =
+      try Similarity.ivfCentroids(cached, k = 8, iters = 1)
+      finally cached.unpersist()
+    Similarity.semanticDedup(e, cents, threshold = 0.35)
+      .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
+  }
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -998,5 +1013,6 @@ object Queries {
     "q77_dsir_score" -> q77_dsir_score,
     "q78_cms_heavy_hitters" -> q78_cms_heavy_hitters,
     "q79_approx_quantiles" -> q79_approx_quantiles,
+    "q80_semantic_dedup" -> q80_semantic_dedup,
   )
 }

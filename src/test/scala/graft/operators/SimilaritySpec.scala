@@ -255,6 +255,31 @@ class SimilaritySpec extends SparkSpec {
       s"quantization must not shuffle — it is a per-row map at any scale:\n$plan")
   }
 
+  test("semantic dedup: survivors have no within-cluster near-dup; cluster minima survive") {
+    val cents = Similarity.ivfCentroids(emb, k = 4, iters = 1)
+    val t = 0.30
+    val out = Similarity.semanticDedup(emb, cents, threshold = t).cache()
+    val total = emb.count()
+    assert(out.count() > 0 && out.count() <= total)
+    // the drop rule's invariant: among survivors, no same-cluster pair ≥ t
+    val joined = emb.select(col("vec_id"), col("embedding"))
+    val sv = out.join(joined, "vec_id")
+    val a = sv.select(col("cluster"), col("vec_id").as("la"), col("embedding").as("va"))
+    val b = sv.select(col("cluster"), col("vec_id").as("lb"), col("embedding").as("vb"))
+    val offenders = a.join(b, Seq("cluster"))
+      .where(col("la") < col("lb") &&
+        round(Similarity.cosine(col("va"), col("vb")), 6) >= t)
+      .count()
+    assert(offenders === 0, "two surviving cluster-mates sit above the dedup threshold")
+    // the lowest id of every cluster can never have a LOWER-id mate → survives
+    val minIds = emb.select(col("vec_id"),
+        Similarity.nearestCentroid(col("embedding"), cents).as("cluster"))
+      .groupBy("cluster").agg(min("vec_id").as("vec_id"))
+    assert(minIds.join(out, Seq("vec_id"), "left_anti").count() === 0)
+    out.unpersist()
+    graft.GraftSession.releaseCaches(spark)
+  }
+
   test("srp bucket ids are stable and bounded") {
     val b = emb.withColumn("bucket", Similarity.srpBucket(col("embedding"), 64, 6))
       .select("bucket").as[Long].collect()
