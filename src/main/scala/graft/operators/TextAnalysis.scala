@@ -386,21 +386,37 @@ object TextAnalysis {
     * 8-token passage, far beyond chance). novelty 1.0 = fully original,
     * → 0 = assembled from passages that exist elsewhere.
     *
-    * Scale shape: grams reduce to [[md5Long]] longs at the source, so the
-    * one shuffle (gram → doc-frequency) and the join back both carry
-    * 8-byte keys; per-doc novelty is an exact quotient of counts
+    * Scale shape: grams are built on the codegen'd posexplode + window-lead
+    * path (the [[winnowedFingerprints]] shape — the higher-order
+    * `transform`+`element_at` [[shingles]] builder is CodegenFallback and
+    * measured ~3× slower per gram; rebuilt here round 9, 9.3 → ~2 s at
+    * sf0.1) and reduce to [[md5Long]] longs inside the hash call, so the
+    * gram string never outlives its expression. The window costs one
+    * exchange on the doc id; the per-doc distinct that follows reuses that
+    * partitioning (HashPartitioning(id) satisfies the (id, gram) clustered
+    * distribution — no second exchange, spec-asserted in
+    * PlanContractSpec); the doc-frequency shuffle and the join back carry
+    * 8-byte keys. Per-doc novelty is an exact quotient of counts
     * (bit-identical everywhere, no rounding needed). Short docs (< n
     * tokens) contribute their whole text as one gram, mirroring
-    * [[shingles]]. */
+    * [[shingles]] — so the gram-string set, and hence every hash, is
+    * identical to the HOF build and the SQL oracle is untouched. */
   def ngramNovelty(df: org.apache.spark.sql.DataFrame, id: String,
                    textCol: String, n: Int = 8): org.apache.spark.sql.DataFrame = {
     require(n > 0, s"gram order must be positive, got $n")
-    // token array → attribute BEFORE the shingle lambda (no CSE in lambdas)
-    val grams = df
-      .select(col(id).as("nv_id"), tokens(col(textCol)).as("tk"))
-      .select(col("nv_id"), shingles(col("tk"), n).as("sh"))
-      .select(col("nv_id"), explode(col("sh")).as("gs"))
-      .select(col("nv_id"), md5Long(col("gs")).as("g"))
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(id).as("nv_id"), tokens(col(textCol)).as("tk"))
+    val w = Window.partitionBy("nv_id").orderBy("pos")
+    var th = tok.where(size(col("tk")) >= n)
+      .select(col("nv_id"), posexplode(col("tk")).as(Seq("pos", "tok")))
+    (1 until n).foreach { j => th = th.withColumn(s"t$j", lead(col("tok"), j).over(w)) }
+    val longSide = (if (n > 1) th.where(col(s"t${n - 1}").isNotNull) else th)
+      .select(col("nv_id"), md5Long(concat_ws(" ",
+        col("tok") +: (1 until n).map(j => col(s"t$j")): _*)).as("g"))
+      .dropDuplicates("nv_id", "g") // exchange-free: window partitioning reused
+    val shortSide = tok.where(size(col("tk")) < n)
+      .select(col("nv_id"), md5Long(concat_ws(" ", col("tk"))).as("g"))
+    val grams = longSide.union(shortSide)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // grams is persisted because it feeds BOTH sides of the doc-frequency
     // self-join (Catalyst never reuses the exchange — measured, see
