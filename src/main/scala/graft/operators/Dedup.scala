@@ -596,30 +596,36 @@ object Dedup {
   private val DriverBytesPerEdge = 300L
 
   /** Driver-side union-find over a measured-small symmetrized edge relation.
-    * Rows stream through `toLocalIterator` into two PRIMITIVE long arrays —
-    * one live Row at a time, never an Array of boxed tuples — and the
-    * union-find itself runs on dense int indices (vertex ids sorted +
-    * binary-searched), so its state is three primitive arrays, not boxed
-    * LongMaps. Path-compressed, union by rank; labels resolve to the
-    * component-minimum vertex id, bit-identical to the distributed loop's
-    * fixpoint. Returns a local relation — downstream joins against the
-    * corpus broadcast it, exactly like a built dimension. */
+    * Rows arrive in ONE `collect()` job and are unboxed straight into two
+    * PRIMITIVE long arrays (the boxed input batch is dereferenced before the
+    * output relation is built, so the peak boxed footprint stays the single
+    * relation [[DriverBytesPerEdge]] budgets — `toLocalIterator` was
+    * measured here first and schedules one sequential job PER PARTITION,
+    * ~1 s of pure scheduling latency on a 32-partition cached relation of a
+    * few thousand rows); the union-find itself runs on dense int indices
+    * (vertex ids sorted + binary-searched), so its state is three primitive
+    * arrays, not boxed LongMaps. Path-compressed, union by rank; labels
+    * resolve to the component-minimum vertex id, bit-identical to the
+    * distributed loop's fixpoint. Returns a local relation — downstream
+    * joins against the corpus broadcast it, exactly like a built
+    * dimension. */
   private def driverComponents(edges: DataFrame,
                                spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
     // src <= dst keeps each undirected edge once and retains degenerate
     // self-edges, whose vertices must still surface in the labeling
-    val srcB = new scala.collection.mutable.ArrayBuilder.ofLong
-    val dstB = new scala.collection.mutable.ArrayBuilder.ofLong
-    val it = edges.where(col("src") <= col("dst")).select("src", "dst")
-      .toLocalIterator()
-    while (it.hasNext) {
-      val r = it.next()
-      srcB += r.getLong(0)
-      dstB += r.getLong(1)
+    var rows = edges.where(col("src") <= col("dst")).select("src", "dst")
+      .collect()
+    val nE0 = rows.length
+    val src = new Array[Long](nE0)
+    val dst = new Array[Long](nE0)
+    var j = 0
+    while (j < nE0) {
+      src(j) = rows(j).getLong(0)
+      dst(j) = rows(j).getLong(1)
+      j += 1
     }
-    val src = srcB.result()
-    val dst = dstB.result()
+    rows = null // release the boxed batch before building the output relation
     val nE = src.length
     // dense vertex index: sort a primitive scratch array, dedupe in place
     val all = new Array[Long](2 * nE)

@@ -142,6 +142,54 @@ object ProfileIvf {
   }
 }
 
+/** Attributes q41's cost across its stages (pair generation, edge
+  * symmetrize+count, component labeling, canonical join) under the Bench
+  * protocol's release discipline — written to explain the round-8 +74%
+  * drift before touching any code. Args: sfDir */
+object ProfileQ41 {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.storage.StorageLevel
+    def release(): Unit = {
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+      System.gc()
+    }
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s  -> $r")
+      r
+    }
+    // stage timings (shared work persisted so each stage is its own cost)
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(split(col("text"), " ")).as("tok"))
+    val pairs = t("pairs:jaccard") {
+      val p = Dedup.jaccardPairs(docs, "doc_id", "tok", "lang", 0.95)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      p.count(); p
+    }
+    val edges = t("edges:sym+distinct+count") {
+      val e = pairs.select(col("left_id").as("src"), col("right_id").as("dst"))
+        .unionByName(pairs.select(col("right_id").as("src"), col("left_id").as("dst")))
+        .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      e.count(); e
+    }
+    t("cc:full") { Dedup.connectedComponents(pairs).count() }
+    t("canon:join") { Dedup.canonicalIds(docs.select("doc_id"), "doc_id", pairs).count() }
+    edges.unpersist(blocking = true); pairs.unpersist(blocking = true)
+    release()
+    // the full query, repeated, to expose run-to-run variance
+    (1 to 4).foreach { i =>
+      t(s"q41:full#$i") { graft.queries.Queries.all("q41_dedup_clusters")(spark, dir).count() }
+      release()
+    }
+    spark.stop()
+  }
+}
+
 object ProfileJaccard {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
