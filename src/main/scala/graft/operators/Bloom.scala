@@ -52,7 +52,14 @@ object Bloom {
 
   /** Membership probe for a hashed-key column: a conjunction of k
     * shift/mask bit tests against the literal bit array — all codegen'd
-    * builtins, usable in any filter/join condition. */
+    * builtins, usable in any filter/join condition.
+    *
+    * Requires a NON-ANSI session (`spark.sql.ansi.enabled=false`, which
+    * [[graft.GraftSession]] pins): the probe arithmetic `a·hashed + b`
+    * deliberately relies on Java Long wraparound to match the driver-side
+    * build in [[build]] — under ANSI mode a typical 64-bit hashed key
+    * throws ARITHMETIC_OVERFLOW instead of wrapping, breaking the
+    * no-false-negative contract before it can mis-answer. */
   def mightContain(f: Filter, hashed: Column): Column = {
     val bitsLit = typedlit(f.bits.toSeq)
     probeFamily(f.k).map { case (a, b) =>

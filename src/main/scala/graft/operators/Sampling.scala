@@ -99,6 +99,10 @@ object Sampling {
     * inspection dumps all want "give me exactly k of each"). The kept set
     * is a pure function of content: stable across runs, engines,
     * partitioning, and appends that don't displace the k smallest hashes.
+    * REQUIRES `key` to be unique within each stratum: duplicate keys tie
+    * on the full (hash, key) sort and `row_number` breaks the tie by
+    * partition layout, so which duplicate survives would vary across
+    * runs — pass a row-unique id (doc id, primary key), not content.
     *
     * Scale shape: one shuffle on the stratum key into a per-stratum
     * row_number window. The full sort per stratum is the cost at corpus

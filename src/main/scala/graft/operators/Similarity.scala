@@ -38,15 +38,19 @@ object Similarity {
     * Scale shape: the centroid build is ONE shuffle of (group, dim, value)
     * partial sums — map-side combined, ≤ |groups|·dim rows after — and the
     * centroid relation (|groups| rows) broadcasts back onto the corpus, so
-    * the big side is never reshuffled. Centroid components are rounded to
-    * 6 d.p. BEFORE the cosine so both engines (and any executor fold order)
-    * agree on the exact centroid bits; the cosine itself runs in the native
+    * the big side is never reshuffled. Centroid components are exact
+    * DECIMAL sums divided by the count (the [[ivfCentroids]] shape — a
+    * double `avg` folds in partition order and can flip the 6th decimal
+    * at a rounding boundary across layouts), rounded to 6 d.p. BEFORE the
+    * cosine so both engines (and any executor fold order) agree on the
+    * exact centroid bits; the cosine itself runs in the native
     * index-ordered kernel. */
   def centroidCohesion(df: DataFrame, groupCol: String,
                        idCol: String = "vec_id",
                        vecCol: String = "embedding"): DataFrame = {
     val cent = df.select(col(groupCol).as("g"), posexplode(col(vecCol)).as(Seq("pos", "v")))
-      .groupBy("g", "pos").agg(round(avg(col("v").cast("double")), 6).as("c"))
+      .groupBy("g", "pos").agg(round(
+        sum(col("v").cast("decimal(30,10)")).cast("double") / count(lit(1)), 6).as("c"))
       .groupBy("g")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
         s => s.getField("c")).as("centroid"))

@@ -49,7 +49,11 @@ object Sketches {
     *
     * The probe side is usually small (a vocabulary, a watchlist), so each
     * probe expands to `depth` (d, b) lookups and broadcast-joins the grid
-    * — the corpus is never touched again. */
+    * — the corpus is never touched again. The grid join is a LEFT join
+    * with absent cells read as 0: [[countMinSketch]] materializes only
+    * touched cells, and a never-seen probe key hitting an untouched cell
+    * must estimate 0 (true CMS semantics — min over ALL depth rows), not
+    * vanish or take min() over only its colliding cells. */
   def cmsEstimate(sketch: DataFrame, probes: DataFrame, key: String,
                   depth: Int = 4, width: Int = 64): DataFrame = {
     require(depth > 0 && width > 0, s"depth/width must be positive, got $depth×$width")
@@ -58,8 +62,8 @@ object Sketches {
       .select(k.as("cms_key"), explode(array((0 until depth).map(d =>
         struct(lit(d).as("d"), cmsBucket(k, d, width).as("b"))): _*)).as("db"))
       .select(col("cms_key"), col("db.d").as("d"), col("db.b").as("b"))
-    lookups.join(broadcast(sketch), Seq("d", "b"))
+    lookups.join(broadcast(sketch), Seq("d", "b"), "left")
       .groupBy(col("cms_key").as(key))
-      .agg(min(col("cnt")).as("cms_count"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
   }
 }

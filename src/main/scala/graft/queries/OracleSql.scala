@@ -1,6 +1,8 @@
 package graft.queries
 
-/** DuckDB-dialect oracle SQL for every entry in [[Queries.all]] — 53/53.
+/** DuckDB-dialect oracle SQL for every entry in [[Queries.all]] — all of
+  * them, spec-asserted (`OracleCoverageSpec` fails on any key drift), so
+  * this header can never go stale again.
   *
   * The approximate operators are oracled by construction rather than skipped:
   *  - q25 (MinHash LSH) against the exact shingle-Jaccard truth set — valid
@@ -894,7 +896,9 @@ object OracleSql {
 
     "q65_centroid_cohesion" ->
       """WITH comp AS (
-        |  SELECT label, i, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+        |  SELECT label, i,
+        |         round(CAST(sum(CAST(embedding[i] AS DECIMAL(30,10))) AS DOUBLE)
+        |               / count(*), 6) AS c
         |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
         |  GROUP BY 1, 2),
         |cent AS (SELECT label, list(c ORDER BY i) AS centroid FROM comp GROUP BY 1)

@@ -44,6 +44,20 @@ class SketchSpec extends SparkSpec {
     exact.unpersist()
   }
 
+  test("never-seen probe keys estimate 0 when any cell is untouched") {
+    // build over 3 keys on a wide grid: an unseen probe key almost surely
+    // hits at least one zero cell, and min over ALL depth rows must see it
+    val seen = Seq("alpha", "beta", "gamma").toDF("tok")
+    val sketch = Sketches.countMinSketch(seen, "tok", depth = 4, width = 4096)
+    val probes = Seq("alpha", "never-in-the-stream", "also-absent").toDF("tok")
+    val est = Sketches.cmsEstimate(sketch, probes, "tok", depth = 4, width = 4096)
+      .as[(String, Long)].collect().toMap
+    assert(est.size === 3, "every probe key must surface, seen or not")
+    assert(est("alpha") === 1L)
+    assert(est("never-in-the-stream") === 0L && est("also-absent") === 0L,
+      "a key hitting an unmaterialized (zero) cell must estimate 0, not vanish")
+  }
+
   test("count-min grids from disjoint shards merge by cell-wise addition") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     def grid(df: org.apache.spark.sql.DataFrame) = Sketches.countMinSketch(
