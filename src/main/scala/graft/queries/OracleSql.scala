@@ -27,7 +27,14 @@ object OracleSql {
       .map { case (p, b) => s"($b, [${p.mkString(",")}]::DOUBLE[])" }
       .mkString(",\n")
 
-  val all: Map[String, String] = Map(
+  // q81 searches the MATERIALIZED IVF+PQ index with q72's exact
+  // parameters; the on-disk round trip cannot change a single row, so the
+  // oracle is definitionally q72's — any drift between the in-memory and
+  // indexed paths fails the gate.
+  val all: Map[String, String] =
+    base.updated("q81_ivfpq_indexed", base("q72_ivfpq"))
+
+  private lazy val base: Map[String, String] = Map(
 
     "q01_daily_agg" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS day,

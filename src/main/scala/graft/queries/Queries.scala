@@ -814,6 +814,26 @@ object Queries {
       coarse, books, nprobe = 2)
   }
 
+  /** q72 through the MATERIALIZED index: build the same IVF+PQ index,
+    * WRITE it clustered (`partitionBy(cluster)` parquet — one directory
+    * per coarse cluster), read it back, and answer from the stored
+    * layout with the probed clusters pushed into the scan as a static
+    * partition filter. Same parameters as q72 ⇒ definitionally the same
+    * rows (the oracle IS q72's), so the gate pins the storage round
+    * trip; the pruning itself (scan reads only probed partitions) is
+    * spec-asserted in SimilaritySpec. The index lands under java.io.tmpdir
+    * keyed by the SF dir so repeated runs overwrite atomically. */
+  val q81_ivfpq_indexed: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val coarse = Similarity.ivfCentroids(e, k = 8, iters = 1)
+    val books = Similarity.pqTrain(e, m = 4, ksub = 16, iters = 1)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_")
+    Similarity.ivfPqIndexWrite(e, path, coarse, books)
+    Similarity.ivfPqTopKIndexed(e.where(col("vec_id") < 10),
+      s.read.parquet(path), k = 5, coarse, books, nprobe = 2)
+  }
+
   /** Token de-stutter: collapse immediate repetitions ("the the the" →
     * "the"), the OCR/scrape cleaning pass — per-doc before/after counts
     * plus the cleaned text. Pure per-row array lambda, no shuffle. */
@@ -1014,5 +1034,6 @@ object Queries {
     "q78_cms_heavy_hitters" -> q78_cms_heavy_hitters,
     "q79_approx_quantiles" -> q79_approx_quantiles,
     "q80_semantic_dedup" -> q80_semantic_dedup,
+    "q81_ivfpq_indexed" -> q81_ivfpq_indexed,
   )
 }

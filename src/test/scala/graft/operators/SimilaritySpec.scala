@@ -95,6 +95,51 @@ class SimilaritySpec extends SparkSpec {
     graft.GraftSession.releaseCaches(spark, blocking = true)
   }
 
+  test("materialized IVF+PQ index: probe scan prunes to the probed partitions; full probe matches in-memory") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = Similarity.ivfCentroids(e, k = 4, iters = 1)
+    val books = Similarity.pqTrain(e, 4, 16, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_index").toString
+    try {
+      Similarity.ivfPqIndexWrite(e, dir, coarse, books)
+      // the stored layout IS one directory per coarse cluster
+      val clusterDirs = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cluster=")).map(_.getName).sorted
+      assert(clusterDirs.nonEmpty && clusterDirs.forall(_.matches("cluster=\\d+")))
+      val index = spark.read.parquet(dir)
+      val q = e.where(col("vec_id") < 5)
+      // ONE query, nprobe = 1 → exactly one probed cluster: the scan must
+      // read only that cluster's directory
+      val out1 = Similarity.ivfPqTopKIndexed(
+        e.where(col("vec_id") === 0), index, 5, coarse, books, nprobe = 1)
+      out1.count()
+      val scans = out1.queryExecution.executedPlan.collectWithSubqueries {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }.flatMap(_.collect { case s: FileSourceScanExec => s })
+      val idxScan = scans.find(_.relation.location.rootPaths.exists(_.toString.contains("ivfpq_index")))
+      assert(idxScan.isDefined, "the index scan must appear in the executed plan")
+      assert(idxScan.get.partitionFilters.nonEmpty,
+        "the probed-cluster predicate must land as a partition filter, not a post-scan filter")
+      val selected = idxScan.get.selectedPartitions.partitionCount
+      assert(selected === 1,
+        s"one query at nprobe=1 must read exactly one of ${clusterDirs.length} cluster partitions, read $selected")
+      // full probe over the loaded index ≡ the in-memory IVF+PQ path
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+      val full = rows(Similarity.ivfPqTopKIndexed(q, index, 5, coarse, books, nprobe = 4))
+      val mem = rows(Similarity.ivfPqTopK(q, e, 5, coarse, books, nprobe = 4))
+      assert(full.toSeq === mem.toSeq,
+        "the materialized index must answer identically to the in-memory path")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
+  }
+
   test("centroid cohesion: exact cosine to the group mean; lone vector scores 1") {
     import spark.implicits._
     val e = Seq(
