@@ -390,6 +390,28 @@ class DedupSpec extends SparkSpec {
     graft.GraftSession.releaseCaches(spark, blocking = true)
   }
 
+  test("crossJaccardPairs plan: a small batch's exploded prefix broadcasts against a large corpus") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    // tiny batch (3 docs) vs the whole documents table: the scaladoc claims
+    // AQE broadcasts the batch side's exploded prefix when it fits — assert
+    // the candidate join actually ends up broadcast, not shuffled
+    val batch = docs.where(col("doc_id") < 3)
+      .select(col("doc_id") + 100000, col("lang"), col("tok"))
+      .toDF("doc_id", "lang", "tok")
+    val corpus = docs.select(col("doc_id"), col("lang"), col("tok"))
+    val out = Dedup.crossJaccardPairs(batch, corpus, "doc_id", "tok", "lang", 0.8)
+    out.count() // materialize so AQE finalizes the plan
+    val finalPlans = out.queryExecution.executedPlan.collectWithSubqueries {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val bhj = finalPlans.flatMap(_.collect { case b: BroadcastHashJoinExec => b })
+    assert(bhj.nonEmpty,
+      "the batch-vs-corpus candidate join must be a BroadcastHashJoin under AQE")
+    graft.GraftSession.releaseCaches(spark, blocking = true)
+  }
+
   test("releaseCaches drops every operator-internal persist (session lifecycle)") {
     Dedup.simHashPairs(docs.select(col("doc_id"), col("tok")), "doc_id", "tok").count()
     Dedup.minHashDedupTokens(
