@@ -9,9 +9,11 @@ import org.apache.spark.sql.types._
   * batch functions.
   *
   * Spark-side plumbing (schema, partitioning, batch shape) is real and
-  * tested; the actual codec call is stubbed behind [[FakeCodec]] because no
-  * image/audio libraries ship in this environment — swap `decode` for a JNI
-  * or library call without touching the dataflow.
+  * tested. The decode step dispatches on magic bytes: PNG/JPEG/GIF payloads
+  * get their REAL dimensions and mime parsed from the header by
+  * [[HeaderCodec]] (pure JVM, no library), anything else falls back to the
+  * deterministic [[FakeCodec]] — the seam where a full pixel decoder (JNI /
+  * library call) would slot in without touching the dataflow.
   *
   * Scale design: payloads stay columnar in parquet (binary column, never
   * driver-collected); decode is `mapPartitions` so one task amortizes codec
@@ -19,6 +21,61 @@ import org.apache.spark.sql.types._
   * `mapInPandas` batches in the PySpark deployment of this pattern.
   */
 object Multimodal {
+
+  /** Pure-JVM image header parser: container format + dimensions straight
+    * from the magic bytes, no image library. Covers the three containers a
+    * web-scraped corpus is overwhelmingly made of: PNG (IHDR is mandated to
+    * be the first chunk — width/height big-endian at offsets 16/20), JPEG
+    * (walk the FF-marker segment chain to the first frame header SOFn,
+    * n ∉ {4,8,12}; height/width big-endian inside it), GIF87a/89a (logical
+    * screen size little-endian at offset 6). Returns None for anything
+    * unrecognized or truncated — callers fall back, never throw. */
+  object HeaderCodec {
+    private def u8(p: Array[Byte], i: Int): Int = p(i) & 0xFF
+    private def be16(p: Array[Byte], i: Int): Int = (u8(p, i) << 8) | u8(p, i + 1)
+    private def be32(p: Array[Byte], i: Int): Int =
+      (u8(p, i) << 24) | (u8(p, i + 1) << 16) | (u8(p, i + 2) << 8) | u8(p, i + 3)
+    private def le16(p: Array[Byte], i: Int): Int = u8(p, i) | (u8(p, i + 1) << 8)
+
+    /** (mime, width, height) if the payload starts with a known image
+      * container's magic and carries a complete size header. */
+    def imageDims(p: Array[Byte]): Option[(String, Int, Int)] =
+      if (p.length >= 24 && u8(p, 0) == 0x89 && p(1) == 'P' && p(2) == 'N' &&
+          p(3) == 'G' && u8(p, 4) == 0x0D && u8(p, 5) == 0x0A &&
+          u8(p, 6) == 0x1A && u8(p, 7) == 0x0A && p(12) == 'I' &&
+          p(13) == 'H' && p(14) == 'D' && p(15) == 'R') {
+        val (w, h) = (be32(p, 16), be32(p, 20))
+        if (w > 0 && h > 0) Some(("image/png", w, h)) else None
+      } else if (p.length >= 4 && u8(p, 0) == 0xFF && u8(p, 1) == 0xD8) {
+        jpegDims(p).map { case (w, h) => ("image/jpeg", w, h) }
+      } else if (p.length >= 10 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+                 p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a') {
+        val (w, h) = (le16(p, 6), le16(p, 8))
+        if (w > 0 && h > 0) Some(("image/gif", w, h)) else None
+      } else None
+
+    private def jpegDims(p: Array[Byte]): Option[(Int, Int)] = {
+      var i = 2
+      while (i + 3 < p.length) {
+        if (u8(p, i) != 0xFF) return None // lost marker sync
+        val marker = u8(p, i + 1)
+        if (marker == 0xFF) i += 1 // fill byte
+        else if ((marker >= 0xD0 && marker <= 0xD9) || marker == 0x01) i += 2 // standalone
+        else {
+          val len = be16(p, i + 2)
+          if (len < 2) return None
+          val isSof = marker >= 0xC0 && marker <= 0xCF &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+          if (isSof) {
+            if (i + 8 >= p.length) return None // truncated frame header
+            return Some((be16(p, i + 7), be16(p, i + 5))) // (width, height)
+          }
+          i += 2 + len
+        }
+      }
+      None
+    }
+  }
 
   /** Typed metadata carried next to every payload. */
   val mediaMeta: StructType = StructType(Seq(
@@ -68,7 +125,14 @@ object Multimodal {
   /** Decode pass: fills width/height + emits a feature vector, one codec
     * instance per partition — a typed `Dataset.mapPartitions` (the Scala
     * analog of `mapInPandas` batches: Encoders serialize straight between
-    * Tungsten rows and JVM primitives, no Row-object round trip). */
+    * Tungsten rows and JVM primitives, no Row-object round trip).
+    *
+    * Dispatch: a payload whose magic bytes parse as PNG/JPEG/GIF gets its
+    * REAL header dimensions and detected mime ([[HeaderCodec]]); anything
+    * else keeps the declared mime and the deterministic [[FakeCodec]]
+    * dims — which is why q35 (text payloads) stays oracle-replayable while
+    * real image bytes are decoded for real (spec-pinned on hand-built
+    * PNG/JPEG/GIF fixtures). */
   def decodeAndFeaturize(media: DataFrame, dim: Int = 8): DataFrame = {
     import media.sparkSession.implicits._
     media
@@ -77,8 +141,11 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition codec init would go here
         it.map { case (id, payload, mime, nBytes) =>
-          val (w, h) = FakeCodec.decode(payload)
-          (id, payload, mime, w, h, nBytes, FakeCodec.features(payload, dim))
+          val (mm, w, h) = HeaderCodec.imageDims(payload).getOrElse {
+            val (fw, fh) = FakeCodec.decode(payload)
+            (mime, fw, fh)
+          }
+          (id, payload, mm, w, h, nBytes, FakeCodec.features(payload, dim))
         }
       }
       .toDF("media_id", "payload", "mime", "w", "h", "n_bytes", "features")
