@@ -394,8 +394,8 @@ object TextAnalysis {
     * gram string never outlives its expression. The window costs one
     * exchange on the doc id; the per-doc distinct that follows reuses that
     * partitioning (HashPartitioning(id) satisfies the (id, gram) clustered
-    * distribution — no second exchange, spec-asserted in
-    * PlanContractSpec); the doc-frequency shuffle and the join back carry
+    * distribution — no second exchange, plan-asserted in
+    * TextAnalysisSpec); the doc-frequency shuffle and the join back carry
     * 8-byte keys. Per-doc novelty is an exact quotient of counts
     * (bit-identical everywhere, no rounding needed). Short docs (< n
     * tokens) contribute their whole text as one gram, mirroring

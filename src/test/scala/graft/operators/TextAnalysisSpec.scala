@@ -302,6 +302,27 @@ class TextAnalysisSpec extends SparkSpec {
     graft.GraftSession.releaseCaches(spark)
   }
 
+  test("ngram novelty plan: exactly 3 shuffles — window, doc-frequency, final reduce") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+    val out = TextAnalysis.ngramNovelty(df, "doc_id", "text", n = 8)
+    out.count()
+    val shuffles = out.queryExecution.executedPlan.collectWithSubqueries {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }.flatMap(_.collect { case s: ShuffleExchangeExec => s })
+    // window on doc id + doc-frequency on gram (+ the final per-doc reduce
+    // ONLY when AQE shuffle-joins instead of broadcasting docFreq back —
+    // under a broadcast join the gram side keeps the window's partitioning
+    // to the end). The per-doc distinct must REUSE the window's
+    // partitioning either way: a 4th exchange means the
+    // HashPartitioning(id) ⊨ (id, g) reuse regressed.
+    assert(shuffles.length <= 3,
+      s"expected ≤3 shuffle exchanges (window, docFreq[, reduce]), got ${shuffles.length}")
+    graft.GraftSession.releaseCaches(spark)
+  }
+
   test("dsir score: target-like docs rank above off-target docs") {
     import spark.implicits._
     val df = Seq(
