@@ -288,6 +288,31 @@ object Dedup {
     val hs = hashedSets(both, id, tokenSet, Seq(block, "side"))
       .withColumnRenamed(block, "blk")
       .withColumn("n", size(col("hs")))
+    crossJaccardFromHashed(hs, threshold)
+  }
+
+  /** [[crossJaccardPairs]] straight from TOKEN-array columns: shingle sets
+    * build and hash on the codegen'd window-lead path instead of the
+    * interpreted string-shingle builder — same crossover guidance as
+    * [[containmentPairsTokens]] (prefer for long grams/docs).
+    * The union happens BEFORE shingling so the shared rarest-first order —
+    * which the R×S prefix theorem needs — is computed over both relations
+    * at once, exactly as in the string path. Pair set and Jaccard values
+    * are spec-asserted identical to the string variant. */
+  def crossJaccardPairsTokens(left: DataFrame, right: DataFrame, id: String,
+                              tokens: String, block: String,
+                              threshold: Double, shingleN: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"cross-jaccard threshold must be in (0, 1], got $threshold")
+    val both = left.select(lit(0).as("side"), col(id), col(block), col(tokens))
+      .unionByName(right.select(lit(1).as("side"), col(id), col(block), col(tokens)))
+    val hs = shingleHashedSetsBlocked(both, id, tokens, shingleN, Seq(block, "side"))
+      .withColumnRenamed(block, "blk")
+      .withColumn("n", size(col("hs")))
+    crossJaccardFromHashed(hs, threshold)
+  }
+
+  private def crossJaccardFromHashed(hs: DataFrame, threshold: Double): DataFrame = {
     val pre = orderedPrefix(hs, threshold, carry = Seq("side"))
       .select(col("blk"), col("side"), col("hs_id"), col("n"), col("ord"),
         explode(col("prefix")).as("h"))
@@ -329,6 +354,36 @@ object Dedup {
     val hs = hashedSets(df, id, tokenSet, Seq(block))
       .withColumnRenamed(block, "blk")
       .withColumn("n", size(col("hs")))
+    containmentFromHashed(hs, threshold)
+  }
+
+  /** [[containmentPairs]] straight from a TOKEN-array column: shingle sets
+    * are built and hashed on the codegen'd posexplode + window-lead path
+    * ([[shingleHashedSetsBlocked]]) — no shingle string is ever
+    * materialized. Pair set and containment values are identical to
+    * `containmentPairs` over string shingles (set ops over
+    * injectively-hashed shingles; spec-asserted on the real corpus), so a
+    * string-shingle SQL oracle still verifies the output.
+    *
+    * WHEN to prefer which (measured, `tools.ProfileShingleBuild`): the
+    * window path pays one shuffle+sort on the doc id but O(1) work per
+    * gram; the interpreted string builder pays no shuffle but n
+    * `element_at` calls + a concat per gram. At n=3 over short docs the
+    * string path wins ~2×; at n=8 the window path won 4× (the q76
+    * rebuild). Crossover is at modest n — prefer this variant for long
+    * grams or long docs. */
+  def containmentPairsTokens(df: DataFrame, id: String, tokens: String,
+                             block: String, threshold: Double,
+                             shingleN: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"containment threshold must be in (0, 1], got $threshold")
+    val hs = shingleHashedSetsBlocked(df, id, tokens, shingleN, Seq(block))
+      .withColumnRenamed(block, "blk")
+      .withColumn("n", size(col("hs")))
+    containmentFromHashed(hs, threshold)
+  }
+
+  private def containmentFromHashed(hs: DataFrame, threshold: Double): DataFrame = {
     val l = orderedPrefix(hs, threshold)
       .select(col("blk"), col("hs_id").as("left_id"), col("n").as("nl"),
         col("ord").as("ls"), explode(col("prefix")).as("h"))
@@ -419,16 +474,33 @@ object Dedup {
     * tokens contribute their single zero-padded shingle, mirroring
     * [[TextAnalysis.shingles]]'s whole-doc fallback. */
   def shingleHashedSets(df: DataFrame, id: String, tokens: String,
-                        n: Int = 3): DataFrame = {
+                        n: Int = 3): DataFrame =
+    shingleHashedSetsBlocked(df, id, tokens, n, Nil)
+
+  /** [[shingleHashedSets]] with carried block columns (language, source,
+    * batch side): the carries ride the posexplode and the per-doc
+    * collect_set — they are functionally dependent on the doc id, so the
+    * groupBy keys add no grouping work, and the aggregate reuses the
+    * window's HashPartitioning(id) (no second exchange). Output shape is
+    * exactly [[hashedSets]]'s (hs_id, carries…, hs), so the PPJoin prefix
+    * machinery downstream cannot tell the two apart. Docs with EMPTY token
+    * arrays are dropped by the posexplode (a tokenizer always yields ≥ 1
+    * token, so this is unreachable from text; callers feeding synthetic
+    * arrays should filter empties first). */
+  private[graft] def shingleHashedSetsBlocked(df: DataFrame, id: String,
+                                              tokens: String, n: Int,
+                                              carry: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("hs_id").orderBy("pos")
-    var th = df.select(col(id).as("hs_id"), posexplode(col(tokens)).as(Seq("pos", "tok")))
-      .select(col("hs_id"), col("pos"), xxhash64(col("tok")).as("h0"))
+    var th = df.select(col(id).as("hs_id") +: carry.map(col) :+
+        posexplode(col(tokens)).as(Seq("pos", "tok")): _*)
+      .select(col("hs_id") +: carry.map(col) :+ col("pos") :+
+        xxhash64(col("tok")).as("h0"): _*)
     (1 until n).foreach { j => th = th.withColumn(s"h$j", lead(col("h0"), j).over(w)) }
     th.where(col(s"h${n - 1}").isNotNull || col("pos") === 0)
-      .select(col("hs_id"),
-        xxhash64((0 until n).map(j => coalesce(col(s"h$j"), lit(0L))): _*).as("sh"))
-      .groupBy("hs_id").agg(collect_set(col("sh")).as("hs"))
+      .select(col("hs_id") +: carry.map(col) :+
+        xxhash64((0 until n).map(j => coalesce(col(s"h$j"), lit(0L))): _*).as("sh"): _*)
+      .groupBy(col("hs_id") +: carry.map(col): _*).agg(collect_set(col("sh")).as("hs"))
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 

@@ -703,6 +703,13 @@ object Queries {
     // BEFORE the shingle lambda reads it — an inline split() as the HOF's
     // array arg is re-evaluated inside every element_at (no CSE inside
     // lambdas; see the q52/q49 fix), re-splitting text 3× per shingle.
+    // MEASURED (ProfileShingleBuild, round 9): at n=3 over these short
+    // docs the interpreted string-shingle build (~0.4 s warm at sf0.1)
+    // BEATS the window-lead hashed build (~0.8 s — its shuffle+sort costs
+    // more than the 3-element_at interpretation), so unlike q76 (n=8,
+    // where window-lead won 4×) this query keeps the string path;
+    // containmentPairsTokens is the n-large alternative, spec-asserted
+    // equivalent.
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tok"))
       .select(col("doc_id"), col("lang"),
@@ -722,6 +729,9 @@ object Queries {
     * nightly crawl-ingest job runs before appending to the training corpus. */
   val q62_cross_dedup: Q = (s, dir) => {
     val batchSources = Seq("src1", "src2", "src3")
+    // string-shingle path kept deliberately: at n=3 it measures ~2× faster
+    // than the window-lead build (see q60's note); crossJaccardPairsTokens
+    // is the spec-equivalent n-large alternative
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("source"),
         split(col("text"), " ").as("tok"))

@@ -142,6 +142,43 @@ object ProfileIvf {
   }
 }
 
+/** Head-to-head: string-shingle hashedSets build vs the window-lead
+  * hashed-shingle build, materialization cost only. Args: sfDir */
+object ProfileShingleBuild {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = graft.GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    import org.apache.spark.sql.functions._
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s  -> $r")
+      r
+    }
+    def release(): Unit = {
+      graft.GraftSession.releaseCaches(spark, blocking = true); System.gc()
+    }
+    val toks = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tok"))
+    (1 to 3).foreach { i =>
+      t(s"string-shingles+hash#$i") {
+        toks.select(col("doc_id"), col("lang"),
+            graft.operators.TextAnalysis.shingles(col("tok"), 3).as("sh"))
+          .select(col("doc_id"), col("lang"),
+            array_distinct(transform(col("sh"), x => xxhash64(x))).as("hs"))
+          .agg(sum(size(col("hs")))).head()
+      }
+      release()
+      t(s"window-lead-hash#$i") {
+        val r = Dedup.shingleHashedSetsBlocked(toks, "doc_id", "tok", 3, Seq("lang"))
+          .agg(sum(size(col("hs")))).head()
+        release(); r
+      }
+    }
+    spark.stop()
+  }
+}
+
 /** Attributes q41's cost across its stages (pair generation, edge
   * symmetrize+count, component labeling, canonical join) under the Bench
   * protocol's release discipline — written to explain the round-8 +74%

@@ -390,6 +390,31 @@ class DedupSpec extends SparkSpec {
     graft.GraftSession.releaseCaches(spark, blocking = true)
   }
 
+  test("Tokens variants ≡ string-shingle variants: identical pairs and values on the real corpus") {
+    // the window-lead hashed-shingle path must reproduce the string-shingle
+    // path exactly — same pair set, bit-identical containment/jaccard (both
+    // are quotients of identical set cardinalities)
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"),
+        split(col("text"), " ").as("tok"))
+    val strSh = toks.select(col("doc_id"), col("lang"), col("source"),
+      TextAnalysis.shingles(col("tok"), 3).as("sh"))
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val cTok = sorted(Dedup.containmentPairsTokens(toks, "doc_id", "tok", "lang", 0.8))
+    val cStr = sorted(Dedup.containmentPairs(strSh, "doc_id", "sh", "lang", 0.8))
+    assert(cTok.nonEmpty && cTok === cStr,
+      s"containment: ${cTok.size} tokens-path vs ${cStr.size} string-path pairs")
+    val batch = col("source").isin("src1", "src2", "src3")
+    val xTok = sorted(Dedup.crossJaccardPairsTokens(
+      toks.where(batch), toks.where(!batch), "doc_id", "tok", "lang", 0.8))
+    val xStr = sorted(Dedup.crossJaccardPairs(
+      strSh.where(batch), strSh.where(!batch), "doc_id", "sh", "lang", 0.8))
+    assert(xTok === xStr,
+      s"cross-jaccard: ${xTok.size} tokens-path vs ${xStr.size} string-path pairs")
+    graft.GraftSession.releaseCaches(spark, blocking = true)
+  }
+
   test("crossJaccardPairs plan: a small batch's exploded prefix broadcasts against a large corpus") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
