@@ -392,6 +392,23 @@ object Similarity {
     ivfPqEncode(corpus, coarse, codebooks, idCol, vecCol)
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
 
+  /** APPEND a batch into an existing clustered index: new vectors encode
+    * against the SAME coarse centroids + codebooks and land as extra files
+    * inside their cluster directories — the nightly-ingest shape (no index
+    * rewrite; at 100 TB a rewrite is a full-corpus job, an append is
+    * |batch|). Quantizers are frozen by design: re-training them would
+    * silently re-shape every EXISTING cluster/code, so index growth beyond
+    * the quantizers' training distribution is a rebuild
+    * ([[ivfPqIndexWrite]]), the same contract FAISS add() makes.
+    * Spec-asserted: search over (write A, append B) ≡ search over the
+    * union written at once ≡ the in-memory path. */
+  def ivfPqIndexAppend(batch: DataFrame, path: String,
+                       coarse: Array[Array[Double]],
+                       codebooks: Array[Array[Array[Double]]],
+                       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    ivfPqEncode(batch, coarse, codebooks, idCol, vecCol)
+      .write.mode("append").partitionBy("cluster").parquet(path)
+
   /** IVF+PQ top-k over a MATERIALIZED index (read back from
     * [[ivfPqIndexWrite]]'s layout): the probed cluster ids are computed
     * first — |queries|·nprobe ints, metadata scale, exactly like

@@ -140,6 +140,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("index append: write half + append half ≡ one full write ≡ in-memory search") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = Similarity.ivfCentroids(e, k = 4, iters = 1)
+    val books = Similarity.pqTrain(e, 4, 16, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_append").toString
+    try {
+      Similarity.ivfPqIndexWrite(e.where(col("vec_id") % 2 === 0), dir, coarse, books)
+      Similarity.ivfPqIndexAppend(e.where(col("vec_id") % 2 === 1), dir, coarse, books)
+      val q = e.where(col("vec_id") < 5)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+      val appended = rows(Similarity.ivfPqTopKIndexed(
+        q, spark.read.parquet(dir), 5, coarse, books, nprobe = 4))
+      val mem = rows(Similarity.ivfPqTopK(q, e, 5, coarse, books, nprobe = 4))
+      assert(appended.toSeq === mem.toSeq,
+        "a grown index must answer identically to the whole corpus indexed at once")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
+  }
+
   test("centroid cohesion: exact cosine to the group mean; lone vector scores 1") {
     import spark.implicits._
     val e = Seq(
