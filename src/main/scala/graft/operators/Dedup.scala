@@ -298,7 +298,13 @@ object Dedup {
     * The union happens BEFORE shingling so the shared rarest-first order —
     * which the R×S prefix theorem needs — is computed over both relations
     * at once, exactly as in the string path. Pair set and Jaccard values
-    * are spec-asserted identical to the string variant. */
+    * are spec-asserted identical to the string variant.
+    *
+    * Precondition: ids must be unique WITHIN each side (the shingle window
+    * partitions by (id, block, side), so the same id may appear on both
+    * sides — the common re-ingest case — but two rows sharing an id on one
+    * side would interleave token streams; the string path tolerates that,
+    * this one requires per-side uniqueness). */
   def crossJaccardPairsTokens(left: DataFrame, right: DataFrame, id: String,
                               tokens: String, block: String,
                               threshold: Double, shingleN: Int = 3): DataFrame = {
@@ -371,7 +377,12 @@ object Dedup {
     * `element_at` calls + a concat per gram. At n=3 over short docs the
     * string path wins ~2×; at n=8 the window path won 4× (the q76
     * rebuild). Crossover is at modest n — prefer this variant for long
-    * grams or long docs. */
+    * grams or long docs.
+    *
+    * Precondition: (id, block) must identify one physical row — duplicate
+    * ids within a block would interleave token streams in the shingle
+    * window (see [[shingleHashedSetsBlocked]]); use the string-path
+    * `containmentPairs` if the input may carry repeated ids. */
   def containmentPairsTokens(df: DataFrame, id: String, tokens: String,
                              block: String, threshold: Double,
                              shingleN: Int = 3): DataFrame = {
@@ -486,12 +497,21 @@ object Dedup {
     * machinery downstream cannot tell the two apart. Docs with EMPTY token
     * arrays are dropped by the posexplode (a tokenizer always yields ≥ 1
     * token, so this is unreachable from text; callers feeding synthetic
-    * arrays should filter empties first). */
+    * arrays should filter empties first).
+    *
+    * The window partitions by (hs_id, carries…) — the same key set the
+    * groupBy uses — so a doc id that legitimately recurs across carry
+    * values (e.g. the same id on both `side`s of a cross-corpus dedup)
+    * keeps its token streams separate. Within ONE (id, carries) group the
+    * id must be unique: two physical rows sharing it would tie on
+    * (hs_id, pos) and `lead` would interleave their tokens
+    * nondeterministically, unlike the row-local string path
+    * ([[hashedSets]]) which never mixes rows. */
   private[graft] def shingleHashedSetsBlocked(df: DataFrame, id: String,
                                               tokens: String, n: Int,
                                               carry: Seq[String]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("hs_id").orderBy("pos")
+    val w = Window.partitionBy(col("hs_id") +: carry.map(col): _*).orderBy("pos")
     var th = df.select(col(id).as("hs_id") +: carry.map(col) :+
         posexplode(col(tokens)).as(Seq("pos", "tok")): _*)
       .select(col("hs_id") +: carry.map(col) :+ col("pos") :+

@@ -68,7 +68,10 @@ object Multimodal {
             marker != 0xC4 && marker != 0xC8 && marker != 0xCC
           if (isSof) {
             if (i + 8 >= p.length) return None // truncated frame header
-            return Some((be16(p, i + 7), be16(p, i + 5))) // (width, height)
+            val (w, h) = (be16(p, i + 7), be16(p, i + 5))
+            // height 0 is legal SOF (DNL-deferred height) — treat as
+            // unparseable like the PNG/GIF zero-dim guard, fall back to codec
+            return if (w > 0 && h > 0) Some((w, h)) else None
           }
           i += 2 + len
         }

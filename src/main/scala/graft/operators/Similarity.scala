@@ -427,7 +427,23 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probed = q.select(col("cluster")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val pruned = index.where(col("cluster").isin(probed.map(Int.box): _*))
+    // match the pruning literals to the index's actual cluster type: parquet
+    // partition-column inference yields int at default config, but with
+    // inference disabled the column arrives as string (and a pre-clustered
+    // relation may carry long) — a mistyped isin would cast the PARTITION
+    // COLUMN instead, defeating static pruning or silently matching nothing
+    val lits: Array[Any] = index.schema("cluster").dataType match {
+      case org.apache.spark.sql.types.IntegerType => probed.map(Int.box)
+      case org.apache.spark.sql.types.LongType    => probed.map(i => java.lang.Long.valueOf(i.toLong))
+      case org.apache.spark.sql.types.StringType  => probed.map(_.toString)
+      case other => throw new IllegalArgumentException(
+        s"index cluster column must be int, long, or string; got $other")
+    }
+    // normalize the join key ABOVE the pruning filter: the scan still sees
+    // the typed isin on the raw partition column, while the equi-join with
+    // the query side meets int = int with no implicit cast
+    val pruned = index.where(col("cluster").isin(lits.toIndexedSeq: _*))
+      .withColumn("cluster", col("cluster").cast("int"))
     adcScoreClustered(q, pruned, codebooks, k)
   }
 

@@ -400,7 +400,14 @@ object TextAnalysis {
     * (bit-identical everywhere, no rounding needed). Short docs (< n
     * tokens) contribute their whole text as one gram, mirroring
     * [[shingles]] — so the gram-string set, and hence every hash, is
-    * identical to the HOF build and the SQL oracle is untouched. */
+    * identical to the HOF build and the SQL oracle is untouched.
+    *
+    * Precondition: `id` must identify one physical row. The window build
+    * interleaves token streams if an id recurs (the pre-round-9 row-local
+    * HOF build kept such rows independent), and the per-doc
+    * `dropDuplicates(id, gram)` merges gram counts across same-id rows
+    * either way. Feed `dropDuplicates(id)` — or a synthetic unique key —
+    * if the input may carry repeated ids. */
   def ngramNovelty(df: org.apache.spark.sql.DataFrame, id: String,
                    textCol: String, n: Int = 8): org.apache.spark.sql.DataFrame = {
     require(n > 0, s"gram order must be positive, got $n")

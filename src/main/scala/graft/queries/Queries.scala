@@ -832,13 +832,18 @@ object Queries {
     * rows (the oracle IS q72's), so the gate pins the storage round
     * trip; the pruning itself (scan reads only probed partitions) is
     * spec-asserted in SimilaritySpec. The index lands under java.io.tmpdir
-    * keyed by the SF dir so repeated runs overwrite atomically. */
+    * keyed by (SF dir, Spark application id): repeated runs in one session
+    * overwrite atomically, while concurrent sessions on the same SF (e.g.
+    * the bench and the correctness gate) get disjoint paths — no
+    * overwrite-mid-read race. Session-scoped scratch, reclaimed with the
+    * OS tmpdir. */
   val q81_ivfpq_indexed: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
     val coarse = Similarity.ivfCentroids(e, k = 8, iters = 1)
     val books = Similarity.pqTrain(e, m = 4, ksub = 16, iters = 1)
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_index_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_")
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
     Similarity.ivfPqIndexWrite(e, path, coarse, books)
     Similarity.ivfPqTopKIndexed(e.where(col("vec_id") < 10),
       s.read.parquet(path), k = 5, coarse, books, nprobe = 2)

@@ -415,6 +415,33 @@ class DedupSpec extends SparkSpec {
     graft.GraftSession.releaseCaches(spark, blocking = true)
   }
 
+  test("crossJaccardPairsTokens: an id present on BOTH sides keeps its token streams separate") {
+    // the re-ingest case: doc 42 appears in the batch AND the corpus with
+    // different text. The shingle window partitions by (id, block, side),
+    // so the two rows must shingle independently — before the round-10 fix
+    // (partition by id only) their exploded tokens tied on (id, pos) and
+    // lead() interleaved them nondeterministically
+    val batch = Seq((42L, "en", Seq("a", "b", "c", "d", "e")),
+                    (1L,  "en", Seq("a", "b", "c", "d", "x")))
+      .toDF("id", "blk", "tok")
+    val corpus = Seq((42L, "en", Seq("p", "q", "r", "s", "t")),
+                     (2L,  "en", Seq("a", "b", "c", "d", "e")))
+      .toDF("id", "blk", "tok")
+    def run() = Dedup.crossJaccardPairsTokens(batch, corpus, "id", "tok", "blk", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val strSh = (df: org.apache.spark.sql.DataFrame) => df.select(col("id"), col("blk"),
+      TextAnalysis.shingles(col("tok"), 3).as("sh"))
+    val expected = Dedup.crossJaccardPairs(strSh(batch), strSh(corpus), "id", "sh", "blk", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // ground truth from the row-local string path: batch 42 ≡ corpus 2
+    // (J=1.0) and batch 1 ~ corpus 2 (shingles abc,bcd ∩ of 4 ⇒ J=0.5);
+    // batch 42 ≁ corpus 42 (disjoint). Corrupted id-42 streams would lose
+    // the 1.0 pair or fabricate spurious ones
+    assert(expected.map(p => (p._1, p._2)) === Set((42L, 2L), (1L, 2L)))
+    (1 to 3).foreach { _ => assert(run() === expected, "tokens path diverged from row-local string path") }
+    graft.GraftSession.releaseCaches(spark, blocking = true)
+  }
+
   test("crossJaccardPairs plan: a small batch's exploded prefix broadcasts against a large corpus") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
