@@ -677,47 +677,56 @@ object Dedup {
   }
 
   /** Estimated resident driver bytes per undirected edge on the union-find
-    * path. The primitive state is small — 16 B edge arrays, plus per vertex
-    * (≤ 2/edge) 8 B sorted id + 4 B parent + 1 B rank + 8 B component min ≈
-    * 58 B/edge — but the boxed LOCAL OUTPUT relation dominates: one
-    * GenericRow + two boxed Longs per vertex is ~110 B, i.e. ~220 B/edge in
-    * the worst (all-distinct-vertices) case. 300 B/edge covers both with
-    * slack; at the 1<<21 default cap that is ~600 MB — a deliberate
-    * broadcast-build-side-sized budget, additionally gated to 1/8 of the
-    * driver's real maxMemory at the call site. */
-  private val DriverBytesPerEdge = 300L
+    * path — PRIMITIVE throughout since round 10. The edge batch arrives as
+    * per-partition packed `Array[Long]` chunks (16 B/edge, no Row/Long
+    * boxes), is copied once into src/dst arrays (16 B/edge, chunks then
+    * unreachable), the union-find state is ≤ 2 vertices/edge × (8 B sorted
+    * id + 4 B parent + 1 B rank + 8 B min + 8 B resolved comp) ≈ 58 B/edge,
+    * and the output relation is two BROADCAST primitive long arrays
+    * (≤ 32 B/edge) instead of the former boxed LocalRelation (GenericRow +
+    * 2 boxed Longs ≈ 220 B/edge — the engine's single largest driver
+    * allocation and the prime suspect for q41's GC-driven bimodal tail).
+    * 120 B/edge covers the worst (all-distinct-vertices) case with slack;
+    * at the 1<<21 default cap that is ~240 MB, additionally gated to 1/8
+    * of the driver's real maxMemory at the call site. */
+  private val DriverBytesPerEdge = 120L
 
   /** Driver-side union-find over a measured-small symmetrized edge relation.
-    * Rows arrive in ONE `collect()` job and are unboxed straight into two
-    * PRIMITIVE long arrays (the boxed input batch is dereferenced before the
-    * output relation is built, so the peak boxed footprint stays the single
-    * relation [[DriverBytesPerEdge]] budgets — `toLocalIterator` was
-    * measured here first and schedules one sequential job PER PARTITION,
-    * ~1 s of pure scheduling latency on a 32-partition cached relation of a
-    * few thousand rows); the union-find itself runs on dense int indices
-    * (vertex ids sorted + binary-searched), so its state is three primitive
-    * arrays, not boxed LongMaps. Path-compressed, union by rank; labels
-    * resolve to the component-minimum vertex id, bit-identical to the
-    * distributed loop's fixpoint. Returns a local relation — downstream
-    * joins against the corpus broadcast it, exactly like a built
-    * dimension. */
+    * Edges arrive in ONE `collect()` job as per-partition PACKED primitive
+    * `Array[Long]` chunks (src,dst interleaved) — never as boxed Rows; a
+    * plain `collect()` of Rows was measured at ~110 B/edge of GenericRow +
+    * boxed-Long garbage, and `toLocalIterator` before that scheduled one
+    * sequential job PER PARTITION, ~1 s of pure scheduling latency on a
+    * 32-partition cached relation of a few thousand rows. The union-find
+    * itself runs on dense int indices (vertex ids sorted + binary-searched),
+    * so its state is primitive arrays, not boxed LongMaps. Path-compressed,
+    * union by rank; labels resolve to the component-minimum vertex id,
+    * bit-identical to the distributed loop's fixpoint. The output relation
+    * is built from two BROADCAST primitive arrays mapped over a `range` —
+    * the driver never materializes a boxed row per vertex, and downstream
+    * joins still broadcast the (tiny, statically range-sized) relation
+    * exactly like a built dimension. */
   private def driverComponents(edges: DataFrame,
                                spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
     // src <= dst keeps each undirected edge once and retains degenerate
     // self-edges, whose vertices must still surface in the labeling
-    var rows = edges.where(col("src") <= col("dst")).select("src", "dst")
-      .collect()
-    val nE0 = rows.length
+    var chunks = edges.where(col("src") <= col("dst")).select("src", "dst")
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val b = scala.collection.mutable.ArrayBuilder.make[Long]
+        it.foreach { case (s, d) => b += s; b += d }
+        Iterator.single(b.result())
+      }.collect()
+    val nE0 = chunks.iterator.map(_.length / 2).sum
     val src = new Array[Long](nE0)
     val dst = new Array[Long](nE0)
     var j = 0
-    while (j < nE0) {
-      src(j) = rows(j).getLong(0)
-      dst(j) = rows(j).getLong(1)
-      j += 1
+    chunks.foreach { c =>
+      var p = 0
+      while (p < c.length) { src(j) = c(p); dst(j) = c(p + 1); p += 2; j += 1 }
     }
-    rows = null // release the boxed batch before building the output relation
+    chunks = null // release the packed batch before building anything else
     val nE = src.length
     // dense vertex index: sort a primitive scratch array, dedupe in place
     val all = new Array[Long](2 * nE)
@@ -762,7 +771,19 @@ object Dedup {
       if (minOfRoot(r) == Long.MaxValue) minOfRoot(r) = verts(i)
       i += 1
     }
-    (0 until nV).map(i => (verts(i), minOfRoot(find(i)))).toDF("id", "comp")
+    val comp = new Array[Long](nV)
+    i = 0
+    while (i < nV) { comp(i) = minOfRoot(find(i)); i += 1 }
+    // emit via broadcast primitive arrays over a range: zero boxed rows on
+    // the driver, and the relation's row count is statically known from the
+    // range, so Catalyst still sizes it under the broadcast threshold
+    val bVerts = spark.sparkContext.broadcast(verts)
+    val bComp = spark.sparkContext.broadcast(comp)
+    spark.range(0, nV.toLong, 1, math.max(1, nV / 1000000 + 1))
+      .mapPartitions { it =>
+        val v = bVerts.value; val c = bComp.value
+        it.map(i => (v(i.toInt), c(i.toInt)))
+      }.toDF("id", "comp")
   }
 
   /** Cluster-level dedup decision: every doc in a near-dup component keeps

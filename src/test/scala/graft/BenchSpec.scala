@@ -4,31 +4,51 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The bench's failure arithmetic — the exact surface a -1.0 sentinel once
   * corrupted (a failed run used to flow into medians and SHRINK the
-  * headline total). */
+  * headline total) — plus the round-10 min/median twin stats. */
 class BenchSpec extends AnyFunSuite {
 
-  test("median ignores failed runs") {
+  test("min and median ignore failed runs") {
+    assert(Bench.statsOverSuccesses(Seq(Some(1.0), None, Some(3.0))) === (Some(1.0), Some(3.0), 1))
+    assert(Bench.statsOverSuccesses(Seq(Some(2.0), Some(1.0), Some(3.0))) === (Some(1.0), Some(2.0), 0))
+    assert(Bench.statsOverSuccesses(Seq(None, None, None)) === (None, None, 3))
+    assert(Bench.statsOverSuccesses(Nil) === (None, None, 0))
+    // the back-compat shim keeps the original median contract
     assert(Bench.medianOverSuccesses(Seq(Some(1.0), None, Some(3.0))) === (Some(3.0), 1))
-    assert(Bench.medianOverSuccesses(Seq(Some(2.0), Some(1.0), Some(3.0))) === (Some(2.0), 0))
-    assert(Bench.medianOverSuccesses(Seq(None, None, None)) === (None, 3))
-    assert(Bench.medianOverSuccesses(Nil) === (None, 0))
   }
 
-  test("all-failed queries are excluded from the total and counted, partial failures listed") {
+  test("min is the headline; a mode-swung run inflates the median but not the min") {
+    // the round-9 scenario: identical code, one run lands in the slow JVM
+    // mode — min stays at the noise floor, median records the swing
+    val (mn, med, f) = Bench.statsOverSuccesses(Seq(Some(2.1), Some(7.9), Some(2.2)))
+    assert(mn === Some(2.1) && med === Some(2.2) && f === 0)
+  }
+
+  test("all-failed queries are excluded from both totals and counted, partial failures listed") {
     val json = Bench.renderJson(Seq(
-      ("q_ok", Some(1.5), 0),
-      ("q_flaky", Some(2.0), 1),
-      ("q_dead", None, 3)), runsPerQuery = 3, sfDir = "/sf")
+      ("q_ok", Some(1.5), Some(1.6), 0, 3),
+      ("q_flaky", Some(2.0), Some(2.5), 1, 3),
+      ("q_dead", None, None, 3, 3)), runsPerQuery = 3, sfDir = "/sf")
     // total = 1.5 + 2.0 only; q_dead contributes nothing (never -1.0)
     assert(json.contains("\"value\":3.5"), json)
+    assert(json.contains("\"stat\":\"min\""), json)
     assert(json.contains("\"queries\":{\"q_ok\":1.5,\"q_flaky\":2.0}"), json)
+    assert(json.contains("\"total_median\":4.1"), json)
+    assert(json.contains("\"queries_median\":{\"q_ok\":1.6,\"q_flaky\":2.5}"), json)
     assert(json.contains("\"failed_runs\":{\"q_flaky\":1,\"q_dead\":3}"), json)
     assert(json.contains("\"n_failed_queries\":1"), json)
     assert(!json.contains("-1"), json)
   }
 
-  test("clean run renders empty failure fields") {
-    val json = Bench.renderJson(Seq(("q1", Some(0.5), 0)), 3, "/sf")
+  test("clean run renders empty failure and bump fields") {
+    val json = Bench.renderJson(Seq(("q1", Some(0.5), Some(0.5), 0, 3)), 3, "/sf")
     assert(json.contains("\"failed_runs\":{}") && json.contains("\"n_failed_queries\":0"))
+    assert(json.contains("\"runs_bumped\":{}"), json)
+  }
+
+  test("a spread-bumped query surfaces its deepened run count") {
+    val json = Bench.renderJson(Seq(
+      ("q_stable", Some(0.5), Some(0.5), 0, 3),
+      ("q_bimodal", Some(2.0), Some(6.8), 0, 5)), 3, "/sf")
+    assert(json.contains("\"runs_bumped\":{\"q_bimodal\":5}"), json)
   }
 }
