@@ -160,13 +160,7 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         explode(probeCentroids(col(vecCol), centroids, nprobe)).as("probe"))
       .select(col("query_id"), col("qv"), col("probe.cluster").as("cluster"))
-    val scored = q.join(c, Seq("cluster"))
-      .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", round(cosine(col("qv"), col("nv")), 6))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk").cast("long").as("rk"))
+    ivfScoreTopK(q, c, k)
   }
 
   // ------------------------------------------------------------------- PQ --
@@ -331,18 +325,23 @@ object Similarity {
 
   /** The stored IVF+PQ index relation: (neighbor_id, cluster, code_0…
     * code_{m-1}) — coarse assignment + PQ codes, both pure row-local
-    * argmins against literal centroids/codebooks (no shuffle). */
+    * argmins against literal centroids/codebooks (no shuffle).
+    * `keepVec = true` carries the raw vector through as `embedding` — the
+    * flat/rerank tier of a stored index (see [[ivfPqIndexWrite]]). */
   def ivfPqEncode(corpus: DataFrame, coarse: Array[Array[Double]],
                   codebooks: Array[Array[Array[Double]]],
-                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  keepVec: Boolean = false): DataFrame = {
     val m = codebooks.length
     val dsub = codebooks(0)(0).length
+    val keep = if (keepVec) Seq(col(vecCol).as("embedding")) else Nil
     corpus
       .select(col(idCol).as("neighbor_id") +:
         nearestCentroid(col(vecCol), coarse).as("cluster") +:
-        (0 until m).map(s => slice(col(vecCol), s * dsub + 1, dsub).as(s"pq_sub_$s")): _*)
-      .select(col("neighbor_id") +: col("cluster") +: (0 until m).map(s =>
-        nearestCode(col(s"pq_sub_$s"), codebooks(s)).cast("long").as(s"code_$s")): _*)
+        ((0 until m).map(s => slice(col(vecCol), s * dsub + 1, dsub).as(s"pq_sub_$s")) ++ keep): _*)
+      .select(col("neighbor_id") +: col("cluster") +: ((0 until m).map(s =>
+        nearestCode(col(s"pq_sub_$s"), codebooks(s)).cast("long").as(s"code_$s")) ++
+        keep.map(_ => col("embedding"))): _*)
   }
 
   /** Query side of the clustered ADC search: subvectors + their norms
@@ -384,12 +383,26 @@ object Similarity {
     * make about 100 TB deployments ("the index is *stored* clustered, so
     * a probe is an I/O bound") as an actual code path. Layout: one
     * directory per coarse cluster holding (neighbor_id, code_0…code_{m-1})
-    * at m bytes of code per vector; rewritten atomically (overwrite). */
+    * at m bytes of code per vector; rewritten atomically (overwrite).
+    *
+    * `withVectors = true` (the default) also stores the raw vector as an
+    * `embedding` column — the FAISS-IVFFlat shape, which lets the SAME
+    * clustered layout serve every tier by COLUMN pruning on top of the
+    * partition pruning: the ADC probe ([[ivfPqTopKIndexed]]) reads only
+    * the code columns (spec-asserted: its scan's ReadSchema excludes
+    * `embedding`), the exact-cosine probe ([[ivfTopKIndexed]]) and
+    * [[semanticDedupIndexed]] read the vector and ignore the codes, and an
+    * exact rerank over ADC candidates has the vectors in place. Parquet is
+    * columnar, so the unread columns cost disk, never probe I/O; a
+    * code-only deployment sets `withVectors = false` (appends must then
+    * use the same setting — parquet files in one index must agree on
+    * schema). */
   def ivfPqIndexWrite(corpus: DataFrame, path: String,
                       coarse: Array[Array[Double]],
                       codebooks: Array[Array[Array[Double]]],
-                      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
-    ivfPqEncode(corpus, coarse, codebooks, idCol, vecCol)
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      withVectors: Boolean = true): Unit =
+    ivfPqEncode(corpus, coarse, codebooks, idCol, vecCol, keepVec = withVectors)
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
 
   /** APPEND a batch into an existing clustered index: new vectors encode
@@ -405,8 +418,9 @@ object Similarity {
   def ivfPqIndexAppend(batch: DataFrame, path: String,
                        coarse: Array[Array[Double]],
                        codebooks: Array[Array[Array[Double]]],
-                       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
-    ivfPqEncode(batch, coarse, codebooks, idCol, vecCol)
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       withVectors: Boolean = true): Unit =
+    ivfPqEncode(batch, coarse, codebooks, idCol, vecCol, keepVec = withVectors)
       .write.mode("append").partitionBy("cluster").parquet(path)
 
   /** IVF+PQ top-k over a MATERIALIZED index (read back from
@@ -427,11 +441,26 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probed = q.select(col("cluster")).distinct()
       .collect().map(_.getInt(0)).sorted
-    // match the pruning literals to the index's actual cluster type: parquet
-    // partition-column inference yields int at default config, but with
-    // inference disabled the column arrives as string (and a pre-clustered
-    // relation may carry long) — a mistyped isin would cast the PARTITION
-    // COLUMN instead, defeating static pruning or silently matching nothing
+    // project to exactly the ADC columns BEFORE scoring: an index written
+    // withVectors must not pay vector I/O on the code path — the parquet
+    // scan's ReadSchema excludes `embedding` (spec-asserted)
+    val pruned = pruneToProbed(index, probed)
+      .select(col("neighbor_id") +: col("cluster") +:
+        codebooks.indices.map(s => col(s"code_$s")): _*)
+    adcScoreClustered(q, pruned, codebooks, k)
+  }
+
+  /** Restrict a stored clustered index to the probed clusters with a
+    * STATIC partition-pruning predicate. The pruning literals are typed
+    * from the index's actual cluster column: parquet partition-column
+    * inference yields int at default config, but with inference disabled
+    * the column arrives as string (and a pre-clustered relation may carry
+    * long) — a mistyped isin would cast the PARTITION COLUMN instead,
+    * defeating static pruning or silently matching nothing. The join key is
+    * normalized to int ABOVE the filter, so the scan still sees the typed
+    * isin on the raw partition column while every downstream equi-join
+    * meets int = int with no implicit cast. */
+  private def pruneToProbed(index: DataFrame, probed: Array[Int]): DataFrame = {
     val lits: Array[Any] = index.schema("cluster").dataType match {
       case org.apache.spark.sql.types.IntegerType => probed.map(Int.box)
       case org.apache.spark.sql.types.LongType    => probed.map(i => java.lang.Long.valueOf(i.toLong))
@@ -439,12 +468,77 @@ object Similarity {
       case other => throw new IllegalArgumentException(
         s"index cluster column must be int, long, or string; got $other")
     }
-    // normalize the join key ABOVE the pruning filter: the scan still sees
-    // the typed isin on the raw partition column, while the equi-join with
-    // the query side meets int = int with no implicit cast
-    val pruned = index.where(col("cluster").isin(lits.toIndexedSeq: _*))
+    index.where(col("cluster").isin(lits.toIndexedSeq: _*))
       .withColumn("cluster", col("cluster").cast("int"))
-    adcScoreClustered(q, pruned, codebooks, k)
+  }
+
+  /** EXACT-cosine IVF top-k over a MATERIALIZED index (written
+    * `withVectors = true`): the cluster-assignment pass — the expensive
+    * full-corpus argmax that [[ivfTopK]] recomputes per query batch — was
+    * paid ONCE at index-build time; a probe here reads only the probed
+    * cluster directories (static partition pruning, like
+    * [[ivfPqTopKIndexed]]) and only the (neighbor_id, embedding) columns
+    * (the PQ codes are ignored — column pruning). At 100 TB this is the
+    * production IVF-Flat shape: assignment per corpus, not per query.
+    * With every cluster probed the result is identical to [[ivfTopK]] over
+    * the original corpus (spec-asserted — assignment is deterministic, so
+    * the stored clusters ARE ivfTopK's clusters). */
+  def ivfTopKIndexed(queries: DataFrame, index: DataFrame, k: Int,
+                     centroids: Array[Array[Double]], nprobe: Int = 2,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(index.columns.contains("embedding"),
+      "ivfTopKIndexed needs an index written withVectors = true (no embedding column found)")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(probeCentroids(col(vecCol), centroids, nprobe)).as("probe"))
+      .select(col("query_id"), col("qv"), col("probe.cluster").as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probed = q.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val c = pruneToProbed(index, probed)
+      .select(col("cluster"), col("neighbor_id"), col("embedding").as("nv"))
+    ivfScoreTopK(q, c, k)
+  }
+
+  /** Shared IVF exact-cosine scoring: equi-join probed queries to cluster
+    * members, score, cut top-k per query. */
+  private def ivfScoreTopK(q: DataFrame, c: DataFrame, k: Int): DataFrame = {
+    val scored = q.join(c, Seq("cluster"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", round(cosine(col("qv"), col("nv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk").cast("long").as("rk"))
+  }
+
+  /** [[semanticDedup]] over a MATERIALIZED index (written
+    * `withVectors = true`): the coarse cluster assignment — at 100 TB the
+    * expensive full-corpus pass, and the only part of SemDeDup that
+    * touches the quantizer — comes from the stored layout instead of being
+    * recomputed per run, which is the amortization the SemDeDup paper
+    * assumes (one clustering per corpus, many dedup/search consumers).
+    * The within-cluster prune is IDENTICAL to [[semanticDedup]]'s
+    * (equi-join on cluster, cosine ≥ threshold inside the join condition,
+    * lower-id mate wins), so the output matches the in-memory operator
+    * row-for-row (spec-asserted). No partition pruning here — dedup is a
+    * full-corpus pass by definition — but the scan reads only
+    * (neighbor_id, embedding, cluster), never the PQ codes. */
+  def semanticDedupIndexed(index: DataFrame, threshold: Double,
+                           idCol: String = "vec_id"): DataFrame = {
+    require(index.columns.contains("embedding"),
+      "semanticDedupIndexed needs an index written withVectors = true (no embedding column found)")
+    val assigned = index
+      .select(col("neighbor_id").as(idCol), col("embedding"),
+        col("cluster").cast("int").as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val l = assigned.select(col("cluster"), col(idCol).as("lo_id"), col("embedding").as("lv"))
+    val r = assigned.select(col("cluster"), col(idCol).as("hi_id"), col("embedding").as("rv"))
+    val dropped = l.join(r,
+        l("cluster") === r("cluster") && col("lo_id") < col("hi_id")
+          && round(cosine(col("lv"), col("rv")), 6) >= threshold)
+      .select(col("hi_id").as(idCol))
+    assigned.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cluster"))
   }
 
   /** EXACT all-pairs cosine self-join above a threshold, as a tiled

@@ -27,12 +27,14 @@ object OracleSql {
       .map { case (p, b) => s"($b, [${p.mkString(",")}]::DOUBLE[])" }
       .mkString(",\n")
 
-  // q81 searches the MATERIALIZED IVF+PQ index with q72's exact
-  // parameters; the on-disk round trip cannot change a single row, so the
-  // oracle is definitionally q72's — any drift between the in-memory and
-  // indexed paths fails the gate.
+  // q81/q82/q83 answer from the MATERIALIZED clustered index with q72's/
+  // q39's/q80's exact parameters; the on-disk round trip cannot change a
+  // single row, so each oracle is definitionally its in-memory twin's —
+  // any drift between the in-memory and indexed paths fails the gate.
   val all: Map[String, String] =
     base.updated("q81_ivfpq_indexed", base("q72_ivfpq"))
+      .updated("q82_ivf_indexed", base("q39_ann_ivf"))
+      .updated("q83_semantic_indexed", base("q80_semantic_dedup"))
 
   private lazy val base: Map[String, String] = Map(
 

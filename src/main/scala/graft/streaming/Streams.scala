@@ -57,6 +57,37 @@ object Streams {
       .drop("sd_tok", "sd_g")
   }
 
+  /** Streaming ingest into the MATERIALIZED clustered vector index: each
+    * micro-batch encodes against the FROZEN coarse centroids + codebooks
+    * and lands as extra files inside its cluster directories via
+    * [[graft.operators.Similarity.ivfPqIndexAppend]] — the continuous half
+    * of the growing-corpus story (batch half: nightly appends). Run under
+    * `Trigger.AvailableNow` for the catch-up shape or continuously for
+    * live ingest; the append-equivalence spec (SimilaritySpec) proves the
+    * hard part — streamed growth answers identically to indexing the whole
+    * corpus at once, because quantizers are frozen by design (re-training
+    * would re-shape every existing cluster; growth beyond the training
+    * distribution is a rebuild, the FAISS add() contract).
+    *
+    * Delivery is at-least-once: a micro-batch replayed after a crash
+    * appends its rows again (plain parquet appends are not transactional
+    * across retries). Near-dup search tolerates duplicate index rows
+    * (scores tie, top-k window tie-breaks on neighbor_id); a deployment
+    * needing exactly-once puts a `dropDuplicatesWithinWatermark` on the
+    * vector stream ([[dedupStream]]) or an id-keyed compaction behind the
+    * index, and the caller must set `checkpointLocation` so offsets
+    * survive restarts. */
+  def ivfPqIndexSink(vectors: DataFrame, path: String,
+                     coarse: Array[Array[Double]],
+                     codebooks: Array[Array[Array[Double]]],
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     withVectors: Boolean = true)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vectors.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.operators.Similarity.ivfPqIndexAppend(
+        batch, path, coarse, codebooks, idCol, vecCol, withVectors)
+    }
+
   /** Watermarked stream-stream interval join: each purchase joined to the
     * same user's views from the preceding `lookback`. Both sides carry
     * watermarks and the join condition bounds the event-time gap, so state

@@ -127,6 +127,12 @@ class SimilaritySpec extends SparkSpec {
       val selected = idxScan.get.selectedPartitions.partitionCount
       assert(selected === 1,
         s"one query at nprobe=1 must read exactly one of ${clusterDirs.length} cluster partitions, read $selected")
+      // the index stores the raw vectors (withVectors default), but the ADC
+      // probe must never read them: column pruning on top of partition pruning
+      assert(index.columns.contains("embedding"),
+        "withVectors=true index must carry the embedding column")
+      assert(!idxScan.get.requiredSchema.fieldNames.contains("embedding"),
+        s"the ADC probe must column-prune the stored vectors, read ${idxScan.get.requiredSchema.fieldNames.mkString(",")}")
       // full probe over the loaded index ≡ the in-memory IVF+PQ path
       def rows(df: org.apache.spark.sql.DataFrame) =
         df.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
@@ -134,6 +140,75 @@ class SimilaritySpec extends SparkSpec {
       val mem = rows(Similarity.ivfPqTopK(q, e, 5, coarse, books, nprobe = 4))
       assert(full.toSeq === mem.toSeq,
         "the materialized index must answer identically to the in-memory path")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
+  }
+
+  test("ivfTopKIndexed: exact-cosine probe over the stored index ≡ ivfTopK; prunes partitions and PQ-code columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = Similarity.ivfCentroids(e, k = 4, iters = 1)
+    val books = Similarity.pqTrain(e, 4, 16, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivfflat_index").toString
+    try {
+      Similarity.ivfPqIndexWrite(e, dir, coarse, books)
+      val index = spark.read.parquet(dir)
+      val q = e.where(col("vec_id") < 5)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+      // same nprobe both sides: stored clusters ARE ivfTopK's clusters
+      // (deterministic assignment), so the indexed path must match even on
+      // a partial probe — and on the full probe too
+      Seq(2, 4).foreach { nprobe =>
+        val viaIndex = rows(Similarity.ivfTopKIndexed(q, index, 3, coarse, nprobe))
+        val inMemory = rows(Similarity.ivfTopK(q, e, 3, coarse, nprobe))
+        assert(viaIndex.toSeq === inMemory.toSeq, s"nprobe=$nprobe diverged")
+      }
+      // one query at nprobe=1 reads one partition, and never the code columns
+      val out1 = Similarity.ivfTopKIndexed(e.where(col("vec_id") === 0), index, 3, coarse, nprobe = 1)
+      out1.count()
+      val scans = out1.queryExecution.executedPlan.collectWithSubqueries {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }.flatMap(_.collect { case s: FileSourceScanExec => s })
+      val idxScan = scans.find(_.relation.location.rootPaths.exists(_.toString.contains("ivfflat_index")))
+      assert(idxScan.isDefined && idxScan.get.partitionFilters.nonEmpty)
+      assert(idxScan.get.selectedPartitions.partitionCount === 1)
+      assert(!idxScan.get.requiredSchema.fieldNames.exists(_.startsWith("code_")),
+        s"the exact-cosine probe must column-prune the PQ codes, read ${idxScan.get.requiredSchema.fieldNames.mkString(",")}")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
+  }
+
+  test("semanticDedupIndexed: stored-index SemDeDup ≡ in-memory semanticDedup, codes column-pruned") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = Similarity.ivfCentroids(e, k = 4, iters = 1)
+    val books = Similarity.pqTrain(e, 4, 16, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("semdedup_index").toString
+    try {
+      Similarity.ivfPqIndexWrite(e, dir, coarse, books)
+      val viaIndex = Similarity.semanticDedupIndexed(spark.read.parquet(dir), 0.35)
+        .as[(Long, Int)].collect().sortBy(_._1)
+      val inMemory = Similarity.semanticDedup(e, coarse, 0.35)
+        .as[(Long, Int)].collect().sortBy(_._1)
+      assert(viaIndex.toSeq === inMemory.toSeq,
+        "stored-index SemDeDup must keep exactly the in-memory survivors")
+      // an index written without vectors is rejected with a clear error
+      val codesOnly = java.nio.file.Files.createTempDirectory("codes_only").toString
+      try {
+        Similarity.ivfPqIndexWrite(e, codesOnly, coarse, books, withVectors = false)
+        val ex = intercept[IllegalArgumentException] {
+          Similarity.semanticDedupIndexed(spark.read.parquet(codesOnly), 0.35)
+        }
+        assert(ex.getMessage.contains("withVectors"))
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(codesOnly))
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       graft.GraftSession.releaseCaches(spark, blocking = true)

@@ -112,6 +112,47 @@ class StreamsSpec extends SparkSpec {
     assert(out === Set(("p1", "v1")))
   }
 
+  test("streaming index ingest: two micro-batches ≡ one batch write ≡ in-memory search") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = Similarity.ivfCentroids(e, k = 4, iters = 1)
+    val books = Similarity.pqTrain(e, 4, 16, iters = 1)
+    val streamDir = java.nio.file.Files.createTempDirectory("stream_index").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_index_ckpt").toString
+    try {
+      val input = MemoryStream[(Long, Seq[Float])]
+      val q = Streams.ivfPqIndexSink(
+          input.toDF().toDF("vec_id", "embedding"), streamDir, coarse, books)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      val rows = e.select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect()
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      input.addData(b1.toIndexedSeq); q.processAllAvailable()
+      input.addData(b2.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      val probe = e.where(col("vec_id") < 5)
+      def top(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+      val streamed = top(Similarity.ivfPqTopKIndexed(
+        probe, spark.read.parquet(streamDir), 5, coarse, books, nprobe = 4))
+      val mem = top(Similarity.ivfPqTopK(probe, e, 5, coarse, books, nprobe = 4))
+      assert(streamed.toSeq === mem.toSeq,
+        "a stream-grown index must answer identically to the in-memory path")
+      // the exact-cosine tier works off the same stream-grown index too
+      val exact = top(Similarity.ivfTopKIndexed(
+        probe, spark.read.parquet(streamDir), 3, coarse, nprobe = 4))
+      val exactMem = top(Similarity.ivfTopK(probe, e, 3, coarse, nprobe = 4))
+      assert(exact.toSeq === exactMem.toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
+  }
+
   test("incremental hourly rollup emits finalized windows after watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
