@@ -54,6 +54,63 @@ object Multimodal {
         if (w > 0 && h > 0) Some(("image/gif", w, h)) else None
       } else None
 
+    private def le32(p: Array[Byte], i: Int): Long =
+      (u8(p, i).toLong) | (u8(p, i + 1).toLong << 8) |
+        (u8(p, i + 2).toLong << 16) | (u8(p, i + 3).toLong << 24)
+
+    /** (sampleRate, channels, durationMs) if the payload is a complete
+      * RIFF/WAVE container: walk the word-aligned chunk chain (tolerating
+      * extra chunks — LIST/INFO metadata before fmt/data is common in the
+      * wild) to the `fmt ` chunk (channels, sample rate, byte rate — all
+      * little-endian, per the public RIFF spec) and the `data` chunk,
+      * whose size over the byte rate is the duration. None — callers fall
+      * back, never throw — for a missing/zero-field fmt, a data chunk
+      * whose claimed size overruns the payload (truncation), or any
+      * non-WAV bytes; mirrors the image branches' positive-dims guard. */
+    def wavInfo(p: Array[Byte]): Option[(Int, Int, Long)] = {
+      if (p.length < 12 || p(0) != 'R' || p(1) != 'I' || p(2) != 'F' ||
+          p(3) != 'F' || p(8) != 'W' || p(9) != 'A' || p(10) != 'V' || p(11) != 'E')
+        return None
+      var i = 12
+      var sampleRate = 0L; var channels = 0; var byteRate = 0L
+      var dataSize = -1L
+      while (i + 8 <= p.length) {
+        val size = le32(p, i + 4)
+        val isFmt = p(i) == 'f' && p(i + 1) == 'm' && p(i + 2) == 't' && p(i + 3) == ' '
+        val isData = p(i) == 'd' && p(i + 1) == 'a' && p(i + 2) == 't' && p(i + 3) == 'a'
+        if (i + 8 + size > p.length) return None // truncated chunk
+        if (isFmt && size >= 16) {
+          channels = le16(p, i + 10)
+          sampleRate = le32(p, i + 12)
+          byteRate = le32(p, i + 16)
+        } else if (isData) dataSize = size
+        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      if (sampleRate > 0 && channels > 0 && byteRate > 0 && dataSize >= 0)
+        Some((sampleRate.toInt, channels, dataSize * 1000L / byteRate))
+      else None
+    }
+
+    /** Wrap raw bytes as canonical 44-byte-header PCM WAV — the
+      * deterministic inverse of [[wavInfo]] (header fields it parses are
+      * exactly the ones written), used to exercise the parser on real
+      * container bytes built from any binary column. */
+    def wavWrap(data: Array[Byte], sampleRate: Int, channels: Int,
+                bitsPerSample: Int): Array[Byte] = {
+      val byteRate = sampleRate * channels * bitsPerSample / 8
+      val blockAlign = channels * bitsPerSample / 8
+      val b = java.nio.ByteBuffer.allocate(44 + data.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+        .put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort)
+        .putInt(sampleRate).putInt(byteRate)
+        .putShort(blockAlign.toShort).putShort(bitsPerSample.toShort)
+      b.put("data".getBytes("US-ASCII")).putInt(data.length).put(data)
+      b.array()
+    }
+
     private def jpegDims(p: Array[Byte]): Option[(Int, Int)] = {
       var i = 2
       while (i + 3 < p.length) {
@@ -156,6 +213,49 @@ object Multimodal {
         struct(col("mime"), col("w").as("width"), col("h").as("height"),
           col("n_bytes")).as("meta"),
         col("features"))
+  }
+
+  /** Wrap every payload as canonical PCM WAV (header around the raw bytes
+    * as the data chunk) — the deterministic audio-ingest twin of
+    * [[toMedia]], so the WAV parser runs against real container bytes in
+    * any pipeline test or backfill. Same `mapPartitions` batch shape as
+    * the decode pass. */
+  def wrapPcm(media: DataFrame, sampleRate: Int = 16000, channels: Int = 1,
+              bitsPerSample: Int = 16): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, data) =>
+        (id, HeaderCodec.wavWrap(data, sampleRate, channels, bitsPerSample))
+      })
+      .toDF("media_id", "payload")
+      .withColumn("meta", struct(
+        lit("audio/wav").as("mime"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        octet_length(col("payload")).cast("long").as("n_bytes")))
+  }
+
+  /** Audio metadata pass: parse each payload's RIFF/WAVE header into
+    * (sample_rate, channels, duration_ms) — real fields from real
+    * container bytes, like the image decode pass; non-WAV payloads keep
+    * their declared mime with null audio fields (the fall-back seam where
+    * an MP3/FLAC/OGG parser or a full decoder library would slot in).
+    * Same per-partition batch shape as [[decodeAndFeaturize]]. */
+  def describeAudio(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .select(col("media_id"), col("payload"), col("meta.mime"), col("meta.n_bytes"))
+      .as[(Long, Array[Byte], String, Long)]
+      .mapPartitions(_.map { case (id, p, mime, nBytes) =>
+        HeaderCodec.wavInfo(p) match {
+          case Some((sr, ch, ms)) =>
+            (id, "audio/wav", Option(sr), Option(ch), Option(ms), nBytes)
+          case None =>
+            (id, mime, Option.empty[Int], Option.empty[Int], Option.empty[Long], nBytes)
+        }
+      })
+      .toDF("media_id", "mime", "sample_rate", "channels", "duration_ms", "n_bytes")
   }
 
   /** Frame-sampling shape for video-like payloads: split a payload into

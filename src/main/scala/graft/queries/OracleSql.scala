@@ -514,6 +514,19 @@ object OracleSql {
         |       fsum.feature_sum
         |FROM h JOIN fsum USING (doc_id)""".stripMargin,
 
+    // q84 wraps each doc's UTF-8 bytes as canonical 16 kHz mono 16-bit PCM
+    // WAV and parses the header back; every parsed field is a deterministic
+    // function of the byte length (byte rate = 16000*1*16/8 = 32000 B/s,
+    // header = 44 B), so the oracle replays the arithmetic exactly.
+    "q84_wav_metadata" ->
+      """SELECT doc_id AS media_id,
+        |       'audio/wav' AS mime,
+        |       CAST(16000 AS INTEGER) AS sample_rate,
+        |       CAST(1 AS INTEGER) AS channels,
+        |       CAST((CAST(octet_length(encode(text)) AS BIGINT) * 1000) // 32000 AS BIGINT) AS duration_ms,
+        |       CAST(octet_length(encode(text)) + 44 AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+
     "q31_ann_srp" ->
       s"""WITH planes(bit, w) AS (VALUES
          |$srpPlanes),

@@ -451,6 +451,22 @@ object Queries {
           (acc, x) => acc + x.cast("double")), 4).as("feature_sum"))
   }
 
+  /** Audio container metadata: wrap each document's bytes as canonical PCM
+    * WAV (16 kHz mono 16-bit — header written by the engine), then parse
+    * the RIFF/WAVE header back with the real chunk-walking parser
+    * ([[graft.operators.Multimodal.HeaderCodec.wavInfo]]) — sample rate,
+    * channels, and duration from the data-chunk size over the byte rate.
+    * The oracle replays the header arithmetic (the fields are
+    * deterministic functions of the text's UTF-8 byte length), so the
+    * round trip through real container bytes is hash-gated. */
+  val q84_wav_metadata: Q = (s, dir) => {
+    import graft.operators.Multimodal
+    val media = Multimodal.toMedia(Tables.documents(s, dir), "doc_id", "text",
+      "application/octet-stream")
+    Multimodal.describeAudio(
+      Multimodal.wrapPcm(media, sampleRate = 16000, channels = 1, bitsPerSample = 16))
+  }
+
   /** IVF ANN top-3: deterministic centroid build (lowest-id seeds + one
     * Lloyd step with exact decimal sums), corpus bucketed by nearest
     * centroid, queries probe their 2 closest clusters. The oracle replays
@@ -1098,5 +1114,6 @@ object Queries {
     "q81_ivfpq_indexed" -> q81_ivfpq_indexed,
     "q82_ivf_indexed" -> q82_ivf_indexed,
     "q83_semantic_indexed" -> q83_semantic_indexed,
+    "q84_wav_metadata" -> q84_wav_metadata,
   )
 }

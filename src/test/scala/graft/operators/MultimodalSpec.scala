@@ -73,6 +73,49 @@ class MultimodalSpec extends SparkSpec {
     assert(out(4L) === ((4L, "application/octet-stream", fw, fh)))
   }
 
+  test("wav codec: RIFF header round trip, chunk-walk tolerance, truncation guards") {
+    import spark.implicits._
+    val pcm = Array.tabulate(64000)(i => (i % 251).toByte) // 2 s at 32 kB/s
+    val wav = Multimodal.HeaderCodec.wavWrap(pcm, 16000, 1, 16)
+    assert(wav.length === 44 + 64000)
+    assert(Multimodal.HeaderCodec.wavInfo(wav) === Some((16000, 1, 2000L)))
+    // stereo 8-bit: byte rate 88200*2 — 1s of data
+    val st = Multimodal.HeaderCodec.wavWrap(Array.fill(44100 * 2)(0x7F.toByte), 44100, 2, 8)
+    assert(Multimodal.HeaderCodec.wavInfo(st) === Some((44100, 2, 1000L)))
+    // an extra LIST chunk between fmt and data must be walked over
+    val withList = {
+      val b = java.nio.ByteBuffer.allocate(wav.length + 12)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(wav, 0, 36)                              // RIFF..fmt chunk
+      b.put("LIST".getBytes("US-ASCII")).putInt(4)
+        .put("INFO".getBytes("US-ASCII"))            // 12-byte metadata chunk
+      b.put(wav, 36, wav.length - 36)                // data chunk
+      b.array()
+    }
+    assert(Multimodal.HeaderCodec.wavInfo(withList) === Some((16000, 1, 2000L)))
+    // guards: truncated data chunk, zero rate, non-WAV bytes
+    assert(Multimodal.HeaderCodec.wavInfo(wav.take(1000)) === None, "truncated")
+    assert(Multimodal.HeaderCodec.wavInfo(
+      Multimodal.HeaderCodec.wavWrap(Array[Byte](1, 2), 0, 1, 16)) === None, "zero rate")
+    assert(Multimodal.HeaderCodec.wavInfo("plain text not a wav".getBytes) === None)
+    // empty payload is a legal zero-length recording
+    assert(Multimodal.HeaderCodec.wavInfo(
+      Multimodal.HeaderCodec.wavWrap(Array.empty[Byte], 16000, 1, 16)) === Some((16000, 1, 0L)))
+    // end to end: wrap + describe over a DataFrame; non-wav keeps declared
+    // mime with null audio fields
+    val df = Seq((1L, "hello world".getBytes)).toDF("id", "blob")
+    val wrapped = Multimodal.wrapPcm(
+      Multimodal.toMedia(df, "id", "blob", "application/octet-stream"))
+    val described = Multimodal.describeAudio(wrapped)
+      .as[(Long, String, Option[Int], Option[Int], Option[Long], Long)].collect()
+    assert(described.toSeq === Seq(
+      (1L, "audio/wav", Some(16000), Some(1), Some(11L * 1000 / 32000), 44L + 11)))
+    val plain = Multimodal.describeAudio(
+        Multimodal.toMedia(df, "id", "blob", "text/plain"))
+      .as[(Long, String, Option[Int], Option[Int], Option[Long], Long)].collect()
+    assert(plain.toSeq === Seq((1L, "text/plain", None, None, None, 11L)))
+  }
+
   test("frame sampling keeps every stride-th fixed-size chunk") {
     val frames = Multimodal.sampleFrames(media.limit(3), frameBytes = 32, stride = 2)
     val nos = frames.select("frame_no").collect().map(_.getInt(0))
