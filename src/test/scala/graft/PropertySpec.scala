@@ -27,6 +27,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: distributed CC fixpoint (maxDriverEdges=0) ≡ union-find on adversarial graph shapes") {
+    // the 100 TB path: maxDriverEdges = 0 forces the min-label +
+    // pointer-jumping loop on generated chains (worst diameter — the shape
+    // pointer jumping exists for), stars, cliques, and disconnected
+    // mixtures; the oracle is a plain driver union-find over the same edges
+    def ufLabels(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // resolve every root to the component-minimum vertex id
+      val minOf = verts.groupBy(find).map { case (r, vs) => r -> vs.min }
+      verts.map(v => v -> minOf(find(v))).toMap
+    }
+    def chain(ids: Seq[Long]) = ids.zip(ids.drop(1))
+    def star(hub: Long, leaves: Seq[Long]) = leaves.map(hub -> _)
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    (1L to 3L).foreach { seed =>
+      val n = 6 + sample(Gen.chooseNum(0, 10), seed)
+      val base = sample(Gen.pick(n, 0L until 200L), seed + 7).toSeq.sorted
+      val (c1, rest) = base.splitAt(n / 3)
+      val (s1, k1) = rest.splitAt(n / 3)
+      val edges = (chain(c1) ++ // long chain (diameter stress)
+        (if (s1.nonEmpty) star(s1.head, s1.tail) else Nil) ++
+        clique(k1) ++
+        Seq((500L, 500L))).distinct // degenerate self-edge, disconnected
+      val got = Dedup.connectedComponents(
+          edges.toDF("left_id", "right_id"), maxDriverEdges = 0L)
+        .as[(Long, Long)].collect().toMap
+      assert(got === ufLabels(edges), s"seed=$seed edges=$edges")
+    }
+  }
+
   test("property: pence→pounds scaling is sign-insensitive and exact at 2 d.p. (E1)") {
     val amounts = sample(Gen.listOfN(500, Gen.chooseNum(-10000000L, 10000000L)), 7L)
     val out = amounts.toDF("amount")
