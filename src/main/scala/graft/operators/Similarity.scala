@@ -423,6 +423,55 @@ object Similarity {
     ivfPqEncode(batch, coarse, codebooks, idCol, vecCol, keepVec = withVectors)
       .write.mode("append").partitionBy("cluster").parquet(path)
 
+  /** COMPACT a grown index: every append ([[ivfPqIndexAppend]], streaming
+    * [[graft.streaming.Streams.ivfPqIndexSink]]) lands new FILES in the
+    * cluster directories, and at nightly-batch cadence a year of ingest is
+    * thousands of small files per cluster — each probe then pays file-open
+    * and footer-read overhead per file, the classic small-files tax.
+    * Compaction rewrites only the cluster directories whose file count
+    * exceeds `maxFilesPerCluster` down to ONE file each (hash-partitioned
+    * by cluster, so each cluster lands in exactly one task's output), with
+    * NO re-encoding — no quantizer passes, pure I/O, |dirty clusters|
+    * work, not |index|.
+    *
+    * The rewrite stages into `<path>_compacting` and then swaps each dirty
+    * cluster directory by rename (retired copy kept in the staging dir
+    * until the swap completes, so a crash loses nothing — re-run the
+    * compaction after restoring any missing cluster from
+    * `retired_cluster=N`). Renames are per-cluster, not index-atomic: run
+    * compaction in the ingest maintenance window, not under live probes
+    * (a concurrent probe could see a cluster mid-swap), and re-plan any
+    * DataFrame created before the compaction. Returns the compacted
+    * cluster ids (empty = nothing dirty; idempotent). */
+  def ivfPqIndexCompact(spark: org.apache.spark.sql.SparkSession, path: String,
+                        maxFilesPerCluster: Int = 4): Seq[Int] = {
+    import org.apache.hadoop.fs.Path
+    require(maxFilesPerCluster >= 1, s"need maxFilesPerCluster ≥ 1, got $maxFilesPerCluster")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Nil
+    val dirty = fs.listStatus(root).filter(_.isDirectory)
+      .filter(_.getPath.getName.startsWith("cluster="))
+      .filter(d => fs.listStatus(d.getPath)
+        .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerCluster)
+      .map(_.getPath.getName.stripPrefix("cluster=").toInt).sorted.toSeq
+    if (dirty.isEmpty) return Nil
+    val staging = new Path(path + "_compacting")
+    fs.delete(staging, true)
+    spark.read.parquet(path)
+      .where(col("cluster").isin(dirty.map(Int.box): _*))
+      .repartition(dirty.length, col("cluster"))
+      .write.mode("overwrite").partitionBy("cluster").parquet(staging.toString)
+    dirty.foreach { c =>
+      val live = new Path(root, s"cluster=$c")
+      val fresh = new Path(staging, s"cluster=$c")
+      fs.rename(live, new Path(staging, s"retired_cluster=$c"))
+      fs.rename(fresh, live)
+    }
+    fs.delete(staging, true)
+    dirty
+  }
+
   /** IVF+PQ top-k over a MATERIALIZED index (read back from
     * [[ivfPqIndexWrite]]'s layout): the probed cluster ids are computed
     * first — |queries|·nprobe ints, metadata scale, exactly like

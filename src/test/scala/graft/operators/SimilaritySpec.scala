@@ -238,6 +238,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("index compaction: appended small files collapse to one per cluster, search unchanged, idempotent") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = Similarity.ivfCentroids(e, k = 4, iters = 1)
+    val books = Similarity.pqTrain(e, 4, 16, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("compact_index").toString
+    try {
+      // one write + 5 appends ⇒ every cluster dir accumulates small files
+      Similarity.ivfPqIndexWrite(e.where(col("vec_id") % 6 === 0), dir, coarse, books)
+      (1 to 5).foreach(r =>
+        Similarity.ivfPqIndexAppend(e.where(col("vec_id") % 6 === r), dir, coarse, books))
+      def filesPerCluster: Map[String, Int] =
+        new java.io.File(dir).listFiles().filter(_.isDirectory)
+          .filter(_.getName.startsWith("cluster="))
+          .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+      assert(filesPerCluster.values.exists(_ > 4), "fixture must actually fragment")
+      val q = e.where(col("vec_id") < 5)
+      def top(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+      val before = top(Similarity.ivfPqTopKIndexed(
+        q, spark.read.parquet(dir), 5, coarse, books, nprobe = 4))
+      val compacted = Similarity.ivfPqIndexCompact(spark, dir, maxFilesPerCluster = 4)
+      assert(compacted.nonEmpty, "dirty clusters must be reported")
+      assert(filesPerCluster.values.forall(_ === 1),
+        s"every compacted cluster must hold one file, got $filesPerCluster")
+      assert(!new java.io.File(dir + "_compacting").exists(), "staging dir must be cleaned up")
+      val after = top(Similarity.ivfPqTopKIndexed(
+        q, spark.read.parquet(dir), 5, coarse, books, nprobe = 4))
+      assert(after.toSeq === before.toSeq, "compaction must not change a single row")
+      assert(after.toSeq === top(Similarity.ivfPqTopK(q, e, 5, coarse, books, nprobe = 4)).toSeq)
+      assert(Similarity.ivfPqIndexCompact(spark, dir, maxFilesPerCluster = 4) === Nil,
+        "a clean index must be a no-op")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
+  }
+
   test("centroid cohesion: exact cosine to the group mean; lone vector scores 1") {
     import spark.implicits._
     val e = Seq(
