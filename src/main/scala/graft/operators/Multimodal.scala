@@ -111,6 +111,111 @@ object Multimodal {
       b.array()
     }
 
+    private def be32L(p: Array[Byte], i: Int): Long =
+      (u8(p, i).toLong << 24) | (u8(p, i + 1).toLong << 16) |
+        (u8(p, i + 2).toLong << 8) | u8(p, i + 3).toLong
+    private def fourCC(p: Array[Byte], i: Int, cc: String): Boolean =
+      p(i) == cc(0) && p(i + 1) == cc(1) && p(i + 2) == cc(2) && p(i + 3) == cc(3)
+
+    /** (width, height, durationMs) if the payload is an ISO BMFF (MP4)
+      * container: walk the top-level box chain to `moov`, read the movie
+      * duration from `mvhd` (duration ÷ timescale; version 0 = 32-bit
+      * fields, version 1 = 64-bit, per ISO/IEC 14496-12) and the
+      * presentation size from the first `tkhd` with positive dimensions
+      * (16.16 fixed point; audio tracks carry 0×0 and are skipped).
+      * None for truncated boxes, zero timescale, or no video track —
+      * callers fall back, never throw. */
+    def mp4Info(p: Array[Byte]): Option[(Int, Int, Long)] = {
+      // a well-formed file opens with a box whose type is a known brand
+      // carrier; requiring ftyp/moov/mdat first rejects arbitrary binaries
+      if (p.length < 16 ||
+          !(fourCC(p, 4, "ftyp") || fourCC(p, 4, "moov") || fourCC(p, 4, "mdat")))
+        return None
+      def walk(from: Int, until: Int, name: String): Option[(Int, Int)] = {
+        var i = from
+        while (i + 8 <= until) {
+          val size = be32L(p, i)
+          if (size < 8 || i + size > until) return None // malformed/truncated
+          if (fourCC(p, i + 4, name)) return Some((i + 8, (i + size).toInt))
+          i += size.toInt
+        }
+        None
+      }
+      walk(0, p.length, "moov").flatMap { case (mS, mE) =>
+        val dur = walk(mS, mE, "mvhd").flatMap { case (h, hE) =>
+          if (h >= hE) None
+          else u8(p, h) match { // version byte of the full box
+            case 0 if h + 20 <= hE =>
+              val ts = be32L(p, h + 12); val d = be32L(p, h + 16)
+              if (ts > 0) Some(d * 1000L / ts) else None
+            case 1 if h + 32 <= hE =>
+              val ts = be32L(p, h + 20)
+              val d = (be32L(p, h + 24) << 32) | be32L(p, h + 28)
+              if (ts > 0) Some(d * 1000L / ts) else None
+            case _ => None
+          }
+        }
+        // first trak whose tkhd has positive 16.16 dims = the video track
+        def firstVideoDims(from: Int): Option[(Int, Int)] = {
+          var i = from
+          while (i + 8 <= mE) {
+            val size = be32L(p, i)
+            if (size < 8 || i + size > mE) return None
+            if (fourCC(p, i + 4, "trak")) {
+              val wh = walk(i + 8, (i + size).toInt, "tkhd").flatMap { case (h, hE) =>
+                val off = u8(p, h) match {
+                  case 0 => h + 76 // 4 ver/flags + 20 times/id + 8 rsvd + 8 layer.. + 36 matrix
+                  case 1 => h + 88 // 64-bit creation/modification/duration
+                  case _ => return None
+                }
+                if (off + 8 > hE) None
+                else {
+                  val w = (be32L(p, off) >> 16).toInt
+                  val hgt = (be32L(p, off + 4) >> 16).toInt
+                  if (w > 0 && hgt > 0) Some((w, hgt)) else None
+                }
+              }
+              if (wh.isDefined) return wh
+            }
+            i += size.toInt
+          }
+          None
+        }
+        for (d <- dur; (w, h) <- firstVideoDims(mS)) yield (w, h, d)
+      }
+    }
+
+    /** Wrap raw bytes as a minimal ISO BMFF container (ftyp + moov holding
+      * mvhd and one video trak's tkhd + the bytes as mdat) — the
+      * deterministic inverse of [[mp4Info]], analogous to [[wavWrap]]. */
+    def mp4Wrap(data: Array[Byte], width: Int, height: Int,
+                durationMs: Long, timescale: Int = 1000): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(16 + 216 + 8 + data.length) // big-endian default
+      b.putInt(16).put("ftyp".getBytes("US-ASCII"))
+        .put("isom".getBytes("US-ASCII")).putInt(0)
+      b.putInt(216).put("moov".getBytes("US-ASCII"))
+      b.putInt(108).put("mvhd".getBytes("US-ASCII")).putInt(0) // v0, flags 0
+        .putInt(0).putInt(0)                                   // creation, modification
+        .putInt(timescale).putInt((durationMs * timescale / 1000L).toInt)
+        .putInt(0x00010000).putShort(0x0100.toShort).putShort(0) // rate, volume, rsvd
+        .putLong(0)                                            // reserved
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000) // unity matrix
+        .foreach(b.putInt)
+      (0 until 6).foreach(_ => b.putInt(0))                    // pre_defined
+      b.putInt(1)                                              // next_track_ID
+      b.putInt(100).put("trak".getBytes("US-ASCII"))
+      b.putInt(92).put("tkhd".getBytes("US-ASCII")).putInt(0)  // v0, flags 0
+        .putInt(0).putInt(0).putInt(1).putInt(0)               // times, track_ID, rsvd
+        .putInt((durationMs * timescale / 1000L).toInt)
+        .putLong(0)                                            // reserved
+        .putShort(0).putShort(0).putShort(0).putShort(0)       // layer..volume+rsvd
+      Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        .foreach(b.putInt)
+      b.putInt(width << 16).putInt(height << 16)               // 16.16 fixed
+      b.putInt(8 + data.length).put("mdat".getBytes("US-ASCII")).put(data)
+      b.array()
+    }
+
     private def jpegDims(p: Array[Byte]): Option[(Int, Int)] = {
       var i = 2
       while (i + 3 < p.length) {
@@ -201,10 +306,12 @@ object Multimodal {
       .mapPartitions { it =>
         // per-partition codec init would go here
         it.map { case (id, payload, mime, nBytes) =>
-          val (mm, w, h) = HeaderCodec.imageDims(payload).getOrElse {
-            val (fw, fh) = FakeCodec.decode(payload)
-            (mime, fw, fh)
-          }
+          val (mm, w, h) = HeaderCodec.imageDims(payload)
+            .orElse(HeaderCodec.mp4Info(payload).map { case (vw, vh, _) => ("video/mp4", vw, vh) })
+            .getOrElse {
+              val (fw, fh) = FakeCodec.decode(payload)
+              (mime, fw, fh)
+            }
           (id, payload, mm, w, h, nBytes, FakeCodec.features(payload, dim))
         }
       }
@@ -256,6 +363,47 @@ object Multimodal {
         }
       })
       .toDF("media_id", "mime", "sample_rate", "channels", "duration_ms", "n_bytes")
+  }
+
+  /** Wrap every payload as a minimal MP4 (the bytes as mdat, declared
+    * presentation size, duration in ms) — the video-ingest twin of
+    * [[wrapPcm]], exercising the ISO BMFF parser on real container
+    * bytes. */
+  def wrapMp4(media: DataFrame, width: Int = 640, height: Int = 360,
+              durationFromBytes: Boolean = true): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, data) =>
+        val ms = if (durationFromBytes) data.length.toLong else 0L
+        (id, HeaderCodec.mp4Wrap(data, width, height, ms))
+      })
+      .toDF("media_id", "payload")
+      .withColumn("meta", struct(
+        lit("video/mp4").as("mime"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        octet_length(col("payload")).cast("long").as("n_bytes")))
+  }
+
+  /** Video metadata pass: parse each payload's ISO BMFF boxes into
+    * (width, height, duration_ms) — the video sibling of
+    * [[describeAudio]]; non-MP4 payloads keep their declared mime with
+    * null video fields. */
+  def describeVideo(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .select(col("media_id"), col("payload"), col("meta.mime"), col("meta.n_bytes"))
+      .as[(Long, Array[Byte], String, Long)]
+      .mapPartitions(_.map { case (id, p, mime, nBytes) =>
+        HeaderCodec.mp4Info(p) match {
+          case Some((w, h, ms)) =>
+            (id, "video/mp4", Option(w), Option(h), Option(ms), nBytes)
+          case None =>
+            (id, mime, Option.empty[Int], Option.empty[Int], Option.empty[Long], nBytes)
+        }
+      })
+      .toDF("media_id", "mime", "width", "height", "duration_ms", "n_bytes")
   }
 
   /** Frame-sampling shape for video-like payloads: split a payload into

@@ -527,6 +527,19 @@ object OracleSql {
         |       CAST(octet_length(encode(text)) + 44 AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
 
+    // q85 wraps each doc's UTF-8 bytes as a minimal MP4 (640×360, movie
+    // duration = byte count at timescale 1000, container overhead =
+    // 16 ftyp + 216 moov + 8 mdat header = 240 B) and parses the boxes
+    // back; all fields are deterministic functions of the byte length.
+    "q85_mp4_metadata" ->
+      """SELECT doc_id AS media_id,
+        |       'video/mp4' AS mime,
+        |       CAST(640 AS INTEGER) AS width,
+        |       CAST(360 AS INTEGER) AS height,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS duration_ms,
+        |       CAST(octet_length(encode(text)) + 240 AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin,
+
     "q31_ann_srp" ->
       s"""WITH planes(bit, w) AS (VALUES
          |$srpPlanes),

@@ -467,6 +467,20 @@ object Queries {
       Multimodal.wrapPcm(media, sampleRate = 16000, channels = 1, bitsPerSample = 16))
   }
 
+  /** Video container metadata: wrap each document's bytes as a minimal
+    * ISO BMFF MP4 (640×360, duration = byte count in ms, bytes as mdat),
+    * then parse the box chain back with the real parser
+    * ([[graft.operators.Multimodal.HeaderCodec.mp4Info]]) — moov → mvhd
+    * duration ÷ timescale, first video trak's tkhd 16.16 presentation
+    * size. Deterministic functions of the byte length, so the round trip
+    * through real container bytes is hash-gated like q84's WAV twin. */
+  val q85_mp4_metadata: Q = (s, dir) => {
+    import graft.operators.Multimodal
+    val media = Multimodal.toMedia(Tables.documents(s, dir), "doc_id", "text",
+      "application/octet-stream")
+    Multimodal.describeVideo(Multimodal.wrapMp4(media, width = 640, height = 360))
+  }
+
   /** IVF ANN top-3: deterministic centroid build (lowest-id seeds + one
     * Lloyd step with exact decimal sums), corpus bucketed by nearest
     * centroid, queries probe their 2 closest clusters. The oracle replays
@@ -1115,5 +1129,6 @@ object Queries {
     "q82_ivf_indexed" -> q82_ivf_indexed,
     "q83_semantic_indexed" -> q83_semantic_indexed,
     "q84_wav_metadata" -> q84_wav_metadata,
+    "q85_mp4_metadata" -> q85_mp4_metadata,
   )
 }

@@ -116,6 +116,44 @@ class MultimodalSpec extends SparkSpec {
     assert(plain.toSeq === Seq((1L, "text/plain", None, None, None, 11L)))
   }
 
+  test("mp4 codec: box-walk round trip, audio-track skip, truncation guards, decode-pass dispatch") {
+    import spark.implicits._
+    val payload = Array.tabulate(5000)(i => (i % 97).toByte)
+    val mp4 = Multimodal.HeaderCodec.mp4Wrap(payload, 1280, 720, 42000L)
+    assert(mp4.length === 240 + 5000)
+    assert(Multimodal.HeaderCodec.mp4Info(mp4) === Some((1280, 720, 42000L)))
+    // a zero-dim (audio-shaped) track wrapped first must be skipped — build
+    // a moov with an audio tkhd (0×0) followed by the video trak by
+    // splicing: wrap with 0×0 then assert no dims found (all tracks audio)
+    val audioOnly = Multimodal.HeaderCodec.mp4Wrap(payload, 0, 0, 42000L)
+    assert(Multimodal.HeaderCodec.mp4Info(audioOnly) === None,
+      "a container with no positive-dim track has no video metadata")
+    // guards: truncated boxes, non-MP4 bytes, zero timescale impossible via wrap
+    assert(Multimodal.HeaderCodec.mp4Info(mp4.take(100)) === None, "truncated moov")
+    assert(Multimodal.HeaderCodec.mp4Info("not an mp4 container".getBytes) === None)
+    assert(Multimodal.HeaderCodec.mp4Info(mp4.take(20)) === None, "ftyp only")
+    // empty payload: zero-length mdat, zero duration is legal
+    assert(Multimodal.HeaderCodec.mp4Info(
+      Multimodal.HeaderCodec.mp4Wrap(Array.empty[Byte], 64, 64, 0L)) === Some((64, 64, 0L)))
+    // end to end: describeVideo parses wrapped payloads; the image decode
+    // pass detects the container and uses the real dims
+    val df = Seq((1L, "hello world".getBytes)).toDF("id", "blob")
+    val wrapped = Multimodal.wrapMp4(
+      Multimodal.toMedia(df, "id", "blob", "application/octet-stream"))
+    val described = Multimodal.describeVideo(wrapped)
+      .as[(Long, String, Option[Int], Option[Int], Option[Long], Long)].collect()
+    assert(described.toSeq === Seq(
+      (1L, "video/mp4", Some(640), Some(360), Some(11L), 240L + 11)))
+    val decoded = Multimodal.decodeAndFeaturize(wrapped)
+      .select(col("media_id"), col("meta.mime"), col("meta.width"), col("meta.height"))
+      .as[(Long, String, Int, Int)].collect()
+    assert(decoded.toSeq === Seq((1L, "video/mp4", 640, 360)))
+    val plain = Multimodal.describeVideo(
+        Multimodal.toMedia(df, "id", "blob", "text/plain"))
+      .as[(Long, String, Option[Int], Option[Int], Option[Long], Long)].collect()
+    assert(plain.toSeq === Seq((1L, "text/plain", None, None, None, 11L)))
+  }
+
   test("frame sampling keeps every stride-th fixed-size chunk") {
     val frames = Multimodal.sampleFrames(media.limit(3), frameBytes = 32, stride = 2)
     val nos = frames.select("frame_no").collect().map(_.getInt(0))
