@@ -81,11 +81,20 @@ object Streams {
                      coarse: Array[Array[Double]],
                      codebooks: Array[Array[Array[Double]]],
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     withVectors: Boolean = true)
+                     withVectors: Boolean = true, compactEvery: Int = 0)
   : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    vectors.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       graft.operators.Similarity.ivfPqIndexAppend(
         batch, path, coarse, codebooks, idCol, vecCol, withVectors)
+      // optional in-line maintenance: every Nth micro-batch, collapse the
+      // small files this sink itself has been accumulating (idempotent —
+      // only clusters over the file threshold rewrite). Safe relative to
+      // THIS stream (micro-batches are serial); external probes must still
+      // respect ivfPqIndexCompact's maintenance-window contract.
+      if (compactEvery > 0 && batchId > 0 && batchId % compactEvery == 0) {
+        graft.operators.Similarity.ivfPqIndexCompact(batch.sparkSession, path)
+        ()
+      }
     }
 
   /** Watermarked stream-stream interval join: each purchase joined to the

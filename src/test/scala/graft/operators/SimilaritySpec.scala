@@ -238,6 +238,40 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("indexed probes survive partition-type-inference OFF (cluster arrives as string)") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = Similarity.ivfCentroids(e, k = 4, iters = 1)
+    val books = Similarity.pqTrain(e, 4, 16, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("strcluster_index").toString
+    try {
+      Similarity.ivfPqIndexWrite(e, dir, coarse, books)
+      // a child session with inference disabled reads the partition column
+      // as STRING — the pruning literals must be typed from the index's
+      // actual schema or the isin would cast the partition column instead
+      val iso = spark.newSession()
+      iso.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      val strIndex = iso.read.parquet(dir)
+      assert(strIndex.schema("cluster").dataType ===
+        org.apache.spark.sql.types.StringType, "fixture must exercise the string path")
+      // queries come from the SAME session as the index relation (mixing
+      // plans across sessions is its own hazard, not under test here)
+      val qIso = iso.read.parquet(s"$sf/embeddings.parquet").where(col("vec_id") < 5)
+      def top(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+      val viaStr = top(Similarity.ivfPqTopKIndexed(qIso, strIndex, 5, coarse, books, nprobe = 4))
+      val mem = top(Similarity.ivfPqTopK(e.where(col("vec_id") < 5), e, 5, coarse, books, nprobe = 4))
+      assert(viaStr.toSeq === mem.toSeq,
+        "a string-typed cluster column must neither error nor silently drop candidates")
+      val exact = top(Similarity.ivfTopKIndexed(qIso, strIndex, 3, coarse, nprobe = 4))
+      assert(exact.toSeq === top(Similarity.ivfTopK(
+        e.where(col("vec_id") < 5), e, 3, coarse, nprobe = 4)).toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
+  }
+
   test("index compaction: appended small files collapse to one per cluster, search unchanged, idempotent") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
