@@ -67,6 +67,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: WAV and MP4 wrap→parse round-trips are exact for arbitrary payloads and params") {
+    import graft.operators.Multimodal.HeaderCodec
+    (1L to 8L).foreach { seed =>
+      val payload = sample(Gen.listOf(Gen.chooseNum(-128, 127).map(_.toByte)), seed)
+        .toArray
+      val sr = sample(Gen.oneOf(8000, 16000, 22050, 44100, 48000), seed + 20)
+      val ch = sample(Gen.chooseNum(1, 8), seed + 40)
+      val bits = sample(Gen.oneOf(8, 16, 24, 32), seed + 60)
+      val byteRate = sr * ch * bits / 8
+      assert(HeaderCodec.wavInfo(HeaderCodec.wavWrap(payload, sr, ch, bits)) ===
+        Some((sr, ch, payload.length.toLong * 1000L / byteRate)),
+        s"wav seed=$seed sr=$sr ch=$ch bits=$bits n=${payload.length}")
+      val w = sample(Gen.chooseNum(1, 7680), seed + 80)
+      val h = sample(Gen.chooseNum(1, 4320), seed + 100)
+      val ms = sample(Gen.chooseNum(0L, 86400000L), seed + 120)
+      assert(HeaderCodec.mp4Info(HeaderCodec.mp4Wrap(payload, w, h, ms)) ===
+        Some((w, h, ms)), s"mp4 seed=$seed w=$w h=$h ms=$ms n=${payload.length}")
+    }
+  }
+
   test("property: pence→pounds scaling is sign-insensitive and exact at 2 d.p. (E1)") {
     val amounts = sample(Gen.listOfN(500, Gen.chooseNum(-10000000L, 10000000L)), 7L)
     val out = amounts.toDF("amount")
