@@ -127,6 +127,39 @@ object Sampling {
       .drop("fs_stratum", "fs_key", "fs_rank", "fs_rn")
   }
 
+  /** Deterministic corpus shuffle + sharding — the training-export stage:
+    * a model's data order must be reproducible (resume from step N, rerun
+    * an ablation, bisect a loss spike) yet statistically shuffled, and at
+    * 100 TB it must also be SHARDED so loaders stream per-shard files.
+    * Each row's shard and its position within the shard derive from the
+    * cross-engine [[graft.functions.Md5LongFunction.md5Long]] of
+    * (seed, key): change the seed → a fresh permutation; same seed → the
+    * identical order on any engine, any partition layout, any rerun.
+    *
+    * Scale shape: NO global row_number (a global window is a single
+    * partition — the classic scale killer); the shard is a pure per-row
+    * hash and the position is a window partitioned BY shard, so the sort
+    * parallelizes over `shards` (set shards ≳ cluster cores at 100 TB;
+    * loaders get one ordered file list per shard directory from a
+    * `partitionBy("shard")` write). Ties cannot occur within a shard
+    * except on 60-bit hash collisions, broken by the key itself —
+    * deterministic either way. */
+  def deterministicShuffle(df: DataFrame, key: Column, seed: String,
+                           shards: Int): DataFrame = {
+    require(shards > 0, s"need a positive shard count, got $shards")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ds_shard"))
+      .orderBy(col("ds_h").asc, col("ds_key").asc)
+    df.withColumn("ds_key", key.cast("string"))
+      .withColumn("ds_h",
+        graft.functions.Md5LongFunction.md5Long(concat(lit(seed), col("ds_key"))))
+      .withColumn("ds_shard", pmod(col("ds_h"), lit(shards.toLong)).cast("int"))
+      .withColumn("ds_pos", row_number().over(w).cast("long"))
+      .withColumn("shard", col("ds_shard"))
+      .withColumn("pos", col("ds_pos"))
+      .drop("ds_key", "ds_h", "ds_shard", "ds_pos")
+  }
+
   /** Split assignment by cumulative bucket ranges, e.g.
     * `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`. Fractions are
     * interpreted in bucket units (buckets=100 → percent granularity). */

@@ -540,6 +540,19 @@ object OracleSql {
         |       CAST(octet_length(encode(text)) + 240 AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
 
+    // q86: shard = 60-bit md5Long(seed||key) mod shards (hash is
+    // non-negative, so % is pmod); position = rank within the shard by
+    // (hash, key) — the same cross-engine md5Long replay as q22/q25.
+    "q86_corpus_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         ('0x' || substr(md5('r10seed' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(h % 8 AS INTEGER) AS shard,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
+        |FROM h""".stripMargin,
+
     "q31_ann_srp" ->
       s"""WITH planes(bit, w) AS (VALUES
          |$srpPlanes),

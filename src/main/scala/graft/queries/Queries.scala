@@ -625,6 +625,16 @@ object Queries {
       col("doc_id"), col("lang"),
       Seq("en" -> 0.5, "fr" -> 1.0), defaultFraction = 0.2)
 
+  /** Deterministic corpus shuffle + sharding — the training-export stage:
+    * reproducible pseudo-random order (seeded cross-engine md5 rank),
+    * sharded so the per-shard sort parallelizes and loaders stream one
+    * shard directory each. The oracle replays hash, shard, and in-shard
+    * rank in SQL. */
+  val q86_corpus_shuffle: Q = (s, dir) =>
+    Sampling.deterministicShuffle(
+      Tables.documents(s, dir).select(col("doc_id")),
+      col("doc_id"), seed = "r10seed", shards = 8)
+
   /** Gopher-style repetition fractions (share of duplicate bigram/trigram
     * occurrences, Rae et al. 2112.11446 §A1.1) — the standard boilerplate
     * gate. Pure per-row list arithmetic; oracle recomputes the same n-gram
@@ -1130,5 +1140,6 @@ object Queries {
     "q83_semantic_indexed" -> q83_semantic_indexed,
     "q84_wav_metadata" -> q84_wav_metadata,
     "q85_mp4_metadata" -> q85_mp4_metadata,
+    "q86_corpus_shuffle" -> q86_corpus_shuffle,
   )
 }

@@ -153,4 +153,32 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(composed === ids)
   }
+
+  test("deterministic shuffle: layout-stable permutation, contiguous per-shard positions, seed reshuffles") {
+    val rows = (0L until 400L).toDF("id")
+    def run(df: org.apache.spark.sql.DataFrame, seed: String) =
+      Sampling.deterministicShuffle(df, col("id"), seed, shards = 8)
+        .select("id", "shard", "pos").as[(Long, Int, Long)].collect().toSet
+    val base = run(rows, "s1")
+    // the permutation is a function of (seed, key) only: any partition
+    // layout yields the identical (shard, pos) assignment
+    assert(run(rows.repartition(13), "s1") === base)
+    // every row appears once; shards partition the keyspace; positions are
+    // exactly 1..count within each shard (a loader can stream shard files
+    // in pos order with no gaps)
+    assert(base.map(_._1) === (0L until 400L).toSet)
+    base.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(rs.map(_._3) === (1L to rs.size).toSet, s"shard $shard positions must tile 1..n")
+    }
+    assert(base.groupBy(_._2).size === 8, "400 keys over 8 hash shards should hit every shard")
+    // a different seed is a fresh permutation (overwhelmingly)
+    assert(run(rows, "s2") !== base)
+    // scale contract: no single-partition global window — every Window in
+    // the plan partitions by the shard column
+    val plan = Sampling.deterministicShuffle(rows, col("id"), "s1", 8)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }
+    assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
+      "the in-shard rank must never be a global (single-partition) window")
+  }
 }
