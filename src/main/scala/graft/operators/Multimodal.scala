@@ -163,15 +163,17 @@ object Multimodal {
             if (size < 8 || i + size > mE) return None
             if (fourCC(p, i + 4, "trak")) {
               val wh = walk(i + 8, (i + size).toInt, "tkhd").flatMap { case (h, hE) =>
+                // unknown tkhd version ⇒ skip THIS trak (like a missing
+                // tkhd), don't abort the scan — a later well-formed video
+                // trak must still be found
                 val off = u8(p, h) match {
-                  case 0 => h + 76 // 4 ver/flags + 20 times/id + 8 rsvd + 8 layer.. + 36 matrix
-                  case 1 => h + 88 // 64-bit creation/modification/duration
-                  case _ => return None
+                  case 0 => Some(h + 76) // 4 ver/flags + 20 times/id + 8 rsvd + 8 layer.. + 36 matrix
+                  case 1 => Some(h + 88) // 64-bit creation/modification/duration
+                  case _ => None
                 }
-                if (off + 8 > hE) None
-                else {
-                  val w = (be32L(p, off) >> 16).toInt
-                  val hgt = (be32L(p, off + 4) >> 16).toInt
+                off.filter(_ + 8 <= hE).flatMap { o =>
+                  val w = (be32L(p, o) >> 16).toInt
+                  val hgt = (be32L(p, o + 4) >> 16).toInt
                   if (w > 0 && hgt > 0) Some((w, hgt)) else None
                 }
               }

@@ -142,14 +142,16 @@ object Sampling {
     * parallelizes over `shards` (set shards ≳ cluster cores at 100 TB;
     * loaders get one ordered file list per shard directory from a
     * `partitionBy("shard")` write). Ties cannot occur within a shard
-    * except on 60-bit hash collisions, broken by the key itself —
-    * deterministic either way. */
+    * except on 60-bit hash collisions, broken by the RAW key column (its
+    * native ordering — the same `ORDER BY h, key` an oracle replays;
+    * breaking on the stringified key would order "10" before "9" and
+    * silently disagree with a numeric-key replay). */
   def deterministicShuffle(df: DataFrame, key: Column, seed: String,
                            shards: Int): DataFrame = {
     require(shards > 0, s"need a positive shard count, got $shards")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("ds_shard"))
-      .orderBy(col("ds_h").asc, col("ds_key").asc)
+      .orderBy(col("ds_h").asc, key.asc)
     df.withColumn("ds_key", key.cast("string"))
       .withColumn("ds_h",
         graft.functions.Md5LongFunction.md5Long(concat(lit(seed), col("ds_key"))))

@@ -435,10 +435,14 @@ object Similarity {
     * work, not |index|.
     *
     * The rewrite stages into `<path>_compacting` and then swaps each dirty
-    * cluster directory by rename (retired copy kept in the staging dir
-    * until the swap completes, so a crash loses nothing — re-run the
-    * compaction after restoring any missing cluster from
-    * `retired_cluster=N`). Renames are per-cluster, not index-atomic: run
+    * cluster directory by rename, retiring the old copy INTO the staging
+    * dir first — so at every instant each cluster's rows exist in the live
+    * tree or the staging tree (or both), never nowhere. A crashed run is
+    * healed on the next call before anything else happens: any
+    * `retired_cluster=N` whose live `cluster=N` is missing is renamed
+    * back (the pre-compaction data — the compacted copy, if also present,
+    * is a redundant rewrite of the same rows and is discarded with the
+    * staging dir). Renames are per-cluster, not index-atomic: run
     * compaction in the ingest maintenance window, not under live probes
     * (a concurrent probe could see a cluster mid-swap), and re-plan any
     * DataFrame created before the compaction. Returns the compacted
@@ -450,16 +454,28 @@ object Similarity {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Nil
+    val staging = new Path(path + "_compacting")
+    // heal a crashed previous run BEFORE discarding its staging dir: a
+    // retired cluster whose live dir is missing died mid-swap — restore it
+    if (fs.exists(staging)) {
+      fs.listStatus(staging).filter(_.getPath.getName.startsWith("retired_cluster="))
+        .foreach { r =>
+          val live = new Path(root, r.getPath.getName.stripPrefix("retired_"))
+          if (!fs.exists(live)) fs.rename(r.getPath, live)
+        }
+      fs.delete(staging, true)
+    }
     val dirty = fs.listStatus(root).filter(_.isDirectory)
       .filter(_.getPath.getName.startsWith("cluster="))
       .filter(d => fs.listStatus(d.getPath)
         .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerCluster)
       .map(_.getPath.getName.stripPrefix("cluster=").toInt).sorted.toSeq
     if (dirty.isEmpty) return Nil
-    val staging = new Path(path + "_compacting")
-    fs.delete(staging, true)
-    spark.read.parquet(path)
-      .where(col("cluster").isin(dirty.map(Int.box): _*))
+    // typed pruning literals (pruneToProbed), NOT raw int isin: with
+    // partition-type inference off the cluster column is string and a
+    // mistyped literal would cast the partition column — a full-index scan
+    // instead of |dirty| directories
+    pruneToProbed(spark.read.parquet(path), dirty.toArray)
       .repartition(dirty.length, col("cluster"))
       .write.mode("overwrite").partitionBy("cluster").parquet(staging.toString)
     dirty.foreach { c =>

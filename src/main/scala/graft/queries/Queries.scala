@@ -864,6 +864,16 @@ object Queries {
       coarse, books, nprobe = 2)
   }
 
+  /** Session-scoped scratch path for a materialized vector index: keyed by
+    * (tag, SF dir, application id) so concurrent sessions on the same SF
+    * (e.g. the bench and the correctness gate) never race on
+    * overwrite-mid-read; reclaimed with the OS tmpdir. */
+  private def indexScratch(s: org.apache.spark.sql.SparkSession, dir: String,
+                           tag: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
+      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
+      s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+
   /** q72 through the MATERIALIZED index: build the same IVF+PQ index,
     * WRITE it clustered (`partitionBy(cluster)` parquet — one directory
     * per coarse cluster), read it back, and answer from the stored
@@ -871,21 +881,8 @@ object Queries {
     * partition filter. Same parameters as q72 ⇒ definitionally the same
     * rows (the oracle IS q72's), so the gate pins the storage round
     * trip; the pruning itself (scan reads only probed partitions) is
-    * spec-asserted in SimilaritySpec. The index lands under java.io.tmpdir
-    * keyed by (SF dir, Spark application id): repeated runs in one session
-    * overwrite atomically, while concurrent sessions on the same SF (e.g.
-    * the bench and the correctness gate) get disjoint paths — no
-    * overwrite-mid-read race. Session-scoped scratch, reclaimed with the
-    * OS tmpdir. */
-  /** Session-scoped scratch path for a materialized vector index: keyed by
-    * (tag, SF dir, application id) so concurrent sessions on the same SF
-    * never race on overwrite-mid-read; reclaimed with the OS tmpdir. */
-  private def indexScratch(s: org.apache.spark.sql.SparkSession, dir: String,
-                           tag: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
-      dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
-      s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
-
+    * spec-asserted in SimilaritySpec. The index lands under an
+    * [[indexScratch]] path. */
   val q81_ivfpq_indexed: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
     val coarse = Similarity.ivfCentroids(e, k = 8, iters = 1)

@@ -15,11 +15,13 @@ import org.apache.spark.sql.functions._
   * per-copy token prefix so token/shingle sets across copies are DISJOINT
   * — organic near-dup density is preserved exactly (the pair graph is 10 ×
   * sf0.1's; naive duplication would fabricate dense cross-copy near-dup
-  * cliques and distort every pair-stage exponent). Embeddings keep their
-  * raw vectors (same distribution at 10× the mass — IVF/PQ cluster
-  * populations scale linearly, which is what a larger draw from the same
-  * generator looks like; cross-copy exact twins inflate threshold joins
-  * linearly, 9 extra pairs per vector).
+  * cliques and distort every pair-stage exponent). Embeddings get a
+  * per-copy CIRCULAR SHIFT of their dimensions: within-copy geometry
+  * (norms, pairwise cosines, cluster structure) is preserved exactly,
+  * while cross-copy cosines decorrelate — verbatim copies would turn
+  * every organic near-pair (a, b) into 10×10 cross-copy pairs, a
+  * quadratic-in-copies inflation of the match set that misstates the
+  * exponent of any match-sensitive stage.
   */
 object ProfileScaleCurve {
   private val Queries = Seq(
@@ -53,9 +55,13 @@ object ProfileScaleCurve {
         .write.mode("overwrite").parquet(s"$sf1/documents.parquet")
       val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
       val nV = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
       (0 until copies).map { i =>
+        val shifted = if (i == 0) col("embedding")
+          else concat(slice(col("embedding"), i + 1, dim - i),
+                      slice(col("embedding"), 1, i))
         emb.select((col("vec_id") + lit(i.toLong * nV)).as("vec_id"),
-          col("embedding"), col("label"))
+          shifted.as("embedding"), col("label"))
       }.reduce(_ unionByName _)
         .repartition(32)
         .write.mode("overwrite").parquet(s"$sf1/embeddings.parquet")

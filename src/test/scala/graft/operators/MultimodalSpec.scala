@@ -135,6 +135,18 @@ class MultimodalSpec extends SparkSpec {
     // empty payload: zero-length mdat, zero duration is legal
     assert(Multimodal.HeaderCodec.mp4Info(
       Multimodal.HeaderCodec.mp4Wrap(Array.empty[Byte], 64, 64, 0L)) === Some((64, 64, 0L)))
+    // a malformed FIRST trak (unknown tkhd version byte) must be skipped,
+    // not abort the scan — the valid video trak behind it is still found.
+    // Splice: ftyp + moov[mvhd + corruptTrak + goodTrak] + mdat
+    val src = Multimodal.HeaderCodec.mp4Wrap(Array[Byte](1, 2, 3), 320, 240, 7000L)
+    val ftyp = src.slice(0, 16); val mvhd = src.slice(24, 132)
+    val trak = src.slice(132, 232); val mdat = src.slice(232, src.length)
+    val corrupt = trak.clone(); corrupt(16) = 2 // tkhd version byte
+    val spliced = java.nio.ByteBuffer.allocate(16 + 8 + 308 + mdat.length)
+    spliced.put(ftyp).putInt(8 + 108 + 100 + 100).put("moov".getBytes("US-ASCII"))
+      .put(mvhd).put(corrupt).put(trak).put(mdat)
+    assert(Multimodal.HeaderCodec.mp4Info(spliced.array()) === Some((320, 240, 7000L)),
+      "a corrupt leading trak must not mask the valid video trak behind it")
     // end to end: describeVideo parses wrapped payloads; the image decode
     // pass detects the container and uses the real dims
     val df = Seq((1L, "hello world".getBytes)).toDF("id", "blob")

@@ -304,6 +304,23 @@ class SimilaritySpec extends SparkSpec {
       assert(after.toSeq === top(Similarity.ivfPqTopK(q, e, 5, coarse, books, nprobe = 4)).toSeq)
       assert(Similarity.ivfPqIndexCompact(spark, dir, maxFilesPerCluster = 4) === Nil,
         "a clean index must be a no-op")
+      // crash healing: simulate dying between the two swap renames — the
+      // live cluster dir retired into staging, the fresh copy never swapped
+      // in. The next compact call must restore the retired copy before
+      // touching anything, losing no rows.
+      val someCluster = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cluster=")).head.getName
+      val staging = new java.io.File(dir + "_compacting")
+      assert(staging.mkdir())
+      assert(new java.io.File(dir, someCluster)
+        .renameTo(new java.io.File(staging, s"retired_$someCluster")))
+      val healed = Similarity.ivfPqIndexCompact(spark, dir, maxFilesPerCluster = 4)
+      assert(healed === Nil, "healing a crash must not re-compact a clean index")
+      assert(new java.io.File(dir, someCluster).exists(), "retired cluster must be restored")
+      assert(!staging.exists(), "staging must be cleaned after healing")
+      val afterCrash = top(Similarity.ivfPqTopKIndexed(
+        q, spark.read.parquet(dir), 5, coarse, books, nprobe = 4))
+      assert(afterCrash.toSeq === before.toSeq, "no rows may be lost across the crash + heal")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       graft.GraftSession.releaseCaches(spark, blocking = true)
