@@ -532,6 +532,68 @@ object Dedup {
                          k: Int = 16, bands: Int = 4): DataFrame =
     minHashDedupHashed(shingleHashedSets(df, id, tokens, shingleN), threshold, k, bands)
 
+  /** CROSS-ENGINE-DETERMINISTIC MinHash-LSH — every hash is
+    * [[TextAnalysis.md5Long]] (md5 is md5 in any engine), so an external
+    * replay computes the identical signatures, band buckets, candidate
+    * set, and therefore the identical RECALL MISSES. LSH recall is
+    * probabilistic by design (a J=0.9 pair misses all of 4 bands of 4 with
+    * p≈1.4% — measured: 2 of 256 exact pairs at sf0.1); an oracle that
+    * verifies against the exact-Jaccard pair set silently depends on
+    * recall being 1 on the gated corpus, which stops holding as the corpus
+    * grows. This variant moves q25's contract from "recall happened to be
+    * 1" to "oracled by construction" — the repo-wide standard the SimHash
+    * (q26) and SRP (q31) tiers already meet:
+    *
+    *  - per-perm shingle hash: md5Long("i:" ++ shingle string) — the
+    *    min over a doc's shingles is signature row m_i;
+    *  - band bucket: md5Long("b:" ++ m concatenated with ':') — colon
+    *    joins over decimal renderings, identical in SQL;
+    *  - candidates: distinct bucket-join pairs (first-match filtering is
+    *    an engine-side optimization that yields the same distinct set);
+    *  - verification: exact Jaccard over the distinct shingle-STRING sets
+    *    (never hashes — injective by construction).
+    *
+    * The [[minHashDedup]]/[[minHashDedupTokens]] twins remain the
+    * production-speed path (xxhash64 is codegen'd and ~an order cheaper
+    * than md5 per gram); same algorithm, same S-curve, independently
+    * seeded hash family. */
+  def minHashDedupPortable(df: DataFrame, id: String, tokens: String,
+                           shingleN: Int, threshold: Double,
+                           k: Int = 16, bands: Int = 4): DataFrame = {
+    require(k % bands == 0, s"k=$k must split into $bands bands")
+    val rows = k / bands
+    val md5Long = graft.functions.Md5LongFunction.md5Long _
+    // one distinct-shingle-string relation feeds the signature build AND
+    // both verification joins (persisted: three consumers)
+    val sh = df
+      .select(col(id).as("mh_id"),
+        TextAnalysis.shingles(col(tokens), shingleN).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = sh.select(col("mh_id"), explode(col("sh")).as("s"))
+    val sig = e.groupBy("mh_id").agg(
+      min(md5Long(concat(lit("0:"), col("s")))).as("m0"),
+      (1 until k).map(i =>
+        min(md5Long(concat(lit(s"$i:"), col("s")))).as(s"m$i")): _*)
+    val banded = sig.select(col("mh_id"),
+      array((0 until bands).map(b =>
+        md5Long(concat_ws(":", lit(b) +:
+          (0 until rows).map(r => col(s"m${b * rows + r}")): _*))): _*).as("bks"))
+      .select(col("mh_id"), posexplode(col("bks")).as(Seq("band", "bucket")))
+    val l = banded.select(col("band"), col("bucket"), col("mh_id").as("left_id"))
+    val r = banded.select(col("band"), col("bucket"), col("mh_id").as("right_id"))
+    val cands = l.join(r, Seq("band", "bucket"))
+      .where(col("left_id") < col("right_id"))
+      .select("left_id", "right_id").distinct()
+    cands
+      .join(sh.select(col("mh_id").as("left_id"), col("sh").as("ls")), Seq("left_id"))
+      .join(sh.select(col("mh_id").as("right_id"), col("sh").as("rs")), Seq("right_id"))
+      .withColumn("inter", size(array_intersect(col("ls"), col("rs"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (size(col("ls")) + size(col("rs")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("left_id"), col("right_id"), col("jaccard"))
+  }
+
   /** Full MinHash-LSH near-dup detection: LSH candidates, then exact Jaccard
     * verification ≥ threshold. The hashed token sets are computed once and
     * persisted; signature generation and both verification joins reuse them,

@@ -22,6 +22,19 @@ object OracleSql {
 
   /** SRP hyperplanes as a DuckDB VALUES list — the identical constants the
     * Spark plan folds in ([[graft.operators.Similarity.srpBucket]]). */
+  // q25 portable-MinHash fragments: 16 per-perm signature minima and 4
+  // band buckets, all on the 60-bit md5 hash (identical to the engine's
+  // md5Long; the engine prefixes "i:" / "b:" and joins minima with ':'
+  // over their decimal renderings — replayed verbatim here).
+  private val mhSignature: String = (0 until 16).map(i =>
+    s"min(('0x' || substr(md5('$i:' || sg), 1, 15))::BIGINT) AS m$i")
+    .mkString(",\n         ")
+  private val mhBuckets: String = (0 until 4).map { b =>
+    val ms = (b * 4 until b * 4 + 4).map(i => s"CAST(m$i AS VARCHAR)")
+      .mkString(" || ':' || ")
+    s"('0x' || substr(md5('$b:' || $ms), 1, 15))::BIGINT"
+  }.mkString(",\n             ")
+
   private val srpPlanes: String =
     graft.operators.Similarity.hyperplanes(64, 8).zipWithIndex
       .map { case (p, b) => s"($b, [${p.mkString(",")}]::DOUBLE[])" }
@@ -468,21 +481,42 @@ object OracleSql {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3""".stripMargin,
 
+    // q25 replays the ENTIRE portable MinHash+LSH pipeline — 16 per-perm
+    // md5 signature minima, 4 band buckets, the distinct bucket-join
+    // candidate set, then the exact-Jaccard verify — so the approximate
+    // tier's recall misses are reproduced bit-for-bit, not assumed away.
     "q25_minhash_dedup" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
-        |sh AS (
-        |  SELECT doc_id,
-        |         CASE WHEN len(tk) >= 3
-        |              THEN list_distinct(list_transform(generate_series(1, len(tk) - 2),
-        |                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
-        |              ELSE [array_to_string(tk, ' ')] END AS s
-        |  FROM t)
-        |SELECT left_id, right_id, jaccard FROM (
-        |  SELECT a.doc_id AS left_id, b.doc_id AS right_id,
-        |         CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
-        |           / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) AS jaccard
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
-        |WHERE jaccard >= 0.8""".stripMargin,
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(tk) >= 3
+         |              THEN list_distinct(list_transform(generate_series(1, len(tk) - 2),
+         |                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]))
+         |              ELSE [array_to_string(tk, ' ')] END AS s
+         |  FROM t),
+         |e AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+         |sig AS (
+         |  SELECT doc_id,
+         |         $mhSignature
+         |  FROM e GROUP BY doc_id),
+         |bk AS (
+         |  SELECT doc_id,
+         |         unnest([0, 1, 2, 3]) AS band,
+         |         unnest([
+         |             $mhBuckets]) AS bucket
+         |  FROM sig),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS left_id, b.doc_id AS right_id
+         |  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket
+         |                     AND a.doc_id < b.doc_id)
+         |SELECT left_id, right_id, jaccard FROM (
+         |  SELECT c.left_id, c.right_id,
+         |         CAST(len(list_filter(sa.s, x -> list_contains(sb.s, x))) AS DOUBLE)
+         |           / (len(sa.s) + len(sb.s) - len(list_filter(sa.s, x -> list_contains(sb.s, x)))) AS jaccard
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.left_id
+         |  JOIN sh sb ON sb.doc_id = c.right_id)
+         |WHERE jaccard >= 0.8""".stripMargin,
 
     "q35_media_features" ->
       """WITH f AS (

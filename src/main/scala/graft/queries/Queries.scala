@@ -348,10 +348,18 @@ object Queries {
     * materialized. Oracle: the exact shingle-Jaccard truth set (valid
     * because the verify stage makes output ⊆ truth and banding recalls every
     * truth pair on this data — recall also spec-asserted). */
+  /** MinHash+LSH near-dup detection on the CROSS-ENGINE hash family
+    * ([[Dedup.minHashDedupPortable]]): the oracle replays signatures,
+    * band buckets, the candidate join, and the exact-Jaccard verify — so
+    * LSH's probabilistic recall misses are BY CONSTRUCTION identical on
+    * both engines at any SF (round 10: the previous exact-pair oracle
+    * silently required recall = 1, which held at sf0.01 but lost 2 of
+    * 256 pairs at sf0.1 — the standard S-curve trade, now gated
+    * faithfully instead of coincidentally). */
   val q25_minhash_dedup: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("tok"))
-    Dedup.minHashDedupTokens(docs, "doc_id", "tok", shingleN = 3, threshold = 0.8)
+    Dedup.minHashDedupPortable(docs, "doc_id", "tok", shingleN = 3, threshold = 0.8)
   }
 
   /** SimHash near-dup detection. Signatures are built on the cross-engine

@@ -415,6 +415,34 @@ class DedupSpec extends SparkSpec {
     graft.GraftSession.releaseCaches(spark, blocking = true)
   }
 
+  test("portable MinHash: candidates verified exactly, subset of the exact pair set, layout-stable") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minHashDedupPortable(df, "doc_id", "tok", shingleN = 3, threshold = 0.8)
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val got = run(docs)
+    // verification is exact: every surviving pair's jaccard is correct and
+    // the pair exists in the brute-force exact set with the same value
+    val strSh = docs.select(col("doc_id"), TextAnalysis.shingles(col("tok"), 3).as("sh"))
+    val exact = strSh.as("a").join(strSh.as("b"),
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("l"), col("b.doc_id").as("r"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          (size(col("a.sh")) + size(col("b.sh")) -
+            size(array_intersect(col("a.sh"), col("b.sh"))))).as("j"))
+      .where(col("j") >= 0.8)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.nonEmpty, "fixture should contain near-dups")
+    got.foreach { case (l, r, j) =>
+      assert(exact.get((l, r)).contains(j), s"pair ($l,$r) must carry its exact jaccard") }
+    // the candidate stage is hash-deterministic: any partition layout
+    // yields the identical pair set (this is what lets a SQL oracle replay
+    // the recall misses bit-for-bit)
+    assert(run(docs.repartition(17)).toSeq === got.toSeq)
+    graft.GraftSession.releaseCaches(spark, blocking = true)
+  }
+
   test("crossJaccardPairsTokens: an id present on BOTH sides keeps its token streams separate") {
     // the re-ingest case: doc 42 appears in the batch AND the corpus with
     // different text. The shingle window partitions by (id, block, side),
