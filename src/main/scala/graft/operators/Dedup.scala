@@ -560,6 +560,7 @@ object Dedup {
   def minHashDedupPortable(df: DataFrame, id: String, tokens: String,
                            shingleN: Int, threshold: Double,
                            k: Int = 16, bands: Int = 4): DataFrame = {
+    require(bands >= 1 && k >= 1, s"need k ≥ 1 and bands ≥ 1, got k=$k bands=$bands")
     require(k % bands == 0, s"k=$k must split into $bands bands")
     val rows = k / bands
     val md5Long = graft.functions.Md5LongFunction.md5Long _

@@ -461,7 +461,13 @@ object Similarity {
       fs.listStatus(staging).filter(_.getPath.getName.startsWith("retired_cluster="))
         .foreach { r =>
           val live = new Path(root, r.getPath.getName.stripPrefix("retired_"))
-          if (!fs.exists(live)) fs.rename(r.getPath, live)
+          // Hadoop rename reports most failures as `false`, not an
+          // exception — an unchecked result here followed by the recursive
+          // staging delete would destroy the only copy of the cluster
+          if (!fs.exists(live))
+            require(fs.rename(r.getPath, live),
+              s"crash-heal rename of ${r.getPath} to $live failed; " +
+                "staging dir preserved — resolve manually before compacting")
         }
       fs.delete(staging, true)
     }

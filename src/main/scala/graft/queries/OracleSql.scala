@@ -20,8 +20,6 @@ package graft.queries
   */
 object OracleSql {
 
-  /** SRP hyperplanes as a DuckDB VALUES list — the identical constants the
-    * Spark plan folds in ([[graft.operators.Similarity.srpBucket]]). */
   // q25 portable-MinHash fragments: 16 per-perm signature minima and 4
   // band buckets, all on the 60-bit md5 hash (identical to the engine's
   // md5Long; the engine prefixes "i:" / "b:" and joins minima with ':'
@@ -35,6 +33,8 @@ object OracleSql {
     s"('0x' || substr(md5('$b:' || $ms), 1, 15))::BIGINT"
   }.mkString(",\n             ")
 
+  /** SRP hyperplanes as a DuckDB VALUES list — the identical constants the
+    * Spark plan folds in ([[graft.operators.Similarity.srpBucket]]). */
   private val srpPlanes: String =
     graft.operators.Similarity.hyperplanes(64, 8).zipWithIndex
       .map { case (p, b) => s"($b, [${p.mkString(",")}]::DOUBLE[])" }

@@ -343,11 +343,6 @@ object Queries {
     Dedup.jaccardPairs(docs, "doc_id", "tok", "lang", 0.95)
   }
 
-  /** MinHash-LSH near-dup detection over 3-token shingle sets. Shingles are
-    * hashed via the window-lead path — no shingle strings are ever
-    * materialized. Oracle: the exact shingle-Jaccard truth set (valid
-    * because the verify stage makes output ⊆ truth and banding recalls every
-    * truth pair on this data — recall also spec-asserted). */
   /** MinHash+LSH near-dup detection on the CROSS-ENGINE hash family
     * ([[Dedup.minHashDedupPortable]]): the oracle replays signatures,
     * band buckets, the candidate join, and the exact-Jaccard verify — so

@@ -15,20 +15,27 @@ import org.apache.spark.sql.functions._
   * per-copy token prefix so token/shingle sets across copies are DISJOINT
   * — organic near-dup density is preserved exactly (the pair graph is 10 ×
   * sf0.1's; naive duplication would fabricate dense cross-copy near-dup
-  * cliques and distort every pair-stage exponent). Embeddings get a
-  * per-copy CIRCULAR SHIFT of their dimensions: within-copy geometry
-  * (norms, pairwise cosines, cluster structure) is preserved exactly,
-  * while cross-copy cosines decorrelate — verbatim copies would turn
-  * every organic near-pair (a, b) into 10×10 cross-copy pairs, a
-  * quadratic-in-copies inflation of the match set that misstates the
-  * exponent of any match-sensitive stage.
-  */
+  * cliques and distort every pair-stage exponent).
+  *
+  * Embeddings have NO copy construction that preserves both properties a
+  * true 10× draw would have — (a) the original distribution (cluster
+  * populations scale linearly) and (b) organic match density (no
+  * fabricated cross-copy near-pairs) — copies are either verbatim
+  * (breaks b: every organic pair inflates 10×10, quadratic in copies) or
+  * perturbed (breaks a: the mass moves relative to fixed centroids). So
+  * the tool measures the embedding queries under BOTH constructions and
+  * reports both exponents; the truth for a faithfully grown corpus lies
+  * between them. Verbatim = distribution-faithful (IVF-family candidate
+  * counts scale right, match-stage inflated); shifted (per-copy circular
+  * dimension rotation — within-copy geometry exact, cross-copy cosines
+  * decorrelated) = match-faithful, distribution-altered. */
 object ProfileScaleCurve {
-  private val Queries = Seq(
+  private val DocQueries = Seq(
     "q23_dedup_exact", "q24_jaccard_pairs", "q25_minhash_dedup",
     "q26_simhash_pairs", "q40_winnow_fingerprints", "q41_dedup_clusters",
     "q43_corpus_curation", "q55_passage_dedup", "q60_containment",
-    "q62_cross_dedup", "q76_ngram_novelty",
+    "q62_cross_dedup", "q76_ngram_novelty")
+  private val EmbQueries = Seq(
     "q30_embedding_neardup", "q39_ann_ivf", "q72_ivfpq",
     "q80_semantic_dedup", "q81_ivfpq_indexed")
 
@@ -38,10 +45,16 @@ object ProfileScaleCurve {
     val sf001 = "/root/testdata/sf0.01"
     val sf01 = "/root/testdata/sf0.1"
     val sf1 = sys.env.getOrElse("GRAFT_SF1_DIR", "/tmp/graft_scale_sf1")
+    val sf1v = sf1 + "_verbatim"
     val copies = 10
 
-    val marker = new java.io.File(s"$sf1/_SCALED_OK")
+    // versioned marker: bumping the construction invalidates stale corpora
+    // built by older tool versions (an unversioned marker silently kept
+    // measuring the old bytes)
+    val marker = new java.io.File(s"$sf1/_SCALED_OK_v3")
     if (!marker.exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sf1))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(sf1v))
       val docs = spark.read.parquet(s"$sf01/documents.parquet")
       val nDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
       (0 until copies).map { i =>
@@ -56,17 +69,19 @@ object ProfileScaleCurve {
       val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
       val nV = emb.agg(max(col("vec_id"))).head().getLong(0) + 1
       val dim = emb.select(size(col("embedding"))).head().getInt(0)
-      (0 until copies).map { i =>
-        val shifted = if (i == 0) col("embedding")
+      def copiesOf(perturb: Boolean) = (0 until copies).map { i =>
+        val vec = if (!perturb || i == 0) col("embedding")
           else concat(slice(col("embedding"), i + 1, dim - i),
                       slice(col("embedding"), 1, i))
         emb.select((col("vec_id") + lit(i.toLong * nV)).as("vec_id"),
-          shifted.as("embedding"), col("label"))
-      }.reduce(_ unionByName _)
-        .repartition(32)
+          vec.as("embedding"), col("label"))
+      }.reduce(_ unionByName _).repartition(32)
+      copiesOf(perturb = true)
         .write.mode("overwrite").parquet(s"$sf1/embeddings.parquet")
+      copiesOf(perturb = false)
+        .write.mode("overwrite").parquet(s"$sf1v/embeddings.parquet")
       marker.createNewFile()
-      println(s"[scale] built synthetic sf1 at $sf1")
+      println(s"[scale] built synthetic sf1 at $sf1 (+ verbatim embeddings at $sf1v)")
     }
 
     def release(): Unit = {
@@ -82,8 +97,8 @@ object ProfileScaleCurve {
         dt
       }.min
 
-    println(f"${"query"}%-24s ${"t(0.01)"}%9s ${"t(0.1)"}%9s ${"t(sf1)"}%9s ${"exp 0.01→0.1"}%13s ${"exp 0.1→sf1"}%12s")
-    Queries.foreach { name =>
+    println(f"${"query"}%-24s ${"t(0.01)"}%9s ${"t(0.1)"}%9s ${"t(sf1)"}%9s ${"exp 0.01→0.1"}%13s ${"exp 0.1→sf1"}%12s ${"exp(verbatim)"}%14s")
+    (DocQueries ++ EmbQueries).foreach { name =>
       // one warm-up at the smallest SF compiles the codegen classes
       timeMin(name, sf001, 1)
       val t001 = timeMin(name, sf001, 3)
@@ -91,7 +106,9 @@ object ProfileScaleCurve {
       val t1 = timeMin(name, sf1, 2)
       val e1 = math.log10(t01 / t001)
       val e2 = math.log10(t1 / t01)
-      println(f"$name%-24s $t001%9.2f $t01%9.2f $t1%9.2f $e1%13.2f $e2%12.2f")
+      val ev = if (EmbQueries.contains(name))
+        f"${math.log10(timeMin(name, sf1v, 2) / t01)}%14.2f" else f"${"—"}%14s"
+      println(f"$name%-24s $t001%9.2f $t01%9.2f $t1%9.2f $e1%13.2f $e2%12.2f $ev")
     }
     spark.stop()
   }
