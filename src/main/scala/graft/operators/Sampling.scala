@@ -162,6 +162,26 @@ object Sampling {
       .drop("ds_key", "ds_h", "ds_shard", "ds_pos")
   }
 
+  /** Training-export sink: [[deterministicShuffle]] materialized as one
+    * pos-ordered JSONL file per shard directory — the layout a data
+    * loader streams (`shard=K/part-…json`, rows in shuffle order, no
+    * client-side sorting). Each output task holds whole shards
+    * (repartition on the shard key) and sorts by (shard, pos), so a
+    * shard's file is written in position order — Spark's text sinks
+    * preserve partition-iteration order — and the whole export is
+    * reproducible byte-for-byte from (corpus, seed, shards).
+    *
+    * Scale: `shards` output tasks, one sort each of |corpus|/shards rows —
+    * no global sort, no driver materialization; at 100 TB pick shards so
+    * a shard (corpus/shards) fits a loader's streaming budget, exactly the
+    * WebDataset/Megatron sharding contract. */
+  def exportShardsJsonl(df: DataFrame, key: Column, seed: String,
+                        shards: Int, path: String): Unit =
+    deterministicShuffle(df, key, seed, shards)
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").json(path)
+
   /** Split assignment by cumulative bucket ranges, e.g.
     * `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`. Fractions are
     * interpreted in bucket units (buckets=100 → percent granularity). */

@@ -181,4 +181,28 @@ class SamplingSpec extends SparkSpec {
     assert(windows.nonEmpty && windows.forall(_.partitionSpec.nonEmpty),
       "the in-shard rank must never be a global (single-partition) window")
   }
+
+  test("jsonl shard export: one pos-ordered file per shard, loader-replayable") {
+    val rows = (0L until 300L).toDF("id")
+    val dir = java.nio.file.Files.createTempDirectory("shard_export").toString
+    try {
+      Sampling.exportShardsJsonl(rows, col("id"), "s1", shards = 4, dir)
+      val expected = Sampling.deterministicShuffle(rows, col("id"), "s1", 4)
+        .select("id", "shard", "pos").as[(Long, Int, Long)].collect()
+        .groupBy(_._2).map { case (s, rs) => s -> rs.sortBy(_._3).map(_._1).toSeq }
+      val shardDirs = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("shard=")).sortBy(_.getName)
+      assert(shardDirs.map(_.getName.stripPrefix("shard=").toInt).toSet === expected.keySet)
+      shardDirs.foreach { d =>
+        val files = d.listFiles().filter(_.getName.endsWith(".json"))
+        assert(files.length === 1, s"${d.getName} must hold exactly one jsonl file")
+        // the file's PHYSICAL line order must be the shuffle's pos order —
+        // a loader streams it without any client-side sort
+        val ids = scala.io.Source.fromFile(files.head).getLines()
+          .map(l => "\"id\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong).toSeq
+        assert(ids === expected(d.getName.stripPrefix("shard=").toInt),
+          s"${d.getName} lines must follow shuffle order")
+      }
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
