@@ -180,7 +180,15 @@ object Sampling {
     deterministicShuffle(df, key, seed, shards)
       .repartition(shards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
-      .write.mode("overwrite").partitionBy("shard").json(path)
+      .write.mode("overwrite")
+      // per-write overrides pin the contract against session conf drift:
+      // STATIC overwrite clears the whole export (dynamic would keep stale
+      // shard dirs when the shard count shrinks — a loader globbing
+      // shard=* would mix two exports), and maxRecordsPerFile=0 keeps one
+      // file per shard even if the session sets a split threshold
+      .option("partitionOverwriteMode", "static")
+      .option("maxRecordsPerFile", 0)
+      .partitionBy("shard").json(path)
 
   /** Split assignment by cumulative bucket ranges, e.g.
     * `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`. Fractions are

@@ -487,8 +487,14 @@ object Similarity {
     dirty.foreach { c =>
       val live = new Path(root, s"cluster=$c")
       val fresh = new Path(staging, s"cluster=$c")
-      fs.rename(live, new Path(staging, s"retired_cluster=$c"))
-      fs.rename(fresh, live)
+      // both renames CHECKED: Hadoop reports most failures as `false`, and
+      // proceeding to the staging delete after a failed swap would destroy
+      // the only copies (same hazard as the heal path above); aborting
+      // leaves the staging dir in place, which the next call heals
+      require(fs.rename(live, new Path(staging, s"retired_cluster=$c")),
+        s"compaction retire rename of $live failed; staging preserved for heal")
+      require(fs.rename(fresh, live),
+        s"compaction swap rename to $live failed; staging preserved for heal")
     }
     fs.delete(staging, true)
     dirty

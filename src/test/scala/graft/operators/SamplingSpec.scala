@@ -198,11 +198,24 @@ class SamplingSpec extends SparkSpec {
         assert(files.length === 1, s"${d.getName} must hold exactly one jsonl file")
         // the file's PHYSICAL line order must be the shuffle's pos order —
         // a loader streams it without any client-side sort
-        val ids = scala.io.Source.fromFile(files.head).getLines()
-          .map(l => "\"id\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong).toSeq
+        val ids = java.nio.file.Files.readAllLines(files.head.toPath)
+          .toArray(Array.empty[String]).toSeq
+          .map(l => "\"id\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong)
         assert(ids === expected(d.getName.stripPrefix("shard=").toInt),
           s"${d.getName} lines must follow shuffle order")
       }
+      // shrinking the shard count must clear stale shard dirs even when
+      // the SESSION prefers dynamic partition overwrite (the per-write
+      // static option pins the contract)
+      val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      try {
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        Sampling.exportShardsJsonl(rows, col("id"), "s1", shards = 2, dir)
+      } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
+      val after = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("shard=")).map(_.getName).sorted
+      assert(after.toSeq === Seq("shard=0", "shard=1"),
+        s"a re-export must not leave stale shard dirs, found ${after.mkString(",")}")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 }
