@@ -153,6 +153,48 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("streaming index ingest with compactEvery: files collapse mid-stream, search still exact") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = Similarity.ivfCentroids(e, k = 4, iters = 1)
+    val books = Similarity.pqTrain(e, 4, 16, iters = 1)
+    val streamDir = java.nio.file.Files.createTempDirectory("stream_compact").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_compact_ckpt").toString
+    try {
+      val input = MemoryStream[(Long, Seq[Float])]
+      val q = Streams.ivfPqIndexSink(
+          input.toDF().toDF("vec_id", "embedding"), streamDir, coarse, books,
+          compactEvery = 2)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      val rows = e.select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect()
+      // six micro-batches → compactions fire at batch ids 2 and 4
+      rows.grouped(math.max(1, rows.length / 6)).foreach { b =>
+        input.addData(b.toIndexedSeq); q.processAllAvailable()
+      }
+      q.stop()
+      val filesPerCluster = new java.io.File(streamDir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+        .map(d => d.listFiles().count(_.getName.endsWith(".parquet")))
+      assert(filesPerCluster.nonEmpty && filesPerCluster.max <= 6,
+        s"mid-stream compaction must bound file growth, got ${filesPerCluster.mkString(",")}")
+      val probe = e.where(col("vec_id") < 5)
+      def top(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+      val streamed = top(Similarity.ivfPqTopKIndexed(
+        probe, spark.read.parquet(streamDir), 5, coarse, books, nprobe = 4))
+      assert(streamed.toSeq === top(Similarity.ivfPqTopK(probe, e, 5, coarse, books, nprobe = 4)).toSeq,
+        "a stream-grown, mid-stream-compacted index must stay exact")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
+  }
+
   test("incremental hourly rollup emits finalized windows after watermark passes") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Ev]
