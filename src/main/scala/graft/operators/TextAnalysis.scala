@@ -56,6 +56,38 @@ object TextAnalysis {
     round(lenScore * 0.4 + diversity * 0.3 + punct * 0.3, 6)
   }
 
+  /** Multi-category term tagger — the Dolma/DataTrove "tagger" stage:
+    * each category is a term list (blocklist, domain lexicon, boilerplate
+    * markers…) and every document gets, per category, its occurrence
+    * count and token-ratio, plus an any-category `flagged` bit a
+    * downstream mixer or filter keys on. Counts are OCCURRENCES (a term
+    * repeated 5× counts 5), the shape policy thresholds want.
+    *
+    * Scale shape: tokenize once, then one codegen'd `filter` + `size` per
+    * category over literal term arrays — pure per-row expressions, zero
+    * shuffles, zero UDFs; category lists ride the plan like the bloom
+    * gate's keys. A lexicon too large to fold into the plan (≫10⁴ terms)
+    * belongs in [[bloomDecontaminate]]'s broadcast shape instead. */
+  def termTagger(df: org.apache.spark.sql.DataFrame, id: String,
+                 textCol: String,
+                 categories: Seq[(String, Seq[String])]): org.apache.spark.sql.DataFrame = {
+    require(categories.nonEmpty, "need at least one tag category")
+    require(categories.map(_._1).distinct.size == categories.size,
+      s"duplicate category names in ${categories.map(_._1)}")
+    val base = df.select(col(id), tokens(col(textCol)).as("tt_tok"))
+    val tagged = categories.foldLeft(base) { case (acc, (name, terms)) =>
+      acc.withColumn(s"${name}_hits",
+        size(filter(col("tt_tok"),
+          t => t.isInCollection(terms.distinct))).cast("long"))
+        .withColumn(s"${name}_ratio",
+          round(col(s"${name}_hits").cast("double") /
+            greatest(size(col("tt_tok")).cast("double"), lit(1.0)), 6))
+    }
+    tagged.withColumn("flagged",
+      categories.map(c => col(s"${c._1}_hits") > 0).reduce(_ || _))
+      .drop("tt_tok")
+  }
+
   /** n-gram-heuristic language ID (stub of a fasttext-style model): scores a
     * doc by stopword evidence per language and falls back to 'und'. The shape
     * (per-language evidence columns → greatest → CASE) is what matters; real

@@ -561,6 +561,21 @@ object OracleSql {
         |       CAST(octet_length(encode(text)) + 44 AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
 
+    // q87 replays the tagger's occurrence counts: list_filter over the
+    // same whitespace tokens, ratio over max(n_tokens, 1), 6-dp round.
+    "q87_term_tags" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(list_filter(tk, x -> list_contains(['slow', 'fast'], x))) AS BIGINT) AS perf_hits,
+        |       round(len(list_filter(tk, x -> list_contains(['slow', 'fast'], x)))
+        |             / greatest(len(tk), 1)::DOUBLE, 6) AS perf_ratio,
+        |       CAST(len(list_filter(tk, x -> list_contains(['join', 'scan', 'sort'], x))) AS BIGINT) AS sql_hits,
+        |       round(len(list_filter(tk, x -> list_contains(['join', 'scan', 'sort'], x)))
+        |             / greatest(len(tk), 1)::DOUBLE, 6) AS sql_ratio,
+        |       (len(list_filter(tk, x -> list_contains(['slow', 'fast'], x))) > 0
+        |        OR len(list_filter(tk, x -> list_contains(['join', 'scan', 'sort'], x))) > 0) AS flagged
+        |FROM t""".stripMargin,
+
     // q85 wraps each doc's UTF-8 bytes as a minimal MP4 (640×360, movie
     // duration = byte count at timescale 1000, container overhead =
     // 16 ftyp + 216 moov + 8 mdat header = 240 B) and parses the boxes

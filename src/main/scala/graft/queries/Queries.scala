@@ -454,6 +454,15 @@ object Queries {
           (acc, x) => acc + x.cast("double")), 4).as("feature_sum"))
   }
 
+  /** Multi-category term tagging (the Dolma-style tagger stage): per doc,
+    * occurrence counts and token-ratios for two term categories plus the
+    * any-hit flag — pure per-row expressions, the oracle replays the
+    * list-filter counts exactly. */
+  val q87_term_tags: Q = (s, dir) =>
+    graft.operators.TextAnalysis.termTagger(
+      Tables.documents(s, dir), "doc_id", "text",
+      Seq("perf" -> Seq("slow", "fast"), "sql" -> Seq("join", "scan", "sort")))
+
   /** Audio container metadata: wrap each document's bytes as canonical PCM
     * WAV (16 kHz mono 16-bit — header written by the engine), then parse
     * the RIFF/WAVE header back with the real chunk-walking parser
@@ -1141,5 +1150,6 @@ object Queries {
     "q84_wav_metadata" -> q84_wav_metadata,
     "q85_mp4_metadata" -> q85_mp4_metadata,
     "q86_corpus_shuffle" -> q86_corpus_shuffle,
+    "q87_term_tags" -> q87_term_tags,
   )
 }

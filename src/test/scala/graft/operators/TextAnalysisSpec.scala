@@ -338,4 +338,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1L) > out(3L))
     graft.GraftSession.releaseCaches(spark)
   }
+
+  test("term tagger: occurrence counts per category, ratios, any-hit flag, zero shuffles") {
+    val df = Seq(
+      (1L, "slow join slow scan"),   // perf 2, sql 2
+      (2L, "the a value"),           // clean
+      (3L, "fast")).toDF("doc_id", "text")
+    val out = TextAnalysis.termTagger(df, "doc_id", "text",
+        Seq("perf" -> Seq("slow", "fast"), "sql" -> Seq("join", "scan", "sort")))
+      .as[(Long, Long, Double, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, 2L, 0.5, 2L, 0.5, true)), "occurrences count repeats")
+    assert(out(2L) === ((2L, 0L, 0.0, 0L, 0.0, false)))
+    assert(out(3L) === ((3L, 1L, 1.0, 0L, 0.0, true)))
+    // pure per-row tagging: no exchange anywhere in the plan
+    val plan = TextAnalysis.termTagger(df, "doc_id", "text", Seq("p" -> Seq("x")))
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.exchange.Exchange
+    assert(plan.collect { case e: Exchange => e }.isEmpty, "tagger must not shuffle")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.termTagger(df, "doc_id", "text", Seq("a" -> Nil, "a" -> Nil))
+    }
+  }
 }
