@@ -886,60 +886,76 @@ object Queries {
       dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
       s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
 
-  /** q72 through the MATERIALIZED index: build the same IVF+PQ index,
-    * WRITE it clustered (`partitionBy(cluster)` parquet — one directory
-    * per coarse cluster), read it back, and answer from the stored
-    * layout with the probed clusters pushed into the scan as a static
+  /** ONE clustered index serves all three indexed tiers (q81 ADC, q82
+    * exact-cosine, q83 SemDeDup) — the amortization the stored index
+    * exists for: the quantizer training (two Lloyd passes) and the
+    * clustered parquet write are paid ONCE per (application, SF dir) and
+    * every subsequent indexed query is probe-only. Memoized on the same
+    * (applicationId, dir) key as [[indexScratch]], so concurrent sessions
+    * never share and a new session never reads a stale layout. The
+    * quantizer parameters (k=8/iters=1 coarse, m=4/ksub=16/iters=1 PQ)
+    * are exactly the per-query values they replace — the build is
+    * deterministic (decimal-sum centroids), so q81/q82/q83's hashes are
+    * unchanged by the sharing. */
+  private val sharedIndexMemo =
+    scala.collection.concurrent.TrieMap
+      .empty[(String, String),
+             (Array[Array[Double]], Array[Array[Array[Double]]], String)]
+
+  private def sharedIvfPqIndex(s: SparkSession, dir: String)
+      : (Array[Array[Double]], Array[Array[Array[Double]]], String) =
+    sharedIndexMemo.getOrElseUpdate((s.sparkContext.applicationId, dir), {
+      val e = Tables.embeddings(s, dir)
+      val cached = e.persist()
+      val (cents, books) =
+        try (Similarity.ivfCentroids(cached, k = 8, iters = 1),
+             Similarity.pqTrain(cached, m = 4, ksub = 16, iters = 1))
+        finally cached.unpersist()
+      val path = indexScratch(s, dir, "shared_index")
+      Similarity.ivfPqIndexWrite(e, path, cents, books)
+      (cents, books, path)
+    })
+
+  /** q72 through the MATERIALIZED index: the [[sharedIvfPqIndex]] layout
+    * (clustered `partitionBy(cluster)` parquet — one directory per coarse
+    * cluster, built once per application) read back and answered from
+    * storage with the probed clusters pushed into the scan as a static
     * partition filter. Same parameters as q72 ⇒ definitionally the same
     * rows (the oracle IS q72's), so the gate pins the storage round
     * trip; the pruning itself (scan reads only probed partitions) is
-    * spec-asserted in SimilaritySpec. The index lands under an
-    * [[indexScratch]] path. */
+    * spec-asserted in SimilaritySpec. */
   val q81_ivfpq_indexed: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
-    val coarse = Similarity.ivfCentroids(e, k = 8, iters = 1)
-    val books = Similarity.pqTrain(e, m = 4, ksub = 16, iters = 1)
-    val path = indexScratch(s, dir, "ivfpq_index")
-    Similarity.ivfPqIndexWrite(e, path, coarse, books)
+    val (coarse, books, path) = sharedIvfPqIndex(s, dir)
     Similarity.ivfPqTopKIndexed(e.where(col("vec_id") < 10),
       s.read.parquet(path), k = 5, coarse, books, nprobe = 2)
   }
 
   /** q39 through the MATERIALIZED index: the cluster assignment q39 pays
-    * per run is paid once at index-write time, and the exact-cosine probe
-    * answers from the stored `partitionBy(cluster)` layout — reading only
-    * the probed cluster directories (partition pruning) and only the
-    * (neighbor_id, embedding) columns (the PQ codes stored alongside are
-    * column-pruned away; both spec-asserted in SimilaritySpec). Same
-    * parameters as q39 ⇒ definitionally the same rows, so the oracle IS
-    * q39's — any drift across the storage round trip fails the gate. */
+    * per run is paid once at [[sharedIvfPqIndex]] build time, and the
+    * exact-cosine probe answers from the stored `partitionBy(cluster)`
+    * layout — reading only the probed cluster directories (partition
+    * pruning) and only the (neighbor_id, embedding) columns (the PQ codes
+    * stored alongside are column-pruned away; both spec-asserted in
+    * SimilaritySpec). Same parameters as q39 ⇒ definitionally the same
+    * rows, so the oracle IS q39's — any drift across the storage round
+    * trip fails the gate. */
   val q82_ivf_indexed: Q = (s, dir) => {
     val e = Tables.embeddings(s, dir)
-    val cached = e.persist()
-    val cents =
-      try Similarity.ivfCentroids(cached, k = 8, iters = 1)
-      finally cached.unpersist()
-    val books = Similarity.pqTrain(e, m = 4, ksub = 16, iters = 1)
-    val path = indexScratch(s, dir, "ivf_index")
-    Similarity.ivfPqIndexWrite(e, path, cents, books)
+    val (cents, _, path) = sharedIvfPqIndex(s, dir)
     Similarity.ivfTopKIndexed(e.where(col("vec_id") < 50),
       s.read.parquet(path), k = 3, cents, nprobe = 2)
   }
 
   /** q80 through the MATERIALIZED index: SemDeDup's coarse clustering —
-    * the expensive full-corpus pass — comes from the stored index instead
-    * of being recomputed per run (the amortization the paper assumes: one
-    * clustering per corpus, many consumers). Same parameters as q80 ⇒
-    * definitionally the same survivors, so the oracle IS q80's. */
+    * the expensive full-corpus pass — comes from the [[sharedIvfPqIndex]]
+    * layout instead of being recomputed per run (the amortization the
+    * paper assumes: one clustering per corpus, many consumers — here
+    * literally the same stored clustering q81's ADC probe and q82's
+    * exact-cosine probe read). Same parameters as q80 ⇒ definitionally
+    * the same survivors, so the oracle IS q80's. */
   val q83_semantic_indexed: Q = (s, dir) => {
-    val e = Tables.embeddings(s, dir)
-    val cached = e.persist()
-    val cents =
-      try Similarity.ivfCentroids(cached, k = 8, iters = 1)
-      finally cached.unpersist()
-    val books = Similarity.pqTrain(e, m = 4, ksub = 16, iters = 1)
-    val path = indexScratch(s, dir, "semdedup_index")
-    Similarity.ivfPqIndexWrite(e, path, cents, books)
+    val (_, _, path) = sharedIvfPqIndex(s, dir)
     Similarity.semanticDedupIndexed(s.read.parquet(path), threshold = 0.35)
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
   }
