@@ -423,6 +423,71 @@ object Similarity {
     ivfPqEncode(batch, coarse, codebooks, idCol, vecCol, keepVec = withVectors)
       .write.mode("append").partitionBy("cluster").parquet(path)
 
+  /** IDEMPOTENT append for replayable writers (the streaming sink,
+    * [[graft.streaming.Streams.ivfPqIndexSink]]): the same `batchId`
+    * presented twice lands its rows exactly once, which upgrades the
+    * sink's delivery from at-least-once to effectively exactly-once —
+    * Structured Streaming replays a crashed micro-batch under the SAME id
+    * with the SAME rows, so idempotence here is all that's missing.
+    *
+    * Protocol (all hidden from readers — `_`-prefixed paths are invisible
+    * to Spark's file listing):
+    *   1. if the commit marker `_batches/batch-<id>` exists, the batch
+    *      already landed — skip (the replay fast path);
+    *   2. encode into a private staging dir `<path>_batch<id>` with
+    *      overwrite semantics (a half-written previous attempt is simply
+    *      rewritten);
+    *   3. scrub any `b<id>_*.parquet` residue a crashed attempt left in
+    *      the live cluster dirs, then rename the staged files in under
+    *      deterministic batch-keyed names `b<id>_<n>.parquet`;
+    *   4. write the marker, drop staging.
+    * A crash between 3 and 4 replays into the same deterministic names
+    * after the scrub — never a duplicate row. Markers tie the index to ONE
+    * checkpoint lineage: restarting a stream with a fresh checkpoint
+    * restarts batch ids at 0, so pair a fresh checkpoint with a fresh
+    * index (or a rebuild), exactly as foreachBatch's own idempotence
+    * guidance prescribes. Rename discipline is HDFS/local-FS (see
+    * [[ivfPqIndexCompact]]). Returns false on the skip path. */
+  def ivfPqIndexAppendOnce(batch: DataFrame, path: String, batchId: Long,
+                           coarse: Array[Array[Double]],
+                           codebooks: Array[Array[Array[Double]]],
+                           idCol: String = "vec_id", vecCol: String = "embedding",
+                           withVectors: Boolean = true): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(new Path(root, "_batches"), s"batch-$batchId")
+    if (fs.exists(marker)) return false
+    val staging = new Path(s"${path}_batch$batchId")
+    ivfPqEncode(batch, coarse, codebooks, idCol, vecCol, keepVec = withVectors)
+      .write.mode("overwrite").partitionBy("cluster").parquet(staging.toString)
+    val prefix = s"b${batchId}_"
+    if (fs.exists(root))
+      fs.listStatus(root)
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("cluster="))
+        .foreach(d => fs.listStatus(d.getPath).map(_.getPath)
+          .filter(_.getName.startsWith(prefix))
+          .foreach(p => fs.delete(p, false)))
+    fs.listStatus(staging)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("cluster="))
+      .foreach { d =>
+        val live = new Path(root, d.getPath.getName)
+        fs.mkdirs(live)
+        fs.listStatus(d.getPath).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (f, i) =>
+            require(fs.rename(f, new Path(live, s"$prefix$i.parquet")),
+              s"batch-append rename of $f into $live failed; " +
+                "staging preserved — replaying the batch heals")
+          }
+      }
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    fs.delete(staging, true)
+    true
+  }
+
   /** COMPACT a grown index: every append ([[ivfPqIndexAppend]], streaming
     * [[graft.streaming.Streams.ivfPqIndexSink]]) lands new FILES in the
     * cluster directories, and at nightly-batch cadence a year of ingest is

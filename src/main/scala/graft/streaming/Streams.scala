@@ -69,14 +69,15 @@ object Streams {
     * would re-shape every existing cluster; growth beyond the training
     * distribution is a rebuild, the FAISS add() contract).
     *
-    * Delivery is at-least-once: a micro-batch replayed after a crash
-    * appends its rows again (plain parquet appends are not transactional
-    * across retries). Near-dup search tolerates duplicate index rows
-    * (scores tie, top-k window tie-breaks on neighbor_id); a deployment
-    * needing exactly-once puts a `dropDuplicatesWithinWatermark` on the
-    * vector stream ([[dedupStream]]) or an id-keyed compaction behind the
-    * index, and the caller must set `checkpointLocation` so offsets
-    * survive restarts. */
+    * Delivery is effectively exactly-once: each micro-batch lands through
+    * [[graft.operators.Similarity.ivfPqIndexAppendOnce]] — batch-keyed
+    * deterministic file names behind a commit marker — so a micro-batch
+    * replayed after a crash (same batchId, same rows, the Structured
+    * Streaming replay contract) is either skipped outright or re-lands
+    * onto its own previous file names, never duplicated. The caller must
+    * set `checkpointLocation` so offsets survive restarts, and must pair
+    * a FRESH checkpoint with a fresh index (batch ids restart at 0 and
+    * would be mistaken for already-committed replays). */
   def ivfPqIndexSink(vectors: DataFrame, path: String,
                      coarse: Array[Array[Double]],
                      codebooks: Array[Array[Array[Double]]],
@@ -84,8 +85,8 @@ object Streams {
                      withVectors: Boolean = true, compactEvery: Int = 0)
   : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vectors.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      graft.operators.Similarity.ivfPqIndexAppend(
-        batch, path, coarse, codebooks, idCol, vecCol, withVectors)
+      graft.operators.Similarity.ivfPqIndexAppendOnce(
+        batch, path, batchId, coarse, codebooks, idCol, vecCol, withVectors)
       // optional in-line maintenance: every Nth micro-batch, collapse the
       // small files this sink itself has been accumulating (idempotent —
       // only clusters over the file threshold rewrite). Safe relative to

@@ -238,6 +238,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqIndexAppendOnce: replayed and crash-replayed batches land exactly once") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = Similarity.ivfCentroids(e, k = 4, iters = 1)
+    val books = Similarity.pqTrain(e, 4, 16, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_once").toString + "/idx"
+    try {
+      val b0 = e.where(col("vec_id") % 2 === 0)
+      val b1 = e.where(col("vec_id") % 2 === 1)
+      assert(Similarity.ivfPqIndexAppendOnce(b0, dir, 0L, coarse, books))
+      assert(Similarity.ivfPqIndexAppendOnce(b1, dir, 1L, coarse, books))
+      val full = spark.read.parquet(dir).count()
+      assert(full === e.count())
+      // replay with the marker in place: skipped outright
+      assert(!Similarity.ivfPqIndexAppendOnce(b1, dir, 1L, coarse, books))
+      assert(spark.read.parquet(dir).count() === full)
+      // crash window: files landed but the marker write never happened —
+      // the replay must scrub the residue and re-land, not duplicate
+      val marker = new java.io.File(s"$dir/_batches/batch-1")
+      assert(marker.exists); assert(marker.delete())
+      assert(Similarity.ivfPqIndexAppendOnce(b1, dir, 1L, coarse, books))
+      assert(spark.read.parquet(dir).count() === full,
+        "a crash-replayed batch must not duplicate its rows")
+      // and the grown index still answers identically to the in-memory path
+      val q = e.where(col("vec_id") < 5)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+      val viaIndex = rows(Similarity.ivfPqTopKIndexed(
+        q, spark.read.parquet(dir), 5, coarse, books, nprobe = 4))
+      val mem = rows(Similarity.ivfPqTopK(q, e, 5, coarse, books, nprobe = 4))
+      assert(viaIndex.toSeq === mem.toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
+  }
+
   test("indexed probes survive partition-type-inference OFF (cluster arrives as string)") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sf/embeddings.parquet")

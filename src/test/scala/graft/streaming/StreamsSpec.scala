@@ -112,6 +112,51 @@ class StreamsSpec extends SparkSpec {
     assert(out === Set(("p1", "v1")))
   }
 
+  test("streaming index ingest is exactly-once: a replayed micro-batch changes nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = Similarity.ivfCentroids(e, k = 4, iters = 1)
+    val books = Similarity.pqTrain(e, 4, 16, iters = 1)
+    val streamDir = java.nio.file.Files.createTempDirectory("stream_once").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_once_ckpt").toString
+    try {
+      val input = MemoryStream[(Long, Seq[Float])]
+      val q = Streams.ivfPqIndexSink(
+          input.toDF().toDF("vec_id", "embedding"), streamDir, coarse, books)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").start()
+      val rows = e.select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])].collect()
+      val (b0, b1) = rows.splitAt(rows.length / 2)
+      input.addData(b0.toIndexedSeq); q.processAllAvailable()
+      input.addData(b1.toIndexedSeq); q.processAllAvailable()
+      q.stop()
+      val count = spark.read.parquet(streamDir).count()
+      assert(count === e.count())
+      // a crash after batch 1's files landed but before its commit marker
+      // replays batch 1 with the same id and rows — the foreachBatch body
+      // re-runs verbatim; row count and answers must not move
+      val lastBatch = e.where(col("vec_id").isin(b1.map(_._1): _*))
+      assert(new java.io.File(s"$streamDir/_batches/batch-1").delete())
+      Similarity.ivfPqIndexAppendOnce(lastBatch, streamDir, 1L, coarse, books)
+      assert(spark.read.parquet(streamDir).count() === count,
+        "a replayed micro-batch must not grow the index")
+      val probe = e.where(col("vec_id") < 5)
+      def top(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+      val streamed = top(Similarity.ivfPqTopKIndexed(
+        probe, spark.read.parquet(streamDir), 5, coarse, books, nprobe = 4))
+      val mem = top(Similarity.ivfPqTopK(probe, e, 5, coarse, books, nprobe = 4))
+      assert(streamed.toSeq === mem.toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(streamDir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(ckpt))
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
+  }
+
   test("streaming index ingest: two micro-batches ≡ one batch write ≡ in-memory search") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
