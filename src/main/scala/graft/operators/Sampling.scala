@@ -145,10 +145,26 @@ object Sampling {
     * except on 60-bit hash collisions, broken by the RAW key column (its
     * native ordering — the same `ORDER BY h, key` an oracle replays;
     * breaking on the stringified key would order "10" before "9" and
-    * silently disagree with a numeric-key replay). */
+    * silently disagree with a numeric-key replay).
+    *
+    * REQUIRES `key` to be unique across the corpus: two rows sharing a
+    * key value tie on the full (hash, key) sort, so which gets which
+    * position is partition-layout-dependent — the duplicates still land
+    * deterministically in the SAME shard at an adjacent pair of
+    * positions, but the byte-reproducibility contract of the export
+    * ([[exportShardsJsonl]]) holds only up to that pairwise order. Pass
+    * a row-unique id (doc id, primary key), not content. Rejects inputs
+    * that already carry any of the output/scratch columns (`shard`,
+    * `pos`, `ds_*`) instead of silently overwriting them. */
   def deterministicShuffle(df: DataFrame, key: Column, seed: String,
                            shards: Int): DataFrame = {
     require(shards > 0, s"need a positive shard count, got $shards")
+    val reserved = Seq("shard", "pos", "ds_key", "ds_h", "ds_shard", "ds_pos")
+    val clash = df.columns.filter(c => reserved.contains(c.toLowerCase))
+    require(clash.isEmpty,
+      s"deterministicShuffle writes columns [${reserved.mkString(", ")}] and " +
+        s"the input already has [${clash.mkString(", ")}] — rename or drop " +
+        "them first (silently overwriting would corrupt caller data)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("ds_shard"))
       .orderBy(col("ds_h").asc, key.asc)
@@ -176,7 +192,7 @@ object Sampling {
     * a shard (corpus/shards) fits a loader's streaming budget, exactly the
     * WebDataset/Megatron sharding contract. */
   def exportShardsJsonl(df: DataFrame, key: Column, seed: String,
-                        shards: Int, path: String): Unit =
+                        shards: Int, path: String): Unit = {
     deterministicShuffle(df, key, seed, shards)
       .repartition(shards, col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
@@ -189,6 +205,65 @@ object Sampling {
       .option("partitionOverwriteMode", "static")
       .option("maxRecordsPerFile", 0)
       .partitionBy("shard").json(path)
+    writeExportManifest(df.sparkSession, path)
+  }
+
+  /** Export manifest: one JSON line per shard — `{"shard","file","rows",
+    * "bytes","md5"}` — written as `_manifest.jsonl` at the export root
+    * (`_`-prefixed: invisible to Spark readers of the same directory).
+    * This is the validation contract a loader needs to check a transfer:
+    * byte sizes and md5s are of the EXACT file bytes, and `rows` is the
+    * newline count of those same bytes, so all three come from ONE
+    * streamed pass over the export (never a re-pass over the corpus),
+    * distributed one task per shard. The manifest itself is |shards|
+    * lines — metadata scale — assembled on the driver. */
+  def writeExportManifest(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val shardFiles = fs.listStatus(root)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("shard="))
+      .map { d =>
+        val files = fs.listStatus(d.getPath)
+          .filter(_.getPath.getName.endsWith(".json"))
+        require(files.length == 1,
+          s"expected exactly one JSONL file in ${d.getPath} (the " +
+            s"maxRecordsPerFile=0 single-file contract), found ${files.length}")
+        (d.getPath.getName.stripPrefix("shard=").toInt,
+          files.head.getPath.toString)
+      }.sortBy(_._1).toSeq
+    val bc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    val stats = spark.sparkContext
+      .parallelize(shardFiles, math.max(1, shardFiles.length))
+      .map { case (shard, file) =>
+        val p = new Path(file)
+        val pfs = p.getFileSystem(bc.value.value)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val in = pfs.open(p)
+        var rows = 0L; var bytes = 0L
+        val buf = new Array[Byte](1 << 20)
+        try {
+          var n = in.read(buf)
+          while (n > 0) {
+            md.update(buf, 0, n); bytes += n
+            var i = 0
+            while (i < n) { if (buf(i) == '\n') rows += 1; i += 1 }
+            n = in.read(buf)
+          }
+        } finally in.close()
+        (shard, p.getName, rows, bytes,
+          md.digest().map("%02x".format(_)).mkString)
+      }.collect().sortBy(_._1)
+    val out = fs.create(new Path(root, "_manifest.jsonl"), true)
+    try stats.foreach { case (shard, name, rows, bytes, digest) =>
+      out.write((s"""{"shard":$shard,"file":"shard=$shard/$name",""" +
+        s""""rows":$rows,"bytes":$bytes,"md5":"$digest"}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } finally out.close()
+  }
 
   /** Split assignment by cumulative bucket ranges, e.g.
     * `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`. Fractions are

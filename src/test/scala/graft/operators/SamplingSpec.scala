@@ -218,4 +218,66 @@ class SamplingSpec extends SparkSpec {
         s"a re-export must not leave stale shard dirs, found ${after.mkString(",")}")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("deterministic shuffle: duplicate keys pair in one shard; reserved columns rejected") {
+    // the documented precondition: keys must be row-unique. Pinned
+    // behavior for violations — duplicates still land deterministically
+    // in the SAME shard (hash of the same key) holding an adjacent pair
+    // of positions; only which duplicate takes which of the two is
+    // layout-dependent, so the contract degrades pairwise, never globally
+    val dup = (0L until 100L).flatMap(i => Seq(i, i)).toDF("id")
+    val out = Sampling.deterministicShuffle(dup, col("id"), "s1", shards = 4)
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect()
+    out.groupBy(_._1).foreach { case (id, rs) =>
+      assert(rs.map(_._2).distinct.length === 1, s"duplicates of $id must share a shard")
+      val ps = rs.map(_._3).sorted
+      assert(ps(1) === ps(0) + 1, s"duplicates of $id must hold adjacent positions")
+    }
+    out.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(rs.map(_._3).toSet === (1L to rs.length).toSet,
+        s"shard $shard positions must still tile 1..n")
+    }
+    // inputs already carrying an output/scratch column fail fast instead
+    // of being silently overwritten
+    val clash = intercept[IllegalArgumentException] {
+      Sampling.deterministicShuffle(
+        (0L until 10L).toDF("id").withColumn("pos", col("id")),
+        col("id"), "s1", 4)
+    }
+    assert(clash.getMessage.contains("pos"))
+  }
+
+  test("jsonl shard export writes a _manifest.jsonl that validates the transfer") {
+    val rows = (0L until 300L).toDF("id")
+    val dir = java.nio.file.Files.createTempDirectory("shard_manifest").toString
+    try {
+      Sampling.exportShardsJsonl(rows, col("id"), "s1", shards = 4, dir)
+      val manifest = java.nio.file.Files
+        .readAllLines(new java.io.File(dir, "_manifest.jsonl").toPath)
+        .toArray(Array.empty[String]).toSeq
+      assert(manifest.length === 4, "one manifest line per shard")
+      var totalRows = 0L
+      manifest.foreach { line =>
+        def field(k: String) = s""""$k":([^,}]+)""".r.findFirstMatchIn(line).get.group(1)
+        val file = new java.io.File(dir, field("file").stripPrefix("\"").stripSuffix("\""))
+        assert(file.isFile, s"manifest names a missing file: $file")
+        val bytes = java.nio.file.Files.readAllBytes(file.toPath)
+        assert(bytes.length.toLong === field("bytes").toLong)
+        assert(bytes.count(_ == '\n').toLong === field("rows").toLong)
+        val md5sum = java.security.MessageDigest.getInstance("MD5")
+          .digest(bytes).map("%02x".format(_)).mkString
+        assert(md5sum === field("md5").stripPrefix("\"").stripSuffix("\""))
+        totalRows += field("rows").toLong
+      }
+      assert(totalRows === 300L, "manifest row counts must sum to the corpus")
+      // the manifest is invisible to Spark readers of the export dir
+      assert(spark.read.json(dir).count() === 300L)
+      // a re-export overwrites the manifest consistently with the new layout
+      Sampling.exportShardsJsonl(rows, col("id"), "s1", shards = 2, dir)
+      val again = java.nio.file.Files
+        .readAllLines(new java.io.File(dir, "_manifest.jsonl").toPath)
+        .toArray(Array.empty[String]).toSeq
+      assert(again.length === 2, "re-export must rewrite the manifest")
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
 }
