@@ -503,15 +503,18 @@ object Similarity {
     * cluster directory by rename, retiring the old copy INTO the staging
     * dir first — so at every instant each cluster's rows exist in the live
     * tree or the staging tree (or both), never nowhere. A crashed run is
-    * healed on the next call before anything else happens: any
-    * `retired_cluster=N` whose live `cluster=N` is missing is renamed
-    * back (the pre-compaction data — the compacted copy, if also present,
-    * is a redundant rewrite of the same rows and is discarded with the
-    * staging dir). Renames are per-cluster, not index-atomic: run
-    * compaction in the ingest maintenance window, not under live probes
-    * (a concurrent probe could see a cluster mid-swap), and re-plan any
-    * DataFrame created before the compaction. Returns the compacted
-    * cluster ids (empty = nothing dirty; idempotent). */
+    * healed on the next call before anything else happens: every
+    * `retired_cluster=N` still in staging is renamed back over its live
+    * twin (deleting the live dir first if present). The retired copy
+    * always wins because a live twin may be a PARTIAL swap — rename on
+    * object stores is copy+delete, not atomic — while rolling back a swap
+    * that completed merely discards a redundant rewrite of the same rows;
+    * the next compaction redoes it. Renames are per-cluster, not
+    * index-atomic: run compaction in the ingest maintenance window — the
+    * indexed probes ENFORCE this, failing fast while the staging dir
+    * exists ([[assertNotCompacting]]) — and re-plan any DataFrame created
+    * before the compaction. Returns the compacted cluster ids (empty =
+    * nothing dirty; idempotent). */
   def ivfPqIndexCompact(spark: org.apache.spark.sql.SparkSession, path: String,
                         maxFilesPerCluster: Int = 4): Seq[Int] = {
     import org.apache.hadoop.fs.Path
@@ -520,19 +523,27 @@ object Similarity {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Nil
     val staging = new Path(path + "_compacting")
-    // heal a crashed previous run BEFORE discarding its staging dir: a
-    // retired cluster whose live dir is missing died mid-swap — restore it
+    // heal a crashed previous run BEFORE discarding its staging dir: any
+    // retired cluster still in staging is the authoritative pre-compaction
+    // copy of its rows, and it ALWAYS wins. When its live twin exists the
+    // live dir may be a PARTIAL swap — on object stores rename is
+    // copy+delete, so a crash mid fresh→live can leave a half-copied live
+    // cluster; trusting it and deleting staging would destroy the only
+    // complete copy (silent row loss). Rolling back a swap that actually
+    // completed merely discards a redundant rewrite of the same rows —
+    // the next compaction redoes it — so restore-unconditionally is safe
+    // on every filesystem, not just ones with atomic rename.
     if (fs.exists(staging)) {
       fs.listStatus(staging).filter(_.getPath.getName.startsWith("retired_cluster="))
         .foreach { r =>
           val live = new Path(root, r.getPath.getName.stripPrefix("retired_"))
+          if (fs.exists(live)) fs.delete(live, true)
           // Hadoop rename reports most failures as `false`, not an
           // exception — an unchecked result here followed by the recursive
           // staging delete would destroy the only copy of the cluster
-          if (!fs.exists(live))
-            require(fs.rename(r.getPath, live),
-              s"crash-heal rename of ${r.getPath} to $live failed; " +
-                "staging dir preserved — resolve manually before compacting")
+          require(fs.rename(r.getPath, live),
+            s"crash-heal rename of ${r.getPath} to $live failed; " +
+              "staging dir preserved — resolve manually before compacting")
         }
       fs.delete(staging, true)
     }
@@ -579,6 +590,7 @@ object Similarity {
                        coarse: Array[Array[Double]],
                        codebooks: Array[Array[Array[Double]]], nprobe: Int = 2,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    assertNotCompacting(index)
     val q = prepProbedQueries(queries, coarse, codebooks, nprobe, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probed = q.select(col("cluster")).distinct()
@@ -602,6 +614,38 @@ object Similarity {
     * normalized to int ABOVE the filter, so the scan still sees the typed
     * isin on the raw partition column while every downstream equi-join
     * meets int = int with no implicit cast. */
+  /** Fail-fast guard enforcing [[ivfPqIndexCompact]]'s maintenance-window
+    * contract: a probe racing a compaction could read a cluster mid-swap
+    * (its directory momentarily retired into staging), silently missing
+    * rows. Every indexed probe calls this at plan-build time: if any of
+    * the index's file-source root paths has a live `_compacting` staging
+    * sibling — an in-flight compaction OR a crashed one awaiting heal —
+    * the probe raises instead of returning a silently-partial answer.
+    * Metadata-scale (one fs.exists per root path); in-memory relations
+    * have no file roots and pass through untouched. Best-effort by
+    * design: the check runs when the probe plan is BUILT, so a compaction
+    * starting after that still requires the documented maintenance
+    * window. */
+  private def assertNotCompacting(index: DataFrame): Unit = {
+    val conf = index.sparkSession.sparkContext.hadoopConfiguration
+    index.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case hfs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            hfs.location.rootPaths
+          case _ => Nil
+        }
+    }.flatten.foreach { root =>
+      val staging = new org.apache.hadoop.fs.Path(root.toString + "_compacting")
+      if (root.getFileSystem(conf).exists(staging))
+        throw new IllegalStateException(
+          s"index at $root is being compacted ($staging exists): a probe " +
+            "during the swap can read a mid-swap cluster. Retry after " +
+            "ivfPqIndexCompact returns; if a compaction crashed, calling " +
+            "it again heals the index first.")
+    }
+  }
+
   private def pruneToProbed(index: DataFrame, probed: Array[Int]): DataFrame = {
     val lits: Array[Any] = index.schema("cluster").dataType match {
       case org.apache.spark.sql.types.IntegerType => probed.map(Int.box)
@@ -628,6 +672,7 @@ object Similarity {
   def ivfTopKIndexed(queries: DataFrame, index: DataFrame, k: Int,
                      centroids: Array[Array[Double]], nprobe: Int = 2,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    assertNotCompacting(index)
     require(index.columns.contains("embedding"),
       "ivfTopKIndexed needs an index written withVectors = true (no embedding column found)")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
@@ -667,6 +712,7 @@ object Similarity {
     * (neighbor_id, embedding, cluster), never the PQ codes. */
   def semanticDedupIndexed(index: DataFrame, threshold: Double,
                            idCol: String = "vec_id"): DataFrame = {
+    assertNotCompacting(index)
     require(index.columns.contains("embedding"),
       "semanticDedupIndexed needs an index written withVectors = true (no embedding column found)")
     val assigned = index

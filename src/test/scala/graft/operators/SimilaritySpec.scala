@@ -365,6 +365,60 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("compaction heal restores the retired copy even when a PARTIAL live twin exists; probes fail fast mid-compaction") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = Similarity.ivfCentroids(e, k = 4, iters = 1)
+    val books = Similarity.pqTrain(e, 4, 16, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("compact_heal").toString
+    try {
+      Similarity.ivfPqIndexWrite(e, dir, coarse, books)
+      val total = spark.read.parquet(dir).count()
+      val q = e.where(col("vec_id") < 5)
+      def top(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+      val before = top(Similarity.ivfPqTopKIndexed(
+        q, spark.read.parquet(dir), 5, coarse, books, nprobe = 4))
+      // probe guard: while a staging dir exists (compaction in flight or
+      // crashed), every indexed probe must raise, not answer partially
+      val staging = new java.io.File(dir + "_compacting")
+      assert(staging.mkdir())
+      val idx = spark.read.parquet(dir)
+      Seq(
+        () => Similarity.ivfPqTopKIndexed(q, idx, 5, coarse, books, nprobe = 4),
+        () => Similarity.ivfTopKIndexed(q, idx, 3, coarse, nprobe = 4),
+        () => Similarity.semanticDedupIndexed(idx, 0.35)
+      ).foreach { probe =>
+        val ex = intercept[IllegalStateException](probe())
+        assert(ex.getMessage.contains("compact"), ex.getMessage)
+      }
+      // object-store crash shape: rename is copy+delete there, so a crash
+      // mid fresh->live swap leaves a PARTIAL live cluster dir while the
+      // complete pre-compaction copy sits retired in staging. The heal
+      // must prefer the retired copy — trusting the partial live dir and
+      // deleting staging would silently lose rows.
+      val someCluster = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cluster=")).head.getName
+      val live = new java.io.File(dir, someCluster)
+      val retired = new java.io.File(staging, s"retired_$someCluster")
+      assert(live.renameTo(retired))
+      // the "partial" live twin: the dir exists but holds no complete data
+      assert(live.mkdir())
+      val healed = Similarity.ivfPqIndexCompact(spark, dir, maxFilesPerCluster = 1000)
+      assert(healed === Nil)
+      assert(!staging.exists(), "staging must be cleaned after healing")
+      assert(spark.read.parquet(dir).count() === total,
+        "the heal must restore the complete retired copy, not trust the partial live dir")
+      val after = top(Similarity.ivfPqTopKIndexed(
+        q, spark.read.parquet(dir), 5, coarse, books, nprobe = 4))
+      assert(after.toSeq === before.toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir + "_compacting"))
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
+  }
+
   test("centroid cohesion: exact cosine to the group mean; lone vector scores 1") {
     import spark.implicits._
     val e = Seq(
