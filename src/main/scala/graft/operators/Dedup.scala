@@ -838,15 +838,22 @@ object Dedup {
     i = 0
     while (i < nV) { comp(i) = minOfRoot(find(i)); i += 1 }
     // emit via broadcast primitive arrays over a range: zero boxed rows on
-    // the driver, and the relation's row count is statically known from the
-    // range, so Catalyst still sizes it under the broadcast threshold
+    // the driver. The relation is returned under an explicit broadcast()
+    // hint — near the edge cap Catalyst's size ESTIMATE for the range +
+    // mapPartitions plan can exceed autoBroadcastJoinThreshold, and a
+    // silent downgrade to a shuffle join is exactly what this "built
+    // dimension" contract exists to avoid (the actual payload is two
+    // primitive arrays, ≤ ~32 MB at the cap). bVerts/bComp live as long
+    // as the returned plan can re-execute; reclamation is the
+    // ContextCleaner's, once the relation itself is unreachable.
     val bVerts = spark.sparkContext.broadcast(verts)
     val bComp = spark.sparkContext.broadcast(comp)
-    spark.range(0, nV.toLong, 1, math.max(1, nV / 1000000 + 1))
-      .mapPartitions { it =>
-        val v = bVerts.value; val c = bComp.value
-        it.map(i => (v(i.toInt), c(i.toInt)))
-      }.toDF("id", "comp")
+    org.apache.spark.sql.functions.broadcast(
+      spark.range(0, nV.toLong, 1, math.max(1, nV / 1000000 + 1))
+        .mapPartitions { it =>
+          val v = bVerts.value; val c = bComp.value
+          it.map(i => (v(i.toInt), c(i.toInt)))
+        }.toDF("id", "comp"))
   }
 
   /** Cluster-level dedup decision: every doc in a near-dup component keeps

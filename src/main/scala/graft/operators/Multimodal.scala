@@ -204,7 +204,10 @@ object Multimodal {
       Seq(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000) // unity matrix
         .foreach(b.putInt)
       (0 until 6).foreach(_ => b.putInt(0))                    // pre_defined
-      b.putInt(1)                                              // next_track_ID
+      // ISO/IEC 14496-12 §8.2.2: next_track_ID is an id NOT yet in use —
+      // the single trak below takes track_ID 1, so the next free id is 2
+      // (external muxers validate this; mp4Info itself ignores the field)
+      b.putInt(2)                                              // next_track_ID
       b.putInt(100).put("trak".getBytes("US-ASCII"))
       b.putInt(92).put("tkhd".getBytes("US-ASCII")).putInt(0)  // v0, flags 0
         .putInt(0).putInt(0).putInt(1).putInt(0)               // times, track_ID, rsvd
