@@ -395,21 +395,42 @@ object Dedup {
   }
 
   private def containmentFromHashed(hs: DataFrame, threshold: Double): DataFrame = {
-    val l = orderedPrefix(hs, threshold)
-      .select(col("blk"), col("hs_id").as("left_id"), col("n").as("nl"),
-        col("ord").as("ls"), explode(col("prefix")).as("h"))
-    val r = hs.select(col("blk"), col("hs_id").as("right_id"),
-      col("n").as("nr"), col("hs").as("rs"), explode(col("hs")).as("h"))
-    // first-match: no prefix token of A EARLIER than the joined one is in
-    // B's set (ls is rarest-first ordered, so the slice below h's position
-    // is exactly "the earlier prefix tokens")
-    val firstMatch = size(array_intersect(
-      slice(col("ls"), lit(1), (array_position(col("ls"), col("h")) - 1).cast("int")),
-      col("rs"))) === 0
-    l.join(r, Seq("blk", "h"))
+    // Candidate generation rides SLIM postings — (block, token, id, set
+    // size, position) only. The previous shape carried each document's
+    // FULL token array on every exploded posting row: O(|doc|) bytes per
+    // posting makes the candidate shuffle Θ(Σ n·|doc|) bytes — measured
+    // super-linear wall time at the 100× synthetic decade (spill-bound;
+    // SCALE.md §third decade) — where the slim shape is Θ(Σ n).
+    val pre = orderedPrefix(hs, threshold)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val l = pre.select(col("blk"), col("hs_id").as("left_id"),
+      col("n").as("nl"), posexplode(col("prefix")).as(Seq("lp", "h")))
+    val r = pre.select(col("blk"), col("hs_id").as("right_id"),
+      col("n").as("nr"), posexplode(col("ord")).as(Seq("rp", "h")))
+    val candidates = l.join(r, Seq("blk", "h"))
       .where(col("left_id") =!= col("right_id"))
       .where(col("nr") >= lit(threshold) * col("nl") - 1e-9)
-      .where(firstMatch)
+      // one row per pair, at A's FIRST matched prefix token (min lp): the
+      // aggregate replaces the old per-posting array first-match predicate
+      .groupBy(col("blk"), col("left_id"), col("right_id"),
+        col("nl"), col("nr"))
+      .agg(min(struct(col("lp"), col("rp"))).as("fm"))
+      // PPJoin positional filter (Xiao et al., WWW'08): both sides share
+      // ONE global rarest-first order, so at the first matched prefix
+      // token no earlier token of A is in B (first match) and no earlier
+      // token of B can equal a later token of A (order agreement) — the
+      // achievable overlap is 1 + what remains on each side. Pairs whose
+      // bound can't reach τ·|A| never pay the verification join.
+      .where(lit(1) + least(col("nl") - col("fm.lp") - 1,
+                            col("nr") - col("fm.rp") - 1)
+        >= lit(threshold) * col("nl") - 1e-9)
+    // verification: the token arrays move ONCE per surviving pair side,
+    // not once per posting
+    candidates
+      .join(pre.select(col("blk"), col("hs_id").as("left_id"),
+        col("ord").as("ls")), Seq("blk", "left_id"))
+      .join(pre.select(col("blk"), col("hs_id").as("right_id"),
+        col("ord").as("rs")), Seq("blk", "right_id"))
       .withColumn("inter", size(array_intersect(col("ls"), col("rs"))))
       .withColumn("containment", col("inter").cast("double") / col("nl"))
       .where(col("containment") >= threshold)

@@ -1,0 +1,76 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** Third-decade scale measurement (dev tool, not part of the driver
+  * contract) for the two document queries with the least headroom under
+  * their bounds in [[ProfileScaleCurve]]'s table — q60 (asymmetric
+  * containment, measured 0.44/decade at the sf1 leg) and q76 (8-gram
+  * novelty, 0.47). One more synthetic decade (100 × sf0.1, the same
+  * disjoint-token construction: per-copy token prefixes keep shingle sets
+  * across copies disjoint, so organic near-dup density is preserved and
+  * no cross-copy cliques are fabricated) either confirms the exponents
+  * flattening toward their documented bounds or catches a creeping
+  * quadratic term at 100× cost instead of 1000×.
+  *
+  * Prints t(sf0.1), t(sf1), t(sf10) and the two per-decade exponents;
+  * an exponent > 0.6 at the sf10 leg is the action threshold (q60's fix
+  * would be a PPJoin positional filter on top of its prefix postings). */
+object ProfileThirdDecade {
+  private val Queries = Seq("q60_containment", "q76_ngram_novelty")
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf01 = "/root/testdata/sf0.1"
+
+    // docs-only corpora (q60/q76 read nothing else); markers versioned
+    // like ProfileScaleCurve's so a construction change invalidates
+    // stale bytes instead of silently re-measuring them
+    def build(dir: String, copies: Int): Unit = {
+      val marker = new java.io.File(s"$dir/_SCALED_OK_v1")
+      if (marker.exists()) return
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+      val docs = spark.read.parquet(s"$sf01/documents.parquet")
+      val nDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+      (0 until copies).map { i =>
+        docs.select(
+          (col("doc_id") + lit(i.toLong * nDoc)).as("doc_id"),
+          array_join(transform(split(col("text"), " "),
+            t => concat(lit(s"c$i"), t)), " ").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _)
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      marker.createNewFile()
+      println(s"[scale] built ${copies}x docs corpus at $dir")
+    }
+    val sf1 = sys.env.getOrElse("GRAFT_SF1_DOCS_DIR", "/tmp/graft_scale3_sf1")
+    val sf10 = sys.env.getOrElse("GRAFT_SF10_DOCS_DIR", "/tmp/graft_scale3_sf10")
+    build(sf1, 10)
+    build(sf10, 100)
+
+    def release(): Unit = {
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+      System.gc()
+    }
+    def timeMin(name: String, dir: String, runs: Int): Double =
+      (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        graft.queries.Queries.all(name)(spark, dir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        release()
+        dt
+      }.min
+
+    println(f"${"query"}%-22s ${"t(0.1)"}%9s ${"t(sf1)"}%9s ${"t(sf10)"}%9s ${"exp 0.1→sf1"}%12s ${"exp sf1→sf10"}%13s")
+    Queries.foreach { name =>
+      timeMin(name, "/root/testdata/sf0.01", 1) // codegen warm-up
+      val t01 = timeMin(name, sf01, 3)
+      val t1 = timeMin(name, sf1, 2)
+      val t10 = timeMin(name, sf10, 2)
+      println(f"$name%-22s $t01%9.2f $t1%9.2f $t10%9.2f ${math.log10(t1 / t01)}%12.2f ${math.log10(t10 / t1)}%13.2f")
+    }
+    spark.stop()
+  }
+}
