@@ -589,6 +589,25 @@ object OracleSql {
         |       CAST(octet_length(encode(text)) + 240 AS BIGINT) AS n_bytes
         |FROM documents""".stripMargin,
 
+    // q88 composes q84/q85: even doc_ids wrapped as WAV (duration = UTF-8
+    // byte count over the 32000 B/s byte rate), odd as MP4 (duration = byte
+    // count in ms), every 7th payload corrupted (8-byte truncation) so its
+    // parse fails and the corrupt-media gate drops it; survivors join back
+    // onto the document relation 1:1.
+    "q88_multimodal_mix" ->
+      """SELECT doc_id AS media_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+        |       CASE WHEN doc_id % 2 = 0 THEN CAST(NULL AS INTEGER)
+        |            ELSE CAST(640 AS INTEGER) END AS width,
+        |       CASE WHEN doc_id % 2 = 0 THEN CAST(NULL AS INTEGER)
+        |            ELSE CAST(360 AS INTEGER) END AS height,
+        |       CASE WHEN doc_id % 2 = 0
+        |            THEN CAST((CAST(octet_length(encode(text)) AS BIGINT) * 1000) // 32000 AS BIGINT)
+        |            ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS duration_ms,
+        |       source, lang, n_chars
+        |FROM documents
+        |WHERE doc_id % 7 <> 0""".stripMargin,
+
     // q86: shard = 60-bit md5Long(seed||key) mod shards (hash is
     // non-negative, so % is pmod); position = rank within the shard by
     // (hash, key) — the same cross-engine md5Long replay as q22/q25.

@@ -493,6 +493,47 @@ object Queries {
     Multimodal.describeVideo(Multimodal.wrapMp4(media, width = 640, height = 360))
   }
 
+  /** Multimodal-mix curation (the Dolma multimodal shape, composing q84/q85's
+    * describers end-to-end the way q43 composes the text family): route even
+    * doc_ids through the WAV wrapper and odd through the MP4 wrapper,
+    * deterministically corrupt every 7th payload (truncated to 8 bytes —
+    * below either container's minimum header), FILTER the rows whose parse
+    * failed (the corrupt-media gate: a failed parse surfaces as a null
+    * duration), and join the surviving media metadata back onto the document
+    * relation. All surviving fields are the same deterministic functions of
+    * the text's UTF-8 byte length that q84/q85 pin, so the composition is
+    * hash-gated end-to-end.
+    *
+    * Scale shape: both wrap+describe legs are narrow mapPartitions passes
+    * (no shuffle); the only exchange is the final equi-join on media_id,
+    * 1:1 against the document relation. */
+  val q88_multimodal_mix: Q = (s, dir) => {
+    import graft.operators.Multimodal
+    val docs = Tables.documents(s, dir)
+    val media = Multimodal.toMedia(docs, "doc_id", "text",
+      "application/octet-stream")
+    def corrupt(df: DataFrame): DataFrame = df.withColumn("payload",
+      when(pmod(col("media_id"), lit(7)) === 0, expr("substring(payload, 1, 8)"))
+        .otherwise(col("payload")))
+    val audio = Multimodal.describeAudio(corrupt(
+        Multimodal.wrapPcm(media.where(pmod(col("media_id"), lit(2)) === 0),
+          sampleRate = 16000, channels = 1, bitsPerSample = 16)))
+      .select(col("media_id"), col("mime"),
+        lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
+        col("duration_ms"))
+    val video = Multimodal.describeVideo(corrupt(
+        Multimodal.wrapMp4(media.where(pmod(col("media_id"), lit(2)) === 1),
+          width = 640, height = 360)))
+      .select(col("media_id"), col("mime"), col("width"), col("height"),
+        col("duration_ms"))
+    audio.unionByName(video)
+      .where(col("duration_ms").isNotNull) // the corrupt-media gate
+      .join(docs.select(col("doc_id").as("media_id"), col("source"),
+        col("lang"), col("n_chars")), Seq("media_id"))
+      .select(col("media_id"), col("mime"), col("width"), col("height"),
+        col("duration_ms"), col("source"), col("lang"), col("n_chars"))
+  }
+
   /** IVF ANN top-3: deterministic centroid build (lowest-id seeds + one
     * Lloyd step with exact decimal sums), corpus bucketed by nearest
     * centroid, queries probe their 2 closest clusters. The oracle replays
@@ -1167,5 +1208,6 @@ object Queries {
     "q85_mp4_metadata" -> q85_mp4_metadata,
     "q86_corpus_shuffle" -> q86_corpus_shuffle,
     "q87_term_tags" -> q87_term_tags,
+    "q88_multimodal_mix" -> q88_multimodal_mix,
   )
 }

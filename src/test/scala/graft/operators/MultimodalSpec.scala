@@ -172,4 +172,26 @@ class MultimodalSpec extends SparkSpec {
     assert(nos.nonEmpty)
     assert(nos.forall(_ % 2 == 0))
   }
+
+  test("q88 multimodal mix: routing, corrupt-media gate, and metadata join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val rows = graft.queries.Queries.q88_multimodal_mix(spark, sf).collect()
+    // the corrupt gate drops EXACTLY the 8-byte-truncated payloads
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) % 7 != 0), "corrupt ids filtered")
+    assert(rows.length === docs.where(pmod(col("doc_id"), lit(7)) =!= 0).count())
+    // routing + per-kind metadata: audio has null dims and byte-rate
+    // duration, video carries the declared 640x360 and ms-per-byte duration
+    rows.foreach { r =>
+      val (id, mime, dur) = (r.getLong(0), r.getString(1), r.getLong(4))
+      if (id % 2 == 0) {
+        assert(mime === "audio/wav" && r.isNullAt(2) && r.isNullAt(3))
+      } else {
+        assert(mime === "video/mp4" && r.getInt(2) === 640 && r.getInt(3) === 360)
+        assert(dur >= 0)
+      }
+    }
+    // join really is 1:1 onto the document relation
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+  }
 }
