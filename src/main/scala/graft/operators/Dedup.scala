@@ -125,6 +125,12 @@ object Dedup {
     * building its dictionary (which it needs anyway), handing off to the
     * prefix path beyond [[BitmapVocabHardMax]].
     *
+    *  - high τ over bounded sets on a big corpus (⌊n_max·(1−τ)/τ⌋ ≤ 1 and
+    *    more than [[SmallCorpusOccMax]] occurrences): deletion-neighborhood candidates
+    *    ([[jaccardPairsDelete1]]) — Θ(Σ n) for any dictionary size, chosen
+    *    BEFORE the dictionary estimate because both other representations
+    *    go quadratic on a big corpus whose dictionary fits their trigger.
+    *
     *  - small dictionary (≤ [[BitmapVocabMax]] distinct tokens corpus-wide):
     *    dictionary-encode each token to a bit position and represent every
     *    set as a W-word bitmask (W = ⌈|vocab|/64⌉). Jaccard becomes
@@ -150,20 +156,128 @@ object Dedup {
     // explode drops empty-token docs entirely. Route τ = 0 to the full
     // self-join branch of the prefix path, which keeps them.
     if (threshold <= 0) return jaccardPairsPrefix(hs, threshold)
-    val est = vocabHint.getOrElse {
-      val toks = hs.select(explode(col("hs")).as("h"))
+    if (vocabHint.isEmpty) {
+      // One single-row-aggregate job decides BOTH routing questions (no
+      // extra pass vs the historical estimate-only job): the dictionary
+      // estimate samples inside the aggregate via a conditional
+      // approx_count_distinct, while max-set-size and total occurrences
+      // run uncapped over the same exploded scan — which is also the
+      // action that populates the persisted `hs` every path reuses.
+      val toks = hs.select(col("n"), explode(col("hs")).as("h"))
       val parts = math.max(1, toks.rdd.getNumPartitions)
       // monotonically_increasing_id puts the within-partition ordinal in
       // the low 33 bits: `ordinal < cap` bounds every partition's
       // contribution as a codegen'd predicate, with no exchange anywhere
       // before the final single-row aggregate
-      toks.withColumn("ord",
+      val stats = toks.withColumn("ord",
           monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
-        .where(col("ord") < lit(math.max(1L, VocabSampleTokens.toLong / parts)))
-        .agg(approx_count_distinct(col("h")).as("v")).head().getLong(0)
+        .agg(
+          approx_count_distinct(when(col("ord") <
+            lit(math.max(1L, VocabSampleTokens.toLong / parts)), col("h"))).as("v"),
+          max(col("n")).as("nmax"),
+          count(lit(1)).as("occ")).head()
+      val nMax = if (stats.isNullAt(1)) 0 else stats.getInt(1)
+      // Radius gate FIRST, independent of the dictionary size: when τ and
+      // the max set size bound any qualifying pair to ≤ 1 differing
+      // token, the deletion-neighborhood path is exact and Θ(Σ n) for ANY
+      // dictionary — both alternatives go quadratic on a big corpus that
+      // fits their trigger (bitmap: docs²/blocks cross product; prefix: a
+      // tiny dictionary makes even rarest-token postings O(docs/vocab),
+      // so candidate volume ~ Σ df² — measured >16 min at the 100×
+      // synthetic decade where this path takes seconds, SCALE.md §Third
+      // decade). Small corpora (total occurrences ≤ [[SmallCorpusOccMax]])
+      // fall through to the estimate-driven choice, whose measured bench
+      // plans are cheaper there. With `vocabHint` the caller took manual
+      // control of representation choice; the gate defers to it.
+      if (math.floor(nMax * (1 - threshold) / threshold) <= 1 &&
+          stats.getLong(2) > SmallCorpusOccMax)
+        return jaccardPairsDelete1(hs, threshold)
+      if (stats.getLong(0) <= BitmapVocabMax)
+        return jaccardPairsBitmap(hs, threshold)
+      return jaccardPairsPrefix(hs, threshold)
     }
-    if (est <= BitmapVocabMax) jaccardPairsBitmap(hs, threshold)
+    if (vocabHint.get <= BitmapVocabMax) jaccardPairsBitmap(hs, threshold)
     else jaccardPairsPrefix(hs, threshold)
+  }
+
+  /** Largest corpus (total token occurrences, the quantity the routing
+    * aggregate already counts) for which the quadratic representations
+    * are tolerated when the deletion-neighborhood path applies: 2^21
+    * occurrences ≈ 40 k docs at 50 tokens each → ≈ 1.6e9 crossed
+    * bitmap pairs of pure long arithmetic — seconds on 32 threads; past
+    * it the cross product dominates everything else in the plan. */
+  private val SmallCorpusOccMax = 1L << 21
+
+  /** Test seam: run [[jaccardPairsDelete1]] regardless of the doc-count
+    * gate (the gate needs > [[SmallCorpusOccMax]] occurrences, beyond spec
+    * scale), so
+    * equivalence with the bitmap/prefix paths is assertable directly. The
+    * radius precondition is still enforced — calling this where a
+    * qualifying pair could differ by ≥ 2 tokens would be lossy. */
+  private[operators] def jaccardPairsDelete1Path(df: DataFrame, id: String,
+      tokenSet: String, block: String, threshold: Double): DataFrame = {
+    val hs = hashedSets(df, id, tokenSet, Seq(block))
+      .withColumnRenamed(block, "blk")
+      .withColumn("n", size(col("hs")))
+    val nMax = hs.agg(max(col("n"))).head() match {
+      case r if r.isNullAt(0) => 0
+      case r => r.getInt(0)
+    }
+    require(math.floor(nMax * (1 - threshold) / threshold) <= 1,
+      s"delete-1 path requires ⌊n_max·(1−τ)/τ⌋ ≤ 1 (n_max=$nMax, τ=$threshold)")
+    jaccardPairsDelete1(hs, threshold)
+  }
+
+  /** Deletion-neighborhood path (the FastSS candidate scheme applied to
+    * set similarity): when ⌊n_max·(1−τ)/τ⌋ ≤ 1, any pair with J ≥ τ has
+    * symmetric difference ≤ 1 token (J ≥ τ ⟹ |AΔB| ≤ |A∩B|·(1−τ)/τ), so
+    * the EXACT candidate set is (equal token sets) ∪ (sets where deleting
+    * one token of A yields B). Both are equi-joins on an ADDITIVE set
+    * fingerprint — the sum of the distinct token hashes — under which a
+    * one-token deletion is a subtraction, so all n delete-fingerprints of
+    * a set cost O(n) with no array rebuilds. Candidate volume is Θ(Σ n)
+    * fingerprint rows and join output bounded by true pairs (+ additive
+    * collisions, which only ADD candidates and die in the exact verify);
+    * the token arrays move once per surviving candidate, never through
+    * the fingerprint shuffle. Intra-clique output (identical-set groups)
+    * is the answer itself — Θ(clique²) rows — not avoidable shuffle. */
+  private def jaccardPairsDelete1(hs: DataFrame, threshold: Double): DataFrame = {
+    val base = hs.select(col("blk"), col("hs_id"), col("n"), col("hs"))
+      .withColumn("fp", aggregate(col("hs"), lit(0L), (a, x) => a + x))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val slim = base.select(col("blk"), col("fp"), col("hs_id"), col("n"))
+    // equal-set candidates: same (block, fingerprint)
+    val eq = slim.select(col("blk"), col("fp"),
+        col("hs_id").as("left_id"), col("n").as("nl"))
+      .join(slim.select(col("blk"), col("fp"),
+        col("hs_id").as("right_id"), col("n").as("nr")), Seq("blk", "fp"))
+      .where(col("left_id") < col("right_id"))
+      .select(col("blk"), col("left_id"), col("right_id"), col("nl"), col("nr"))
+    // subset candidates: superset drops one token and lands on the
+    // subset's full fingerprint; |sub| = |sup| − 1 by construction
+    val dels = base.select(col("blk"), col("hs_id").as("sup_id"),
+      col("n").as("nsup"), explode(transform(col("hs"), h => col("fp") - h)).as("fp"))
+    val sub = dels.join(slim.select(col("blk"), col("fp"),
+        col("hs_id").as("sub_id"), col("n").as("nsub")), Seq("blk", "fp"))
+      .where(col("sub_id") =!= col("sup_id"))
+      .where(col("nsub") === col("nsup") - 1)
+      .where(col("nsub") >= lit(threshold) * col("nsup") - 1e-9)
+      .select(col("blk"),
+        least(col("sup_id"), col("sub_id")).as("left_id"),
+        greatest(col("sup_id"), col("sub_id")).as("right_id"),
+        when(col("sup_id") < col("sub_id"), col("nsup")).otherwise(col("nsub")).as("nl"),
+        when(col("sup_id") < col("sub_id"), col("nsub")).otherwise(col("nsup")).as("nr"))
+    eq.unionByName(sub)
+      .dropDuplicates("left_id", "right_id")
+      .join(base.select(col("blk"), col("hs_id").as("left_id"),
+        col("hs").as("ls")), Seq("blk", "left_id"))
+      .join(base.select(col("blk"), col("hs_id").as("right_id"),
+        col("hs").as("rs")), Seq("blk", "right_id"))
+      .withColumn("inter", size(array_intersect(col("ls"), col("rs"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("nl") + col("nr") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("left_id"), col("right_id"), col("jaccard"))
   }
 
   /** Small-dictionary path: W-word bitmask per set, popcount Jaccard.
@@ -234,36 +348,64 @@ object Dedup {
   }
 
   /** Large-dictionary path: PPJoin prefix filtering (τ > 0) or the full
-    * block self-join (τ = 0), with exact array-intersection verification. */
+    * block self-join (τ = 0), with exact array-intersection verification.
+    *
+    * Scale shape (τ > 0; the same candidate/verify split as
+    * [[containmentFromHashed]], SCALE.md §Third decade): the candidate
+    * join rides SLIM posting rows — (block, token, id, size, position) —
+    * never the token arrays; pairs collapse to their FIRST shared prefix
+    * token via a min-aggregate; the PPJoin positional filter (both sides
+    * share one global rarest-first order, so achievable overlap at the
+    * first match is 1 + what remains on each side) prunes pairs that
+    * cannot reach the τ-implied overlap τ/(1+τ)·(nl+nr) before the
+    * arrays are fetched — once per surviving pair — for exact
+    * verification. */
   private def jaccardPairsPrefix(hs: DataFrame, threshold: Double): DataFrame = {
-    val candidates =
-      if (threshold > 0) {
-        val pre = orderedPrefix(hs, threshold)
-          .select(col("blk"), col("hs_id"), col("n"), col("ord"), explode(col("prefix")).as("h"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        val l = pre.select(col("blk"), col("h"), col("hs_id").as("left_id"),
-          col("n").as("nl"), col("ord").as("ls"))
-        val r = pre.select(col("blk"), col("h"), col("hs_id").as("right_id"),
-          col("n").as("nr"), col("ord").as("rs"))
-        // size-ratio filter: J ≥ τ implies min(n) ≥ τ·max(n) (epsilon loosens)
-        l.join(r, Seq("blk", "h")).where(col("left_id") < col("right_id"))
-          .where(col("nl") >= lit(threshold) * col("nr") - 1e-9 &&
-                 col("nr") >= lit(threshold) * col("nl") - 1e-9)
-          .dropDuplicates("left_id", "right_id")
-      } else {
-        val l = hs.select(col("blk"), col("hs_id").as("left_id"),
-          col("n").as("nl"), col("hs").as("ls"))
-        val r = hs.select(col("blk"), col("hs_id").as("right_id"),
-          col("n").as("nr"), col("hs").as("rs"))
-        l.join(r, Seq("blk")).where(col("left_id") < col("right_id"))
-      }
-
-    candidates
-      .withColumn("inter", size(array_intersect(col("ls"), col("rs"))))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("nl") + col("nr") - col("inter")))
-      .where(col("jaccard") >= threshold)
-      .select(col("left_id"), col("right_id"), col("jaccard"))
+    if (threshold > 0) {
+      val pre = orderedPrefix(hs, threshold)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val l = pre.select(col("blk"), col("hs_id").as("left_id"),
+        col("n").as("nl"), posexplode(col("prefix")).as(Seq("lp", "h")))
+      val r = pre.select(col("blk"), col("hs_id").as("right_id"),
+        col("n").as("nr"), posexplode(col("prefix")).as(Seq("rp", "h")))
+      // size-ratio filter: J ≥ τ implies min(n) ≥ τ·max(n) (epsilon loosens)
+      val candidates = l.join(r, Seq("blk", "h"))
+        .where(col("left_id") < col("right_id"))
+        .where(col("nl") >= lit(threshold) * col("nr") - 1e-9 &&
+               col("nr") >= lit(threshold) * col("nl") - 1e-9)
+        .groupBy(col("blk"), col("left_id"), col("right_id"),
+          col("nl"), col("nr"))
+        .agg(min(struct(col("lp"), col("rp"))).as("fm"))
+        // positional filter: the struct-min over prefix×prefix matches IS
+        // the globally first shared token (order agreement: an earlier
+        // shared token would sit at earlier positions on BOTH sides, hence
+        // inside both prefixes, hence in the join), so overlap is bounded
+        // by 1 + min(remaining) and must reach τ/(1+τ)·(nl+nr) for J ≥ τ
+        .where(lit(1) + least(col("nl") - col("fm.lp") - 1,
+                              col("nr") - col("fm.rp") - 1)
+          >= lit(threshold / (1 + threshold)) * (col("nl") + col("nr")) - 1e-9)
+      candidates
+        .join(pre.select(col("blk"), col("hs_id").as("left_id"),
+          col("ord").as("ls")), Seq("blk", "left_id"))
+        .join(pre.select(col("blk"), col("hs_id").as("right_id"),
+          col("ord").as("rs")), Seq("blk", "right_id"))
+        .withColumn("inter", size(array_intersect(col("ls"), col("rs"))))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("nl") + col("nr") - col("inter")))
+        .where(col("jaccard") >= threshold)
+        .select(col("left_id"), col("right_id"), col("jaccard"))
+    } else {
+      val l = hs.select(col("blk"), col("hs_id").as("left_id"),
+        col("n").as("nl"), col("hs").as("ls"))
+      val r = hs.select(col("blk"), col("hs_id").as("right_id"),
+        col("n").as("nr"), col("hs").as("rs"))
+      l.join(r, Seq("blk")).where(col("left_id") < col("right_id"))
+        .withColumn("inter", size(array_intersect(col("ls"), col("rs"))))
+        .withColumn("jaccard",
+          col("inter").cast("double") / (col("nl") + col("nr") - col("inter")))
+        .where(col("jaccard") >= threshold)
+        .select(col("left_id"), col("right_id"), col("jaccard"))
+    }
   }
 
   /** CROSS-RELATION Jaccard pairs: (l from `left`, r from `right`) with
@@ -318,19 +460,35 @@ object Dedup {
     crossJaccardFromHashed(hs, threshold)
   }
 
+  /** Shared R×S candidate/verify core: the same SLIM-posting PPJoin split
+    * as [[jaccardPairsPrefix]] (positions and sizes through the candidate
+    * shuffle, first-match min-aggregate, positional filter, arrays fetched
+    * once per surviving pair) — the shared rarest-first order over the
+    * UNION makes the positional bound valid across relations exactly as
+    * in the self-join case. */
   private def crossJaccardFromHashed(hs: DataFrame, threshold: Double): DataFrame = {
     val pre = orderedPrefix(hs, threshold, carry = Seq("side"))
-      .select(col("blk"), col("side"), col("hs_id"), col("n"), col("ord"),
-        explode(col("prefix")).as("h"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val l = pre.where(col("side") === 0).select(col("blk"), col("h"),
-      col("hs_id").as("left_id"), col("n").as("nl"), col("ord").as("ls"))
-    val r = pre.where(col("side") === 1).select(col("blk"), col("h"),
-      col("hs_id").as("right_id"), col("n").as("nr"), col("ord").as("rs"))
-    l.join(r, Seq("blk", "h"))
+    val l = pre.where(col("side") === 0).select(col("blk"),
+      col("hs_id").as("left_id"), col("n").as("nl"),
+      posexplode(col("prefix")).as(Seq("lp", "h")))
+    val r = pre.where(col("side") === 1).select(col("blk"),
+      col("hs_id").as("right_id"), col("n").as("nr"),
+      posexplode(col("prefix")).as(Seq("rp", "h")))
+    val candidates = l.join(r, Seq("blk", "h"))
       .where(col("nl") >= lit(threshold) * col("nr") - 1e-9 &&
              col("nr") >= lit(threshold) * col("nl") - 1e-9)
-      .dropDuplicates("left_id", "right_id")
+      .groupBy(col("blk"), col("left_id"), col("right_id"),
+        col("nl"), col("nr"))
+      .agg(min(struct(col("lp"), col("rp"))).as("fm"))
+      .where(lit(1) + least(col("nl") - col("fm.lp") - 1,
+                            col("nr") - col("fm.rp") - 1)
+        >= lit(threshold / (1 + threshold)) * (col("nl") + col("nr")) - 1e-9)
+    candidates
+      .join(pre.where(col("side") === 0).select(col("blk"),
+        col("hs_id").as("left_id"), col("ord").as("ls")), Seq("blk", "left_id"))
+      .join(pre.where(col("side") === 1).select(col("blk"),
+        col("hs_id").as("right_id"), col("ord").as("rs")), Seq("blk", "right_id"))
       .withColumn("inter", size(array_intersect(col("ls"), col("rs"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("nl") + col("nr") - col("inter")))
@@ -345,14 +503,16 @@ object Dedup {
     * with left = the contained side; both directions of a mutual pair
     * surface as two rows.
     *
-    * Scale shape: candidate generation explodes only A's rarest-first
-    * PREFIX (n − ⌈τ·n⌉ + 1 tokens — pigeonhole: a B covering ≥ τ of A must
-    * hit one; lossless) against B's full token postings, so the join keys
-    * are the globally rarest tokens — candidates ≈ true pairs, every
-    * exchange key-partitioned. A pair sharing several prefix tokens is kept
-    * only at A's FIRST shared token (a codegen'd array predicate on bits
-    * already in the row) instead of a distinct() reshuffle of the candidate
-    * set. The size filter |B| ≥ τ·|A| prunes before verification. */
+    * Scale shape (PPJoin candidate/verify split, third-decade-measured —
+    * SCALE.md §Third decade): candidate generation explodes only A's
+    * rarest-first PREFIX (n − ⌈τ·n⌉ + 1 tokens — pigeonhole: a B covering
+    * ≥ τ of A must hit one; lossless) against B's full token postings, on
+    * SLIM rows (block, token, id, size, position) — the token arrays
+    * never ride the posting shuffle. Pairs collapse to their FIRST shared
+    * token via a min-aggregate; the size filter |B| ≥ τ·|A| and the
+    * POSITIONAL filter (remaining overlap after the first match must
+    * reach τ·|A|) prune before the arrays are fetched — once per
+    * surviving pair — for exact verification. */
   def containmentPairs(df: DataFrame, id: String, tokenSet: String,
                        block: String, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,

@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   * an exponent > 0.6 at the sf10 leg is the action threshold (q60's fix
   * would be a PPJoin positional filter on top of its prefix postings). */
 object ProfileThirdDecade {
-  private val Queries = Seq("q60_containment", "q76_ngram_novelty")
+  private val Default = Seq("q60_containment", "q76_ngram_novelty")
 
   def main(args: Array[String]): Unit = {
+    val Queries = if (args.nonEmpty) args.toSeq else Default
     val spark = graft.GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     val sf01 = "/root/testdata/sf0.1"
@@ -54,14 +55,17 @@ object ProfileThirdDecade {
       graft.GraftSession.releaseCaches(spark, blocking = true)
       System.gc()
     }
-    def timeMin(name: String, dir: String, runs: Int): Double =
-      (1 to runs).map { _ =>
+    def timeMin(name: String, dir: String, runs: Int): Double = {
+      val t = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         graft.queries.Queries.all(name)(spark, dir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         release()
         dt
       }.min
+      println(f"[leg] $name $dir runs=$runs min=$t%.2f s"); Console.flush()
+      t
+    }
 
     println(f"${"query"}%-22s ${"t(0.1)"}%9s ${"t(sf1)"}%9s ${"t(sf10)"}%9s ${"exp 0.1→sf1"}%12s ${"exp sf1→sf10"}%13s")
     Queries.foreach { name =>

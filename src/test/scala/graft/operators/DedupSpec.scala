@@ -198,6 +198,46 @@ class DedupSpec extends SparkSpec {
     assert(bitmap === prefix)
   }
 
+  test("delete-1 neighborhood path ≡ bitmap ≡ prefix on the real corpus") {
+    // τ=0.95 over ≤31 distinct word tokens per doc → any qualifying pair
+    // differs by ≤1 token (⌊31·0.05/0.95⌋ = 1), so the deletion path is
+    // exact here; it must agree pair-for-pair and value-for-value with
+    // both default representations
+    val del1 = Dedup.jaccardPairsDelete1Path(docs, "doc_id", "tok", "lang", 0.95)
+      .select("left_id", "right_id", "jaccard").as[(Long, Long, Double)]
+      .collect().map { case (l, r, j) => (l, r, math.rint(j * 1e9)) }.toSet
+    val bitmap = Dedup.jaccardPairs(docs, "doc_id", "tok", "lang", 0.95)
+      .select("left_id", "right_id", "jaccard").as[(Long, Long, Double)]
+      .collect().map { case (l, r, j) => (l, r, math.rint(j * 1e9)) }.toSet
+    assert(del1.nonEmpty)
+    assert(del1 === bitmap)
+  }
+
+  test("delete-1 path: equal cliques, one-token subsets, and the radius guard") {
+    val d = Seq(
+      (1L, Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j",
+        "k", "l", "m", "n", "o", "p", "q", "r", "s", "t"), "en"),
+      (2L, Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j",
+        "k", "l", "m", "n", "o", "p", "q", "r", "s", "t"), "en"), // = 1
+      (3L, Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j",
+        "k", "l", "m", "n", "o", "p", "q", "r", "s"), "en"), // 1 minus "t"
+      (4L, Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j",
+        "k", "l", "m", "n", "o", "p", "q", "r"), "en"), // J vs 3 = 18/19 < .95
+      (5L, Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j",
+        "k", "l", "m", "n", "o", "p", "q", "r", "s"), "de"), // other block
+    ).toDF("doc_id", "tok", "lang")
+    val got = Dedup.jaccardPairsDelete1Path(d, "doc_id", "tok", "lang", 0.95)
+      .select("left_id", "right_id", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    // 1≡2 (J=1); 3⊂1 and 3⊂2 (J=19/20=0.95); 4 misses (18/19≈0.947); 5 blocked
+    assert(got === Set((1L, 2L, 1.0), (1L, 3L, 0.95), (2L, 3L, 0.95)))
+    // the seam refuses parameters where a qualifying pair could differ by
+    // ≥2 tokens (the path would be lossy there)
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardPairsDelete1Path(d, "doc_id", "tok", "lang", 0.8)
+    }
+  }
+
   test("bitmap path reroutes to prefix when the vocab estimate under-shot") {
     // 295 distinct 20-token dictionaries (5,901 tokens — over the bitmap
     // hard cap); docs 295-299 duplicate docs 0-4. A tiny vocabHint forces
