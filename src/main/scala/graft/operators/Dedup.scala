@@ -152,6 +152,14 @@ object Dedup {
     val hs = hashedSets(df, id, tokenSet, Seq(block))
       .withColumnRenamed(block, "blk")
       .withColumn("n", size(col("hs")))
+    jaccardPairsFromHashed(hs, threshold, vocabHint)
+  }
+
+  /** Representation routing over an already-hashed set relation
+    * (blk, hs_id, n, hs) — the seam [[canonicalIdsCascade]] uses to pair
+    * its deduplicated representatives without re-hashing tokens. */
+  private def jaccardPairsFromHashed(hs: DataFrame, threshold: Double,
+                                     vocabHint: Option[Long]): DataFrame = {
     // τ = 0 must emit zero-overlap pairs, which the bitmap path cannot: its
     // explode drops empty-token docs entirely. Route τ = 0 to the full
     // self-join branch of the prefix path, which keeps them.
@@ -1046,6 +1054,77 @@ object Dedup {
     allIds.select(col(idCol).as("id")).distinct()
       .join(comps, Seq("id"), "left")
       .select(col("id").as(idCol), coalesce(col("comp"), col("id")).as("canonical_id"))
+  }
+
+  /** Near-dup canonical labels through the EXACT-first cascade (the
+    * standard production dedup shape — e.g. RefinedWeb/Dolma run exact
+    * dedup before fuzzy): collapse identical token sets to one
+    * representative (an exact groupBy on the sorted hash array — no
+    * fingerprint collisions possible), run the near-dup pair stage over
+    * REPRESENTATIVES only, and reconnect members with star edges
+    * (rep—member) before connected components.
+    *
+    * Labels are identical to `canonicalIds(docs, id, jaccardPairs(…))`:
+    * an exact-dup pair is connected through its shared representative; a
+    * near-dup pair between members has the same token sets — hence the
+    * same Jaccard — as the pair between their representatives, which the
+    * rep stage emits (τ > 0 required: zero-overlap "pairs" have no shared
+    * representative structure). Spec-asserted equal on the real corpus.
+    *
+    * Scale shape: the Θ(clique²) identical-set pair blowup never exists —
+    * the edge relation is Θ(docs + near-dup pairs between DISTINCT sets),
+    * which keeps [[connectedComponents]]' driver union-find applicable
+    * for decades longer (measured: the 100× synthetic corpus feeds 9.4 M
+    * directed edges to the distributed loop without the cascade vs a
+    * driver-sized graph with it; SCALE.md §Third decade). The exact
+    * groupBy shuffles the hashed-set bytes once — the same order of bytes
+    * the pair stage's posting explode already moves. Below
+    * [[SmallCorpusOccMax]] occurrences the plain pairs→CC shape runs
+    * instead (same labels; the collapse overhead exceeds its savings
+    * there — the same size-driven representation choice the pair stage
+    * itself makes). */
+  def canonicalIdsCascade(df: DataFrame, id: String, tokenSet: String,
+                          block: String, threshold: Double,
+                          reliable: Boolean = false): DataFrame =
+    canonicalIdsCascadeAt(df, id, tokenSet, block, threshold, reliable,
+      occGate = SmallCorpusOccMax)
+
+  /** [[canonicalIdsCascade]] with an explicit occurrence gate (test seam:
+    * occGate = 0 forces the collapse at spec scale). Below the gate the
+    * plain pairs→CC shape runs — same labels, and at that size the
+    * collapse's exact groupBy + rep join cost more than the clique pairs
+    * they avoid (measured +1.5 s across q41+q43 at the sf0.1 bench); a
+    * corpus that threatens the CC driver gate is always far above it. */
+  private[operators] def canonicalIdsCascadeAt(df: DataFrame, id: String,
+      tokenSet: String, block: String, threshold: Double,
+      reliable: Boolean, occGate: Long): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"cascade threshold must be in (0, 1], got $threshold")
+    val hsRaw = hashedSets(df, id, tokenSet, Seq(block))
+      .withColumnRenamed(block, "blk")
+    val occRow = hsRaw.agg(sum(size(col("hs")))).head()
+    val occN = if (occRow.isNullAt(0)) 0L else occRow.getLong(0)
+    if (occN <= occGate)
+      return canonicalIds(df.select(col(id)), id,
+        jaccardPairsFromHashed(hsRaw.withColumn("n", size(col("hs"))),
+          threshold, vocabHint = None), reliable = reliable)
+    val hs = hsRaw.withColumn("skey", array_sort(col("hs")))
+    val withRep = hs.join(
+      hs.groupBy(col("blk"), col("skey")).agg(min(col("hs_id")).as("rep")),
+      Seq("blk", "skey"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // empty sets are never pairs under any representation (J = 0/0 is
+    // null-rejected), so they must not be star-connected either — each
+    // empty doc stays its own canonical, exactly as in the plain path
+    val stars = withRep.where(col("hs_id") =!= col("rep") && size(col("hs")) > 0)
+      .select(col("rep").as("left_id"), col("hs_id").as("right_id"))
+    val repHs = withRep.where(col("hs_id") === col("rep"))
+      .select(col("blk"), col("hs_id"), col("hs"))
+      .withColumn("n", size(col("hs")))
+    val repPairs = jaccardPairsFromHashed(repHs, threshold, vocabHint = None)
+      .select("left_id", "right_id")
+    canonicalIds(df.select(col(id)), id, repPairs.unionByName(stars),
+      reliable = reliable)
   }
 
   /** Cross-document passage dedup (the C4/CCNet line-dedup step, applied to

@@ -584,15 +584,20 @@ object Queries {
       (abs(approx_count_distinct(col("user_id")) - countDistinct(col("user_id")))
         <= lit(0.15) * countDistinct(col("user_id"))).as("approx_ok"))
 
-  /** Cluster-level dedup decision: q24's exact near-dup pairs → connected
-    * components (min-label propagation) → canonical id per document.
-    * Oracle: DuckDB recursive CTE computing reachability minima. */
+  /** Cluster-level dedup decision through the exact-first cascade
+    * ([[graft.operators.Dedup.canonicalIdsCascade]]): identical token sets
+    * collapse to a representative, near-dup pairing runs over
+    * representatives, star edges reconnect members — labels identical to
+    * pairing the full corpus (q24's pairs + CC), but the Θ(clique²)
+    * identical-set edge blowup never reaches connected components
+    * (SCALE.md §Third decade). Oracle: DuckDB recursive CTE computing
+    * reachability minima over the FULL pair graph — same components by
+    * construction. */
   val q41_dedup_clusters: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"),
         array_distinct(split(col("text"), " ")).as("tok"))
-    val pairs = Dedup.jaccardPairs(docs, "doc_id", "tok", "lang", 0.95)
-    Dedup.canonicalIds(docs.select("doc_id"), "doc_id", pairs)
+    Dedup.canonicalIdsCascade(docs, "doc_id", "tok", "lang", 0.95)
   }
 
   /** Winnowing fingerprints per document (md5Long grams — hash-oracled). */
@@ -621,8 +626,7 @@ object Queries {
     val docs = Tables.documents(s, dir).where(col("lang") === "en")
     val toks = docs.select(col("doc_id"), col("lang"),
       array_distinct(split(col("text"), " ")).as("tok"))
-    val pairs = Dedup.jaccardPairs(toks, "doc_id", "tok", "lang", 0.95)
-    val canon = Dedup.canonicalIds(docs.select("doc_id"), "doc_id", pairs)
+    val canon = Dedup.canonicalIdsCascade(toks, "doc_id", "tok", "lang", 0.95)
     val quality = TextAnalysis.qualityScore(col("text"), Stopwords)
     docs.join(canon, Seq("doc_id"))
       .where(col("doc_id") === col("canonical_id") && quality >= 0.8)

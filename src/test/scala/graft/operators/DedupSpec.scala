@@ -236,6 +236,14 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.jaccardPairsDelete1Path(d, "doc_id", "tok", "lang", 0.8)
     }
+    // candidate generation is equi-joins on (block, fingerprint): the plan
+    // must never fall back to an all-pairs nested loop
+    val q = Dedup.jaccardPairsDelete1Path(d, "doc_id", "tok", "lang", 0.95)
+    q.count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "delete-1 path must stay on keyed equi-joins")
   }
 
   test("bitmap path reroutes to prefix when the vocab estimate under-shot") {
@@ -367,6 +375,37 @@ class DedupSpec extends SparkSpec {
         .withColumnRenamed("canonical_id", "rc"), Seq("right_id"))
       .where(col("lc") =!= col("rc")).count()
     assert(viol === 0)
+  }
+
+  test("exact-first cascade labels ≡ full-pair-graph labels") {
+    // the cascade (collapse identical sets → pair representatives → star
+    // edges → CC) must produce byte-identical canonical labels to pairing
+    // the whole corpus — on the real corpus (93-doc identical cliques,
+    // organic near-dups) and on a fixture with an empty-set group (which
+    // must NOT merge: empty-empty is never a pair)
+    val toks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        array_distinct(split(col("text"), " ")).as("tok"))
+    val plain = Dedup.canonicalIds(toks.select("doc_id"), "doc_id",
+        Dedup.jaccardPairs(toks, "doc_id", "tok", "lang", 0.95))
+      .as[(Long, Long)].collect().toSet
+    // occGate = 0 forces the collapse branch (the public entry would take
+    // the plain branch at spec scale); both must match the full-pair labels
+    val cascade = Dedup.canonicalIdsCascadeAt(toks, "doc_id", "tok", "lang",
+        0.95, reliable = false, occGate = 0)
+      .as[(Long, Long)].collect().toSet
+    assert(cascade === plain)
+    val public = Dedup.canonicalIdsCascade(toks, "doc_id", "tok", "lang", 0.95)
+      .as[(Long, Long)].collect().toSet
+    assert(public === plain)
+    val fix = Seq(
+      (1L, Seq("a", "b"), "en"), (2L, Seq("a", "b"), "en"), // exact clique
+      (3L, Seq.empty[String], "en"), (4L, Seq.empty[String], "en"), // no merge
+      (5L, Seq("x"), "en")).toDF("doc_id", "tok", "lang")
+    val got = Dedup.canonicalIdsCascadeAt(fix, "doc_id", "tok", "lang",
+        0.9, reliable = false, occGate = 0)
+      .as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 5L)))
   }
 
   test("anti-join load is idempotent (property: J2)") {
