@@ -250,7 +250,14 @@ object Dedup {
     * the fingerprint shuffle. Intra-clique output (identical-set groups)
     * is the answer itself — Θ(clique²) rows — not avoidable shuffle. */
   private def jaccardPairsDelete1(hs: DataFrame, threshold: Double): DataFrame = {
-    val base = hs.select(col("blk"), col("hs_id"), col("n"), col("hs"))
+    // empty token sets all share (fp=0, n=0), so leaving them in the
+    // equal-fingerprint self-join crosses every blank doc in a block with
+    // every other — Θ(empties²) candidates that only die at verify (null
+    // Jaccard). With τ > 0 an empty set can never be in a qualifying pair
+    // (J = 0/|B| or 0/0); drop them before any join. This path triggers
+    // precisely on big corpora, where stripped/blank docs are numerous.
+    val base = hs.where(col("n") > 0)
+      .select(col("blk"), col("hs_id"), col("n"), col("hs"))
       .withColumn("fp", aggregate(col("hs"), lit(0L), (a, x) => a + x))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val slim = base.select(col("blk"), col("fp"), col("hs_id"), col("n"))

@@ -447,7 +447,10 @@ object Similarity {
     * restarts batch ids at 0, so pair a fresh checkpoint with a fresh
     * index (or a rebuild), exactly as foreachBatch's own idempotence
     * guidance prescribes. Rename discipline is HDFS/local-FS (see
-    * [[ivfPqIndexCompact]]). Returns false on the skip path. */
+    * [[ivfPqIndexCompact]]). Like the indexed probes, appends fail fast
+    * while a compaction staging dir exists — landing files mid-swap risks
+    * the crash-heal destroying them while the batch marker survives to
+    * suppress the replay. Returns false on the skip path. */
   def ivfPqIndexAppendOnce(batch: DataFrame, path: String, batchId: Long,
                            coarse: Array[Array[Double]],
                            codebooks: Array[Array[Array[Double]]],
@@ -457,6 +460,20 @@ object Similarity {
     val spark = batch.sparkSession
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // appends observe the SAME maintenance window as probes: a live (or
+    // crashed) compaction staging means cluster dirs are mid-swap — files
+    // landed now could sit in a dir the heal is about to delete and
+    // restore from its retired copy, while this batch's commit marker
+    // would survive and suppress the replay: permanent silent row loss.
+    // Fail fast BEFORE any read or write; the caller retries after
+    // ivfPqIndexCompact returns (or heals a crashed run).
+    val compacting = new Path(root.toString + "_compacting")
+    if (fs.exists(compacting))
+      throw new IllegalStateException(
+        s"index at $root is being compacted ($compacting exists): appending " +
+          "mid-swap can lose the batch to the crash-heal. Retry after " +
+          "ivfPqIndexCompact returns; if a compaction crashed, calling it " +
+          "again heals the index first.")
     val marker = new Path(new Path(root, "_batches"), s"batch-$batchId")
     if (fs.exists(marker)) return false
     val staging = new Path(s"${path}_batch$batchId")
@@ -522,7 +539,12 @@ object Similarity {
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Nil
-    val staging = new Path(path + "_compacting")
+    // derive the staging sibling from the NORMALIZED root (trailing
+    // slashes stripped), exactly as assertNotCompacting and the append
+    // guard do — raw `path + "_compacting"` on a trailing-slash path
+    // would stage at `dir/_compacting` (inside the root), where neither
+    // guard ever looks
+    val staging = new Path(root.toString + "_compacting")
     // heal a crashed previous run BEFORE discarding its staging dir: any
     // retired cluster still in staging is the authoritative pre-compaction
     // copy of its rows, and it ALWAYS wins. When its live twin exists the

@@ -942,24 +942,36 @@ object Queries {
     * are exactly the per-query values they replace — the build is
     * deterministic (decimal-sum centroids), so q81/q82/q83's hashes are
     * unchanged by the sharing. */
+  /** Memoize a HOLDER whose lazy val runs the build, not the build
+    * itself: TrieMap.getOrElseUpdate is putIfAbsent-atomic on the VALUE
+    * but may evaluate the by-name expression in two racing threads — two
+    * simultaneous quantizer trainings plus two overwrite writes to the
+    * same shared_index path. Holders are side-effect-free to construct
+    * (the loser's is discarded); both racers receive the winning holder,
+    * whose `lazy val` JVM-synchronizes the actual build to exactly one
+    * execution per (applicationId, dir). */
+  private final class SharedIndexHolder(
+      build: () => (Array[Array[Double]], Array[Array[Array[Double]]], String)) {
+    lazy val value: (Array[Array[Double]], Array[Array[Array[Double]]], String) = build()
+  }
+
   private val sharedIndexMemo =
-    scala.collection.concurrent.TrieMap
-      .empty[(String, String),
-             (Array[Array[Double]], Array[Array[Array[Double]]], String)]
+    scala.collection.concurrent.TrieMap.empty[(String, String), SharedIndexHolder]
 
   private def sharedIvfPqIndex(s: SparkSession, dir: String)
       : (Array[Array[Double]], Array[Array[Array[Double]]], String) =
-    sharedIndexMemo.getOrElseUpdate((s.sparkContext.applicationId, dir), {
-      val e = Tables.embeddings(s, dir)
-      val cached = e.persist()
-      val (cents, books) =
-        try (Similarity.ivfCentroids(cached, k = 8, iters = 1),
-             Similarity.pqTrain(cached, m = 4, ksub = 16, iters = 1))
-        finally cached.unpersist()
-      val path = indexScratch(s, dir, "shared_index")
-      Similarity.ivfPqIndexWrite(e, path, cents, books)
-      (cents, books, path)
-    })
+    sharedIndexMemo.getOrElseUpdate((s.sparkContext.applicationId, dir),
+      new SharedIndexHolder(() => {
+        val e = Tables.embeddings(s, dir)
+        val cached = e.persist()
+        val (cents, books) =
+          try (Similarity.ivfCentroids(cached, k = 8, iters = 1),
+               Similarity.pqTrain(cached, m = 4, ksub = 16, iters = 1))
+          finally cached.unpersist()
+        val path = indexScratch(s, dir, "shared_index")
+        Similarity.ivfPqIndexWrite(e, path, cents, books)
+        (cents, books, path)
+      })).value
 
   /** q72 through the MATERIALIZED index: the [[sharedIvfPqIndex]] layout
     * (clustered `partitionBy(cluster)` parquet — one directory per coarse

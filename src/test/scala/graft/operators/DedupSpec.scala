@@ -225,11 +225,18 @@ class DedupSpec extends SparkSpec {
         "k", "l", "m", "n", "o", "p", "q", "r"), "en"), // J vs 3 = 18/19 < .95
       (5L, Seq("a", "b", "c", "d", "e", "f", "g", "h", "i", "j",
         "k", "l", "m", "n", "o", "p", "q", "r", "s"), "de"), // other block
+      // empty token sets all share (fp=0, n=0); they are filtered before
+      // the equal-fingerprint join (Θ(empties²) candidates otherwise) and
+      // with τ > 0 can never form a qualifying pair — not with each other,
+      // not with anything else
+      (6L, Seq.empty[String], "en"),
+      (7L, Seq.empty[String], "en"),
     ).toDF("doc_id", "tok", "lang")
     val got = Dedup.jaccardPairsDelete1Path(d, "doc_id", "tok", "lang", 0.95)
       .select("left_id", "right_id", "jaccard").as[(Long, Long, Double)]
       .collect().toSet
-    // 1≡2 (J=1); 3⊂1 and 3⊂2 (J=19/20=0.95); 4 misses (18/19≈0.947); 5 blocked
+    // 1≡2 (J=1); 3⊂1 and 3⊂2 (J=19/20=0.95); 4 misses (18/19≈0.947); 5
+    // blocked; 6/7 (empty) pair with nothing
     assert(got === Set((1L, 2L, 1.0), (1L, 3L, 0.95), (2L, 3L, 0.95)))
     // the seam refuses parameters where a qualifying pair could differ by
     // ≥2 tokens (the path would be lossy there)

@@ -419,6 +419,54 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("appends fail fast under a compaction staging; trailing-slash paths heal the SIBLING staging") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = Similarity.ivfCentroids(e, k = 4, iters = 1)
+    val books = Similarity.pqTrain(e, 4, 16, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("append_guard").toString + "/idx"
+    try {
+      val b0 = e.where(col("vec_id") % 2 === 0)
+      val b1 = e.where(col("vec_id") % 2 === 1)
+      assert(Similarity.ivfPqIndexAppendOnce(b0, dir, 0L, coarse, books))
+      val landed = spark.read.parquet(dir).count()
+      // a live/crashed compaction staging must stop the append BEFORE it
+      // writes anything: files landed mid-swap die to the crash-heal while
+      // the batch marker would survive and suppress the replay
+      val staging = new java.io.File(dir + "_compacting")
+      assert(staging.mkdir())
+      val ex = intercept[IllegalStateException](
+        Similarity.ivfPqIndexAppendOnce(b1, dir, 1L, coarse, books))
+      assert(ex.getMessage.contains("compact"), ex.getMessage)
+      assert(!new java.io.File(s"$dir/_batches/batch-1").exists(),
+        "a refused append must leave no marker")
+      assert(spark.read.parquet(dir).count() === landed,
+        "a refused append must leave no rows")
+      // after the window closes the same batch lands normally
+      assert(staging.delete())
+      assert(Similarity.ivfPqIndexAppendOnce(b1, dir, 1L, coarse, books))
+      assert(spark.read.parquet(dir).count() === e.count())
+      // trailing-slash path: the heal must find the SIBLING staging
+      // (`idx_compacting`), not look inside the root at `idx/_compacting` —
+      // a crashed run's retired cluster would otherwise never be restored
+      val someCluster = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cluster=")).head.getName
+      assert(staging.mkdir())
+      assert(new java.io.File(dir, someCluster)
+        .renameTo(new java.io.File(staging, s"retired_$someCluster")))
+      val healed = Similarity.ivfPqIndexCompact(spark, dir + "/", maxFilesPerCluster = 1000)
+      assert(healed === Nil)
+      assert(new java.io.File(dir, someCluster).exists(),
+        "heal through a trailing-slash path must restore the retired cluster")
+      assert(!staging.exists(), "sibling staging must be cleaned after healing")
+      assert(spark.read.parquet(dir).count() === e.count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
+  }
+
   test("centroid cohesion: exact cosine to the group mean; lone vector scores 1") {
     import spark.implicits._
     val e = Seq(
