@@ -30,6 +30,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bench {
 
+  /** Session-speed calibration sentinel: a fixed, deterministic,
+    * I/O-free codegen'd aggregate (2e7 rows of long arithmetic over
+    * `spark.range`) whose cost depends ONLY on host/JVM state, never on
+    * query code or data layout. Timed before the query loop (min of 3
+    * after one warm-up rep) and reported as `calibration_s`, it lets a
+    * cross-round reader separate "the machine was slow this session"
+    * (calibration inflated alongside the queries — the round-9/round-11
+    * uniform-drift signature on untouched code, SCALE.md §Bench
+    * variance) from a genuine per-query regression (calibration flat,
+    * one query moved). Divide a session's per-query times by the
+    * calibration ratio to normalize before comparing rounds. */
+  private[graft] def calibrationOnce(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 20000000L, 1L, 32)
+      .selectExpr("sum((id * 2654435761) % 1000003) as s").collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   /** Per-run outcomes → (min over successes, median over successes,
     * #failed runs). Pure, spec-covered: this is the arithmetic an earlier
     * -1.0 sentinel silently corrupted. */
@@ -53,7 +71,8 @@ object Bench {
     * rides alongside. Queries with no successful run are excluded from
     * both query maps and both totals and counted in `n_failed_queries`. */
   private[graft] def renderJson(results: Seq[(String, Option[Double], Option[Double], Int, Int)],
-                                runsPerQuery: Int, sfDir: String): String = {
+                                runsPerQuery: Int, sfDir: String,
+                                calibration: Option[Double] = None): String = {
     def qmap(pick: ((String, Option[Double], Option[Double], Int, Int)) => Option[Double]) =
       results.collect { case r if pick(r).isDefined => s"\"" + r._1 + "\":" + pick(r).get }
         .mkString("{", ",", "}")
@@ -63,7 +82,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val totalMed = results.flatMap(_._3).sum
-    s"""{"metric":"total","value":$total,"unit":"sec","stat":"min","runs_per_query":$runsPerQuery,"queries":${qmap(_._2)},"total_median":$totalMed,"queries_median":${qmap(_._3)},"runs_bumped":$extraJson,"failed_runs":$failedJson,"n_failed_queries":${results.count(_._2.isEmpty)},"sf":"$sfDir"}"""
+    val calib = calibration.map(c => s""""calibration_s":$c,""").getOrElse("")
+    s"""{"metric":"total","value":$total,"unit":"sec","stat":"min",$calib"runs_per_query":$runsPerQuery,"queries":${qmap(_._2)},"total_median":$totalMed,"queries_median":${qmap(_._3)},"runs_bumped":$extraJson,"failed_runs":$failedJson,"n_failed_queries":${results.count(_._2.isEmpty)},"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -94,6 +114,10 @@ object Bench {
       release()
     }
     System.gc()
+    // calibration sentinel: first rep compiles its codegen class (never
+    // timed), then min-of-3 — the same noise-floor stat as the queries
+    calibrationOnce(spark)
+    val calibration = (1 to 3).map(_ => calibrationOnce(spark)).min
     // None = the run threw; failures are reported separately and NEVER enter
     // a stat or the total (a -1.0 sentinel would silently *shrink* the
     // headline number — the worst possible failure mode for a benchmark).
@@ -114,7 +138,7 @@ object Bench {
       val (mn, med, nFailed) = statsOverSuccesses(outcomes)
       (name, mn, med, nFailed, outcomes.size)
     }
-    val json = renderJson(results, runs, sfDir)
+    val json = renderJson(results, runs, sfDir, Some(calibration))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "bench_metric.json")),
       (json + "\n").getBytes("UTF-8"))

@@ -45,6 +45,14 @@ class BenchSpec extends AnyFunSuite {
     assert(json.contains("\"runs_bumped\":{}"), json)
   }
 
+  test("calibration sentinel rides the JSON when measured, absent otherwise") {
+    val withCal = Bench.renderJson(Seq(("q1", Some(0.5), Some(0.5), 0, 3)), 3, "/sf",
+      calibration = Some(0.42))
+    assert(withCal.contains("\"calibration_s\":0.42"), withCal)
+    val without = Bench.renderJson(Seq(("q1", Some(0.5), Some(0.5), 0, 3)), 3, "/sf")
+    assert(!without.contains("calibration_s"), without)
+  }
+
   test("a spread-bumped query surfaces its deepened run count") {
     val json = Bench.renderJson(Seq(
       ("q_stable", Some(0.5), Some(0.5), 0, 3),
