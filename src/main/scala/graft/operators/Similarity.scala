@@ -437,20 +437,29 @@ object Similarity {
     *   2. encode into a private staging dir `<path>_batch<id>` with
     *      overwrite semantics (a half-written previous attempt is simply
     *      rewritten);
-    *   3. scrub any `b<id>_*.parquet` residue a crashed attempt left in
-    *      the live cluster dirs, then rename the staged files in under
-    *      deterministic batch-keyed names `b<id>_<n>.parquet`;
+    *   3. scrub any residue a crashed attempt left in the live cluster
+    *      dirs (both final `b<id>_*.parquet` names and `_`-prefixed
+    *      in-progress names), then land each staged file in TWO phases:
+    *      first rename it to an invisible in-progress name
+    *      `_b<id>_<n>.parquet.inprogress` INSIDE the live cluster dir —
+    *      on an object store rename is copy+delete, and this is where the
+    *      bytes move, invisibly (Spark's file listing skips `_` paths) —
+    *      then rename in-directory to the final `b<id>_<n>.parquet`;
     *   4. write the marker, drop staging.
-    * A crash between 3 and 4 replays into the same deterministic names
-    * after the scrub — never a duplicate row. Markers tie the index to ONE
+    * A crash anywhere before 4 replays into the same deterministic names
+    * after the scrub — never a duplicate row, and never a reader-visible
+    * partially-copied file: the cross-directory byte move happens under an
+    * underscore name no probe ever lists. Markers tie the index to ONE
     * checkpoint lineage: restarting a stream with a fresh checkpoint
     * restarts batch ids at 0, so pair a fresh checkpoint with a fresh
     * index (or a rebuild), exactly as foreachBatch's own idempotence
-    * guidance prescribes. Rename discipline is HDFS/local-FS (see
-    * [[ivfPqIndexCompact]]). Like the indexed probes, appends fail fast
+    * guidance prescribes. Like the indexed probes, appends refuse to start
     * while a compaction staging dir exists — landing files mid-swap risks
     * the crash-heal destroying them while the batch marker survives to
-    * suppress the replay. Returns false on the skip path. */
+    * suppress the replay. That guard is best-effort and check-time only,
+    * exactly like [[assertNotCompacting]]: a compaction STARTING after the
+    * check still races, and the documented ingest maintenance window
+    * remains the actual contract. Returns false on the skip path. */
   def ivfPqIndexAppendOnce(batch: DataFrame, path: String, batchId: Long,
                            coarse: Array[Array[Double]],
                            codebooks: Array[Array[Array[Double]]],
@@ -460,13 +469,21 @@ object Similarity {
     val spark = batch.sparkSession
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // appends observe the SAME maintenance window as probes: a live (or
+    // replay fast path FIRST: an already-landed batch writes nothing, so
+    // a streaming restart that replays it during a (crashed) compaction
+    // window must return false, not throw — the maintenance-window guard
+    // below protects WRITES, and a replay performs none.
+    val marker = new Path(new Path(root, "_batches"), s"batch-$batchId")
+    if (fs.exists(marker)) return false
+    // writes observe the SAME maintenance window as probes: a live (or
     // crashed) compaction staging means cluster dirs are mid-swap — files
     // landed now could sit in a dir the heal is about to delete and
     // restore from its retired copy, while this batch's commit marker
     // would survive and suppress the replay: permanent silent row loss.
-    // Fail fast BEFORE any read or write; the caller retries after
-    // ivfPqIndexCompact returns (or heals a crashed run).
+    // Best-effort check-time guard (a compaction starting after this
+    // check still races — the maintenance window is the contract); the
+    // caller retries after ivfPqIndexCompact returns (or heals a crashed
+    // run).
     val compacting = new Path(root.toString + "_compacting")
     if (fs.exists(compacting))
       throw new IllegalStateException(
@@ -474,9 +491,11 @@ object Similarity {
           "mid-swap can lose the batch to the crash-heal. Retry after " +
           "ivfPqIndexCompact returns; if a compaction crashed, calling it " +
           "again heals the index first.")
-    val marker = new Path(new Path(root, "_batches"), s"batch-$batchId")
-    if (fs.exists(marker)) return false
-    val staging = new Path(s"${path}_batch$batchId")
+    // staging sibling derives from the NORMALIZED root, matching the
+    // compact/guard normalization — raw `path + "_batch<id>"` on a
+    // trailing-slash path would stage at `dir/_batch<id>` INSIDE the
+    // index root and leave permanent residue there after a crash
+    val staging = new Path(root.toString + s"_batch$batchId")
     ivfPqEncode(batch, coarse, codebooks, idCol, vecCol, keepVec = withVectors)
       .write.mode("overwrite").partitionBy("cluster").parquet(staging.toString)
     val prefix = s"b${batchId}_"
@@ -484,7 +503,8 @@ object Similarity {
       fs.listStatus(root)
         .filter(d => d.isDirectory && d.getPath.getName.startsWith("cluster="))
         .foreach(d => fs.listStatus(d.getPath).map(_.getPath)
-          .filter(_.getName.startsWith(prefix))
+          .filter(p => p.getName.startsWith(prefix) ||
+            p.getName.startsWith(s"_$prefix"))
           .foreach(p => fs.delete(p, false)))
     fs.listStatus(staging)
       .filter(d => d.isDirectory && d.getPath.getName.startsWith("cluster="))
@@ -494,9 +514,17 @@ object Similarity {
         fs.listStatus(d.getPath).map(_.getPath)
           .filter(_.getName.endsWith(".parquet"))
           .zipWithIndex.foreach { case (f, i) =>
-            require(fs.rename(f, new Path(live, s"$prefix$i.parquet")),
-              s"batch-append rename of $f into $live failed; " +
+            // two-phase landing: the cross-directory rename is where the
+            // bytes move (copy+delete on object stores), so it targets an
+            // underscore-prefixed in-progress name Spark's listing never
+            // surfaces; the final in-directory rename just flips the name
+            val tmp = new Path(live, s"_$prefix$i.parquet.inprogress")
+            require(fs.rename(f, tmp),
+              s"batch-append rename of $f to $tmp failed; " +
                 "staging preserved — replaying the batch heals")
+            require(fs.rename(tmp, new Path(live, s"$prefix$i.parquet")),
+              s"batch-append publish of $tmp failed; " +
+                "replaying the batch heals")
           }
       }
     fs.mkdirs(marker.getParent)

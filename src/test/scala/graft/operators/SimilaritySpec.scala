@@ -467,6 +467,63 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("append replay is marker-first; crash residue (final + in-progress names) never reaches readers") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = Similarity.ivfCentroids(e, k = 4, iters = 1)
+    val books = Similarity.pqTrain(e, 4, 16, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("append_replay").toString + "/idx"
+    try {
+      val b0 = e.where(col("vec_id") % 2 === 0)
+      val b1 = e.where(col("vec_id") % 2 === 1)
+      // trailing-slash path on the WRITE side: staging must be the sibling
+      // `idx_batch0`, never `idx/_batch0` inside the root
+      assert(Similarity.ivfPqIndexAppendOnce(b0, dir + "/", 0L, coarse, books))
+      assert(!new java.io.File(dir, "_batch0").exists(),
+        "append staging must never sit inside the index root")
+      val landed = spark.read.parquet(dir).count()
+      // a replay of an ALREADY-LANDED batch during a (crashed) compaction
+      // window is a no-op and must return false, not throw: the guard
+      // protects writes, and the marker fast path performs none
+      val staging = new java.io.File(dir + "_compacting")
+      assert(staging.mkdir())
+      assert(!Similarity.ivfPqIndexAppendOnce(b0, dir, 0L, coarse, books),
+        "an already-landed batch must replay as a silent skip even mid-window")
+      assert(staging.delete())
+      // object-store crash shape mid-landing: batch 1 died after moving
+      // SOME bytes — a half-copied file under its in-progress name and a
+      // fully-renamed final file both sit in a live cluster dir, marker
+      // never written. Readers must not see the in-progress file at all,
+      // and the replay must scrub BOTH residue shapes, landing once.
+      val cluster = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cluster=")).head
+      val partial = new java.io.File(cluster, "_b1_0.parquet.inprogress")
+      java.nio.file.Files.write(partial.toPath, Array[Byte](1, 2, 3))
+      assert(spark.read.parquet(dir).count() === landed,
+        "an underscore-prefixed in-progress file must be invisible to readers")
+      // a final-named orphan is NOT reader-safe (that's the point of the
+      // two-phase landing: the long copy happens under the underscore
+      // name); plant it after the visibility check to exercise the scrub
+      val orphan = new java.io.File(cluster, "b1_7.parquet")
+      java.nio.file.Files.write(orphan.toPath, Array[Byte](9, 9))
+      assert(Similarity.ivfPqIndexAppendOnce(b1, dir, 1L, coarse, books))
+      assert(!partial.exists(), "replay must scrub in-progress residue")
+      assert(!orphan.exists(), "replay must scrub final-named residue")
+      assert(spark.read.parquet(dir).count() === e.count(),
+        "the healed index must hold each row exactly once")
+      val q = e.where(col("vec_id") < 5)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+      assert(rows(Similarity.ivfPqTopKIndexed(
+        q, spark.read.parquet(dir), 5, coarse, books, nprobe = 4)).toSeq ===
+        rows(Similarity.ivfPqTopK(q, e, 5, coarse, books, nprobe = 4)).toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
+  }
+
   test("centroid cohesion: exact cosine to the group mean; lone vector scores 1") {
     import spark.implicits._
     val e = Seq(
