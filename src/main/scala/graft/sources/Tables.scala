@@ -6,10 +6,15 @@ import org.apache.spark.sql.functions._
 /** Loaders for the driver's TPC-H-ish testdata (see TESTDATA.md).
   *
   * Every loader is a plain parquet scan so Catalyst's pushdown / pruning /
-  * vectorized reader apply end-to-end. `events` needs one normalization:
-  * the driver wrote `ts` as parquet INT64 TIMESTAMP(NANOS), which Spark reads
-  * as a raw long (nanosAsLong=true, set in [[graft.GraftSession]]); we convert
-  * to microsecond TimestampType the same way DuckDB does (truncation).
+  * vectorized reader apply end-to-end. `events` needs one conditional
+  * normalization: through round 12 the driver wrote `ts` as parquet INT64
+  * TIMESTAMP(NANOS), which Spark reads as a raw long (nanosAsLong=true, set
+  * in [[graft.GraftSession]]) and we convert to microsecond TimestampType
+  * the same way DuckDB does (truncation); round-13 testdata writes
+  * TIMESTAMP(MICROS) directly, which needs none. The LongType guard serves
+  * both eras — and every reader of `events` MUST come through here rather
+  * than normalize a raw scan itself (two specs that did broke silently when
+  * the era changed).
   */
 object Tables {
 

@@ -6,8 +6,9 @@ import org.apache.spark.sql.functions._
 class RangeJoinSpec extends SparkSpec {
 
   test("bucketized interval join equals the naive range join exactly") {
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    // Tables.events owns the ts normalization (nanos-era long vs the
+    // micros TIMESTAMP the round-13 testdata writes) — never convert raw
+    val ev = graft.sources.Tables.events(spark, sf)
     val p = ev.where(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("ts"))
     val v = ev.where(col("event_type") === "view")

@@ -22,8 +22,9 @@ class PartitionPruningSpec extends SparkSpec {
 
   test("date-partitioned write + equality predicate reads exactly one partition") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
-    spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    // Tables.events owns the ts normalization (nanos-era long vs the
+    // micros TIMESTAMP the round-13 testdata writes) — never convert raw
+    graft.sources.Tables.events(spark, sf)
       .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
       .write.mode("overwrite").partitionBy("day").parquet(dir)
 
