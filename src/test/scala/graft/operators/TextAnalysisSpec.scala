@@ -302,24 +302,32 @@ class TextAnalysisSpec extends SparkSpec {
     graft.GraftSession.releaseCaches(spark)
   }
 
-  test("ngram novelty plan: exactly 3 shuffles — window, doc-frequency, final reduce") {
+  test("ngram novelty plan: exactly 3 shuffles and no join — window, per-gram, per-doc") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec => JoinExec}
     val df = spark.read.parquet(s"$sf/documents.parquet")
     val out = TextAnalysis.ngramNovelty(df, "doc_id", "text", n = 8)
     out.count()
-    val shuffles = out.queryExecution.executedPlan.collectWithSubqueries {
+    val nodes = out.queryExecution.executedPlan.collectWithSubqueries {
       case a: AdaptiveSparkPlanExec => a.executedPlan
       case p => p
-    }.flatMap(_.collect { case s: ShuffleExchangeExec => s })
-    // window on doc id + doc-frequency on gram (+ the final per-doc reduce
-    // ONLY when AQE shuffle-joins instead of broadcasting docFreq back —
-    // under a broadcast join the gram side keeps the window's partitioning
-    // to the end). The per-doc distinct must REUSE the window's
-    // partitioning either way: a 4th exchange means the
-    // HashPartitioning(id) ⊨ (id, g) reuse regressed.
+    }
+    val shuffles = nodes.flatMap(_.collect { case s: ShuffleExchangeExec => s })
+    // window on doc id + per-gram reduce on gram + per-doc reduce on doc
+    // (the last map-side-combines to doc scale before moving). The per-doc
+    // distinct must REUSE the window's partitioning: a 4th exchange means
+    // the HashPartitioning(id) ⊨ (id, g) reuse regressed.
     assert(shuffles.length <= 3,
-      s"expected ≤3 shuffle exchanges (window, docFreq[, reduce]), got ${shuffles.length}")
+      s"expected ≤3 shuffle exchanges (window, per-gram, per-doc), got ${shuffles.length}")
+    // the round-12 shape joined the gram relation against its own
+    // doc-frequencies — a near-gram-cardinality hash table, measured ~20%
+    // slower at every decade (see ngramNovelty scaladoc); unique grams now
+    // carry their owner out of the per-gram reduce, so ANY join here is a
+    // regression
+    val joins = nodes.flatMap(_.collect { case j: JoinExec => j })
+    assert(joins.isEmpty,
+      s"novelty must reduce, never join back to the gram relation: $joins")
     graft.GraftSession.releaseCaches(spark)
   }
 
