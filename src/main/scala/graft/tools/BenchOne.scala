@@ -10,6 +10,10 @@ object BenchOne {
       val t0 = System.nanoTime()
       val n = graft.queries.Queries.all(name)(spark, dir).count()
       println(f"[bench1] $name rep$i ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+      // the Bench protocol: each rep pays for its own materialization, and
+      // GC debt never crosses a timed window
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+      System.gc()
     }
     spark.stop()
   }

@@ -97,8 +97,11 @@ object ProfileScaleCurve {
         dt
       }.min
 
+    // optional args: query names to measure (default: the full panel)
+    val panel = if (args.nonEmpty) (DocQueries ++ EmbQueries).filter(args.toSet)
+                else DocQueries ++ EmbQueries
     println(f"${"query"}%-24s ${"t(0.01)"}%9s ${"t(0.1)"}%9s ${"t(sf1)"}%9s ${"exp 0.01→0.1"}%13s ${"exp 0.1→sf1"}%12s ${"exp(verbatim)"}%14s")
-    (DocQueries ++ EmbQueries).foreach { name =>
+    panel.foreach { name =>
       // one warm-up at the smallest SF compiles the codegen classes
       timeMin(name, sf001, 1)
       val t001 = timeMin(name, sf001, 3)

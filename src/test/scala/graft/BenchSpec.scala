@@ -53,6 +53,35 @@ class BenchSpec extends AnyFunSuite {
     assert(!without.contains("calibration_s"), without)
   }
 
+  test("compact stdout line: qNN stems, 3-decimal rounding, fits the driver's 2000-char tail") {
+    // realistic shape: 88 queries with full-length names, as in SparkEntry
+    val results = (1 to 88).map { i =>
+      (f"q$i%02d_some_longish_operator_name", Some(1.23456789 * i % 7),
+        Some(1.3 * i % 7), 0, 3)
+    }
+    val json = Bench.renderCompactJson(results, "/root/testdata/sf0.1",
+      calibration = Some(0.069432519), detailFile = "bench_metric.json")
+    assert(json.length < 1900, s"compact line must fit the tail cap: ${json.length}")
+    assert(json.contains("\"q01\":") && json.contains("\"q88\":"), json)
+    assert(!json.contains("longish"), json)
+    assert(json.contains("\"calibration_s\":0.069"), json)
+    assert(json.contains("\"detail\":\"bench_metric.json\""), json)
+    assert(json.contains("\"sf\":\"/root/testdata/sf0.1\""), json)
+    // value is the rounded min-total and failures are counted, never -1.0
+    assert(json.contains("\"n_failed_queries\":0"), json)
+  }
+
+  test("compact line falls back to full names when stems collide, and drops dead queries") {
+    val json = Bench.renderCompactJson(Seq(
+      ("q01_variant_a", Some(1.0), Some(1.0), 0, 3),
+      ("q01_variant_b", Some(2.0), Some(2.0), 0, 3),
+      ("q02_dead", None, None, 3, 3)), "/sf")
+    assert(json.contains("\"q01_variant_a\":1.0") && json.contains("\"q01_variant_b\":2.0"), json)
+    assert(!json.contains("q02_dead"), json)
+    assert(json.contains("\"n_failed_queries\":1"), json)
+    assert(json.contains("\"value\":3.0"), json)
+  }
+
   test("a spread-bumped query surfaces its deepened run count") {
     val json = Bench.renderJson(Seq(
       ("q_stable", Some(0.5), Some(0.5), 0, 3),
