@@ -110,6 +110,50 @@ object Dedup {
     * exchange is the final single-row aggregate. */
   private val VocabSampleTokens = 1 << 20
 
+  /** Posting rows per shuffle partition the candidate joins aim for. The
+    * anchor is the sf10 knob replay (SCALE.md §Third decade): q60 ran
+    * 72/36/41 s and q62 57/35/66 s at 32/128/512 shuffle partitions over
+    * a ~10⁸-occurrence corpus — best near 10⁸/128 ≈ 0.8 M rows per
+    * partition, with 512 already over-split. A session-global width
+    * (`initialPartitionNum=512`) costs +26 s at bench scale, so the width
+    * must come from the data, not the conf. */
+  private val PairJoinTargetOccPerPartition = 768L * 1024
+
+  /** Data-aware shuffle width for the pair family's occ-scale posting
+    * joins: enough partitions to hold ~[[PairJoinTargetOccPerPartition]]
+    * slim posting rows each, never below the session's configured width
+    * (a cluster session sized for its executors already starts higher —
+    * this knob only ever WIDENS a bench-sized default), capped at 1024
+    * within the measured regime. `occ` is the total token-occurrence
+    * count the routing aggregate (or a one-row sum over the persisted
+    * prefix relation) already has — no extra corpus pass. */
+  private[operators] def pairShuffleWidth(occ: Long, sessionWidth: Int): Int =
+    math.max(sessionWidth,
+      math.min(1024L, occ / PairJoinTargetOccPerPartition).toInt)
+
+  /** Repartition `df` on the posting-join keys at `width` — but ONLY when
+    * that widens the plan past the session default: at bench scale the
+    * computed width IS the session default, and inserting an explicit
+    * repartition there would pin an exchange AQE could otherwise coalesce.
+    * When it applies, the exchange it inserts is the SAME hash exchange
+    * the downstream equi-join would have inserted anyway (same keys), just
+    * wider — the join's distribution requirement is satisfied, so no
+    * second exchange appears (spec-asserted). */
+  private[operators] def widenForJoin(df: DataFrame, width: Int, keys: Column*): DataFrame =
+    if (width > df.sparkSession.sessionState.conf.numShufflePartitions)
+      df.repartition(width, keys: _*)
+    else df
+
+  /** Total posting volume (Σ n) of a persisted hashed/prefix relation —
+    * the width driver for [[pairShuffleWidth]]. One single-row aggregate
+    * over a relation the caller persists anyway; running it eagerly here
+    * doubles as the cache materializer, so downstream stages reuse the
+    * bytes instead of recomputing the prefix build. */
+  private def totalOcc(rel: DataFrame): Long = {
+    val r = rel.agg(sum(col("n"))).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   /** Exact near-dup pairs within a blocking key (e.g. language).
     *
     * Adaptive representation. The choice is driven by a BOUNDED estimate —
@@ -260,6 +304,10 @@ object Dedup {
       .select(col("blk"), col("hs_id"), col("n"), col("hs"))
       .withColumn("fp", aggregate(col("hs"), lit(0L), (a, x) => a + x))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // this path triggers precisely on big corpora (occ > SmallCorpusOccMax)
+    // — size the Θ(Σn) delete-fingerprint join from the data
+    val width = pairShuffleWidth(totalOcc(base),
+      hs.sparkSession.sessionState.conf.numShufflePartitions)
     val slim = base.select(col("blk"), col("fp"), col("hs_id"), col("n"))
     // equal-set candidates: same (block, fingerprint)
     val eq = slim.select(col("blk"), col("fp"),
@@ -270,10 +318,13 @@ object Dedup {
       .select(col("blk"), col("left_id"), col("right_id"), col("nl"), col("nr"))
     // subset candidates: superset drops one token and lands on the
     // subset's full fingerprint; |sub| = |sup| − 1 by construction
-    val dels = base.select(col("blk"), col("hs_id").as("sup_id"),
-      col("n").as("nsup"), explode(transform(col("hs"), h => col("fp") - h)).as("fp"))
-    val sub = dels.join(slim.select(col("blk"), col("fp"),
-        col("hs_id").as("sub_id"), col("n").as("nsub")), Seq("blk", "fp"))
+    val dels = widenForJoin(base.select(col("blk"), col("hs_id").as("sup_id"),
+      col("n").as("nsup"),
+      explode(transform(col("hs"), h => col("fp") - h)).as("fp")),
+      width, col("blk"), col("fp"))
+    val sub = dels.join(widenForJoin(slim.select(col("blk"), col("fp"),
+        col("hs_id").as("sub_id"), col("n").as("nsub")),
+        width, col("blk"), col("fp")), Seq("blk", "fp"))
       .where(col("sub_id") =!= col("sup_id"))
       .where(col("nsub") === col("nsup") - 1)
       .where(col("nsub") >= lit(threshold) * col("nsup") - 1e-9)
@@ -282,12 +333,16 @@ object Dedup {
         greatest(col("sup_id"), col("sub_id")).as("right_id"),
         when(col("sup_id") < col("sub_id"), col("nsup")).otherwise(col("nsub")).as("nl"),
         when(col("sup_id") < col("sub_id"), col("nsub")).otherwise(col("nsup")).as("nr"))
-    eq.unionByName(sub)
-      .dropDuplicates("left_id", "right_id")
-      .join(base.select(col("blk"), col("hs_id").as("left_id"),
-        col("hs").as("ls")), Seq("blk", "left_id"))
-      .join(base.select(col("blk"), col("hs_id").as("right_id"),
-        col("hs").as("rs")), Seq("blk", "right_id"))
+    // verify joins move the token arrays — widen like the candidate join
+    widenForJoin(widenForJoin(eq.unionByName(sub)
+      .dropDuplicates("left_id", "right_id"), width, col("blk"), col("left_id"))
+      .join(widenForJoin(base.select(col("blk"), col("hs_id").as("left_id"),
+        col("hs").as("ls")), width, col("blk"), col("left_id")),
+        Seq("blk", "left_id")),
+      width, col("blk"), col("right_id"))
+      .join(widenForJoin(base.select(col("blk"), col("hs_id").as("right_id"),
+        col("hs").as("rs")), width, col("blk"), col("right_id")),
+        Seq("blk", "right_id"))
       .withColumn("inter", size(array_intersect(col("ls"), col("rs"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("nl") + col("nr") - col("inter")))
@@ -379,10 +434,16 @@ object Dedup {
     if (threshold > 0) {
       val pre = orderedPrefix(hs, threshold)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val l = pre.select(col("blk"), col("hs_id").as("left_id"),
-        col("n").as("nl"), posexplode(col("prefix")).as(Seq("lp", "h")))
-      val r = pre.select(col("blk"), col("hs_id").as("right_id"),
-        col("n").as("nr"), posexplode(col("prefix")).as(Seq("rp", "h")))
+      // data-aware width for the occ-scale posting join (the sf10 spill
+      // term; the aggregate doubles as the persist materializer)
+      val width = pairShuffleWidth(totalOcc(pre),
+        hs.sparkSession.sessionState.conf.numShufflePartitions)
+      val l = widenForJoin(pre.select(col("blk"), col("hs_id").as("left_id"),
+        col("n").as("nl"), posexplode(col("prefix")).as(Seq("lp", "h"))),
+        width, col("blk"), col("h"))
+      val r = widenForJoin(pre.select(col("blk"), col("hs_id").as("right_id"),
+        col("n").as("nr"), posexplode(col("prefix")).as(Seq("rp", "h"))),
+        width, col("blk"), col("h"))
       // size-ratio filter: J ≥ τ implies min(n) ≥ τ·max(n) (epsilon loosens)
       val candidates = l.join(r, Seq("blk", "h"))
         .where(col("left_id") < col("right_id"))
@@ -399,11 +460,15 @@ object Dedup {
         .where(lit(1) + least(col("nl") - col("fm.lp") - 1,
                               col("nr") - col("fm.rp") - 1)
           >= lit(threshold / (1 + threshold)) * (col("nl") + col("nr")) - 1e-9)
-      candidates
-        .join(pre.select(col("blk"), col("hs_id").as("left_id"),
-          col("ord").as("ls")), Seq("blk", "left_id"))
-        .join(pre.select(col("blk"), col("hs_id").as("right_id"),
-          col("ord").as("rs")), Seq("blk", "right_id"))
+      // verify joins move the token arrays — widen like the posting join
+      widenForJoin(widenForJoin(candidates, width, col("blk"), col("left_id"))
+        .join(widenForJoin(pre.select(col("blk"), col("hs_id").as("left_id"),
+          col("ord").as("ls")), width, col("blk"), col("left_id")),
+          Seq("blk", "left_id")),
+        width, col("blk"), col("right_id"))
+        .join(widenForJoin(pre.select(col("blk"), col("hs_id").as("right_id"),
+          col("ord").as("rs")), width, col("blk"), col("right_id")),
+          Seq("blk", "right_id"))
         .withColumn("inter", size(array_intersect(col("ls"), col("rs"))))
         .withColumn("jaccard",
           col("inter").cast("double") / (col("nl") + col("nr") - col("inter")))
@@ -484,12 +549,16 @@ object Dedup {
   private def crossJaccardFromHashed(hs: DataFrame, threshold: Double): DataFrame = {
     val pre = orderedPrefix(hs, threshold, carry = Seq("side"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val l = pre.where(col("side") === 0).select(col("blk"),
+    val width = pairShuffleWidth(totalOcc(pre),
+      hs.sparkSession.sessionState.conf.numShufflePartitions)
+    val l = widenForJoin(pre.where(col("side") === 0).select(col("blk"),
       col("hs_id").as("left_id"), col("n").as("nl"),
-      posexplode(col("prefix")).as(Seq("lp", "h")))
-    val r = pre.where(col("side") === 1).select(col("blk"),
+      posexplode(col("prefix")).as(Seq("lp", "h"))),
+      width, col("blk"), col("h"))
+    val r = widenForJoin(pre.where(col("side") === 1).select(col("blk"),
       col("hs_id").as("right_id"), col("n").as("nr"),
-      posexplode(col("prefix")).as(Seq("rp", "h")))
+      posexplode(col("prefix")).as(Seq("rp", "h"))),
+      width, col("blk"), col("h"))
     val candidates = l.join(r, Seq("blk", "h"))
       .where(col("nl") >= lit(threshold) * col("nr") - 1e-9 &&
              col("nr") >= lit(threshold) * col("nl") - 1e-9)
@@ -499,11 +568,15 @@ object Dedup {
       .where(lit(1) + least(col("nl") - col("fm.lp") - 1,
                             col("nr") - col("fm.rp") - 1)
         >= lit(threshold / (1 + threshold)) * (col("nl") + col("nr")) - 1e-9)
-    candidates
-      .join(pre.where(col("side") === 0).select(col("blk"),
-        col("hs_id").as("left_id"), col("ord").as("ls")), Seq("blk", "left_id"))
-      .join(pre.where(col("side") === 1).select(col("blk"),
-        col("hs_id").as("right_id"), col("ord").as("rs")), Seq("blk", "right_id"))
+    // verify joins move the token arrays — widen like the posting join
+    widenForJoin(widenForJoin(candidates, width, col("blk"), col("left_id"))
+      .join(widenForJoin(pre.where(col("side") === 0).select(col("blk"),
+        col("hs_id").as("left_id"), col("ord").as("ls")),
+        width, col("blk"), col("left_id")), Seq("blk", "left_id")),
+      width, col("blk"), col("right_id"))
+      .join(widenForJoin(pre.where(col("side") === 1).select(col("blk"),
+        col("hs_id").as("right_id"), col("ord").as("rs")),
+        width, col("blk"), col("right_id")), Seq("blk", "right_id"))
       .withColumn("inter", size(array_intersect(col("ls"), col("rs"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("nl") + col("nr") - col("inter")))
@@ -578,10 +651,16 @@ object Dedup {
     // SCALE.md §third decade) — where the slim shape is Θ(Σ n).
     val pre = orderedPrefix(hs, threshold)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val l = pre.select(col("blk"), col("hs_id").as("left_id"),
-      col("n").as("nl"), posexplode(col("prefix")).as(Seq("lp", "h")))
-    val r = pre.select(col("blk"), col("hs_id").as("right_id"),
-      col("n").as("nr"), posexplode(col("ord")).as(Seq("rp", "h")))
+    // the r side explodes FULL ordered arrays, so Σn is exactly this
+    // join's posting volume — size its shuffle from the data
+    val width = pairShuffleWidth(totalOcc(pre),
+      hs.sparkSession.sessionState.conf.numShufflePartitions)
+    val l = widenForJoin(pre.select(col("blk"), col("hs_id").as("left_id"),
+      col("n").as("nl"), posexplode(col("prefix")).as(Seq("lp", "h"))),
+      width, col("blk"), col("h"))
+    val r = widenForJoin(pre.select(col("blk"), col("hs_id").as("right_id"),
+      col("n").as("nr"), posexplode(col("ord")).as(Seq("rp", "h"))),
+      width, col("blk"), col("h"))
     val candidates = l.join(r, Seq("blk", "h"))
       .where(col("left_id") =!= col("right_id"))
       .where(col("nr") >= lit(threshold) * col("nl") - 1e-9)
@@ -600,12 +679,16 @@ object Dedup {
                             col("nr") - col("fm.rp") - 1)
         >= lit(threshold) * col("nl") - 1e-9)
     // verification: the token arrays move ONCE per surviving pair side,
-    // not once per posting
-    candidates
-      .join(pre.select(col("blk"), col("hs_id").as("left_id"),
-        col("ord").as("ls")), Seq("blk", "left_id"))
-      .join(pre.select(col("blk"), col("hs_id").as("right_id"),
-        col("ord").as("rs")), Seq("blk", "right_id"))
+    // not once per posting — but they are the BYTE-heavy exchanges (Σ
+    // corpus tokens each), so they get the same data-aware width
+    widenForJoin(widenForJoin(candidates, width, col("blk"), col("left_id"))
+      .join(widenForJoin(pre.select(col("blk"), col("hs_id").as("left_id"),
+        col("ord").as("ls")), width, col("blk"), col("left_id")),
+        Seq("blk", "left_id")),
+      width, col("blk"), col("right_id"))
+      .join(widenForJoin(pre.select(col("blk"), col("hs_id").as("right_id"),
+        col("ord").as("rs")), width, col("blk"), col("right_id")),
+        Seq("blk", "right_id"))
       .withColumn("inter", size(array_intersect(col("ls"), col("rs"))))
       .withColumn("containment", col("inter").cast("double") / col("nl"))
       .where(col("containment") >= threshold)

@@ -578,6 +578,47 @@ class DedupSpec extends SparkSpec {
     graft.GraftSession.releaseCaches(spark, blocking = true)
   }
 
+  test("pair shuffle width: data-driven above the session default, clamped, never narrower") {
+    // bench-scale corpora (≤ target×session occurrences) keep the session
+    // width — plans there must stay byte-identical to the unwidened shape
+    assert(Dedup.pairShuffleWidth(0L, 32) === 32)
+    assert(Dedup.pairShuffleWidth(1L << 20, 32) === 32)
+    assert(Dedup.pairShuffleWidth(24L << 20, 32) === 32)
+    // the sf10 knob-replay regime: ~1e8 occurrences land near the
+    // measured-best 128, far from the over-split 512
+    val sf10 = Dedup.pairShuffleWidth(100L * 1000 * 1000, 32)
+    assert(sf10 >= 96 && sf10 <= 160, s"~1e8 occ should widen to ~128, got $sf10")
+    // a cluster session sized for its executors is never narrowed
+    assert(Dedup.pairShuffleWidth(100L * 1000 * 1000, 2000) === 2000)
+    // runaway corpora clamp at the measured regime's cap
+    assert(Dedup.pairShuffleWidth(Long.MaxValue / 4, 32) === 1024)
+  }
+
+  test("widened posting join: one exchange per side at the custom width, none added by the join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val l = Dedup.widenForJoin(
+      docs.select(col("doc_id").as("left_id"), col("lang").as("blk"),
+        explode(col("tok")).as("h")), 7, col("blk"), col("h"))
+    val r = Dedup.widenForJoin(
+      docs.select(col("doc_id").as("right_id"), col("lang").as("blk"),
+        explode(col("tok")).as("h")), 7, col("blk"), col("h"))
+    val joined = l.join(r, Seq("blk", "h")).where(col("left_id") < col("right_id"))
+    joined.count()
+    val shuffles = joined.queryExecution.executedPlan.collectWithSubqueries {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }.flatMap(_.collect { case s: ShuffleExchangeExec => s })
+    // the widening exchange IS the join's required exchange: same keys, so
+    // exactly one per side and both at the requested width
+    assert(shuffles.length === 2,
+      s"expected the two widening exchanges only, got ${shuffles.length}")
+    assert(shuffles.forall(_.outputPartitioning.numPartitions === 7),
+      s"widened exchanges must keep the requested width: " +
+        shuffles.map(_.outputPartitioning.numPartitions).mkString(","))
+    graft.GraftSession.releaseCaches(spark, blocking = true)
+  }
+
   test("releaseCaches drops every operator-internal persist (session lifecycle)") {
     Dedup.simHashPairs(docs.select(col("doc_id"), col("tok")), "doc_id", "tok").count()
     Dedup.minHashDedupTokens(
