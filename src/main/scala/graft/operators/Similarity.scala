@@ -527,6 +527,25 @@ object Similarity {
                 "replaying the batch heals")
           }
       }
+    // maintain a stamped manifest BEFORE the commit marker: batch-keyed
+    // file names make the merge idempotent (drop this batch's rows, add
+    // the fresh ones), and marker-after-manifest means a crash between
+    // them replays the whole landing INCLUDING the re-merge — the marker
+    // never vouches for files the manifest doesn't describe
+    if (fs.exists(new Path(root, ManifestName))) {
+      val landed = fs.listStatus(root)
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("cluster="))
+        .flatMap(d => fs.listStatus(d.getPath).map(_.getPath)
+          .filter(_.getName.startsWith(prefix))
+          .map(p => (d.getPath.getName, p.toString)))
+        .toSeq
+      val in = fs.open(new Path(root, ManifestName))
+      val old = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      val kept = old.filterNot(_.contains(s"""/$prefix"""))
+      writeIndexManifest(spark, root,
+        (kept ++ manifestRows(spark, landed)).sorted)
+    }
     fs.mkdirs(marker.getParent)
     fs.create(marker, true).close()
     fs.delete(staging, true)
@@ -623,7 +642,105 @@ object Similarity {
         s"compaction swap rename to $live failed; staging preserved for heal")
     }
     fs.delete(staging, true)
+    // a stamped manifest describes the pre-compaction layout; regenerate
+    // it for the rewritten clusters (full rebuild — compaction is already
+    // an index-scale job, and the manifest pass is I/O-proportional to it)
+    if (fs.exists(new Path(root, ManifestName))) ivfPqIndexManifest(spark, path)
     dirty
+  }
+
+  private val ManifestName = "_manifest.jsonl"
+
+  /** TRANSFER MANIFEST for a stored clustered index: one JSON line per
+    * data file — `{"cluster","file","rows","bytes","md5"}` — written as
+    * `_manifest.jsonl` at the index root (`_`-prefixed: invisible to
+    * Spark readers), the same validation contract
+    * [[graft.operators.Sampling.writeExportManifest]] gives the JSONL
+    * export. A receiver checks a copied index without trusting the
+    * transport: byte counts and md5s are of the exact file bytes (one
+    * distributed streamed pass, one task per file, never a corpus
+    * re-pass); `rows` comes from the parquet footer of the same file —
+    * no data decode. Lines are sorted by (cluster, file) so two stamps of
+    * the same bytes are byte-identical.
+    *
+    * Lifecycle: stamp on demand (this call — typically right before a
+    * transfer, or after [[ivfPqIndexWrite]]); once stamped, mutation
+    * keeps it honest — [[ivfPqIndexAppendOnce]] merges its batch's file
+    * rows in BEFORE writing the commit marker (a replay after a crash
+    * re-merges — batch-keyed file names make the merge idempotent), and
+    * [[ivfPqIndexCompact]] regenerates it after a swap. An index never
+    * stamped pays zero manifest cost. Consistency matches the index's own
+    * contract: authoritative at quiescence; mid-crash it can lag exactly
+    * as far as the index does, and the crash-heal that rolls clusters
+    * back to their retired copies rolls the manifest's truth back with
+    * them (retired copies ARE the files the manifest describes). The
+    * streaming `_batches/` markers are deliberately NOT manifest rows —
+    * they are checkpoint-lineage state, not transferable data; a receiver
+    * continuing ingest pairs the copied index with a fresh checkpoint
+    * (see [[ivfPqIndexAppendOnce]]). */
+  def ivfPqIndexManifest(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(root)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("cluster="))
+      .flatMap(d => fs.listStatus(d.getPath).map(_.getPath)
+        .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
+        .map(p => (d.getPath.getName, p.toString)))
+      .toSeq
+    writeIndexManifest(spark, root, manifestRows(spark, files))
+  }
+
+  /** (cluster dir name, absolute file) → sorted manifest lines, one
+    * distributed pass (md5+bytes streamed, rows from the parquet footer). */
+  private def manifestRows(spark: org.apache.spark.sql.SparkSession,
+                           files: Seq[(String, String)]): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    if (files.isEmpty) return Nil
+    val bc = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(
+        spark.sparkContext.hadoopConfiguration))
+    spark.sparkContext.parallelize(files, files.length)
+      .map { case (cluster, file) =>
+        val p = new Path(file)
+        val pfs = p.getFileSystem(bc.value.value)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        var bytes = 0L
+        val in = pfs.open(p)
+        val buf = new Array[Byte](1 << 20)
+        try {
+          var n = in.read(buf)
+          while (n > 0) { md.update(buf, 0, n); bytes += n; n = in.read(buf) }
+        } finally in.close()
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, bc.value.value))
+        val rows = try rdr.getRecordCount finally rdr.close()
+        (cluster, p.getName, rows, bytes, md.digest().map("%02x".format(_)).mkString)
+      }.collect().sortBy(r => (r._1, r._2)).toSeq
+      .map { case (cluster, name, rows, bytes, digest) =>
+        s"""{"cluster":"$cluster","file":"$cluster/$name",""" +
+          s""""rows":$rows,"bytes":$bytes,"md5":"$digest"}"""
+      }
+  }
+
+  /** Replace the manifest via tmp-write + rename (the `_`-prefixed tmp is
+    * reader-invisible; a crash between delete and rename leaves NO
+    * manifest rather than a wrong one — absent means re-stamp). */
+  private def writeIndexManifest(spark: org.apache.spark.sql.SparkSession,
+                                 root: org.apache.hadoop.fs.Path,
+                                 lines: Seq[String]): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(root, ManifestName + ".tmp")
+    val out = fs.create(tmp, true)
+    try lines.foreach(l =>
+      out.write((l + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    finally out.close()
+    val live = new Path(root, ManifestName)
+    if (fs.exists(live)) fs.delete(live, false)
+    require(fs.rename(tmp, live),
+      s"manifest publish rename to $live failed; tmp preserved")
   }
 
   /** IVF+PQ top-k over a MATERIALIZED index (read back from

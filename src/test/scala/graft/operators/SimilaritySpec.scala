@@ -524,6 +524,78 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("index transfer manifest: stamped, append-maintained, compaction-regenerated, byte-exact") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = Similarity.ivfCentroids(e, k = 4, iters = 1)
+    val books = Similarity.pqTrain(e, 4, 16, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("manifest_idx").toString + "/idx"
+    val Line = """\{"cluster":"([^"]+)","file":"([^"]+)","rows":(\d+),"bytes":(\d+),"md5":"([0-9a-f]{32})"\}""".r
+    def manifest = new java.io.File(dir, "_manifest.jsonl")
+    def manifestLines =
+      java.nio.file.Files.readAllLines(manifest.toPath).toArray.toSeq.map(_.toString)
+    def md5Of(f: java.io.File): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(java.nio.file.Files.readAllBytes(f.toPath))
+        .map("%02x".format(_)).mkString
+    // the receiver's transfer check, written out: every data file appears
+    // exactly once; bytes and md5 match the exact file bytes; footer row
+    // counts sum to the readable index
+    def validate(): Unit = {
+      val actual = new java.io.File(dir).listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("cluster="))
+        .flatMap(d => d.listFiles()
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+          .map(f => s"${d.getName}/${f.getName}")).toSet
+      val lines = manifestLines
+      assert(lines.map { case Line(_, f, _, _, _) => f }.toSet === actual,
+        "manifest must cover exactly the live data files")
+      var rowSum = 0L
+      lines.foreach { case Line(_, file, rows, bytes, digest) =>
+        val f = new java.io.File(dir, file)
+        assert(f.length() === bytes.toLong, s"$file bytes")
+        assert(md5Of(f) === digest, s"$file md5")
+        rowSum += rows.toLong
+      }
+      assert(rowSum === spark.read.parquet(dir).count(), "footer row counts must sum to the index")
+    }
+    try {
+      Similarity.ivfPqIndexWrite(e.where(col("vec_id") % 3 === 0), dir, coarse, books)
+      Similarity.ivfPqIndexManifest(spark, dir)
+      validate()
+      // append maintains a stamped manifest (merge is batch-keyed)
+      assert(Similarity.ivfPqIndexAppendOnce(e.where(col("vec_id") % 3 === 1),
+        dir, 0L, coarse, books))
+      validate()
+      assert(manifestLines.exists(_.contains("/b0_")), "batch rows must join the manifest")
+      // a replayed batch writes nothing and must not disturb the manifest
+      val before = manifestLines
+      assert(!Similarity.ivfPqIndexAppendOnce(e.where(col("vec_id") % 3 === 1),
+        dir, 0L, coarse, books))
+      assert(manifestLines === before)
+      // compaction rewrites clusters — the manifest follows the new layout
+      assert(Similarity.ivfPqIndexAppendOnce(e.where(col("vec_id") % 3 === 2),
+        dir, 1L, coarse, books))
+      assert(Similarity.ivfPqIndexCompact(spark, dir, maxFilesPerCluster = 1).nonEmpty)
+      validate()
+      // stamping identical bytes twice is byte-identical (sorted lines)
+      val stamped = java.nio.file.Files.readAllBytes(manifest.toPath).toSeq
+      Similarity.ivfPqIndexManifest(spark, dir)
+      assert(java.nio.file.Files.readAllBytes(manifest.toPath).toSeq === stamped)
+      // the index is still exactly the union it claims to be
+      val q = e.where(col("vec_id") < 5)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+      assert(rows(Similarity.ivfPqTopKIndexed(
+        q, spark.read.parquet(dir), 5, coarse, books, nprobe = 4)).toSeq ===
+        rows(Similarity.ivfPqTopK(q, e, 5, coarse, books, nprobe = 4)).toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
+  }
+
   test("centroid cohesion: exact cosine to the group mean; lone vector scores 1") {
     import spark.implicits._
     val e = Seq(
