@@ -540,6 +540,60 @@ object Dedup {
     crossJaccardFromHashed(hs, threshold)
   }
 
+  /** Experiment seam: the exact-first cascade applied to the R×S family —
+    * measured and deliberately NOT wired into [[crossJaccardPairs]]
+    * (SCALE.md §Round 13 cross cascade: a decisive 3× LOSS on the
+    * disjoint-token 100× corpus — 51.7 s vs 15.7 s direct — and parity
+    * within session noise on the verbatim-duplicates shape it was
+    * hypothesized FOR). The structural reason the self-join cascade
+    * wins ([[canonicalIdsCascadeAt]]) does not transfer: there it
+    * collapses a Θ(clique²) EDGE relation before the CC consumer; here
+    * the pair list IS the output, the PPJoin's candidates are already
+    * pair-bounded with or without collapse, and the array-keyed rep
+    * groupBy is pure added cost. Kept (with [[crossJaccardPairsDirectPath]]
+    * and `tools.ProfileCrossCascade`) as the substrate that established
+    * the negative result; DedupSpec asserts the branches emit identical
+    * pairs, which is what makes the A/B valid. */
+  private[graft] def crossJaccardPairsCascadePath(left: DataFrame,
+      right: DataFrame, id: String, tokenSet: String, block: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"cross-jaccard threshold must be in (0, 1], got $threshold")
+    val both = left.select(lit(0).as("side"), col(id), col(block), col(tokenSet))
+      .unionByName(right.select(lit(1).as("side"), col(id), col(block), col(tokenSet)))
+    val hs = hashedSets(both, id, tokenSet, Seq(block, "side"))
+      .withColumnRenamed(block, "blk")
+      .withColumn("n", size(col("hs")))
+    val withRep = hs.withColumn("skey", array_sort(col("hs")))
+      .join(hs.withColumn("skey", array_sort(col("hs")))
+        .groupBy(col("blk"), col("side"), col("skey"))
+        .agg(min(col("hs_id")).as("rep")), Seq("blk", "side", "skey"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val reps = withRep.where(col("hs_id") === col("rep"))
+      .select(col("blk"), col("side"), col("hs_id"), col("n"), col("hs"))
+    val members = (s: Int) => withRep.where(col("side") === s)
+      .select(col("rep"), col("hs_id"))
+    crossJaccardFromHashed(reps, threshold)
+      .withColumnRenamed("left_id", "lrep").withColumnRenamed("right_id", "rrep")
+      .join(members(0).select(col("rep").as("lrep"), col("hs_id").as("left_id")), "lrep")
+      .join(members(1).select(col("rep").as("rrep"), col("hs_id").as("right_id")), "rrep")
+      .select(col("left_id"), col("right_id"), col("jaccard"))
+  }
+
+  /** Profiling seam: force the DIRECT R×S path past every gate, so the
+    * cascade's effect is measurable A/B on the same corpus. */
+  private[graft] def crossJaccardPairsDirectPath(left: DataFrame,
+      right: DataFrame, id: String, tokenSet: String, block: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"cross-jaccard threshold must be in (0, 1], got $threshold")
+    val both = left.select(lit(0).as("side"), col(id), col(block), col(tokenSet))
+      .unionByName(right.select(lit(1).as("side"), col(id), col(block), col(tokenSet)))
+    crossJaccardFromHashed(hashedSets(both, id, tokenSet, Seq(block, "side"))
+      .withColumnRenamed(block, "blk")
+      .withColumn("n", size(col("hs"))), threshold)
+  }
+
   /** Shared R×S candidate/verify core: the same SLIM-posting PPJoin split
     * as [[jaccardPairsPrefix]] (positions and sizes through the candidate
     * shuffle, first-match min-aggregate, positional filter, arrays fetched

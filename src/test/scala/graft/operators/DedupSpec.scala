@@ -529,6 +529,42 @@ class DedupSpec extends SparkSpec {
     graft.GraftSession.releaseCaches(spark, blocking = true)
   }
 
+  test("cross cascade experiment: collapsed-representative branch emits exactly the direct branch's pairs") {
+    // the equivalence that makes ProfileCrossCascade's A/B valid (the
+    // cascade is deliberately NOT wired into crossJaccardPairs — measured
+    // a net loss on both corpus shapes, see the seam's scaladoc).
+    // Exact duplicates planted on BOTH sides (the mass the cascade
+    // collapses), near-dups across reps, a cross-side identical pair, an
+    // in-block empty set, and a second block — every cascade edge case
+    val batch = Seq(
+      (1L, "g", Seq("a", "b", "c")),
+      (2L, "g", Seq("a", "b", "c")),   // exact dup of 1 (left side)
+      (3L, "g", Seq("a", "b", "d")),
+      (4L, "g", Seq.empty[String]),    // empty: never a pair
+      (5L, "h", Seq("p", "q"))).toDF("id", "blk", "toks")
+    val corpus = Seq(
+      (10L, "g", Seq("a", "b", "c")),  // identical to 1/2 across sides
+      (11L, "g", Seq("a", "b", "c")),  // exact dup of 10 (right side)
+      (12L, "g", Seq("a", "b", "e")),
+      (13L, "g", Seq.empty[String]),
+      (14L, "h", Seq("p", "q", "r"))).toDF("id", "blk", "toks")
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    Seq(0.5, 0.65, 1.0).foreach { tau =>
+      val direct = sorted(Dedup.crossJaccardPairs(
+        batch, corpus, "id", "toks", "blk", tau))
+      val cascade = sorted(Dedup.crossJaccardPairsCascadePath(
+        batch, corpus, "id", "toks", "blk", tau))
+      assert(cascade === direct, s"cascade must be invisible at tau=$tau")
+    }
+    // sanity: the fixture actually exercises expansion (dup×dup fan-out)
+    val atHalf = sorted(Dedup.crossJaccardPairsCascadePath(
+      batch, corpus, "id", "toks", "blk", 0.5))
+    assert(atHalf.count { case (l, r, j) => j == 1.0 && Set(1L, 2L)(l) && Set(10L, 11L)(r) } === 4,
+      "both left dups must pair with both right dups through their reps")
+    graft.GraftSession.releaseCaches(spark, blocking = true)
+  }
+
   test("crossJaccardPairsTokens: an id present on BOTH sides keeps its token streams separate") {
     // the re-ingest case: doc 42 appears in the batch AND the corpus with
     // different text. The shingle window partitions by (id, block, side),
