@@ -419,9 +419,29 @@ object Similarity {
                        coarse: Array[Array[Double]],
                        codebooks: Array[Array[Array[Double]]],
                        idCol: String = "vec_id", vecCol: String = "embedding",
-                       withVectors: Boolean = true): Unit =
+                       withVectors: Boolean = true): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a stamped manifest must follow EVERY mutation path, not just the
+    // idempotent one: snapshot the listing, land the batch, merge rows for
+    // exactly the files the write added (Spark's append names them
+    // anonymously, so the delta comes from the listing, not a prefix)
+    val stamped = fs.exists(new Path(root, ManifestName))
+    val before: Set[String] =
+      if (stamped) indexDataFiles(fs, root).map(_._2).toSet else Set.empty
     ivfPqEncode(batch, coarse, codebooks, idCol, vecCol, keepVec = withVectors)
       .write.mode("append").partitionBy("cluster").parquet(path)
+    if (stamped) {
+      val added = indexDataFiles(fs, root).filterNot(f => before(f._2))
+      val in = fs.open(new Path(root, ManifestName))
+      val old = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      writeIndexManifest(spark, root,
+        (old ++ manifestRows(spark, added)).sorted)
+    }
+  }
 
   /** IDEMPOTENT append for replayable writers (the streaming sink,
     * [[graft.streaming.Streams.ivfPqIndexSink]]): the same `batchId`
@@ -449,7 +469,11 @@ object Similarity {
     * A crash anywhere before 4 replays into the same deterministic names
     * after the scrub — never a duplicate row, and never a reader-visible
     * partially-copied file: the cross-directory byte move happens under an
-    * underscore name no probe ever lists. Markers tie the index to ONE
+    * underscore name no probe ever lists. The contract survives a
+    * compaction running BETWEEN the crash and the replay, too:
+    * [[ivfPqIndexCompact]] deletes un-markered batch files before
+    * rewriting anything (folding them into anonymous part files would
+    * blind this scrub and land the replay twice). Markers tie the index to ONE
     * checkpoint lineage: restarting a stream with a fresh checkpoint
     * restarts batch ids at 0, so pair a fresh checkpoint with a fresh
     * index (or a rebuild), exactly as foreachBatch's own idempotence
@@ -616,12 +640,43 @@ object Similarity {
         }
       fs.delete(staging, true)
     }
+    // scrub ORPHANED batch landings before anything is rewritten: a
+    // b<id>_ file (final or in-progress name) whose commit marker is
+    // absent is a crashed append's partial landing — that batch WILL
+    // replay (its marker was never written), and folding its rows into
+    // anonymous compacted part files would blind the replay's prefix
+    // scrub, landing the batch twice. Deleting them re-creates exactly
+    // the state the replay's own scrub would have made; appends running
+    // concurrently are already excluded by the maintenance window.
+    val batchesDir = new Path(root, "_batches")
+    val committed: Set[String] =
+      if (fs.exists(batchesDir))
+        fs.listStatus(batchesDir).map(_.getPath.getName.stripPrefix("batch-")).toSet
+      else Set.empty
+    val BatchFile = "^_?b(\\d+)_.*".r
+    fs.listStatus(root)
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("cluster="))
+      .foreach(d => fs.listStatus(d.getPath).map(_.getPath).foreach { p =>
+        p.getName match {
+          case BatchFile(id) if !committed.contains(id) => fs.delete(p, false)
+          case _ => ()
+        }
+      })
+    val manifestPath = new Path(root, ManifestName)
     val dirty = fs.listStatus(root).filter(_.isDirectory)
       .filter(_.getPath.getName.startsWith("cluster="))
       .filter(d => fs.listStatus(d.getPath)
         .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerCluster)
       .map(_.getPath.getName.stripPrefix("cluster=").toInt).sorted.toSeq
-    if (dirty.isEmpty) return Nil
+    if (dirty.isEmpty) {
+      // a crash between a prior compaction's staging delete (its commit
+      // point) and its manifest update leaves a stale stamp with no
+      // staging left to heal — the listing compare detects it here, on
+      // the next maintenance call, and a rebuild repairs it
+      if (fs.exists(manifestPath) && manifestStale(fs, root))
+        ivfPqIndexManifest(spark, path)
+      return Nil
+    }
     // typed pruning literals (pruneToProbed), NOT raw int isin: with
     // partition-type inference off the cluster column is string and a
     // mistyped literal would cast the partition column — a full-index scan
@@ -642,10 +697,22 @@ object Similarity {
         s"compaction swap rename to $live failed; staging preserved for heal")
     }
     fs.delete(staging, true)
-    // a stamped manifest describes the pre-compaction layout; regenerate
-    // it for the rewritten clusters (full rebuild — compaction is already
-    // an index-scale job, and the manifest pass is I/O-proportional to it)
-    if (fs.exists(new Path(root, ManifestName))) ivfPqIndexManifest(spark, path)
+    // a stamped manifest follows the rewrite with |dirty|-proportional
+    // work (compaction's own cost contract): drop the rewritten clusters'
+    // lines, stream only their fresh files. If the stamp carried damage
+    // BEYOND the rewritten clusters (a crashed prior update), the listing
+    // compare on the merged result catches it and a full rebuild repairs.
+    if (fs.exists(manifestPath)) {
+      val in = fs.open(manifestPath)
+      val old = try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toList finally in.close()
+      val kept = old.filterNot(l =>
+        dirty.exists(c => l.contains("\"cluster\":\"cluster=" + c + "\",")))
+      val fresh = indexDataFiles(fs, root)
+        .filter { case (c, _) => dirty.contains(c.stripPrefix("cluster=").toInt) }
+      writeIndexManifest(spark, root, (kept ++ manifestRows(spark, fresh)).sorted)
+      if (manifestStale(fs, root)) ivfPqIndexManifest(spark, path)
+    }
     dirty
   }
 
@@ -664,16 +731,23 @@ object Similarity {
     * the same bytes are byte-identical.
     *
     * Lifecycle: stamp on demand (this call — typically right before a
-    * transfer, or after [[ivfPqIndexWrite]]); once stamped, mutation
-    * keeps it honest — [[ivfPqIndexAppendOnce]] merges its batch's file
-    * rows in BEFORE writing the commit marker (a replay after a crash
-    * re-merges — batch-keyed file names make the merge idempotent), and
-    * [[ivfPqIndexCompact]] regenerates it after a swap. An index never
-    * stamped pays zero manifest cost. Consistency matches the index's own
-    * contract: authoritative at quiescence; mid-crash it can lag exactly
-    * as far as the index does, and the crash-heal that rolls clusters
-    * back to their retired copies rolls the manifest's truth back with
-    * them (retired copies ARE the files the manifest describes). The
+    * transfer, or after [[ivfPqIndexWrite]]); once stamped, EVERY
+    * mutation path keeps it honest — [[ivfPqIndexAppendOnce]] merges its
+    * batch's file rows in BEFORE writing the commit marker (a replay
+    * after a crash re-merges — batch-keyed file names make the merge
+    * idempotent), [[ivfPqIndexAppend]] merges the listing delta its
+    * anonymous-named write added, and [[ivfPqIndexCompact]] merges the
+    * rewritten clusters' rows (|dirty|-proportional, preserving
+    * compaction's cost contract) and — because a crash can separate any
+    * mutation's commit point from its manifest update — repairs a stamp
+    * whose file list disagrees with the live listing (metadata-scale
+    * compare) by a full rebuild on the next maintenance call. An index
+    * never stamped pays zero manifest cost. Consistency matches the
+    * index's own contract: authoritative at quiescence; mid-crash it can
+    * lag exactly as far as the index does, and the crash-heal that rolls
+    * clusters back to their retired copies rolls the manifest's truth
+    * back with them (retired copies ARE the files the manifest
+    * describes). The
     * streaming `_batches/` markers are deliberately NOT manifest rows —
     * they are checkpoint-lineage state, not transferable data; a receiver
     * continuing ingest pairs the copied index with a fresh checkpoint
@@ -683,13 +757,37 @@ object Similarity {
     import org.apache.hadoop.fs.Path
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(root)
+    writeIndexManifest(spark, root, manifestRows(spark, indexDataFiles(fs, root)))
+  }
+
+  /** (cluster dir name, absolute path) of every live data file — the
+    * listing both the manifest and its staleness check derive from. */
+  private def indexDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                             root: org.apache.hadoop.fs.Path): Seq[(String, String)] =
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root)
       .filter(d => d.isDirectory && d.getPath.getName.startsWith("cluster="))
       .flatMap(d => fs.listStatus(d.getPath).map(_.getPath)
         .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_"))
         .map(p => (d.getPath.getName, p.toString)))
       .toSeq
-    writeIndexManifest(spark, root, manifestRows(spark, files))
+
+  private val ManifestFileField = """"file":"([^"]+)"""".r
+
+  /** Does the stamped manifest's file list disagree with the live
+    * listing? Metadata-scale (names only, no bytes) — the repair signal
+    * for a stamp orphaned by a crash between an index mutation's commit
+    * point and its manifest update. */
+  private def manifestStale(fs: org.apache.hadoop.fs.FileSystem,
+                            root: org.apache.hadoop.fs.Path): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val live = indexDataFiles(fs, root)
+      .map { case (c, p) => s"$c/${new Path(p).getName}" }.toSet
+    val in = fs.open(new Path(root, ManifestName))
+    val listed = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .flatMap(l => ManifestFileField.findFirstMatchIn(l).map(_.group(1))).toSet
+      finally in.close()
+    live != listed
   }
 
   /** (cluster dir name, absolute file) → sorted manifest lines, one

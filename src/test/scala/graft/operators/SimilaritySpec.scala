@@ -524,6 +524,51 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("compaction scrubs un-markered batch landings; the replay still lands exactly once") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = Similarity.ivfCentroids(e, k = 4, iters = 1)
+    val books = Similarity.pqTrain(e, 4, 16, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("orphan_scrub").toString + "/idx"
+    try {
+      Similarity.ivfPqIndexWrite(e.where(col("vec_id") % 3 === 0), dir, coarse, books)
+      assert(Similarity.ivfPqIndexAppendOnce(e.where(col("vec_id") % 3 === 1),
+        dir, 0L, coarse, books))
+      val b1 = e.where(col("vec_id") % 3 === 2)
+      assert(Similarity.ivfPqIndexAppendOnce(b1, dir, 1L, coarse, books))
+      // the crash shape: batch 1's files landed but its marker never made
+      // it — delete the marker to rewind to exactly that state
+      val marker = new java.io.File(s"$dir/_batches/batch-1")
+      assert(marker.exists() && marker.delete())
+      // a compaction runs while the stream is down; folding the orphaned
+      // b1_ files into anonymous part files would blind the replay scrub
+      Similarity.ivfPqIndexCompact(spark, dir, maxFilesPerCluster = 1)
+      val clusterFiles = new java.io.File(dir).listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("cluster="))
+        .flatMap(_.listFiles()).map(_.getName)
+      assert(!clusterFiles.exists(_.matches("_?b1_.*")),
+        "compaction must scrub un-markered batch files, not fold them in")
+      // the replay lands the batch exactly once
+      assert(Similarity.ivfPqIndexAppendOnce(b1, dir, 1L, coarse, books))
+      assert(spark.read.parquet(dir).count() === e.count(),
+        "each row exactly once after scrub + replay")
+      val q = e.where(col("vec_id") < 5)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+      assert(rows(Similarity.ivfPqTopKIndexed(
+        q, spark.read.parquet(dir), 5, coarse, books, nprobe = 4)).toSeq ===
+        rows(Similarity.ivfPqTopK(q, e, 5, coarse, books, nprobe = 4)).toSeq)
+      // committed batch 0's files were NOT scrubbed (marker present):
+      // replaying batch 0 is still a silent skip
+      assert(!Similarity.ivfPqIndexAppendOnce(e.where(col("vec_id") % 3 === 1),
+        dir, 0L, coarse, books))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
+  }
+
   test("index transfer manifest: stamped, append-maintained, compaction-regenerated, byte-exact") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
@@ -589,6 +634,22 @@ class SimilaritySpec extends SparkSpec {
       assert(rows(Similarity.ivfPqTopKIndexed(
         q, spark.read.parquet(dir), 5, coarse, books, nprobe = 4)).toSeq ===
         rows(Similarity.ivfPqTopK(q, e, 5, coarse, books, nprobe = 4)).toSeq)
+      // the PLAIN batch append (anonymous file names) maintains the stamp
+      // too — via its listing delta, not a name prefix
+      Similarity.ivfPqIndexAppend(e.where(col("vec_id") < 3)
+        .withColumn("vec_id", col("vec_id") + 100000), dir, coarse, books)
+      validate()
+      // a stamp orphaned by a crash between a mutation's commit point and
+      // its manifest update is repaired on the next maintenance call via
+      // the listing compare (here: simulate by corrupting the stamp)
+      val lines = manifestLines
+      java.nio.file.Files.write(manifest.toPath,
+        (lines.drop(1).mkString("\n") + "\n").getBytes("UTF-8"))
+      // the out-of-band corruption invalidates Hadoop's local-FS checksum
+      // sidecar; drop it so the simulated stale stamp is readable
+      new java.io.File(dir, "._manifest.jsonl.crc").delete()
+      assert(Similarity.ivfPqIndexCompact(spark, dir, maxFilesPerCluster = 100).isEmpty)
+      validate()
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(dir).getParentFile)
