@@ -144,6 +144,21 @@ object Dedup {
       df.repartition(width, keys: _*)
     else df
 
+  /** The verification fetch every pair path shares: candidates joined to
+    * the left-side arrays then the right-side arrays, each byte-heavy
+    * exchange widened by [[widenForJoin]] (these joins move the token
+    * arrays — Σ corpus tokens per side). `leftArrays`/`rightArrays` carry
+    * (blk, left_id/right_id, ls/rs). */
+  private def widenedVerifyJoin(candidates: DataFrame, width: Int,
+                                leftArrays: DataFrame,
+                                rightArrays: DataFrame): DataFrame =
+    widenForJoin(widenForJoin(candidates, width, col("blk"), col("left_id"))
+      .join(widenForJoin(leftArrays, width, col("blk"), col("left_id")),
+        Seq("blk", "left_id")),
+      width, col("blk"), col("right_id"))
+      .join(widenForJoin(rightArrays, width, col("blk"), col("right_id")),
+        Seq("blk", "right_id"))
+
   /** Total posting volume (Σ n) of a persisted hashed/prefix relation —
     * the width driver for [[pairShuffleWidth]]. One single-row aggregate
     * over a relation the caller persists anyway; running it eagerly here
@@ -333,16 +348,10 @@ object Dedup {
         greatest(col("sup_id"), col("sub_id")).as("right_id"),
         when(col("sup_id") < col("sub_id"), col("nsup")).otherwise(col("nsub")).as("nl"),
         when(col("sup_id") < col("sub_id"), col("nsub")).otherwise(col("nsup")).as("nr"))
-    // verify joins move the token arrays — widen like the candidate join
-    widenForJoin(widenForJoin(eq.unionByName(sub)
-      .dropDuplicates("left_id", "right_id"), width, col("blk"), col("left_id"))
-      .join(widenForJoin(base.select(col("blk"), col("hs_id").as("left_id"),
-        col("hs").as("ls")), width, col("blk"), col("left_id")),
-        Seq("blk", "left_id")),
-      width, col("blk"), col("right_id"))
-      .join(widenForJoin(base.select(col("blk"), col("hs_id").as("right_id"),
-        col("hs").as("rs")), width, col("blk"), col("right_id")),
-        Seq("blk", "right_id"))
+    widenedVerifyJoin(eq.unionByName(sub)
+      .dropDuplicates("left_id", "right_id"), width,
+      base.select(col("blk"), col("hs_id").as("left_id"), col("hs").as("ls")),
+      base.select(col("blk"), col("hs_id").as("right_id"), col("hs").as("rs")))
       .withColumn("inter", size(array_intersect(col("ls"), col("rs"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("nl") + col("nr") - col("inter")))
@@ -460,15 +469,9 @@ object Dedup {
         .where(lit(1) + least(col("nl") - col("fm.lp") - 1,
                               col("nr") - col("fm.rp") - 1)
           >= lit(threshold / (1 + threshold)) * (col("nl") + col("nr")) - 1e-9)
-      // verify joins move the token arrays — widen like the posting join
-      widenForJoin(widenForJoin(candidates, width, col("blk"), col("left_id"))
-        .join(widenForJoin(pre.select(col("blk"), col("hs_id").as("left_id"),
-          col("ord").as("ls")), width, col("blk"), col("left_id")),
-          Seq("blk", "left_id")),
-        width, col("blk"), col("right_id"))
-        .join(widenForJoin(pre.select(col("blk"), col("hs_id").as("right_id"),
-          col("ord").as("rs")), width, col("blk"), col("right_id")),
-          Seq("blk", "right_id"))
+      widenedVerifyJoin(candidates, width,
+        pre.select(col("blk"), col("hs_id").as("left_id"), col("ord").as("ls")),
+        pre.select(col("blk"), col("hs_id").as("right_id"), col("ord").as("rs")))
         .withColumn("inter", size(array_intersect(col("ls"), col("rs"))))
         .withColumn("jaccard",
           col("inter").cast("double") / (col("nl") + col("nr") - col("inter")))
@@ -622,15 +625,11 @@ object Dedup {
       .where(lit(1) + least(col("nl") - col("fm.lp") - 1,
                             col("nr") - col("fm.rp") - 1)
         >= lit(threshold / (1 + threshold)) * (col("nl") + col("nr")) - 1e-9)
-    // verify joins move the token arrays — widen like the posting join
-    widenForJoin(widenForJoin(candidates, width, col("blk"), col("left_id"))
-      .join(widenForJoin(pre.where(col("side") === 0).select(col("blk"),
+    widenedVerifyJoin(candidates, width,
+      pre.where(col("side") === 0).select(col("blk"),
         col("hs_id").as("left_id"), col("ord").as("ls")),
-        width, col("blk"), col("left_id")), Seq("blk", "left_id")),
-      width, col("blk"), col("right_id"))
-      .join(widenForJoin(pre.where(col("side") === 1).select(col("blk"),
-        col("hs_id").as("right_id"), col("ord").as("rs")),
-        width, col("blk"), col("right_id")), Seq("blk", "right_id"))
+      pre.where(col("side") === 1).select(col("blk"),
+        col("hs_id").as("right_id"), col("ord").as("rs")))
       .withColumn("inter", size(array_intersect(col("ls"), col("rs"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("nl") + col("nr") - col("inter")))
@@ -733,16 +732,10 @@ object Dedup {
                             col("nr") - col("fm.rp") - 1)
         >= lit(threshold) * col("nl") - 1e-9)
     // verification: the token arrays move ONCE per surviving pair side,
-    // not once per posting — but they are the BYTE-heavy exchanges (Σ
-    // corpus tokens each), so they get the same data-aware width
-    widenForJoin(widenForJoin(candidates, width, col("blk"), col("left_id"))
-      .join(widenForJoin(pre.select(col("blk"), col("hs_id").as("left_id"),
-        col("ord").as("ls")), width, col("blk"), col("left_id")),
-        Seq("blk", "left_id")),
-      width, col("blk"), col("right_id"))
-      .join(widenForJoin(pre.select(col("blk"), col("hs_id").as("right_id"),
-        col("ord").as("rs")), width, col("blk"), col("right_id")),
-        Seq("blk", "right_id"))
+    // not once per posting
+    widenedVerifyJoin(candidates, width,
+      pre.select(col("blk"), col("hs_id").as("left_id"), col("ord").as("ls")),
+      pre.select(col("blk"), col("hs_id").as("right_id"), col("ord").as("rs")))
       .withColumn("inter", size(array_intersect(col("ls"), col("rs"))))
       .withColumn("containment", col("inter").cast("double") / col("nl"))
       .where(col("containment") >= threshold)

@@ -97,7 +97,12 @@ object ProfileScaleCurve {
         dt
       }.min
 
-    // optional args: query names to measure (default: the full panel)
+    // optional args: query names to measure (default: the full panel);
+    // a typo'd name must fail loudly, not silently shrink the panel
+    val unknown = args.toSet -- (DocQueries ++ EmbQueries).toSet
+    require(unknown.isEmpty,
+      s"unknown panel queries: ${unknown.mkString(", ")} — " +
+        s"panel is ${(DocQueries ++ EmbQueries).mkString(", ")}")
     val panel = if (args.nonEmpty) (DocQueries ++ EmbQueries).filter(args.toSet)
                 else DocQueries ++ EmbQueries
     println(f"${"query"}%-24s ${"t(0.01)"}%9s ${"t(0.1)"}%9s ${"t(sf1)"}%9s ${"exp 0.01→0.1"}%13s ${"exp 0.1→sf1"}%12s ${"exp(verbatim)"}%14s")
