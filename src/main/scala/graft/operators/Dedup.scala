@@ -204,7 +204,13 @@ object Dedup {
     *    exact intersection.
     *
     *  - τ = 0 (diagnostic/baseline use): full block self-join, since
-    *    zero-overlap pairs must be emitted too. */
+    *    zero-overlap pairs must be emitted too.
+    *
+    * NOT fully lazy: constructing the returned DataFrame runs one eager
+    * Spark job on the prefix path — the posting-volume aggregate that
+    * sizes the pair shuffle ([[pairShuffleWidth]]) and doubles as the
+    * materializer of the persisted prefix cache every downstream stage
+    * reuses. Build the plan only when you intend to run it. */
   def jaccardPairs(df: DataFrame, id: String, tokenSet: String,
                    block: String, threshold: Double,
                    vocabHint: Option[Long] = None): DataFrame = {
@@ -502,7 +508,11 @@ object Dedup {
     * the self-join case: J(A,B) ≥ τ forces a shared token inside each side's
     * n − ⌈τn⌉ + 1 prefix), candidate join keyed on the globally rarest
     * tokens, exact intersection verify. The batch side is typically ≪ the
-    * corpus side; AQE broadcasts its exploded prefix when it fits. */
+    * corpus side; AQE broadcasts its exploded prefix when it fits.
+    *
+    * NOT fully lazy: construction runs one eager Spark job (the
+    * posting-volume aggregate sizing the pair shuffle, which also
+    * materializes the shared prefix cache) — see [[jaccardPairs]]. */
   def crossJaccardPairs(left: DataFrame, right: DataFrame, id: String,
                         tokenSet: String, block: String,
                         threshold: Double): DataFrame = {
@@ -529,7 +539,10 @@ object Dedup {
     * partitions by (id, block, side), so the same id may appear on both
     * sides — the common re-ingest case — but two rows sharing an id on one
     * side would interleave token streams; the string path tolerates that,
-    * this one requires per-side uniqueness). */
+    * this one requires per-side uniqueness).
+    *
+    * NOT fully lazy: construction runs one eager Spark job — see
+    * [[jaccardPairs]]. */
   def crossJaccardPairsTokens(left: DataFrame, right: DataFrame, id: String,
                               tokens: String, block: String,
                               threshold: Double, shingleN: Int = 3): DataFrame = {
@@ -653,7 +666,10 @@ object Dedup {
     * token via a min-aggregate; the size filter |B| ≥ τ·|A| and the
     * POSITIONAL filter (remaining overlap after the first match must
     * reach τ·|A|) prune before the arrays are fetched — once per
-    * surviving pair — for exact verification. */
+    * surviving pair — for exact verification.
+    *
+    * NOT fully lazy: construction runs one eager Spark job — see
+    * [[jaccardPairs]]. */
   def containmentPairs(df: DataFrame, id: String, tokenSet: String,
                        block: String, threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
@@ -683,7 +699,10 @@ object Dedup {
     * Precondition: (id, block) must identify one physical row — duplicate
     * ids within a block would interleave token streams in the shingle
     * window (see [[shingleHashedSetsBlocked]]); use the string-path
-    * `containmentPairs` if the input may carry repeated ids. */
+    * `containmentPairs` if the input may carry repeated ids.
+    *
+    * NOT fully lazy: construction runs one eager Spark job — see
+    * [[jaccardPairs]]. */
   def containmentPairsTokens(df: DataFrame, id: String, tokens: String,
                              block: String, threshold: Double,
                              shingleN: Int = 3): DataFrame = {

@@ -424,23 +424,32 @@ object Similarity {
     val spark = batch.sparkSession
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // a stamped manifest must follow EVERY mutation path, not just the
-    // idempotent one: snapshot the listing, land the batch, merge rows for
-    // exactly the files the write added (Spark's append names them
-    // anonymously, so the delta comes from the listing, not a prefix)
-    val stamped = fs.exists(new Path(root, ManifestName))
-    val before: Set[String] =
-      if (stamped) indexDataFiles(fs, root).map(_._2).toSet else Set.empty
-    ivfPqEncode(batch, coarse, codebooks, idCol, vecCol, keepVec = withVectors)
-      .write.mode("append").partitionBy("cluster").parquet(path)
-    if (stamped) {
-      val added = indexDataFiles(fs, root).filterNot(f => before(f._2))
-      val in = fs.open(new Path(root, ManifestName))
-      val old = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().toList finally in.close()
-      writeIndexManifest(spark, root,
-        (old ++ manifestRows(spark, added)).sorted)
-    }
+    // same mutual-exclusion protocol as [[ivfPqIndexAppendOnce]]: raise a
+    // lease, THEN look for a compaction staging — anonymous files landed
+    // mid-swap would be destroyed by the crash-heal's retired-copy restore
+    // with no replay to heal them, so this path needs the guard even more
+    // than the idempotent one
+    val lease = acquireAppendLease(fs, root)
+    try {
+      failIfCompacting(fs, root)
+      // a stamped manifest must follow EVERY mutation path, not just the
+      // idempotent one: snapshot the listing, land the batch, merge rows for
+      // exactly the files the write added (Spark's append names them
+      // anonymously, so the delta comes from the listing, not a prefix)
+      val stamped = fs.exists(new Path(root, ManifestName))
+      val before: Set[String] =
+        if (stamped) indexDataFiles(fs, root).map(_._2).toSet else Set.empty
+      ivfPqEncode(batch, coarse, codebooks, idCol, vecCol, keepVec = withVectors)
+        .write.mode("append").partitionBy("cluster").parquet(path)
+      if (stamped) {
+        val added = indexDataFiles(fs, root).filterNot(f => before(f._2))
+        val in = fs.open(new Path(root, ManifestName))
+        val old = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toList finally in.close()
+        writeIndexManifest(spark, root,
+          (old ++ manifestRows(spark, added)).sorted)
+      }
+    } finally fs.delete(lease, false)
   }
 
   /** IDEMPOTENT append for replayable writers (the streaming sink,
@@ -480,10 +489,24 @@ object Similarity {
     * guidance prescribes. Like the indexed probes, appends refuse to start
     * while a compaction staging dir exists — landing files mid-swap risks
     * the crash-heal destroying them while the batch marker survives to
-    * suppress the replay. That guard is best-effort and check-time only,
-    * exactly like [[assertNotCompacting]]: a compaction STARTING after the
-    * check still races, and the documented ingest maintenance window
-    * remains the actual contract. Returns false on the skip path. */
+    * suppress the replay.
+    *
+    * The append↔compaction exclusion is MECHANICAL, not check-time
+    * best-effort: the append raises a lease file (`_leases/lease-<uuid>`,
+    * `_`-prefixed so readers never see it) BEFORE checking for the
+    * compaction staging, and [[ivfPqIndexCompact]] raises its staging dir
+    * BEFORE scanning for leases — the mirror image. Whatever the
+    * interleaving, at least one side observes the other's artifact and
+    * fails fast, so a compaction can no longer slip into the gap between
+    * this append's guard check and its renames (the round-13 TOCTTOU
+    * window). The lease is dropped on every exit, including failure — a
+    * failed landing is un-markered and the replay heals it; only a
+    * KILLED JVM leaves a lease behind, which compaction treats as
+    * crashed once it exceeds its staleness bound and scrubs (the
+    * un-markered files it vouched for are scrubbed by the same call).
+    * Both sides backing off simultaneously is possible (two fail-fast
+    * errors, no progress) — retry; neither ever proceeds unsafely.
+    * Returns false on the skip path. */
   def ivfPqIndexAppendOnce(batch: DataFrame, path: String, batchId: Long,
                            coarse: Array[Array[Double]],
                            codebooks: Array[Array[Array[Double]]],
@@ -504,76 +527,78 @@ object Similarity {
     // landed now could sit in a dir the heal is about to delete and
     // restore from its retired copy, while this batch's commit marker
     // would survive and suppress the replay: permanent silent row loss.
-    // Best-effort check-time guard (a compaction starting after this
-    // check still races — the maintenance window is the contract); the
-    // caller retries after ivfPqIndexCompact returns (or heals a crashed
-    // run).
-    val compacting = new Path(root.toString + "_compacting")
-    if (fs.exists(compacting))
-      throw new IllegalStateException(
-        s"index at $root is being compacted ($compacting exists): appending " +
-          "mid-swap can lose the batch to the crash-heal. Retry after " +
-          "ivfPqIndexCompact returns; if a compaction crashed, calling it " +
-          "again heals the index first.")
-    // staging sibling derives from the NORMALIZED root, matching the
-    // compact/guard normalization — raw `path + "_batch<id>"` on a
-    // trailing-slash path would stage at `dir/_batch<id>` INSIDE the
-    // index root and leave permanent residue there after a crash
-    val staging = new Path(root.toString + s"_batch$batchId")
-    ivfPqEncode(batch, coarse, codebooks, idCol, vecCol, keepVec = withVectors)
-      .write.mode("overwrite").partitionBy("cluster").parquet(staging.toString)
-    val prefix = s"b${batchId}_"
-    if (fs.exists(root))
-      fs.listStatus(root)
+    // LEASE FIRST, then the staging check (scaladoc above): compaction
+    // does the reverse (staging first, then the lease scan), so whatever
+    // the interleaving at least one side sees the other and fails fast —
+    // there is no window between this check and the renames below in
+    // which a compaction can proceed.
+    val lease = acquireAppendLease(fs, root)
+    try {
+      failIfCompacting(fs, root)
+      // staging sibling derives from the NORMALIZED root, matching the
+      // compact/guard normalization — raw `path + "_batch<id>"` on a
+      // trailing-slash path would stage at `dir/_batch<id>` INSIDE the
+      // index root and leave permanent residue there after a crash
+      val staging = new Path(root.toString + s"_batch$batchId")
+      ivfPqEncode(batch, coarse, codebooks, idCol, vecCol, keepVec = withVectors)
+        .write.mode("overwrite").partitionBy("cluster").parquet(staging.toString)
+      val prefix = s"b${batchId}_"
+      if (fs.exists(root))
+        fs.listStatus(root)
+          .filter(d => d.isDirectory && d.getPath.getName.startsWith("cluster="))
+          .foreach(d => fs.listStatus(d.getPath).map(_.getPath)
+            .filter(p => p.getName.startsWith(prefix) ||
+              p.getName.startsWith(s"_$prefix"))
+            // checked: a residue file the delete silently failed to remove
+            // would later double-count rows next to the fresh landing
+            .foreach(p => require(fs.delete(p, false),
+              s"scrub of crash residue $p failed; aborting the landing — " +
+                "replaying the batch heals")))
+      fs.listStatus(staging)
         .filter(d => d.isDirectory && d.getPath.getName.startsWith("cluster="))
-        .foreach(d => fs.listStatus(d.getPath).map(_.getPath)
-          .filter(p => p.getName.startsWith(prefix) ||
-            p.getName.startsWith(s"_$prefix"))
-          .foreach(p => fs.delete(p, false)))
-    fs.listStatus(staging)
-      .filter(d => d.isDirectory && d.getPath.getName.startsWith("cluster="))
-      .foreach { d =>
-        val live = new Path(root, d.getPath.getName)
-        fs.mkdirs(live)
-        fs.listStatus(d.getPath).map(_.getPath)
-          .filter(_.getName.endsWith(".parquet"))
-          .zipWithIndex.foreach { case (f, i) =>
-            // two-phase landing: the cross-directory rename is where the
-            // bytes move (copy+delete on object stores), so it targets an
-            // underscore-prefixed in-progress name Spark's listing never
-            // surfaces; the final in-directory rename just flips the name
-            val tmp = new Path(live, s"_$prefix$i.parquet.inprogress")
-            require(fs.rename(f, tmp),
-              s"batch-append rename of $f to $tmp failed; " +
-                "staging preserved — replaying the batch heals")
-            require(fs.rename(tmp, new Path(live, s"$prefix$i.parquet")),
-              s"batch-append publish of $tmp failed; " +
-                "replaying the batch heals")
-          }
+        .foreach { d =>
+          val live = new Path(root, d.getPath.getName)
+          fs.mkdirs(live)
+          fs.listStatus(d.getPath).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet"))
+            .zipWithIndex.foreach { case (f, i) =>
+              // two-phase landing: the cross-directory rename is where the
+              // bytes move (copy+delete on object stores), so it targets an
+              // underscore-prefixed in-progress name Spark's listing never
+              // surfaces; the final in-directory rename just flips the name
+              val tmp = new Path(live, s"_$prefix$i.parquet.inprogress")
+              require(fs.rename(f, tmp),
+                s"batch-append rename of $f to $tmp failed; " +
+                  "staging preserved — replaying the batch heals")
+              require(fs.rename(tmp, new Path(live, s"$prefix$i.parquet")),
+                s"batch-append publish of $tmp failed; " +
+                  "replaying the batch heals")
+            }
+        }
+      // maintain a stamped manifest BEFORE the commit marker: batch-keyed
+      // file names make the merge idempotent (drop this batch's rows, add
+      // the fresh ones), and marker-after-manifest means a crash between
+      // them replays the whole landing INCLUDING the re-merge — the marker
+      // never vouches for files the manifest doesn't describe
+      if (fs.exists(new Path(root, ManifestName))) {
+        val landed = fs.listStatus(root)
+          .filter(d => d.isDirectory && d.getPath.getName.startsWith("cluster="))
+          .flatMap(d => fs.listStatus(d.getPath).map(_.getPath)
+            .filter(_.getName.startsWith(prefix))
+            .map(p => (d.getPath.getName, p.toString)))
+          .toSeq
+        val in = fs.open(new Path(root, ManifestName))
+        val old = try scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toList finally in.close()
+        val kept = old.filterNot(manifestLineInBatch(_, batchId))
+        writeIndexManifest(spark, root,
+          (kept ++ manifestRows(spark, landed)).sorted)
       }
-    // maintain a stamped manifest BEFORE the commit marker: batch-keyed
-    // file names make the merge idempotent (drop this batch's rows, add
-    // the fresh ones), and marker-after-manifest means a crash between
-    // them replays the whole landing INCLUDING the re-merge — the marker
-    // never vouches for files the manifest doesn't describe
-    if (fs.exists(new Path(root, ManifestName))) {
-      val landed = fs.listStatus(root)
-        .filter(d => d.isDirectory && d.getPath.getName.startsWith("cluster="))
-        .flatMap(d => fs.listStatus(d.getPath).map(_.getPath)
-          .filter(_.getName.startsWith(prefix))
-          .map(p => (d.getPath.getName, p.toString)))
-        .toSeq
-      val in = fs.open(new Path(root, ManifestName))
-      val old = try scala.io.Source.fromInputStream(in, "UTF-8")
-        .getLines().toList finally in.close()
-      val kept = old.filterNot(_.contains(s"""/$prefix"""))
-      writeIndexManifest(spark, root,
-        (kept ++ manifestRows(spark, landed)).sorted)
-    }
-    fs.mkdirs(marker.getParent)
-    fs.create(marker, true).close()
-    fs.delete(staging, true)
-    true
+      fs.mkdirs(marker.getParent)
+      fs.create(marker, true).close()
+      fs.delete(staging, true)
+      true
+    } finally fs.delete(lease, false)
   }
 
   /** COMPACT a grown index: every append ([[ivfPqIndexAppend]], streaming
@@ -587,26 +612,38 @@ object Similarity {
     * NO re-encoding — no quantizer passes, pure I/O, |dirty clusters|
     * work, not |index|.
     *
-    * The rewrite stages into `<path>_compacting` and then swaps each dirty
-    * cluster directory by rename, retiring the old copy INTO the staging
-    * dir first — so at every instant each cluster's rows exist in the live
-    * tree or the staging tree (or both), never nowhere. A crashed run is
-    * healed on the next call before anything else happens: every
+    * The rewrite stages into `<path>_compacting/fresh` and then swaps each
+    * dirty cluster directory by rename, retiring the old copy INTO the
+    * staging dir first — so at every instant each cluster's rows exist in
+    * the live tree or the staging tree (or both), never nowhere. A crashed
+    * run is healed on the next call before anything else happens: every
     * `retired_cluster=N` still in staging is renamed back over its live
     * twin (deleting the live dir first if present). The retired copy
     * always wins because a live twin may be a PARTIAL swap — rename on
     * object stores is copy+delete, not atomic — while rolling back a swap
     * that completed merely discards a redundant rewrite of the same rows;
-    * the next compaction redoes it. Renames are per-cluster, not
-    * index-atomic: run compaction in the ingest maintenance window — the
-    * indexed probes ENFORCE this, failing fast while the staging dir
-    * exists ([[assertNotCompacting]]) — and re-plan any DataFrame created
+    * the next compaction redoes it.
+    *
+    * Renames are per-cluster, not index-atomic, so writers and probes are
+    * excluded MECHANICALLY for the duration: the staging dir doubles as
+    * the maintenance mutex. It is raised FIRST, and only then are append
+    * leases scanned — the mirror image of the appenders' lease-then-check
+    * order ([[ivfPqIndexAppendOnce]]) — so whatever the interleaving, an
+    * in-flight append either sees the staging and fails fast or its lease
+    * is seen here and THIS call backs off (releasing the staging; retry
+    * later). A lease older than `leaseStaleMs` is a killed appender's:
+    * scrubbed, along with its un-markered files (the orphan scrub), and
+    * that batch replays cleanly afterwards. Probes fail fast while the
+    * staging exists and validate their listing against the live tree
+    * besides ([[assertNotCompacting]]); re-plan any DataFrame created
     * before the compaction. Returns the compacted cluster ids (empty =
     * nothing dirty; idempotent). */
   def ivfPqIndexCompact(spark: org.apache.spark.sql.SparkSession, path: String,
-                        maxFilesPerCluster: Int = 4): Seq[Int] = {
+                        maxFilesPerCluster: Int = 4,
+                        leaseStaleMs: Long = 60L * 60 * 1000): Seq[Int] = {
     import org.apache.hadoop.fs.Path
     require(maxFilesPerCluster >= 1, s"need maxFilesPerCluster ≥ 1, got $maxFilesPerCluster")
+    require(leaseStaleMs >= 0, s"need leaseStaleMs ≥ 0, got $leaseStaleMs")
     val root = new Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return Nil
@@ -640,6 +677,34 @@ object Similarity {
         }
       fs.delete(staging, true)
     }
+    // ACQUIRE the maintenance mutex: raise the staging dir FIRST, then
+    // scan for append leases — the mirror image of the append protocol
+    // (lease first, then staging check), so in every interleaving at
+    // least one side observes the other's artifact and fails fast. This
+    // closes the round-13 TOCTTOU window mechanically: an append whose
+    // guard check passed has its lease on disk before any of its renames,
+    // and this scan runs strictly after the staging flag those renames
+    // would have refused on. A lease older than `leaseStaleMs` belongs to
+    // a KILLED appender (live ones drop theirs on every exit, including
+    // failure) and is scrubbed — its un-markered files fall to the orphan
+    // scrub below, and the batch replays cleanly afterwards.
+    fs.mkdirs(staging)
+    val leasesDir = new Path(root, LeasesDirName)
+    if (fs.exists(leasesDir)) {
+      val now = System.currentTimeMillis()
+      val (stale, live) = fs.listStatus(leasesDir)
+        .partition(l => now - l.getModificationTime >= leaseStaleMs)
+      stale.foreach(l => fs.delete(l.getPath, false))
+      if (live.nonEmpty) {
+        fs.delete(staging, true)
+        throw new IllegalStateException(
+          s"index at $root has ${live.length} append lease(s) in flight " +
+            s"(${leasesDir}): compacting now could destroy files the append " +
+            "is landing. Retry after the appends finish; a lease older than " +
+            s"leaseStaleMs=$leaseStaleMs ms is treated as a crashed appender " +
+            "and scrubbed automatically.")
+      }
+    }
     // scrub ORPHANED batch landings before anything is rewritten: a
     // b<id>_ file (final or in-progress name) whose commit marker is
     // absent is a crashed append's partial landing — that batch WILL
@@ -658,7 +723,13 @@ object Similarity {
       .filter(d => d.isDirectory && d.getPath.getName.startsWith("cluster="))
       .foreach(d => fs.listStatus(d.getPath).map(_.getPath).foreach { p =>
         p.getName match {
-          case BatchFile(id) if !committed.contains(id) => fs.delete(p, false)
+          case BatchFile(id) if !committed.contains(id) =>
+            // checked: a silently-surviving orphan would be folded into
+            // anonymous part files below, blinding the replay's prefix
+            // scrub — the exact double-landing this scrub exists to prevent
+            require(fs.delete(p, false),
+              s"orphan-batch scrub of $p failed; aborting compaction with " +
+                "staging preserved — resolve before retrying")
           case _ => ()
         }
       })
@@ -669,24 +740,31 @@ object Similarity {
         .count(_.getPath.getName.endsWith(".parquet")) > maxFilesPerCluster)
       .map(_.getPath.getName.stripPrefix("cluster=").toInt).sorted.toSeq
     if (dirty.isEmpty) {
-      // a crash between a prior compaction's staging delete (its commit
-      // point) and its manifest update leaves a stale stamp with no
-      // staging left to heal — the listing compare detects it here, on
-      // the next maintenance call, and a rebuild repairs it
+      // a crash that separated a prior mutation's commit point from its
+      // manifest update leaves a stale stamp with no staging left to
+      // heal — the listing compare detects it here, on the next
+      // maintenance call, and a rebuild repairs it (under the mutex, so
+      // no append's merge can interleave with the rebuild)
       if (fs.exists(manifestPath) && manifestStale(fs, root))
         ivfPqIndexManifest(spark, path)
+      fs.delete(staging, true)
       return Nil
     }
+    // the rewrite lands in a SUBDIR of staging, not staging itself:
+    // Spark's overwrite mode deletes its target before writing, and the
+    // staging dir is the maintenance mutex — deleting it even briefly
+    // would reopen the append/probe window this function just closed
+    val freshRoot = new Path(staging, "fresh")
     // typed pruning literals (pruneToProbed), NOT raw int isin: with
     // partition-type inference off the cluster column is string and a
     // mistyped literal would cast the partition column — a full-index scan
     // instead of |dirty| directories
     pruneToProbed(spark.read.parquet(path), dirty.toArray)
       .repartition(dirty.length, col("cluster"))
-      .write.mode("overwrite").partitionBy("cluster").parquet(staging.toString)
+      .write.mode("overwrite").partitionBy("cluster").parquet(freshRoot.toString)
     dirty.foreach { c =>
       val live = new Path(root, s"cluster=$c")
-      val fresh = new Path(staging, s"cluster=$c")
+      val fresh = new Path(freshRoot, s"cluster=$c")
       // both renames CHECKED: Hadoop reports most failures as `false`, and
       // proceeding to the staging delete after a failed swap would destroy
       // the only copies (same hazard as the heal path above); aborting
@@ -696,27 +774,63 @@ object Similarity {
       require(fs.rename(fresh, live),
         s"compaction swap rename to $live failed; staging preserved for heal")
     }
-    fs.delete(staging, true)
     // a stamped manifest follows the rewrite with |dirty|-proportional
     // work (compaction's own cost contract): drop the rewritten clusters'
-    // lines, stream only their fresh files. If the stamp carried damage
-    // BEYOND the rewritten clusters (a crashed prior update), the listing
-    // compare on the merged result catches it and a full rebuild repairs.
+    // lines, stream only their fresh files. The merge runs BEFORE the
+    // staging delete (the commit point), still under the mutex: a crash
+    // here is rolled back by the next call's heal — retired copies
+    // restored, stamp rebuilt if the listing compare disagrees — so no
+    // append's merge can ever interleave with this one. If the stamp
+    // carried damage BEYOND the rewritten clusters (a crashed prior
+    // update), the listing compare on the merged result catches it and a
+    // full rebuild repairs.
     if (fs.exists(manifestPath)) {
       val in = fs.open(manifestPath)
       val old = try scala.io.Source.fromInputStream(in, "UTF-8")
         .getLines().toList finally in.close()
-      val kept = old.filterNot(l =>
-        dirty.exists(c => l.contains("\"cluster\":\"cluster=" + c + "\",")))
+      val kept = old.filterNot(l => manifestLineCluster(l).exists(dirty.contains))
       val fresh = indexDataFiles(fs, root)
         .filter { case (c, _) => dirty.contains(c.stripPrefix("cluster=").toInt) }
       writeIndexManifest(spark, root, (kept ++ manifestRows(spark, fresh)).sorted)
       if (manifestStale(fs, root)) ivfPqIndexManifest(spark, path)
     }
+    fs.delete(staging, true)
     dirty
   }
 
   private val ManifestName = "_manifest.jsonl"
+  private val LeasesDirName = "_leases"
+
+  /** Raise an append lease — one `_leases/lease-<uuid>` file per in-flight
+    * append (`_`-prefixed: invisible to Spark readers). One half of the
+    * two-flag exclusion protocol with [[ivfPqIndexCompact]]: the appender
+    * raises its lease BEFORE looking for the compaction staging, the
+    * compactor raises its staging BEFORE scanning leases, so at least one
+    * side always observes the other (see [[ivfPqIndexAppendOnce]]). */
+  private def acquireAppendLease(fs: org.apache.hadoop.fs.FileSystem,
+                                 root: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.Path = {
+    val lease = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root, LeasesDirName),
+      s"lease-${java.util.UUID.randomUUID()}")
+    fs.mkdirs(lease.getParent)
+    fs.create(lease, true).close()
+    lease
+  }
+
+  /** The append-side half of the exclusion protocol: fail fast while a
+    * compaction staging dir exists (live run or crashed one awaiting
+    * heal). Must run AFTER the caller's lease is on disk — the ordering
+    * IS the protocol. */
+  private def failIfCompacting(fs: org.apache.hadoop.fs.FileSystem,
+                               root: org.apache.hadoop.fs.Path): Unit = {
+    val compacting = new org.apache.hadoop.fs.Path(root.toString + "_compacting")
+    if (fs.exists(compacting))
+      throw new IllegalStateException(
+        s"index at $root is being compacted ($compacting exists): appending " +
+          "mid-swap can lose the batch to the crash-heal. Retry after " +
+          "ivfPqIndexCompact returns; if a compaction crashed, calling it " +
+          "again heals the index first.")
+  }
 
   /** TRANSFER MANIFEST for a stored clustered index: one JSON line per
     * data file — `{"cluster","file","rows","bytes","md5"}` — written as
@@ -760,6 +874,85 @@ object Similarity {
     writeIndexManifest(spark, root, manifestRows(spark, indexDataFiles(fs, root)))
   }
 
+  /** RECEIVER-SIDE verification of a transferred index against its
+    * stamped `_manifest.jsonl`: re-derives every data file's md5, byte
+    * count (streamed) and footer row count — the same distributed
+    * one-task-per-file pass that stamps the manifest ([[fileStats]]) —
+    * and compares field-by-field. Returns one human-readable discrepancy
+    * per problem, naming the exact file; empty = the copy is
+    * byte-faithful. Catches everything a transport can break:
+    *
+    *   - `MISSING` — listed in the manifest, absent on disk;
+    *   - `EXTRA` — a data file the manifest never described (a foreign
+    *     file Spark WOULD read — delete it or re-stamp deliberately);
+    *   - `CORRUPT` — bytes/md5/footer-rows disagree (truncation shows as
+    *     bytes+md5, a bit flip as md5 alone, an unreadable footer is
+    *     named as such);
+    *   - `MALFORMED` — a manifest line that doesn't parse (a damaged
+    *     manifest copy).
+    *
+    * Cost: |index| bytes streamed once, distributed; driver work is
+    * metadata-scale. Run it on the RECEIVING cluster after the copy —
+    * the whole point is to not trust the transport (or the sender's
+    * listing) — then serve probes from the verified tree. The `_batches`
+    * checkpoint markers and `_leases` are deliberately outside the
+    * contract: they are lineage state, not transferable data
+    * ([[ivfPqIndexManifest]]). */
+  def ivfPqIndexVerify(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val manifestPath = new Path(root, ManifestName)
+    if (!fs.exists(manifestPath))
+      return Seq(s"NO MANIFEST at $root: stamp the SENDER with " +
+        "ivfPqIndexManifest before transferring, then copy _manifest.jsonl " +
+        "along with the data")
+    val in = fs.open(manifestPath)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().filter(_.nonEmpty).toList finally in.close()
+    case class Expect(rows: Long, bytes: Long, md5: String)
+    val parsed: Seq[(String, Expect)] = lines.flatMap { l =>
+      for {
+        f <- ManifestFileField.findFirstMatchIn(l).map(_.group(1))
+        r <- ManifestRowsField.findFirstMatchIn(l).map(_.group(1).toLong)
+        b <- ManifestBytesField.findFirstMatchIn(l).map(_.group(1).toLong)
+        m <- ManifestMd5Field.findFirstMatchIn(l).map(_.group(1))
+      } yield f -> Expect(r, b, m)
+    }
+    val malformed = lines.filter(l =>
+        ManifestFileField.findFirstMatchIn(l).isEmpty ||
+        ManifestRowsField.findFirstMatchIn(l).isEmpty ||
+        ManifestBytesField.findFirstMatchIn(l).isEmpty ||
+        ManifestMd5Field.findFirstMatchIn(l).isEmpty)
+      .map(l => s"MALFORMED manifest line: $l")
+    val expected = parsed.toMap
+    val live: Map[String, (String, String)] = indexDataFiles(fs, root)
+      .map { case (c, p) => s"$c/${new Path(p).getName}" -> (c, p) }.toMap
+    val missing = (expected.keySet -- live.keySet).toSeq.sorted
+      .map(f => s"MISSING $f: listed in the manifest, absent on disk")
+    val extra = (live.keySet -- expected.keySet).toSeq.sorted
+      .map(f => s"EXTRA $f: data file on disk that the manifest never " +
+        "described — a reader WOULD scan it; remove it or re-stamp deliberately")
+    val common = (expected.keySet intersect live.keySet).toSeq.sorted
+    val corrupt = fileStats(spark, common.map(live)).flatMap {
+      case (cluster, name, rows, bytes, md5) =>
+        val f = s"$cluster/$name"
+        val e = expected(f)
+        val faults =
+          (if (bytes != e.bytes) Seq(s"bytes $bytes != manifest ${e.bytes}" +
+            (if (bytes < e.bytes) " (truncated)" else "")) else Nil) ++
+          (if (md5 != e.md5) Seq(s"md5 $md5 != manifest ${e.md5}") else Nil) ++
+          (rows match {
+            case Left(reason) => Seq(reason)
+            case Right(n) if n != e.rows => Seq(s"footer rows $n != manifest ${e.rows}")
+            case _ => Nil
+          })
+        if (faults.isEmpty) None else Some(s"CORRUPT $f: ${faults.mkString("; ")}")
+    }
+    malformed ++ missing ++ extra ++ corrupt
+  }
+
   /** (cluster dir name, absolute path) of every live data file — the
     * listing both the manifest and its staleness check derive from. */
   private def indexDataFiles(fs: org.apache.hadoop.fs.FileSystem,
@@ -773,6 +966,31 @@ object Similarity {
       .toSeq
 
   private val ManifestFileField = """"file":"([^"]+)"""".r
+  private val ManifestClusterField = """"cluster":"cluster=(\d+)"""".r
+  private val ManifestRowsField = """"rows":(\d+)""".r
+  private val ManifestBytesField = """"bytes":(\d+)""".r
+  private val ManifestMd5Field = """"md5":"([0-9a-f]{32})"""".r
+
+  /** Cluster id a manifest line describes, parsed from its `cluster`
+    * field — None on a line that fails to parse, which merge filters
+    * treat as "keep": a kept-but-wrong line disagrees with the live
+    * listing and the [[manifestStale]] compare triggers a full rebuild,
+    * so the conservative default self-heals instead of silently dropping
+    * a row another file still needs. */
+  private def manifestLineCluster(line: String): Option[Int] =
+    ManifestClusterField.findFirstMatchIn(line).map(_.group(1).toInt)
+
+  /** Does this manifest line describe a file landed by `batchId`? Parsed
+    * field, not substring: the file NAME comes out of the `file` field
+    * and is matched against the exact `b<id>_` prefix, underscore
+    * included — so batch 1 can never claim batch 12's files, and the
+    * invariant survives a future file-name or line-format change (an
+    * unparseable line is kept, and the staleness rebuild repairs any
+    * disagreement). */
+  private def manifestLineInBatch(line: String, batchId: Long): Boolean =
+    ManifestFileField.findFirstMatchIn(line).exists { m =>
+      m.group(1).split('/').last.startsWith(s"b${batchId}_")
+    }
 
   /** Does the stamped manifest's file list disagree with the live
     * listing? Metadata-scale (names only, no bytes) — the repair signal
@@ -790,10 +1008,14 @@ object Similarity {
     live != listed
   }
 
-  /** (cluster dir name, absolute file) → sorted manifest lines, one
-    * distributed pass (md5+bytes streamed, rows from the parquet footer). */
-  private def manifestRows(spark: org.apache.spark.sql.SparkSession,
-                           files: Seq[(String, String)]): Seq[String] = {
+  /** (cluster dir name, absolute file) → one distributed task per file:
+    * streamed (md5, byte count) plus the parquet footer row count —
+    * `Left(reason)` for the rows when the footer is unreadable (a
+    * truncated or corrupted file), so callers decide whether that is
+    * fatal (stamping) or a finding (verification). */
+  private def fileStats(spark: org.apache.spark.sql.SparkSession,
+                        files: Seq[(String, String)])
+      : Seq[(String, String, Either[String, Long], Long, String)] = {
     import org.apache.hadoop.fs.Path
     if (files.isEmpty) return Nil
     val bc = spark.sparkContext.broadcast(
@@ -811,16 +1033,30 @@ object Similarity {
           var n = in.read(buf)
           while (n > 0) { md.update(buf, 0, n); bytes += n; n = in.read(buf) }
         } finally in.close()
-        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, bc.value.value))
-        val rows = try rdr.getRecordCount finally rdr.close()
+        val rows: Either[String, Long] =
+          try {
+            val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, bc.value.value))
+            try Right(rdr.getRecordCount) finally rdr.close()
+          } catch { case e: Exception => Left(s"unreadable parquet footer (${e.getMessage})") }
         (cluster, p.getName, rows, bytes, md.digest().map("%02x".format(_)).mkString)
       }.collect().sortBy(r => (r._1, r._2)).toSeq
-      .map { case (cluster, name, rows, bytes, digest) =>
-        s"""{"cluster":"$cluster","file":"$cluster/$name",""" +
-          s""""rows":$rows,"bytes":$bytes,"md5":"$digest"}"""
-      }
   }
+
+  /** (cluster dir name, absolute file) → sorted manifest lines, one
+    * distributed pass ([[fileStats]]). Stamping requires every footer
+    * readable — a corrupt live file must fail the stamp, not be recorded
+    * as truth. */
+  private def manifestRows(spark: org.apache.spark.sql.SparkSession,
+                           files: Seq[(String, String)]): Seq[String] =
+    fileStats(spark, files).map { case (cluster, name, rows, bytes, digest) =>
+      val n = rows.fold(
+        reason => throw new IllegalStateException(
+          s"cannot stamp manifest: $cluster/$name has $reason"),
+        identity)
+      s"""{"cluster":"$cluster","file":"$cluster/$name",""" +
+        s""""rows":$n,"bytes":$bytes,"md5":"$digest"}"""
+    }
 
   /** Replace the manifest via tmp-write + rename (the `_`-prefixed tmp is
     * reader-invisible; a crash between delete and rename leaves NO
@@ -882,33 +1118,69 @@ object Similarity {
   /** Fail-fast guard enforcing [[ivfPqIndexCompact]]'s maintenance-window
     * contract: a probe racing a compaction could read a cluster mid-swap
     * (its directory momentarily retired into staging), silently missing
-    * rows. Every indexed probe calls this at plan-build time: if any of
-    * the index's file-source root paths has a live `_compacting` staging
-    * sibling — an in-flight compaction OR a crashed one awaiting heal —
-    * the probe raises instead of returning a silently-partial answer.
-    * Metadata-scale (one fs.exists per root path); in-memory relations
-    * have no file roots and pass through untouched. Best-effort by
-    * design: the check runs when the probe plan is BUILT, so a compaction
-    * starting after that still requires the documented maintenance
-    * window. */
+    * rows. Every indexed probe calls this at plan-build time; three
+    * checks together make every probe↔compaction interleaving fail fast
+    * instead of silently partial:
+    *
+    *   1. no `_compacting` staging sibling may exist for any of the
+    *      index's file-source roots — an in-flight compaction OR a
+    *      crashed one awaiting heal (one fs.exists per root);
+    *   2. the DataFrame's file LISTING must cover every live cluster
+    *      directory that holds data — a listing taken mid-swap (after a
+    *      cluster was retired, before the staging delete was observable)
+    *      is missing that cluster entirely, and once the swap completes
+    *      check 1 alone can no longer see anything wrong. This also
+    *      rejects a pre-append listing once the append lands a NEW
+    *      cluster dir — the index mutated; re-read it (the documented
+    *      contract). Metadata-scale: one listing pass, no bytes;
+    *   3. `spark.sql.files.ignoreMissingFiles` must be false (the
+    *      default) — a compaction that swaps AFTER the listing renames
+    *      the listed files away, and execution must then throw
+    *      FileNotFoundException, not silently skip the vanished files.
+    *
+    * In-memory relations have no file roots and pass through untouched. */
   private def assertNotCompacting(index: DataFrame): Unit = {
     val conf = index.sparkSession.sparkContext.hadoopConfiguration
-    index.queryExecution.analyzed.collect {
+    val relations = index.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation match {
           case hfs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            hfs.location.rootPaths
+            Seq((hfs.location.rootPaths, hfs.location.inputFiles))
           case _ => Nil
         }
-    }.flatten.foreach { root =>
-      val staging = new org.apache.hadoop.fs.Path(root.toString + "_compacting")
-      if (root.getFileSystem(conf).exists(staging))
-        throw new IllegalStateException(
-          s"index at $root is being compacted ($staging exists): a probe " +
-            "during the swap can read a mid-swap cluster. Retry after " +
-            "ivfPqIndexCompact returns; if a compaction crashed, calling " +
-            "it again heals the index first.")
+    }.flatten
+    relations.foreach { case (roots, listed) =>
+      // cluster dirs named in this relation's (plan-time) listing
+      lazy val listedClusters: Set[String] = listed.iterator.flatMap { f =>
+        val parent = new org.apache.hadoop.fs.Path(f).getParent
+        if (parent != null && parent.getName.startsWith("cluster=")) Some(parent.getName)
+        else None
+      }.toSet
+      roots.foreach { root =>
+        val fs = root.getFileSystem(conf)
+        val staging = new org.apache.hadoop.fs.Path(root.toString + "_compacting")
+        if (fs.exists(staging))
+          throw new IllegalStateException(
+            s"index at $root is being compacted ($staging exists): a probe " +
+              "during the swap can read a mid-swap cluster. Retry after " +
+              "ivfPqIndexCompact returns; if a compaction crashed, calling " +
+              "it again heals the index first.")
+        val missing = indexDataFiles(fs, root).map(_._1).toSet -- listedClusters
+        if (missing.nonEmpty)
+          throw new IllegalStateException(
+            s"index DataFrame's file listing at $root is STALE: live cluster " +
+              s"directories ${missing.toSeq.sorted.mkString(", ")} hold data " +
+              "absent from the plan's listing — the listing raced a " +
+              "compaction swap, or the index was mutated after the read. " +
+              "Re-read the index (spark.read.parquet) and retry.")
+      }
     }
+    if (relations.nonEmpty &&
+        index.sparkSession.conf.get("spark.sql.files.ignoreMissingFiles", "false") == "true")
+      throw new IllegalStateException(
+        "indexed probes require spark.sql.files.ignoreMissingFiles=false: a " +
+          "compaction swapping after the listing must surface as " +
+          "FileNotFoundException, never as silently skipped files.")
   }
 
   private def pruneToProbed(index: DataFrame, probed: Array[Int]): DataFrame = {

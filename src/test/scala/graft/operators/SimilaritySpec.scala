@@ -569,6 +569,136 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("append lease blocks compaction mechanically; a stale lease is a crashed appender and is scrubbed") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = Similarity.ivfCentroids(e, k = 4, iters = 1)
+    val books = Similarity.pqTrain(e, 4, 16, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("lease_mutex").toString + "/idx"
+    try {
+      Similarity.ivfPqIndexWrite(e.where(col("vec_id") % 2 === 0), dir, coarse, books)
+      assert(Similarity.ivfPqIndexAppendOnce(e.where(col("vec_id") % 2 === 1),
+        dir, 0L, coarse, books))
+      val total = spark.read.parquet(dir).count()
+      // the round-13 TOCTTOU shape: an append has passed its guard check
+      // (its lease is on disk) but has not yet renamed anything — a
+      // compaction starting NOW must fail fast, not proceed into the
+      // append's landing
+      val leases = new java.io.File(dir, "_leases")
+      leases.mkdirs() // appendOnce already created it; only lease FILES are dropped
+      assert(leases.isDirectory)
+      val lease = new java.io.File(leases, "lease-inflight")
+      assert(lease.createNewFile())
+      val ex = intercept[IllegalStateException](
+        Similarity.ivfPqIndexCompact(spark, dir, maxFilesPerCluster = 1))
+      assert(ex.getMessage.contains("lease"), ex.getMessage)
+      assert(!new java.io.File(dir + "_compacting").exists(),
+        "a backed-off compaction must release its staging flag")
+      assert(spark.read.parquet(dir).count() === total,
+        "a backed-off compaction must not touch a single file")
+      // the same lease aged past the staleness bound is a KILLED appender:
+      // compaction scrubs it (and any un-markered files it vouched for)
+      // and proceeds
+      val orphanCluster = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cluster=")).head
+      val orphan = new java.io.File(orphanCluster, "b9_0.parquet")
+      java.nio.file.Files.write(orphan.toPath, Array[Byte](7, 7))
+      val compacted = Similarity.ivfPqIndexCompact(
+        spark, dir, maxFilesPerCluster = 1, leaseStaleMs = 0L)
+      assert(compacted.nonEmpty, "stale lease must not block compaction")
+      assert(!lease.exists(), "the stale lease must be scrubbed")
+      assert(!orphan.exists(), "the crashed appender's un-markered file must be scrubbed")
+      assert(spark.read.parquet(dir).count() === total)
+      // the live index still answers identically to the in-memory path
+      val q = e.where(col("vec_id") < 5)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+      assert(rows(Similarity.ivfPqTopKIndexed(
+        q, spark.read.parquet(dir), 5, coarse, books, nprobe = 4)).toSeq ===
+        rows(Similarity.ivfPqTopK(q, e, 5, coarse, books, nprobe = 4)).toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
+  }
+
+  test("a refused append leaves no lease behind; both appends hold the lease through their write") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = Similarity.ivfCentroids(e, k = 4, iters = 1)
+    val books = Similarity.pqTrain(e, 4, 16, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("lease_cleanup").toString + "/idx"
+    try {
+      assert(Similarity.ivfPqIndexAppendOnce(e.where(col("vec_id") % 2 === 0),
+        dir, 0L, coarse, books))
+      val leases = new java.io.File(dir, "_leases")
+      def leaseCount = Option(leases.listFiles()).map(_.length).getOrElse(0)
+      assert(leaseCount === 0, "a completed append must drop its lease")
+      // refused by the compaction staging: the lease raised before the
+      // check must be dropped on the failure path too — a residual lease
+      // would deadlock every future compaction until the staleness bound
+      val staging = new java.io.File(dir + "_compacting")
+      assert(staging.mkdir())
+      intercept[IllegalStateException](Similarity.ivfPqIndexAppendOnce(
+        e.where(col("vec_id") % 2 === 1), dir, 1L, coarse, books))
+      assert(leaseCount === 0, "a refused append must drop its lease")
+      intercept[IllegalStateException](Similarity.ivfPqIndexAppend(
+        e.where(col("vec_id") % 2 === 1), dir, coarse, books))
+      assert(leaseCount === 0,
+        "plain ivfPqIndexAppend must observe the same guard and drop its lease")
+      assert(staging.delete())
+      // plain append now lands under its lease and drops it
+      Similarity.ivfPqIndexAppend(e.where(col("vec_id") % 2 === 1), dir, coarse, books)
+      assert(leaseCount === 0)
+      assert(spark.read.parquet(dir).count() === e.count())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
+  }
+
+  test("probes reject a listing that misses a live cluster (the mid-swap listing race)") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = Similarity.ivfCentroids(e, k = 4, iters = 1)
+    val books = Similarity.pqTrain(e, 4, 16, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("stale_listing").toString + "/idx"
+    try {
+      Similarity.ivfPqIndexWrite(e, dir, coarse, books)
+      // the silent-loss shape the staging-existence check alone cannot
+      // catch: the listing happened while a cluster dir was retired into
+      // staging (so the plan simply has no files for it), and the swap
+      // COMPLETED before the probe ran — no staging left to observe
+      val cluster = new java.io.File(dir).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cluster=")).head
+      val parked = new java.io.File(cluster.getParentFile.getParentFile, cluster.getName)
+      assert(cluster.renameTo(parked))
+      val staleIdx = spark.read.parquet(dir) // listing taken mid-swap
+      assert(parked.renameTo(cluster))       // swap completes
+      val q = e.where(col("vec_id") < 5)
+      Seq(
+        () => Similarity.ivfPqTopKIndexed(q, staleIdx, 5, coarse, books, nprobe = 4),
+        () => Similarity.ivfTopKIndexed(q, staleIdx, 3, coarse, nprobe = 4),
+        () => Similarity.semanticDedupIndexed(staleIdx, 0.35)
+      ).foreach { probe =>
+        val ex = intercept[IllegalStateException](probe())
+        assert(ex.getMessage.contains("STALE"), ex.getMessage)
+      }
+      // a fresh read sees every cluster and answers exactly
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+      assert(rows(Similarity.ivfPqTopKIndexed(
+        q, spark.read.parquet(dir), 5, coarse, books, nprobe = 4)).toSeq ===
+        rows(Similarity.ivfPqTopK(q, e, 5, coarse, books, nprobe = 4)).toSeq)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
+  }
+
   test("index transfer manifest: stamped, append-maintained, compaction-regenerated, byte-exact") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
@@ -650,6 +780,126 @@ class SimilaritySpec extends SparkSpec {
       new java.io.File(dir, "._manifest.jsonl.crc").delete()
       assert(Similarity.ivfPqIndexCompact(spark, dir, maxFilesPerCluster = 100).isEmpty)
       validate()
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
+  }
+
+  test("ivfPqIndexVerify: clean copy passes; truncation, bit flip, missing and extra files are named exactly") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = Similarity.ivfCentroids(e, k = 4, iters = 1)
+    val books = Similarity.pqTrain(e, 4, 16, iters = 1)
+    val base = java.nio.file.Files.createTempDirectory("verify_idx").toString
+    val dir = base + "/idx"
+    val copy = base + "/received"
+    try {
+      // an unstamped index cannot be verified — the finding says what to do
+      Similarity.ivfPqIndexWrite(e, dir, coarse, books)
+      val unstamped = Similarity.ivfPqIndexVerify(spark, dir)
+      assert(unstamped.size === 1 && unstamped.head.contains("NO MANIFEST"), unstamped)
+      Similarity.ivfPqIndexManifest(spark, dir)
+      assert(Similarity.ivfPqIndexVerify(spark, dir).isEmpty, "sender must verify clean")
+      // the transfer: a faithful copy verifies clean on the receiver
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(dir), new java.io.File(copy))
+      assert(Similarity.ivfPqIndexVerify(spark, copy).isEmpty, "faithful copy must verify clean")
+      // plant one fault of each transport-failure class in the COPY
+      // every cluster's file shares one part-00000-<job-uuid> base name, so
+      // victims are identified by their cluster-relative path — exactly the
+      // name the findings carry
+      val files = new java.io.File(copy).listFiles()
+        .filter(d => d.isDirectory && d.getName.startsWith("cluster=")).sortBy(_.getName)
+        .flatMap(d => d.listFiles()
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+          .sortBy(_.getName))
+      assert(files.length >= 3, "fixture needs three victim files")
+      def rel(f: java.io.File) = s"${f.getParentFile.getName}/${f.getName}"
+      def dropCrc(f: java.io.File): Unit =
+        new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
+      val truncated = files(0)
+      val bytes0 = java.nio.file.Files.readAllBytes(truncated.toPath)
+      java.nio.file.Files.write(truncated.toPath, bytes0.take(bytes0.length / 2))
+      dropCrc(truncated)
+      val flipped = files(1)
+      val bytes1 = java.nio.file.Files.readAllBytes(flipped.toPath)
+      bytes1(bytes1.length / 2) = (bytes1(bytes1.length / 2) ^ 0x1).toByte
+      java.nio.file.Files.write(flipped.toPath, bytes1)
+      dropCrc(flipped)
+      val missing = files(2)
+      assert(missing.delete()); dropCrc(missing)
+      val extra = new java.io.File(files(0).getParentFile, "zz_extra.parquet")
+      java.nio.file.Files.write(extra.toPath, Array[Byte](1, 2, 3))
+      val findings = Similarity.ivfPqIndexVerify(spark, copy)
+      def named(prefix: String, f: String) =
+        findings.count(m => m.startsWith(prefix) && m.contains(f))
+      assert(named("CORRUPT", rel(truncated)) === 1 &&
+        findings.exists(m => m.contains(rel(truncated)) && m.contains("truncated")),
+        findings.mkString("\n"))
+      assert(named("CORRUPT", rel(flipped)) === 1 &&
+        findings.exists(m => m.contains(rel(flipped)) && m.contains("md5")),
+        findings.mkString("\n"))
+      assert(named("MISSING", rel(missing)) === 1, findings.mkString("\n"))
+      assert(named("EXTRA", "zz_extra.parquet") === 1, findings.mkString("\n"))
+      assert(findings.size === 4,
+        "exactly the planted faults, nothing else:\n" + findings.mkString("\n"))
+      // the sender's tree is untouched and still clean
+      assert(Similarity.ivfPqIndexVerify(spark, dir).isEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
+  }
+
+  test("manifest merges are parsed-field: batch 1 never claims batch 12's rows, cluster 1 never claims cluster 12's") {
+    import spark.implicits._
+    // handcrafted quantizers: 13 well-separated unit-circle centroids, so
+    // cluster ASSIGNMENT is chosen by the test (a vector placed AT
+    // centroid c lands in cluster c) and the adversarial ids — 1 vs 12,
+    // where the one's digits prefix the other's — actually exist as
+    // directories and batch names
+    val coarse = Array.tabulate(13)(i =>
+      Array(math.cos(2 * math.Pi * i / 13), math.sin(2 * math.Pi * i / 13)))
+    val books = Array(Array(Array(1.0, 0.0), Array(0.0, 1.0)))
+    def at(c: Int, ids: Seq[Long]) = ids
+      .map(id => (id, Seq(coarse(c)(0).toFloat, coarse(c)(1).toFloat)))
+      .toDF("vec_id", "embedding")
+      .coalesce(1) // one file per cluster per batch — keeps file counts exact
+    val dir = java.nio.file.Files.createTempDirectory("adversarial_ids").toString + "/idx"
+    def manifestLines = java.nio.file.Files
+      .readAllLines(new java.io.File(dir, "_manifest.jsonl").toPath)
+      .toArray.toSeq.map(_.toString)
+    try {
+      Similarity.ivfPqIndexWrite(at(0, Seq(1L, 2L)), dir, coarse, books)
+      Similarity.ivfPqIndexManifest(spark, dir)
+      assert(Similarity.ivfPqIndexAppendOnce(at(12, Seq(10L, 11L)), dir, 12L, coarse, books))
+      assert(Similarity.ivfPqIndexAppendOnce(at(1, Seq(20L, 21L)), dir, 1L, coarse, books))
+      assert(new java.io.File(dir, "cluster=12").isDirectory &&
+        new java.io.File(dir, "cluster=1").isDirectory, "fixture must create both clusters")
+      assert(Similarity.ivfPqIndexVerify(spark, dir).isEmpty)
+      val b12Lines = manifestLines.filter(_.contains("/b12_"))
+      assert(b12Lines.nonEmpty, "batch 12 must be in the manifest")
+      // REPLAY batch 1: its merge drops-and-readds exactly its own lines.
+      // A substring filter keyed on "b1" would also drop batch 12's lines
+      // here — silently un-describing files that stay on disk.
+      assert(new java.io.File(s"$dir/_batches/batch-1").delete())
+      assert(Similarity.ivfPqIndexAppendOnce(at(1, Seq(20L, 21L)), dir, 1L, coarse, books))
+      assert(manifestLines.filter(_.contains("/b12_")) === b12Lines,
+        "batch 12's manifest lines must survive batch 1's re-merge verbatim")
+      assert(Similarity.ivfPqIndexVerify(spark, dir).isEmpty)
+      // COMPACT exactly cluster 1 (batches 2-4 fragment it; cluster 12
+      // stays at one file): the kept-lines filter keyed on a parsed
+      // cluster id must not also drop cluster 12's line
+      (2L to 4L).foreach(b =>
+        assert(Similarity.ivfPqIndexAppendOnce(at(1, Seq(100L + b)), dir, b, coarse, books)))
+      val c12Line = manifestLines.filter(_.contains("\"cluster\":\"cluster=12\""))
+      assert(c12Line.size === 1)
+      val dirty = Similarity.ivfPqIndexCompact(spark, dir, maxFilesPerCluster = 2)
+      assert(dirty === Seq(1), s"only cluster 1 is dirty, got $dirty")
+      assert(manifestLines.filter(_.contains("\"cluster\":\"cluster=12\"")) === c12Line,
+        "cluster 12's manifest line must survive cluster 1's compaction verbatim")
+      assert(Similarity.ivfPqIndexVerify(spark, dir).isEmpty)
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(
         new java.io.File(dir).getParentFile)
