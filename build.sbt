@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run`/`runMain` output goes straight to this process's stdio,
+// UNPREFIXED: sbt's default LoggedOutput wraps every child line in
+// "[info] ", which breaks any line-oriented parse of Bench's stdout
+// metric line (the grading driver recorded `parsed: null` through
+// round 13 because of that prefix).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -172,11 +172,23 @@ object Bench {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(benchFile), (json + "\n").getBytes("UTF-8"))
     Console.err.flush()
-    // stdout gets the COMPACT line (the driver parses a ~2000-char stdout
-    // tail; the full line above goes to the file, where size is free)
-    println(renderCompactJson(results, sfDir, Some(calibration),
-      new java.io.File(benchFile).getName))
     Console.out.flush()
+    // stdout gets the COMPACT line (the driver parses a ~2000-char stdout
+    // tail; the full line above goes to the file, where size is free) —
+    // written straight to OS fd 1, NOT through println: under sbt's
+    // unforked `run`, println routes through the sbt logger and lands
+    // "[info] "-prefixed in the captured stdout, which a strict
+    // line-oriented tail parser rejects (observed as `parsed: null` in
+    // rounds 11-13). A raw FileDescriptor write cannot be intercepted
+    // in-JVM, so the tail carries exactly one UNPREFIXED copy of the
+    // metric line — and no [info] twin eating the ~2000-char window. The
+    // stream is flushed but deliberately NOT closed — it wraps the
+    // process's own fd 1.
+    val compact = renderCompactJson(results, sfDir, Some(calibration),
+      new java.io.File(benchFile).getName)
+    val raw = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+    raw.write((compact + "\n").getBytes("UTF-8"))
+    raw.flush()
     spark.stop()
   }
 }
