@@ -28,28 +28,36 @@ object ProfileThirdDecade {
     // docs-only corpora (q60/q76 read nothing else); markers versioned
     // like ProfileScaleCurve's so a construction change invalidates
     // stale bytes instead of silently re-measuring them
-    def build(dir: String, copies: Int): Unit = {
+    def build(srcDir: String, dir: String, copies: Int, pfx: String,
+              parts: Int): Unit = {
       val marker = new java.io.File(s"$dir/_SCALED_OK_v1")
       if (marker.exists()) return
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-      val docs = spark.read.parquet(s"$sf01/documents.parquet")
+      val docs = spark.read.parquet(s"$srcDir/documents.parquet")
       val nDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
       (0 until copies).map { i =>
         docs.select(
           (col("doc_id") + lit(i.toLong * nDoc)).as("doc_id"),
           array_join(transform(split(col("text"), " "),
-            t => concat(lit(s"c$i"), t)), " ").as("text"),
+            t => concat(lit(s"$pfx$i"), t)), " ").as("text"),
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionByName _)
-        .repartition(32)
+        .repartition(parts)
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
       marker.createNewFile()
-      println(s"[scale] built ${copies}x docs corpus at $dir")
+      println(s"[scale] built ${copies}x $srcDir corpus at $dir")
     }
     val sf1 = sys.env.getOrElse("GRAFT_SF1_DOCS_DIR", "/tmp/graft_scale3_sf1")
     val sf10 = sys.env.getOrElse("GRAFT_SF10_DOCS_DIR", "/tmp/graft_scale3_sf10")
-    build(sf1, 10)
-    build(sf10, 100)
+    val sf100 = sys.env.getOrElse("GRAFT_SF100_DOCS_DIR", "/tmp/graft_scale4_sf100")
+    // fourth decade (1000 × sf0.1): derived from the sf10 corpus under a
+    // SECOND prefix layer — tokens "d<j>c<i>w" stay globally disjoint
+    // across all 1000 effective copies, and Catalyst sees a 10-way union
+    // instead of a 1000-branch plan. Opt-in: the leg costs minutes/query.
+    val fourth = sys.env.get("GRAFT_FOURTH_DECADE").contains("1")
+    build(sf01, sf1, 10, "c", 32)
+    build(sf01, sf10, 100, "c", 32)
+    if (fourth) build(sf10, sf100, 10, "d", 128)
 
     def release(): Unit = {
       graft.GraftSession.releaseCaches(spark, blocking = true)
@@ -67,13 +75,14 @@ object ProfileThirdDecade {
       t
     }
 
-    println(f"${"query"}%-22s ${"t(0.1)"}%9s ${"t(sf1)"}%9s ${"t(sf10)"}%9s ${"exp 0.1→sf1"}%12s ${"exp sf1→sf10"}%13s")
+    println(f"${"query"}%-22s ${"t(0.1)"}%9s ${"t(sf1)"}%9s ${"t(sf10)"}%9s ${"t(sf100)"}%9s ${"exp 0.1→sf1"}%12s ${"exp sf1→sf10"}%13s ${"exp sf10→sf100"}%14s")
     Queries.foreach { name =>
       timeMin(name, "/root/testdata/sf0.01", 1) // codegen warm-up
       val t01 = timeMin(name, sf01, 3)
       val t1 = timeMin(name, sf1, 2)
       val t10 = timeMin(name, sf10, 2)
-      println(f"$name%-22s $t01%9.2f $t1%9.2f $t10%9.2f ${math.log10(t1 / t01)}%12.2f ${math.log10(t10 / t1)}%13.2f")
+      val t100 = if (fourth) timeMin(name, sf100, 2) else Double.NaN
+      println(f"$name%-22s $t01%9.2f $t1%9.2f $t10%9.2f $t100%9.2f ${math.log10(t1 / t01)}%12.2f ${math.log10(t10 / t1)}%13.2f ${math.log10(t100 / t10)}%14.2f")
     }
     spark.stop()
   }
