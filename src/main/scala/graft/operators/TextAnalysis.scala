@@ -527,6 +527,33 @@ object TextAnalysis {
   def collapseRepeats(tokens: Column): Column =
     filter(tokens, (t, i) => i === 0 || t =!= element_at(tokens, i))
 
+  /** Exact byte size of the leaf relations under `df`'s optimized plan —
+    * the width driver for [[scanStreamWidth]]. For a file scan this is the
+    * file index's byte sum (metadata the session already holds — no data
+    * pass, unlike [[Dedup]]'s posting-volume driver which rides an
+    * aggregate the pair family needs anyway), NOT the projection estimate
+    * above it, which guesses array/string column widths. In-memory test
+    * relations report their row estimate — small, landing at the session
+    * floor. */
+  private[operators] def leafScanBytes(df: org.apache.spark.sql.DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.collectLeaves().map(_.stats.sizeInBytes).sum
+
+  /** ~4 MB of compressed scan bytes per partition for exchanges that carry
+    * the full token stream: snappy decompression (~3-4×) × UnsafeRow
+    * framing of exploded (id, pos, token) rows (~4×) lands a partition at
+    * ~50-60 MB in the sort — in-memory with headroom against the ~220 MB
+    * fair-share task budget that spilled at 350 MB (the measured q40
+    * fourth-decade regime, SCALE.md §Round 14). */
+  private[operators] val ScanStreamTargetBytesPerPartition: Long = 4L << 20
+
+  /** Data-aware width for token-stream exchanges — the scan-shaped twin of
+    * [[Dedup.pairShuffleWidth]]: never narrower than the session conf (a
+    * cluster session sized for its executors keeps its width), capped at
+    * 1024 inside the measured regime. Pure arithmetic; spec-covered. */
+  private[operators] def scanStreamWidth(scanBytes: BigInt, sessionWidth: Int): Int =
+    math.max(sessionWidth,
+      (scanBytes / ScanStreamTargetBytesPerPartition).min(1024).toInt)
+
   /** Content fingerprint for exact dedup: md5 of the normalized body. */
   def fingerprintMd5(text: Column): Column = md5(lower(trim(text)))
 
@@ -566,13 +593,26 @@ object TextAnalysis {
     *
     * Scale shape: one exchange on the doc id + a per-doc sort (the window);
     * output is O(n/w) of the k-gram stream — the standard plagiarism/near-
-    * dup index build. */
+    * dup index build. The exchange carries the FULL token stream, so its
+    * width is sized from the scan bytes ([[scanStreamWidth]]): at the
+    * fourth synthetic decade (270 M tokens, 817 MB parquet) the static
+    * 32-partition session width put ~350 MB of exploded token rows per
+    * task against ~220 MB of fair-share execution memory, the per-doc
+    * sort spilled, and the decade exponent hit 1.63 (ns/token 157 → 671 —
+    * ProfileWinnow, SCALE.md §Round 14). Sized, the sort stays in memory
+    * and the exponent returns to the documented linear bound. Bench-scale
+    * scans keep the session width — plans bit-identical, spec-asserted
+    * (the widening exchange IS the window's own hash exchange). */
   def winnowedFingerprints(df: org.apache.spark.sql.DataFrame, id: String,
                            tokensCol: String, k: Int = 3, w: Int = 4)
   : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val width = scanStreamWidth(leafScanBytes(df),
+      df.sparkSession.sessionState.conf.numShufflePartitions)
     val byDoc = Window.partitionBy("wf_id").orderBy("pos")
-    var th = df.select(col(id).as("wf_id"), posexplode(col(tokensCol)).as(Seq("pos", "tok")))
+    var th = Dedup.widenForJoin(
+      df.select(col(id).as("wf_id"), posexplode(col(tokensCol)).as(Seq("pos", "tok"))),
+      width, col("wf_id"))
     (1 until k).foreach { j => th = th.withColumn(s"t$j", lead(col("tok"), j).over(byDoc)) }
     val grams = th.where(col(s"t${k - 1}").isNotNull)
       .select(col("wf_id"), col("pos"),

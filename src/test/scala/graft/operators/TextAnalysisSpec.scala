@@ -368,4 +368,79 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.termTagger(df, "doc_id", "text", Seq("a" -> Nil, "a" -> Nil))
     }
   }
+
+  test("scan-stream width: session floor at bench scale, data-driven above it, clamped") {
+    // bench corpora (≤ target×session scan bytes) keep the session width —
+    // plans there must stay byte-identical to the unwidened shape
+    assert(TextAnalysis.scanStreamWidth(BigInt(0), 32) === 32)
+    assert(TextAnalysis.scanStreamWidth(BigInt(60L << 20), 32) === 32)
+    // the measured q40 spill regime: 817 MB of parquet at session width 32
+    // spilled the window sort (exp 1.63); ~4 MB/partition lands near 204
+    val sf100 = TextAnalysis.scanStreamWidth(BigInt(817L << 20), 32)
+    assert(sf100 >= 160 && sf100 <= 256, s"817 MB should widen to ~204, got $sf100")
+    // a cluster session sized for its executors is never narrowed
+    assert(TextAnalysis.scanStreamWidth(BigInt(817L << 20), 2000) === 2000)
+    // runaway corpora clamp at the measured regime's cap
+    assert(TextAnalysis.scanStreamWidth(BigInt(Long.MaxValue / 4), 32) === 1024)
+  }
+
+  test("leafScanBytes reads the file index's exact parquet byte sum through a projection") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_scanbytes").toString
+    try {
+      spark.read.parquet(s"$sf/documents.parquet").write.mode("overwrite").parquet(dir)
+      val onDisk = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+      val est = TextAnalysis.leafScanBytes(spark.read.parquet(dir)
+        .select(col("doc_id"), split(col("text"), " ").as("tok")))
+      assert(est === BigInt(onDisk),
+        s"leaf bytes must be the FILE bytes ($onDisk), not a projection estimate, got $est")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("winnow plan: one exchange at bench width; widened plans keep exactly one, at the computed width") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def shufflesOf(out: org.apache.spark.sql.DataFrame) = {
+      out.count()
+      out.queryExecution.executedPlan.collectWithSubqueries {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }.flatMap(_.collect { case s: ShuffleExchangeExec => s })
+    }
+    // bench scale: the window's exchange at the session width, and the
+    // final distinct REUSES it (HashPartitioning(id) ⊨ (id, fp))
+    val bench = shufflesOf(TextAnalysis.winnowedFingerprints(
+      spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), split(col("text"), " ").as("tok")),
+      "doc_id", "tok"))
+    assert(bench.length === 1,
+      s"winnow is a one-exchange plan (distinct reuses the window width), got ${bench.length}")
+    assert(bench.head.outputPartitioning.numPartitions ===
+      spark.conf.get("spark.sql.shuffle.partitions").toInt)
+
+    // past the threshold (session width dropped to 1 so a ~20 MB spec
+    // corpus crosses it): the widening exchange IS the window's own hash
+    // exchange — still exactly one, at the computed width
+    val dir = java.nio.file.Files.createTempDirectory("graft_winwide").toString
+    val saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.range(25000).select(col("id").as("doc_id"),
+        transform(sequence(lit(1), lit(25)),
+          j => md5(concat(col("id"), lit("-"), j))).as("tok"))
+        .write.mode("overwrite").parquet(dir)
+      spark.conf.set("spark.sql.shuffle.partitions", "1")
+      val docs = spark.read.parquet(dir)
+      val w = TextAnalysis.scanStreamWidth(TextAnalysis.leafScanBytes(docs), 1)
+      assert(w >= 2, s"spec corpus must cross the widening threshold, got width $w")
+      val wide = shufflesOf(TextAnalysis.winnowedFingerprints(docs, "doc_id", "tok"))
+      assert(wide.length === 1,
+        s"widening must ride the window's own exchange, got ${wide.length}")
+      assert(wide.head.outputPartitioning.numPartitions === w,
+        s"widened exchange must keep the computed width $w, got " +
+          wide.head.outputPartitioning.numPartitions)
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", saved)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
 }
