@@ -538,13 +538,23 @@ object TextAnalysis {
   private[operators] def leafScanBytes(df: org.apache.spark.sql.DataFrame): BigInt =
     df.queryExecution.optimizedPlan.collectLeaves().map(_.stats.sizeInBytes).sum
 
-  /** ~4 MB of compressed scan bytes per partition for exchanges that carry
-    * the full token stream: snappy decompression (~3-4×) × UnsafeRow
-    * framing of exploded (id, pos, token) rows (~4×) lands a partition at
-    * ~50-60 MB in the sort — in-memory with headroom against the ~220 MB
-    * fair-share task budget that spilled at 350 MB (the measured q40
-    * fourth-decade regime, SCALE.md §Round 14). */
-  private[operators] val ScanStreamTargetBytesPerPartition: Long = 4L << 20
+  /** ~32 MB of compressed scan bytes per partition for exchanges that
+    * carry the full token stream — the arithmetic spill boundary, NOT a
+    * measured optimum. The measured result is a NEGATIVE one
+    * (ProfileCalibrated winnow_ab, SCALE.md §Round 14): at the fourth
+    * synthetic decade (817 MB parquet, 270 M tokens) the per-doc window
+    * sort at the static 32-partition width ran ~350 MB of exploded rows
+    * per task with ZERO spill (plan metrics), and widening to 204 was
+    * indistinguishable from the unwidened shape under interleaved
+    * calibration-bracketed A/B (pair ratios 0.62/0.93/1.32× in host-load
+    * noise). So the width deliberately does NOT engage in any regime
+    * measured so far; it exists for the regime the arithmetic says MUST
+    * spill — exploded bytes ≈ 13× compressed (snappy ~3× × UnsafeRow
+    * ~4×), so 32 MB compressed ≈ 420 MB in the sort, the fair-share task
+    * budget where this box's unified pool refuses allocation — and a
+    * partition 10× past the measured no-spill point is not a regime to
+    * enter at a static width. */
+  private[operators] val ScanStreamTargetBytesPerPartition: Long = 32L << 20
 
   /** Data-aware width for token-stream exchanges — the scan-shaped twin of
     * [[Dedup.pairShuffleWidth]]: never narrower than the session conf (a
@@ -593,22 +603,23 @@ object TextAnalysis {
     *
     * Scale shape: one exchange on the doc id + a per-doc sort (the window);
     * output is O(n/w) of the k-gram stream — the standard plagiarism/near-
-    * dup index build. The exchange carries the FULL token stream, so its
-    * width is sized from the scan bytes ([[scanStreamWidth]]): at the
-    * fourth synthetic decade (270 M tokens, 817 MB parquet) the static
-    * 32-partition session width put ~350 MB of exploded token rows per
-    * task against ~220 MB of fair-share execution memory, the per-doc
-    * sort spilled, and the decade exponent hit 1.63 (ns/token 157 → 671 —
-    * ProfileWinnow, SCALE.md §Round 14). Sized, the sort stays in memory
-    * and the exponent returns to the documented linear bound. Bench-scale
-    * scans keep the session width — plans bit-identical, spec-asserted
-    * (the widening exchange IS the window's own hash exchange). */
+    * dup index build. The exchange carries the FULL token stream; its
+    * width comes from the scan bytes ([[scanStreamWidth]] — insurance
+    * against the sort-spill regime the arithmetic predicts ~10× past the
+    * measured no-spill point, deliberately a no-op at every scale
+    * measured so far; see its scaladoc for the round-14 A/B that
+    * REJECTED an eager 4 MB/partition target), or from `shuffleWidth`
+    * when a deployment knows better. Either way the widening exchange IS
+    * the window's own hash exchange and the final distinct reuses it —
+    * one exchange total, spec-asserted, never narrower than the session
+    * conf. */
   def winnowedFingerprints(df: org.apache.spark.sql.DataFrame, id: String,
-                           tokensCol: String, k: Int = 3, w: Int = 4)
+                           tokensCol: String, k: Int = 3, w: Int = 4,
+                           shuffleWidth: Option[Int] = None)
   : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val width = scanStreamWidth(leafScanBytes(df),
-      df.sparkSession.sessionState.conf.numShufflePartitions)
+    val width = shuffleWidth.getOrElse(scanStreamWidth(leafScanBytes(df),
+      df.sparkSession.sessionState.conf.numShufflePartitions))
     val byDoc = Window.partitionBy("wf_id").orderBy("pos")
     var th = Dedup.widenForJoin(
       df.select(col(id).as("wf_id"), posexplode(col(tokensCol)).as(Seq("pos", "tok"))),

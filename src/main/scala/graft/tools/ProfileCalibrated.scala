@@ -1,0 +1,117 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Calibration-bracketed query timing (dev tool). Round 14 found the
+  * machine's effective throughput drifting up to ~1.7× between (and
+  * within) sessions with NOTHING running in the guest — load average ~14
+  * on an idle box, i.e. host/neighbor contention outside the VM. Raw
+  * cross-session comparisons are therefore unsound; every measurement
+  * here is bracketed by [[graft.Bench.calibrationOnce]] (the I/O-free
+  * codegen'd sentinel) so times can be normalized by machine speed.
+  *
+  * Modes:
+  *   - `<query> <dir> [reps]` — calibrate, run the registry query
+  *     `reps` times (per-run times printed), calibrate again. For the
+  *     q41 bimodality attribution: run in several fresh JVMs and compare
+  *     normalized (t / calibration) instead of raw seconds.
+  *   - `winnow_ab <dir> [reps]` — within-session A/B of q40's widened
+  *     window exchange ([[graft.operators.TextAnalysis.scanStreamWidth]])
+  *     vs the pre-round-14 unwidened shape (rebuilt here verbatim), so
+  *     the width fix is measured under the SAME host load instead of
+  *     across drifting sessions. */
+object ProfileCalibrated {
+  def main(args: Array[String]): Unit = {
+    val mode = args(0)
+    val dir = args(1)
+    val reps = if (args.length > 2) args(2).toInt else 4
+    val spark = graft.GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def calib(): Double = {
+      graft.Bench.calibrationOnce(spark) // warm-up rep
+      (1 to 3).map(_ => graft.Bench.calibrationOnce(spark)).min
+    }
+    def release(): Unit = {
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+      System.gc()
+    }
+    def timeRuns(label: String, n: Int)(body: => Unit): Double = {
+      val ts = (1 to n).map { _ =>
+        val t0 = System.nanoTime(); body
+        val dt = (System.nanoTime() - t0) / 1e9
+        release(); dt
+      }
+      println(f"[calib] $label min=${ts.min}%.2f s runs=" +
+        ts.map(t => f"$t%.2f").mkString(","))
+      ts.min
+    }
+
+    /** The pre-round-14 q40 plan, verbatim minus the widening — the A/B
+      * control. Mirrors TextAnalysis.winnowedFingerprints (k=3, w=4). */
+    def unwidenedWinnow(d: String): org.apache.spark.sql.DataFrame = {
+      val k = 3; val w = 4
+      val byDoc = Window.partitionBy("wf_id").orderBy("pos")
+      var th = spark.read.parquet(s"$d/documents.parquet")
+        .select(col("doc_id").as("wf_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      (1 until k).foreach { j => th = th.withColumn(s"t$j", lead(col("tok"), j).over(byDoc)) }
+      val grams = th.where(col(s"t${k - 1}").isNotNull)
+        .select(col("wf_id"), col("pos"),
+          graft.operators.TextAnalysis.md5Long(concat_ws(" ",
+            col("tok") +: (1 until k).map(j => col(s"t$j")): _*)).as("gh"))
+      val win = Window.partitionBy("wf_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+      grams.withColumn("wmin", min(col("gh")).over(win))
+        .where(col("gh") === col("wmin"))
+        .select(col("wf_id").as("doc_id"), col("gh").as("fp"))
+        .distinct()
+    }
+
+    /** Total spillSize bytes across the executed plan's nodes. */
+    def runWithSpill(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val t0 = System.nanoTime(); df.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val nodes = df.queryExecution.executedPlan.collectWithSubqueries {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val spill = nodes.flatMap(_.collect {
+        case p => p.metrics.get("spillSize").map(_.value).getOrElse(0L)
+      }).sum
+      release()
+      (dt, spill)
+    }
+
+    mode match {
+      case "winnow_ab" =>
+        // codegen warm-up off the clocks
+        graft.queries.Queries.all("q40_winnow_fingerprints")(spark, "/root/testdata/sf0.01").count()
+        unwidenedWinnow("/root/testdata/sf0.01").count()
+        release()
+        // INTERLEAVED pairs: host throughput drifts ~1.6× on timescales of
+        // minutes, so back-to-back variant runs see ~the same machine and
+        // the per-pair ratio is meaningful where sequential blocks aren't
+        val pairs = (1 to reps).map { i =>
+          val c = calib()
+          val (tw, sw) = runWithSpill(
+            graft.queries.Queries.all("q40_winnow_fingerprints")(spark, dir))
+          val (tn, sn) = runWithSpill(unwidenedWinnow(dir))
+          println(f"[calib] pair$i calib=$c%.3f widened=$tw%.2f s (spill ${sw >> 20} MB) " +
+            f"unwidened=$tn%.2f s (spill ${sn >> 20} MB) unwid/wid=${tn / tw}%.2f×")
+          tn / tw
+        }
+        val sorted = pairs.sorted
+        println(f"[calib] median unwidened/widened ratio = ${sorted(sorted.length / 2)}%.2f×")
+      case q =>
+        graft.queries.Queries.all(q)(spark, "/root/testdata/sf0.01").count()
+        release()
+        val c0 = calib()
+        val t = timeRuns(q, reps)(graft.queries.Queries.all(q)(spark, dir).count())
+        val c1 = calib()
+        println(f"[calib] sentinel $c0%.3f / $c1%.3f s; " +
+          f"min=$t%.2f s normalized=${t / ((c0 + c1) / 2)}%.1f")
+    }
+    spark.stop()
+  }
+}

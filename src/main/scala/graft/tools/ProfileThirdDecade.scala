@@ -64,6 +64,11 @@ object ProfileThirdDecade {
       System.gc()
     }
     def timeMin(name: String, dir: String, runs: Int): Double = {
+      // calibration bracket: host throughput drifts up to ~8× on minute
+      // timescales with the guest idle (round 14, ProfileCalibrated) —
+      // a leg timed against an inflated sentinel is re-run, not banked
+      graft.Bench.calibrationOnce(spark)
+      val c = (1 to 3).map(_ => graft.Bench.calibrationOnce(spark)).min
       val t = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         graft.queries.Queries.all(name)(spark, dir).count()
@@ -71,7 +76,7 @@ object ProfileThirdDecade {
         release()
         dt
       }.min
-      println(f"[leg] $name $dir runs=$runs min=$t%.2f s"); Console.flush()
+      println(f"[leg] $name $dir runs=$runs min=$t%.2f s calib=$c%.3f"); Console.flush()
       t
     }
 

@@ -105,11 +105,20 @@ object ProfileWinnow {
     q40("/root/testdata/sf0.01"); explodeOnly("/root/testdata/sf0.01")
     gramsOnly("/root/testdata/sf0.01"); release()
 
+    // every leg is calibration-bracketed: host throughput drifts up to
+    // ~1.7× across (and within) sessions with the guest idle — raw
+    // cross-session numbers are unsound without the sentinel
+    def calib(): Double = {
+      graft.Bench.calibrationOnce(spark)
+      (1 to 3).map(_ => graft.Bench.calibrationOnce(spark)).min
+    }
     val legs = Seq("sf0.1" -> sf01, "sf1" -> sf1, "sf10" -> sf10, "sf100" -> sf100)
     val rows = legs.map { case (name, dir) =>
       val runs = if (name == "sf100") 2 else 3
       val tokens = tokensOf(dir).count()
       release()
+      val c = calib()
+      println(f"[leg] calibration $dir $c%.3f s")
       val tExp = timeMin("explode", dir, runs)(explodeOnly(dir))
       val tGrm = timeMin("grams", dir, runs)(gramsOnly(dir))
       val tAll = timeMin("q40", dir, runs)(q40(dir))

@@ -369,18 +369,20 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
-  test("scan-stream width: session floor at bench scale, data-driven above it, clamped") {
-    // bench corpora (≤ target×session scan bytes) keep the session width —
-    // plans there must stay byte-identical to the unwidened shape
+  test("scan-stream width: session floor through the measured no-spill regime, engages at the arithmetic spill boundary, clamped") {
+    // every regime measured so far keeps the session width — including the
+    // 817 MB fourth-decade corpus, where the interleaved A/B measured the
+    // widened shape indistinguishable and the sort spill-free (the
+    // round-14 negative result; see scanStreamWidth's scaladoc)
     assert(TextAnalysis.scanStreamWidth(BigInt(0), 32) === 32)
     assert(TextAnalysis.scanStreamWidth(BigInt(60L << 20), 32) === 32)
-    // the measured q40 spill regime: 817 MB of parquet at session width 32
-    // spilled the window sort (exp 1.63); ~4 MB/partition lands near 204
-    val sf100 = TextAnalysis.scanStreamWidth(BigInt(817L << 20), 32)
-    assert(sf100 >= 160 && sf100 <= 256, s"817 MB should widen to ~204, got $sf100")
+    assert(TextAnalysis.scanStreamWidth(BigInt(817L << 20), 32) === 32)
+    // past the arithmetic boundary (~32 MB compressed ≈ 420 MB in-sort per
+    // partition) the width scales with the data
+    assert(TextAnalysis.scanStreamWidth(BigInt(2L) << 31, 32) === 128)
     // a cluster session sized for its executors is never narrowed
-    assert(TextAnalysis.scanStreamWidth(BigInt(817L << 20), 2000) === 2000)
-    // runaway corpora clamp at the measured regime's cap
+    assert(TextAnalysis.scanStreamWidth(BigInt(2L) << 31, 2000) === 2000)
+    // runaway corpora clamp at the cap
     assert(TextAnalysis.scanStreamWidth(BigInt(Long.MaxValue / 4), 32) === 1024)
   }
 
@@ -418,29 +420,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bench.head.outputPartitioning.numPartitions ===
       spark.conf.get("spark.sql.shuffle.partitions").toInt)
 
-    // past the threshold (session width dropped to 1 so a ~20 MB spec
-    // corpus crosses it): the widening exchange IS the window's own hash
-    // exchange — still exactly one, at the computed width
-    val dir = java.nio.file.Files.createTempDirectory("graft_winwide").toString
-    val saved = spark.conf.get("spark.sql.shuffle.partitions")
-    try {
-      spark.range(25000).select(col("id").as("doc_id"),
-        transform(sequence(lit(1), lit(25)),
-          j => md5(concat(col("id"), lit("-"), j))).as("tok"))
-        .write.mode("overwrite").parquet(dir)
-      spark.conf.set("spark.sql.shuffle.partitions", "1")
-      val docs = spark.read.parquet(dir)
-      val w = TextAnalysis.scanStreamWidth(TextAnalysis.leafScanBytes(docs), 1)
-      assert(w >= 2, s"spec corpus must cross the widening threshold, got width $w")
-      val wide = shufflesOf(TextAnalysis.winnowedFingerprints(docs, "doc_id", "tok"))
-      assert(wide.length === 1,
-        s"widening must ride the window's own exchange, got ${wide.length}")
-      assert(wide.head.outputPartitioning.numPartitions === w,
-        s"widened exchange must keep the computed width $w, got " +
-          wide.head.outputPartitioning.numPartitions)
-    } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", saved)
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-    }
+    // a widened plan (deployment override past the session width): the
+    // widening exchange IS the window's own hash exchange — still exactly
+    // one, at the requested width, and the same fingerprint set
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+    val wideDf = TextAnalysis.winnowedFingerprints(docs, "doc_id", "tok",
+      shuffleWidth = Some(64))
+    val wide = shufflesOf(wideDf)
+    assert(wide.length === 1,
+      s"widening must ride the window's own exchange, got ${wide.length}")
+    assert(wide.head.outputPartitioning.numPartitions === 64,
+      s"widened exchange must keep the requested width 64, got " +
+        wide.head.outputPartitioning.numPartitions)
+    // width below the session conf is never narrowed: identical plan shape
+    val narrow = shufflesOf(TextAnalysis.winnowedFingerprints(docs, "doc_id", "tok",
+      shuffleWidth = Some(2)))
+    assert(narrow.head.outputPartitioning.numPartitions ===
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      "an override below the session width must not narrow the exchange")
+    // partitioning never changes the fingerprint set
+    assert(wideDf.collect().toSet ===
+      TextAnalysis.winnowedFingerprints(docs, "doc_id", "tok").collect().toSet)
   }
 }
