@@ -12,10 +12,11 @@ import org.apache.spark.sql.expressions.Window
   * codegen'd sentinel) so times can be normalized by machine speed.
   *
   * Modes:
-  *   - `<query> <dir> [reps]` — calibrate, run the registry query
-  *     `reps` times (per-run times printed), calibrate again. For the
-  *     q41 bimodality attribution: run in several fresh JVMs and compare
-  *     normalized (t / calibration) instead of raw seconds.
+  *   - `<query>:<dir>:<reps> ...` — any list of triples, run in
+  *     sequence; every rep is calibration-bracketed and reports the
+  *     executed plan's own spillSize metric (the q40 lesson: a slow leg
+  *     with a calm bracket and zero spill is machine noise integrated
+  *     over a long run, not a plan defect).
   *   - `winnow_ab <dir> [reps]` — within-session A/B of q40's widened
   *     window exchange ([[graft.operators.TextAnalysis.scanStreamWidth]])
   *     vs the pre-round-14 unwidened shape (rebuilt here verbatim), so
@@ -24,8 +25,8 @@ import org.apache.spark.sql.expressions.Window
 object ProfileCalibrated {
   def main(args: Array[String]): Unit = {
     val mode = args(0)
-    val dir = args(1)
-    val reps = if (args.length > 2) args(2).toInt else 4
+    lazy val dir = args(1)
+    lazy val reps = if (args.length > 2) args(2).toInt else 4
     val spark = graft.GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -103,14 +104,26 @@ object ProfileCalibrated {
         }
         val sorted = pairs.sorted
         println(f"[calib] median unwidened/widened ratio = ${sorted(sorted.length / 2)}%.2f×")
-      case q =>
-        graft.queries.Queries.all(q)(spark, "/root/testdata/sf0.01").count()
-        release()
-        val c0 = calib()
-        val t = timeRuns(q, reps)(graft.queries.Queries.all(q)(spark, dir).count())
-        val c1 = calib()
-        println(f"[calib] sentinel $c0%.3f / $c1%.3f s; " +
-          f"min=$t%.2f s normalized=${t / ((c0 + c1) / 2)}%.1f")
+      case _ =>
+        // every arg is a `query:dir:reps` triple, run in sequence, each
+        // rep calibration-bracketed with the executed plan's spillSize
+        val jobs = args.toSeq.map { a =>
+          val parts = a.split(":")
+          (parts(0), parts(1), if (parts.length > 2) parts(2).toInt else 2)
+        }
+        jobs.foreach { case (q, _, _) =>
+          graft.queries.Queries.all(q)(spark, "/root/testdata/sf0.01").count()
+          release()
+        }
+        jobs.foreach { case (q, d, n) =>
+          val ts = (1 to n).map { i =>
+            val c = calib()
+            val (t, sp) = runWithSpill(graft.queries.Queries.all(q)(spark, d))
+            println(f"[calib] $q $d rep$i calib=$c%.3f t=$t%.2f s spill=${sp >> 20} MB")
+            t
+          }
+          println(f"[calib] $q $d min=${ts.min}%.2f s over $n reps")
+        }
     }
     spark.stop()
   }
