@@ -453,9 +453,20 @@ object TextAnalysis {
     * HOF build kept such rows independent), and the per-doc
     * `dropDuplicates(id, gram)` merges gram counts across same-id rows
     * either way. Feed `dropDuplicates(id)` — or a synthetic unique key —
-    * if the input may carry repeated ids. */
+    * if the input may carry repeated ids.
+    *
+    * `shuffleWidth` widens the per-gram reduce's exchange (deployment
+    * override; never narrower than the session conf, default off). An
+    * interleaved calibration-bracketed A/B at the fourth synthetic decade
+    * (270 M tokens; ProfileCalibrated novelty_ab, SCALE.md §Round 14)
+    * measured widening to ~1 M rows/partition a WASH against the static
+    * session width (pair ratios 0.61/1.17×, zero agg spill either way,
+    * calm-machine exponent ~1.05 = the linear bound) — so, as with
+    * [[winnowedFingerprints]], nothing engages automatically below the
+    * regime the measurements reach. */
   def ngramNovelty(df: org.apache.spark.sql.DataFrame, id: String,
-                   textCol: String, n: Int = 8): org.apache.spark.sql.DataFrame = {
+                   textCol: String, n: Int = 8,
+                   shuffleWidth: Option[Int] = None): org.apache.spark.sql.DataFrame = {
     require(n > 0, s"gram order must be positive, got $n")
     import org.apache.spark.sql.expressions.Window
     val tok = df.select(col(id).as("nv_id"), tokens(col(textCol)).as("tk"))
@@ -469,7 +480,14 @@ object TextAnalysis {
       .dropDuplicates("nv_id", "g") // exchange-free: window partitioning reused
     val shortSide = tok.where(size(col("tk")) < n)
       .select(col("nv_id"), md5Long(concat_ws(" ", col("tk"))).as("g"))
-    val grams = longSide.union(shortSide)
+    // `shuffleWidth` (deployment override; never narrower than the session
+    // conf) widens the per-gram reduce's exchange — the one exchange here
+    // that carries the FULL gram stream into per-task hash maps. Applied
+    // before the persist, so the cache stores at that width and the
+    // groupBy("g") below reuses the partitioning instead of adding a
+    // second exchange.
+    val grams = Dedup.widenForJoin(longSide.union(shortSide),
+        shuffleWidth.getOrElse(0), col("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // grams is persisted because it feeds BOTH the per-gram reduce and the
     // per-doc reduce (Catalyst never reuses the exchange — measured, see

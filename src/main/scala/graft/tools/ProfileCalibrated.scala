@@ -104,6 +104,28 @@ object ProfileCalibrated {
         }
         val sorted = pairs.sorted
         println(f"[calib] median unwidened/widened ratio = ${sorted(sorted.length / 2)}%.2f×")
+      case "novelty_ab" =>
+        // q76's per-gram reduce at the static session width packs ~6.6 M
+        // gram rows per task's hash map at the fourth decade (sf100
+        // measured 185-250 s, calm brackets, spill 0, exponent 1.27+).
+        // A/B the gram-reduce exchange widened to ~1 M rows/partition vs
+        // the default plan, interleaved like winnow_ab.
+        def novelty(width: Option[Int]) = graft.operators.TextAnalysis
+          .ngramNovelty(spark.read.parquet(s"$dir/documents.parquet"),
+            "doc_id", "text", n = 8, shuffleWidth = width)
+        graft.queries.Queries.all("q76_ngram_novelty")(spark, "/root/testdata/sf0.01").count()
+        novelty(Some(4)).count() // warm both shapes' codegen
+        release()
+        val pairsN = (1 to reps).map { i =>
+          val c = calib()
+          val (td, sd) = runWithSpill(novelty(None))
+          val (tw, sw) = runWithSpill(novelty(Some(204)))
+          println(f"[calib] pair$i calib=$c%.3f default=$td%.2f s (spill ${sd >> 20} MB) " +
+            f"widened=$tw%.2f s (spill ${sw >> 20} MB) default/widened=${td / tw}%.2f×")
+          td / tw
+        }.sorted
+        println(f"[calib] median default/widened ratio = ${pairsN(pairsN.length / 2)}%.2f×")
+
       case _ =>
         // every arg is a `query:dir:reps` triple, run in sequence, each
         // rep calibration-bracketed with the executed plan's spillSize

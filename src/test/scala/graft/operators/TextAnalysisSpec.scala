@@ -328,6 +328,43 @@ class TextAnalysisSpec extends SparkSpec {
     val joins = nodes.flatMap(_.collect { case j: JoinExec => j })
     assert(joins.isEmpty,
       s"novelty must reduce, never join back to the gram relation: $joins")
+    // the gram-reduce width override (deployment surface; the round-14
+    // A/B at the fourth decade measured it a wash — see scaladoc): same
+    // exchange count (the widening IS the per-gram reduce's exchange, at
+    // the requested width) and identical output
+    val wideOut = TextAnalysis.ngramNovelty(df, "doc_id", "text", n = 8,
+      shuffleWidth = Some(64))
+    wideOut.count()
+    // materialized AQE stages are leaves in the final plan — recurse into
+    // them, or widened exchanges executed in earlier stages are invisible
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    val seenCaches = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    def exchanges(p: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffleExchangeExec] = {
+      val here = p match { case s: ShuffleExchangeExec => Seq(s); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        // the gram relation is persisted — the widened exchange lives
+        // INSIDE the InMemoryRelation's cached plan, behind the cache
+        // boundary; both scans share one relation, so count it once
+        case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          if (seenCaches.add(c.relation.cacheBuilder)) Seq(c.relation.cachedPlan) else Nil
+        case other => other.children
+      }
+      here ++ kids.flatMap(exchanges)
+    }
+    val wideShuffles = exchanges(wideOut.queryExecution.executedPlan)
+      .filter(_.outputPartitioning.numPartitions > 1) // count()'s own final agg excluded
+    assert(wideShuffles.length <= 3,
+      s"the widened gram reduce must ride its own exchange, got ${wideShuffles.length}: " +
+        wideShuffles.map(s => s.outputPartitioning.numPartitions + "@" +
+          s.outputPartitioning.getClass.getSimpleName).mkString(","))
+    assert(wideShuffles.exists(_.outputPartitioning.numPartitions === 64),
+      "one exchange must carry the requested width 64: " +
+        wideShuffles.map(_.outputPartitioning.numPartitions).mkString(","))
+    assert(wideOut.collect().toSet ===
+      TextAnalysis.ngramNovelty(df, "doc_id", "text", n = 8).collect().toSet)
     graft.GraftSession.releaseCaches(spark)
   }
 
