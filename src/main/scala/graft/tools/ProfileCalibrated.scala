@@ -69,9 +69,13 @@ object ProfileCalibrated {
         .distinct()
     }
 
-    /** Total spillSize bytes across the executed plan's nodes. */
-    def runWithSpill(df: org.apache.spark.sql.DataFrame): (Double, Long) = {
-      val t0 = System.nanoTime(); df.count()
+    /** Total spillSize bytes across the executed plan's nodes. By-name:
+      * several operators run an eager plan-construction job (the pair
+      * family's prefix build + width aggregate, q41's whole cascade) —
+      * construction MUST happen inside the clock or the probe times only
+      * the label join of an already-computed result. */
+    def runWithSpill(build: => org.apache.spark.sql.DataFrame): (Double, Long) = {
+      val t0 = System.nanoTime(); val df = build; df.count()
       val dt = (System.nanoTime() - t0) / 1e9
       val nodes = df.queryExecution.executedPlan.collectWithSubqueries {
         case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
