@@ -30,23 +30,10 @@ object ProfileCalibrated {
     val spark = graft.GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
 
-    def calib(): Double = {
-      graft.Bench.calibrationOnce(spark) // warm-up rep
-      (1 to 3).map(_ => graft.Bench.calibrationOnce(spark)).min
-    }
+    def calib(): Double = ProfileUtil.calib(spark)
     def release(): Unit = {
       graft.GraftSession.releaseCaches(spark, blocking = true)
       System.gc()
-    }
-    def timeRuns(label: String, n: Int)(body: => Unit): Double = {
-      val ts = (1 to n).map { _ =>
-        val t0 = System.nanoTime(); body
-        val dt = (System.nanoTime() - t0) / 1e9
-        release(); dt
-      }
-      println(f"[calib] $label min=${ts.min}%.2f s runs=" +
-        ts.map(t => f"$t%.2f").mkString(","))
-      ts.min
     }
 
     /** The pre-round-14 q40 plan, verbatim minus the widening — the A/B
@@ -69,24 +56,16 @@ object ProfileCalibrated {
         .distinct()
     }
 
-    /** Total spillSize bytes across the executed plan's nodes. By-name:
-      * several operators run an eager plan-construction job (the pair
-      * family's prefix build + width aggregate, q41's whole cascade) —
-      * construction MUST happen inside the clock or the probe times only
+    /** Wall seconds + spill bytes from the SAME executed QueryExecution
+      * ([[ProfileUtil.runWithSpill]] — the round-14 readout executed
+      * `df.count()`'s separate wrapped plan and then read metrics off the
+      * never-executed adaptive original, so spill always read 0). By-name
+      * `build`: several operators run an eager plan-construction job (the
+      * pair family's prefix build + width aggregate, q41's whole cascade)
+      * — construction MUST happen inside the clock or the probe times only
       * the label join of an already-computed result. */
-    def runWithSpill(build: => org.apache.spark.sql.DataFrame): (Double, Long) = {
-      val t0 = System.nanoTime(); val df = build; df.count()
-      val dt = (System.nanoTime() - t0) / 1e9
-      val nodes = df.queryExecution.executedPlan.collectWithSubqueries {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
-        case p => p
-      }
-      val spill = nodes.flatMap(_.collect {
-        case p => p.metrics.get("spillSize").map(_.value).getOrElse(0L)
-      }).sum
-      release()
-      (dt, spill)
-    }
+    def runWithSpill(build: => org.apache.spark.sql.DataFrame): (Double, Long) =
+      ProfileUtil.runWithSpill(spark)(build)
 
     mode match {
       case "winnow_ab" =>
@@ -114,11 +93,18 @@ object ProfileCalibrated {
         // measured 185-250 s, calm brackets, spill 0, exponent 1.27+).
         // A/B the gram-reduce exchange widened to ~1 M rows/partition vs
         // the default plan, interleaved like winnow_ab.
-        def novelty(width: Option[Int]) = graft.operators.TextAnalysis
-          .ngramNovelty(spark.read.parquet(s"$dir/documents.parquet"),
+        def noveltyAt(d: String, width: Option[Int]) = graft.operators.TextAnalysis
+          .ngramNovelty(spark.read.parquet(s"$d/documents.parquet"),
             "doc_id", "text", n = 8, shuffleWidth = width)
-        graft.queries.Queries.all("q76_ngram_novelty")(spark, "/root/testdata/sf0.01").count()
-        novelty(Some(4)).count() // warm both shapes' codegen
+        def novelty(width: Option[Int]) = noveltyAt(dir, width)
+        // warm BOTH A/B'd shapes' codegen at sf0.01: the round-14 warm-up
+        // used width 4, below the session shuffle width, so widenForJoin
+        // was a no-op and only the default plan compiled — the widened
+        // (204) variant's first timed rep silently included its codegen
+        // (ADVICE r14). 204 > the 32-partition session width, so the
+        // widened plan shape compiles here at small scale.
+        noveltyAt("/root/testdata/sf0.01", None).count()
+        noveltyAt("/root/testdata/sf0.01", Some(204)).count()
         release()
         val pairsN = (1 to reps).map { i =>
           val c = calib()

@@ -25,39 +25,14 @@ object ProfileThirdDecade {
     spark.sparkContext.setLogLevel("ERROR")
     val sf01 = "/root/testdata/sf0.1"
 
-    // docs-only corpora (q60/q76 read nothing else); markers versioned
-    // like ProfileScaleCurve's so a construction change invalidates
-    // stale bytes instead of silently re-measuring them
-    def build(srcDir: String, dir: String, copies: Int, pfx: String,
-              parts: Int): Unit = {
-      val marker = new java.io.File(s"$dir/_SCALED_OK_v1")
-      if (marker.exists()) return
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-      val docs = spark.read.parquet(s"$srcDir/documents.parquet")
-      val nDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
-      (0 until copies).map { i =>
-        docs.select(
-          (col("doc_id") + lit(i.toLong * nDoc)).as("doc_id"),
-          array_join(transform(split(col("text"), " "),
-            t => concat(lit(s"$pfx$i"), t)), " ").as("text"),
-          col("lang"), col("source"), col("n_chars"))
-      }.reduce(_ unionByName _)
-        .repartition(parts)
-        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      marker.createNewFile()
-      println(s"[scale] built ${copies}x $srcDir corpus at $dir")
-    }
-    val sf1 = sys.env.getOrElse("GRAFT_SF1_DOCS_DIR", "/tmp/graft_scale3_sf1")
-    val sf10 = sys.env.getOrElse("GRAFT_SF10_DOCS_DIR", "/tmp/graft_scale3_sf10")
-    val sf100 = sys.env.getOrElse("GRAFT_SF100_DOCS_DIR", "/tmp/graft_scale4_sf100")
-    // fourth decade (1000 × sf0.1): derived from the sf10 corpus under a
-    // SECOND prefix layer — tokens "d<j>c<i>w" stay globally disjoint
-    // across all 1000 effective copies, and Catalyst sees a 10-way union
-    // instead of a 1000-branch plan. Opt-in: the leg costs minutes/query.
+    // docs-only corpora (q60/q76 read nothing else), shared via
+    // [[ProfileUtil.scaledDocsDirs]]; markers encode the construction
+    // (source, copies, prefix, partitions) so a construction change
+    // invalidates stale bytes instead of silently re-measuring them.
+    // Fourth decade (1000 × sf0.1, derived from sf10 under a second
+    // disjoint-prefix layer) is opt-in: the leg costs minutes/query.
     val fourth = sys.env.get("GRAFT_FOURTH_DECADE").contains("1")
-    build(sf01, sf1, 10, "c", 32)
-    build(sf01, sf10, 100, "c", 32)
-    if (fourth) build(sf10, sf100, 10, "d", 128)
+    val (sf1, sf10, sf100) = ProfileUtil.scaledDocsDirs(spark, fourth)
 
     def release(): Unit = {
       graft.GraftSession.releaseCaches(spark, blocking = true)

@@ -35,36 +35,15 @@ object ProfileWinnow {
     import spark.implicits._
     val sf01 = "/root/testdata/sf0.1"
 
-    // same corpus construction + versioned marker as ProfileThirdDecade;
-    // the fourth decade derives from the sf10 corpus (10 copies under a
-    // SECOND prefix layer — tokens "d<j>c<i>w" stay globally disjoint
-    // across all 1000 effective copies) instead of a 1000-way union of
-    // sf0.1, which would hand Catalyst a 1000-branch plan for no
-    // statistical difference
-    def build(srcDir: String, dir: String, copies: Int, pfx: String,
-              parts: Int): Unit = {
-      val marker = new java.io.File(s"$dir/_SCALED_OK_v1")
-      if (marker.exists()) return
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-      val docs = spark.read.parquet(s"$srcDir/documents.parquet")
-      val nDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
-      (0 until copies).map { i =>
-        docs.select(
-          (col("doc_id") + lit(i.toLong * nDoc)).as("doc_id"),
-          array_join(transform(split(col("text"), " "),
-            t => concat(lit(s"$pfx$i"), t)), " ").as("text"),
-          col("lang"), col("source"), col("n_chars"))
-      }.reduce(_ unionByName _)
-        .repartition(parts)
-        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      marker.createNewFile()
-      println(s"[scale] built ${copies}x $srcDir corpus at $dir")
-    }
-    val sf1 = sys.env.getOrElse("GRAFT_SF1_DOCS_DIR", "/tmp/graft_scale3_sf1")
-    val sf10 = sys.env.getOrElse("GRAFT_SF10_DOCS_DIR", "/tmp/graft_scale3_sf10")
-    val sf100 = sys.env.getOrElse("GRAFT_SF100_DOCS_DIR", "/tmp/graft_scale4_sf100")
-    build(sf01, sf1, 10, "c", 32); build(sf01, sf10, 100, "c", 32)
-    build(sf10, sf100, 10, "d", 128)
+    // shared scaled corpora ([[ProfileUtil.scaledDocsDirs]]): the fourth
+    // decade derives from the sf10 corpus (10 copies under a SECOND
+    // prefix layer — tokens "d<j>c<i>w" stay globally disjoint across all
+    // 1000 effective copies) instead of a 1000-way union of sf0.1, which
+    // would hand Catalyst a 1000-branch plan for no statistical
+    // difference. Markers encode the construction (source, copies,
+    // prefix, partitions), so a construction change rebuilds instead of
+    // silently reusing a different layout.
+    val (sf1, sf10, sf100) = ProfileUtil.scaledDocsDirs(spark, fourth = true)
 
     def release(): Unit = {
       graft.GraftSession.releaseCaches(spark, blocking = true)
