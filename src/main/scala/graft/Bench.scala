@@ -42,7 +42,19 @@ object Bench {
     * uniform-drift signature on untouched code, SCALE.md §Bench
     * variance) from a genuine per-query regression (calibration flat,
     * one query moved). Divide a session's per-query times by the
-    * calibration ratio to normalize before comparing rounds. */
+    * calibration ratio to normalize before comparing rounds.
+    *
+    * Sampled THREE times — before the query loop (`calibration_s`),
+    * between the two halves (`calibration_mid_s`), and after the last
+    * query (`calibration_after_s`) — because a single pre-loop sample is
+    * blind to a storm that arrives mid-bench: the round-14 driver
+    * artifact read a calm 0.077 pre-loop sentinel while queries q39+
+    * ran 1.6-4× inflated, and the diagnosis needed the committed bank
+    * for cross-reference. With three samples the artifact carries the
+    * diagnosis itself: calm-pre + inflated-mid/after = storm arrived
+    * mid-run, read the tail queries' times with suspicion; all three
+    * inflated = the whole session was slow, normalize by the ratio; all
+    * three calm with one query moved = a genuine regression. */
   private[graft] def calibrationOnce(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
     spark.range(0L, 20000000L, 1L, 32)
@@ -74,7 +86,9 @@ object Bench {
     * both query maps and both totals and counted in `n_failed_queries`. */
   private[graft] def renderJson(results: Seq[(String, Option[Double], Option[Double], Int, Int)],
                                 runsPerQuery: Int, sfDir: String,
-                                calibration: Option[Double] = None): String = {
+                                calibration: Option[Double] = None,
+                                calibrationMid: Option[Double] = None,
+                                calibrationAfter: Option[Double] = None): String = {
     def qmap(pick: ((String, Option[Double], Option[Double], Int, Int)) => Option[Double]) =
       results.collect { case r if pick(r).isDefined => s"\"" + r._1 + "\":" + pick(r).get }
         .mkString("{", ",", "}")
@@ -84,7 +98,9 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val totalMed = results.flatMap(_._3).sum
-    val calib = calibration.map(c => s""""calibration_s":$c,""").getOrElse("")
+    val calib = calibration.map(c => s""""calibration_s":$c,""").getOrElse("") +
+      calibrationMid.map(c => s""""calibration_mid_s":$c,""").getOrElse("") +
+      calibrationAfter.map(c => s""""calibration_after_s":$c,""").getOrElse("")
     s"""{"metric":"total","value":$total,"unit":"sec","stat":"min",$calib"runs_per_query":$runsPerQuery,"queries":${qmap(_._2)},"total_median":$totalMed,"queries_median":${qmap(_._3)},"runs_bumped":$extraJson,"failed_runs":$failedJson,"n_failed_queries":${results.count(_._2.isEmpty)},"sf":"$sfDir"}"""
   }
 
@@ -101,6 +117,8 @@ object Bench {
   private[graft] def renderCompactJson(
       results: Seq[(String, Option[Double], Option[Double], Int, Int)],
       sfDir: String, calibration: Option[Double] = None,
+      calibrationMid: Option[Double] = None,
+      calibrationAfter: Option[Double] = None,
       detailFile: String = "bench_metric.json"): String = {
     def stem(n: String) = n.takeWhile(_ != '_')
     val stems = results.map(r => stem(r._1))
@@ -111,7 +129,9 @@ object Bench {
     val qs = results
       .collect { case (n, Some(v), _, _, _) => s"\"" + key(n) + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val calib = calibration.map(c => s""""calibration_s":${r3(c)},""").getOrElse("")
+    val calib = calibration.map(c => s""""calibration_s":${r3(c)},""").getOrElse("") +
+      calibrationMid.map(c => s""""calibration_mid_s":${r3(c)},""").getOrElse("") +
+      calibrationAfter.map(c => s""""calibration_after_s":${r3(c)},""").getOrElse("")
     s"""{"metric":"total","value":${r3(results.flatMap(_._2).sum)},"unit":"sec","stat":"min",$calib"queries":$qs,"n_failed_queries":${results.count(_._2.isEmpty)},"detail":"$detailFile","sf":"$sfDir"}"""
   }
 
@@ -157,18 +177,30 @@ object Bench {
       release()
       if (ok) Some(dt) else None
     }
-    val results = names.map { case (name, fn) =>
-      var outcomes = Seq.fill(runs)(timeOnce(fn))
-      // spread > 2× ⇒ the query straddles JVM modes (SCALE.md §Bench
-      // variance) — deepen the sample so the reported min is the fast mode
-      val ok = outcomes.flatten
-      if (ok.nonEmpty && ok.max / ok.min > 2.0)
-        outcomes ++= Seq.fill(maxRuns - outcomes.size)(timeOnce(fn))
-      val (mn, med, nFailed) = statsOverSuccesses(outcomes)
-      (name, mn, med, nFailed, outcomes.size)
-    }
+    def timeQueries(qs: Seq[(String, (SparkSession, String) => DataFrame)]) =
+      qs.map { case (name, fn) =>
+        var outcomes = Seq.fill(runs)(timeOnce(fn))
+        // spread > 2× ⇒ the query straddles JVM modes (SCALE.md §Bench
+        // variance) — deepen the sample so the reported min is the fast mode
+        val ok = outcomes.flatten
+        if (ok.nonEmpty && ok.max / ok.min > 2.0)
+          outcomes ++= Seq.fill(maxRuns - outcomes.size)(timeOnce(fn))
+        val (mn, med, nFailed) = statsOverSuccesses(outcomes)
+        (name, mn, med, nFailed, outcomes.size)
+      }
+    // the sentinel re-samples MID-loop and AFTER the last query (no
+    // warm-up rep needed — the codegen class compiled before the loop):
+    // a storm arriving mid-bench is then readable from the artifact alone
+    // instead of needing a committed bank to cross-reference (the
+    // round-14 driver artifact's calm-pre/ inflated-tail signature)
+    val (firstHalf, secondHalf) = names.splitAt(names.size / 2)
+    val r1 = timeQueries(firstHalf)
+    val calibrationMid = (1 to 3).map(_ => calibrationOnce(spark)).min
+    val results = r1 ++ timeQueries(secondHalf)
+    val calibrationAfter = (1 to 3).map(_ => calibrationOnce(spark)).min
     val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "bench_metric.json")
-    val json = renderJson(results, runs, sfDir, Some(calibration))
+    val json = renderJson(results, runs, sfDir, Some(calibration),
+      Some(calibrationMid), Some(calibrationAfter))
     java.nio.file.Files.write(
       java.nio.file.Paths.get(benchFile), (json + "\n").getBytes("UTF-8"))
     Console.err.flush()
@@ -185,6 +217,7 @@ object Bench {
     // stream is flushed but deliberately NOT closed — it wraps the
     // process's own fd 1.
     val compact = renderCompactJson(results, sfDir, Some(calibration),
+      Some(calibrationMid), Some(calibrationAfter),
       new java.io.File(benchFile).getName)
     val raw = new java.io.FileOutputStream(java.io.FileDescriptor.out)
     raw.write((compact + "\n").getBytes("UTF-8"))

@@ -53,6 +53,26 @@ class BenchSpec extends AnyFunSuite {
     assert(!without.contains("calibration_s"), without)
   }
 
+  test("mid and post-loop sentinel samples ride both renders (storm self-diagnosis)") {
+    // the round-14 driver artifact: calm 0.077 pre-loop, storm-inflated
+    // tail — undiagnosable without the committed bank. With three samples
+    // the artifact carries the signature itself (calm pre, inflated
+    // mid/after ⇒ storm arrived mid-run).
+    val full = Bench.renderJson(Seq(("q1", Some(0.5), Some(0.5), 0, 3)), 3, "/sf",
+      calibration = Some(0.077), calibrationMid = Some(0.31),
+      calibrationAfter = Some(0.29))
+    assert(full.contains("\"calibration_s\":0.077"), full)
+    assert(full.contains("\"calibration_mid_s\":0.31"), full)
+    assert(full.contains("\"calibration_after_s\":0.29"), full)
+    val compact = Bench.renderCompactJson(Seq(("q1", Some(0.5), Some(0.5), 0, 3)), "/sf",
+      calibration = Some(0.077), calibrationMid = Some(0.312345),
+      calibrationAfter = Some(0.29))
+    assert(compact.contains("\"calibration_mid_s\":0.312"), compact)
+    assert(compact.contains("\"calibration_after_s\":0.29"), compact)
+    // the compact line must still be valid JSON field order: value first
+    assert(compact.startsWith("{\"metric\":\"total\""), compact)
+  }
+
   test("compact stdout line: qNN stems, 3-decimal rounding, fits the driver's 2000-char tail") {
     // realistic shape: 88 queries with full-length names, as in SparkEntry
     val results = (1 to 88).map { i =>
@@ -60,7 +80,8 @@ class BenchSpec extends AnyFunSuite {
         Some(1.3 * i % 7), 0, 3)
     }
     val json = Bench.renderCompactJson(results, "/root/testdata/sf0.1",
-      calibration = Some(0.069432519), detailFile = "bench_metric.json")
+      calibration = Some(0.069432519), calibrationMid = Some(0.071234),
+      calibrationAfter = Some(0.0699999), detailFile = "bench_metric.json")
     assert(json.length < 1900, s"compact line must fit the tail cap: ${json.length}")
     assert(json.contains("\"q01\":") && json.contains("\"q88\":"), json)
     assert(!json.contains("longish"), json)
