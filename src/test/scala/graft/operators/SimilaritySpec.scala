@@ -623,6 +623,44 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("two concurrent compactions exclude each other: the second fails fast on the live mutex") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = Similarity.ivfCentroids(e, k = 4, iters = 1)
+    val books = Similarity.pqTrain(e, 4, 16, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("compact_mutex").toString + "/idx"
+    try {
+      Similarity.ivfPqIndexWrite(e, dir, coarse, books)
+      val total = spark.read.parquet(dir).count()
+      // simulate compaction A mid-run: staging + a FRESH mutex file (the
+      // atomic acquisition artifact). The round-14 mkdirs flag succeeded
+      // for a second caller too; the mutex must fail it fast instead —
+      // and must NOT be "healed" away (rolling back A's swaps mid-run).
+      val staging = new java.io.File(dir + "_compacting")
+      assert(staging.mkdirs())
+      val mutex = new java.io.File(staging, "_mutex")
+      assert(mutex.createNewFile())
+      val ex = intercept[IllegalStateException](
+        Similarity.ivfPqIndexCompact(spark, dir, maxFilesPerCluster = 1))
+      assert(ex.getMessage.contains("another caller") ||
+        ex.getMessage.contains("mutex"), ex.getMessage)
+      assert(staging.exists() && mutex.exists(),
+        "the losing compaction must leave the winner's staging+mutex untouched")
+      assert(spark.read.parquet(dir).count() === total)
+      // the same staging with its mutex aged past the staleness bound is
+      // a CRASHED compaction: the next call heals it and proceeds
+      val healed = Similarity.ivfPqIndexCompact(
+        spark, dir, maxFilesPerCluster = 1, leaseStaleMs = 0L)
+      assert(!staging.exists(), "a stale-mutex staging must be healed away")
+      assert(spark.read.parquet(dir).count() === total,
+        s"heal+compact must not change rows (compacted: $healed)")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
+  }
+
   test("a refused append leaves no lease behind; both appends hold the lease through their write") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
