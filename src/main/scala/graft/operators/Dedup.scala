@@ -86,12 +86,49 @@ object Dedup {
     inter / (size(a) + size(b) - size(array_intersect(a, b)))
   }
 
-  /** id + distinct xxhash64'd token set, persisted for plan-wide reuse. */
+  /** Storage level for the pair family's CORPUS-SCALE persists (the
+    * hashed-set input relation and the ordered-prefix cache — Θ(Σ tokens)
+    * bytes each). Conf seam `spark.graft.pair.persistLevel`, default
+    * `MEMORY_AND_DISK`: at the measured fourth decade (SCALE.md §Round 15)
+    * the deserialized on-heap form of the prefix cache crosses the local
+    * cache-fit boundary and q24/q60 pay a disk-backed materialization —
+    * `MEMORY_AND_DISK_SER` trades heap for codec CPU and is the banked
+    * lever, adopted or rejected per the A/B banked there. */
+  private def pairPersistLevel(spark: org.apache.spark.sql.SparkSession): StorageLevel =
+    StorageLevel.fromString(
+      spark.conf.get("spark.graft.pair.persistLevel", "MEMORY_AND_DISK"))
+
+  /** Round-15 A/B seam (`spark.graft.pair.carryPrefixInCache`, default
+    * false): when true, the ordered-prefix cache materializes the `prefix`
+    * column (the round-14 shape — prefix bytes DUPLICATE the head of
+    * `ord`, ~+5-20% cache payload at the bench thresholds plus per-row
+    * array overhead); when false the prefix is a codegen'd `slice` over
+    * `ord` computed on cache READ — same plan shape, fewer cached bytes.
+    * Kept as a conf so the two cache payloads can be A/B'd in ONE session
+    * (interleaved, calm-bracketed — the round-14 protocol). */
+  private def carryPrefixInCache(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.get("spark.graft.pair.carryPrefixInCache", "false").toBoolean
+
+  /** Round-15 A/B seam (`spark.graft.pair.keepInputCache`, default
+    * false): when false, the hashed-set INPUT cache is dropped as soon as
+    * the derived ordered-prefix (or delete-1 fingerprint) cache has
+    * materialized — the input relation has no consumer after that point,
+    * and holding it doubles the resident corpus-scale bytes exactly where
+    * the cache-fit boundary bites (SCALE.md §Round 14: q60's sf100 step).
+    * True restores the round-14 keep-everything behavior for comparison. */
+  private def keepInputCache(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.get("spark.graft.pair.keepInputCache", "false").toBoolean
+
+  /** id + distinct xxhash64'd token set. NOT persisted here: callers
+    * persist at their own layering (block rename + set size) so the
+    * cached plan IS the one their downstream paths reference — which is
+    * what lets those paths `unpersist` it the moment its last consumer
+    * (the ordered-prefix build) has materialized. A persist buried under
+    * a caller-side rename would be unreachable to a by-plan unpersist. */
   private def hashedSets(df: DataFrame, id: String, tokenSet: String,
                          extra: Seq[String]): DataFrame =
     df.select((col(id).as("hs_id")) +: extra.map(col) :+
         array_distinct(transform(col(tokenSet), t => xxhash64(t))).as("hs"): _*)
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Largest dictionary for which the bitmap representation is used:
     * 1024 tokens = 16 longs per set. */
@@ -210,13 +247,16 @@ object Dedup {
     * Spark job on the prefix path — the posting-volume aggregate that
     * sizes the pair shuffle ([[pairShuffleWidth]]) and doubles as the
     * materializer of the persisted prefix cache every downstream stage
-    * reuses. Build the plan only when you intend to run it. */
+    * reuses (at which point the hashed-set INPUT cache, consumer-less
+    * from then on, is released — see [[keepInputCache]]). Build the plan
+    * only when you intend to run it. */
   def jaccardPairs(df: DataFrame, id: String, tokenSet: String,
                    block: String, threshold: Double,
                    vocabHint: Option[Long] = None): DataFrame = {
     val hs = hashedSets(df, id, tokenSet, Seq(block))
       .withColumnRenamed(block, "blk")
       .withColumn("n", size(col("hs")))
+      .persist(pairPersistLevel(df.sparkSession))
     jaccardPairsFromHashed(hs, threshold, vocabHint)
   }
 
@@ -292,6 +332,7 @@ object Dedup {
     val hs = hashedSets(df, id, tokenSet, Seq(block))
       .withColumnRenamed(block, "blk")
       .withColumn("n", size(col("hs")))
+      .persist(pairPersistLevel(df.sparkSession))
     val nMax = hs.agg(max(col("n"))).head() match {
       case r if r.isNullAt(0) => 0
       case r => r.getInt(0)
@@ -324,11 +365,16 @@ object Dedup {
     val base = hs.where(col("n") > 0)
       .select(col("blk"), col("hs_id"), col("n"), col("hs"))
       .withColumn("fp", aggregate(col("hs"), lit(0L), (a, x) => a + x))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persist(pairPersistLevel(hs.sparkSession))
     // this path triggers precisely on big corpora (occ > SmallCorpusOccMax)
     // — size the Θ(Σn) delete-fingerprint join from the data
     val width = pairShuffleWidth(totalOcc(base),
       hs.sparkSession.sessionState.conf.numShufflePartitions)
+    // `base` is materialized (MEMORY_AND_DISK: its blocks can spill but
+    // never vanish), and every downstream stage reads it — the input
+    // cache has no consumer left; at corpus scale holding it doubles the
+    // resident bytes for nothing
+    if (!keepInputCache(hs.sparkSession)) hs.unpersist(blocking = false)
     val slim = base.select(col("blk"), col("fp"), col("hs_id"), col("n"))
     // equal-set candidates: same (block, fingerprint)
     val eq = slim.select(col("blk"), col("fp"),
@@ -410,14 +456,19 @@ object Dedup {
       .select(col("left_id"), col("right_id"), col("jaccard"))
   }
 
-  /** Rarest-first ordered token arrays + the PPJoin/containment prefix:
-    * every set's tokens sorted by (global document frequency, hash) with a
-    * `prefix` of the first n − ⌈τ·n⌉ + 1 — the tokens at least one of which
-    * any qualifying partner MUST share (pigeonhole over the ≤ n − ⌈τ·n⌉
-    * misses τ allows). Shared by Jaccard and containment candidate
-    * generation; both are lossless over it. */
-  private def orderedPrefix(hs: DataFrame, threshold: Double,
-                            carry: Seq[String] = Nil): DataFrame = {
+  /** Rarest-first ordered token arrays: every set's tokens sorted by
+    * (global document frequency, hash) — the substrate of the
+    * PPJoin/containment prefix theorem. NOT persisted here and carries NO
+    * prefix column: the prefix (first n − ⌈τ·n⌉ + 1 tokens — the tokens
+    * at least one of which any qualifying partner MUST share, pigeonhole
+    * over the ≤ n − ⌈τ·n⌉ misses τ allows) is a pure `slice` of `ord`
+    * ([[prefixExpr]]) computed on cache READ by the consumers, so the
+    * corpus-scale cache holds each token hash exactly ONCE instead of
+    * duplicating the array head into a second cached column (the
+    * round-14 shape; [[carryPrefixInCache]] restores it for A/B).
+    * Shared by Jaccard and containment candidate generation; both are
+    * lossless over it. */
+  private def orderedArrays(hs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
     val tokDf = hs.select(explode(col("hs")).as("h"))
       .groupBy("h").agg(count(lit(1)).as("tdf"))
     // carry columns ride the groupBy for free: hs_id is unique per row,
@@ -428,8 +479,36 @@ object Dedup {
       .groupBy(keys.map(col): _*)
       .agg(transform(array_sort(collect_list(struct(col("tdf"), col("h")))),
         s => s.getField("h")).as("ord"))
-      .withColumn("prefix", slice(col("ord"), lit(1),
-        (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int")))
+  }
+
+  /** The PPJoin prefix as an expression over (`ord`, `n`):
+    * slice(ord, 1, n − ⌈τ·n⌉ + 1). Codegen'd array slice — computed per
+    * cache read, never materialized into the cache (default; see
+    * [[carryPrefixInCache]]). */
+  private def prefixExpr(threshold: Double): Column =
+    slice(col("ord"), lit(1),
+      (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int"))
+
+  /** Persist the ordered-arrays relation for a τ-thresholded pair path
+    * and hand back (cache, prefixed view): the cache carries `ord` only
+    * unless the [[carryPrefixInCache]] A/B seam materializes `prefix`
+    * too; the view always exposes both. One eager single-row aggregate
+    * ([[totalOcc]]) materializes the cache and yields the posting volume
+    * that sizes the pair shuffle; the hashed-set INPUT cache is released
+    * here — its last consumer was this build ([[keepInputCache]]). */
+  private def prefixCache(hs: DataFrame, threshold: Double,
+                          carry: Seq[String] = Nil): (DataFrame, DataFrame, Long) = {
+    val spark = hs.sparkSession
+    val base = orderedArrays(hs, carry)
+    val pre =
+      (if (carryPrefixInCache(spark)) base.withColumn("prefix", prefixExpr(threshold))
+       else base).persist(pairPersistLevel(spark))
+    val occ = totalOcc(pre)
+    if (!keepInputCache(spark)) hs.unpersist(blocking = false)
+    val prefixed =
+      if (carryPrefixInCache(spark)) pre
+      else pre.withColumn("prefix", prefixExpr(threshold))
+    (pre, prefixed, occ)
   }
 
   /** Large-dictionary path: PPJoin prefix filtering (τ > 0) or the full
@@ -447,16 +526,16 @@ object Dedup {
     * verification. */
   private def jaccardPairsPrefix(hs: DataFrame, threshold: Double): DataFrame = {
     if (threshold > 0) {
-      val pre = orderedPrefix(hs, threshold)
-        .persist(StorageLevel.MEMORY_AND_DISK)
       // data-aware width for the occ-scale posting join (the sf10 spill
-      // term; the aggregate doubles as the persist materializer)
-      val width = pairShuffleWidth(totalOcc(pre),
+      // term; the aggregate doubles as the persist materializer — after
+      // which the hashed-set input cache is released inside prefixCache)
+      val (pre, prefixed, occ) = prefixCache(hs, threshold)
+      val width = pairShuffleWidth(occ,
         hs.sparkSession.sessionState.conf.numShufflePartitions)
-      val l = widenForJoin(pre.select(col("blk"), col("hs_id").as("left_id"),
+      val l = widenForJoin(prefixed.select(col("blk"), col("hs_id").as("left_id"),
         col("n").as("nl"), posexplode(col("prefix")).as(Seq("lp", "h"))),
         width, col("blk"), col("h"))
-      val r = widenForJoin(pre.select(col("blk"), col("hs_id").as("right_id"),
+      val r = widenForJoin(prefixed.select(col("blk"), col("hs_id").as("right_id"),
         col("n").as("nr"), posexplode(col("prefix")).as(Seq("rp", "h"))),
         width, col("blk"), col("h"))
       // size-ratio filter: J ≥ τ implies min(n) ≥ τ·max(n) (epsilon loosens)
@@ -523,6 +602,7 @@ object Dedup {
     val hs = hashedSets(both, id, tokenSet, Seq(block, "side"))
       .withColumnRenamed(block, "blk")
       .withColumn("n", size(col("hs")))
+      .persist(pairPersistLevel(left.sparkSession))
     crossJaccardFromHashed(hs, threshold)
   }
 
@@ -553,6 +633,7 @@ object Dedup {
     val hs = shingleHashedSetsBlocked(both, id, tokens, shingleN, Seq(block, "side"))
       .withColumnRenamed(block, "blk")
       .withColumn("n", size(col("hs")))
+      .persist(pairPersistLevel(left.sparkSession))
     crossJaccardFromHashed(hs, threshold)
   }
 
@@ -580,6 +661,7 @@ object Dedup {
     val hs = hashedSets(both, id, tokenSet, Seq(block, "side"))
       .withColumnRenamed(block, "blk")
       .withColumn("n", size(col("hs")))
+      .persist(pairPersistLevel(left.sparkSession))
     val withRep = hs.withColumn("skey", array_sort(col("hs")))
       .join(hs.withColumn("skey", array_sort(col("hs")))
         .groupBy(col("blk"), col("side"), col("skey"))
@@ -607,7 +689,8 @@ object Dedup {
       .unionByName(right.select(lit(1).as("side"), col(id), col(block), col(tokenSet)))
     crossJaccardFromHashed(hashedSets(both, id, tokenSet, Seq(block, "side"))
       .withColumnRenamed(block, "blk")
-      .withColumn("n", size(col("hs"))), threshold)
+      .withColumn("n", size(col("hs")))
+      .persist(pairPersistLevel(left.sparkSession)), threshold)
   }
 
   /** Shared R×S candidate/verify core: the same SLIM-posting PPJoin split
@@ -617,15 +700,14 @@ object Dedup {
     * UNION makes the positional bound valid across relations exactly as
     * in the self-join case. */
   private def crossJaccardFromHashed(hs: DataFrame, threshold: Double): DataFrame = {
-    val pre = orderedPrefix(hs, threshold, carry = Seq("side"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val width = pairShuffleWidth(totalOcc(pre),
+    val (pre, prefixed, occ) = prefixCache(hs, threshold, carry = Seq("side"))
+    val width = pairShuffleWidth(occ,
       hs.sparkSession.sessionState.conf.numShufflePartitions)
-    val l = widenForJoin(pre.where(col("side") === 0).select(col("blk"),
+    val l = widenForJoin(prefixed.where(col("side") === 0).select(col("blk"),
       col("hs_id").as("left_id"), col("n").as("nl"),
       posexplode(col("prefix")).as(Seq("lp", "h"))),
       width, col("blk"), col("h"))
-    val r = widenForJoin(pre.where(col("side") === 1).select(col("blk"),
+    val r = widenForJoin(prefixed.where(col("side") === 1).select(col("blk"),
       col("hs_id").as("right_id"), col("n").as("nr"),
       posexplode(col("prefix")).as(Seq("rp", "h"))),
       width, col("blk"), col("h"))
@@ -677,6 +759,7 @@ object Dedup {
     val hs = hashedSets(df, id, tokenSet, Seq(block))
       .withColumnRenamed(block, "blk")
       .withColumn("n", size(col("hs")))
+      .persist(pairPersistLevel(df.sparkSession))
     containmentFromHashed(hs, threshold)
   }
 
@@ -711,6 +794,7 @@ object Dedup {
     val hs = shingleHashedSetsBlocked(df, id, tokens, shingleN, Seq(block))
       .withColumnRenamed(block, "blk")
       .withColumn("n", size(col("hs")))
+      .persist(pairPersistLevel(df.sparkSession))
     containmentFromHashed(hs, threshold)
   }
 
@@ -721,13 +805,12 @@ object Dedup {
     // posting makes the candidate shuffle Θ(Σ n·|doc|) bytes — measured
     // super-linear wall time at the 100× synthetic decade (spill-bound;
     // SCALE.md §third decade) — where the slim shape is Θ(Σ n).
-    val pre = orderedPrefix(hs, threshold)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (pre, prefixed, occ) = prefixCache(hs, threshold)
     // the r side explodes FULL ordered arrays, so Σn is exactly this
     // join's posting volume — size its shuffle from the data
-    val width = pairShuffleWidth(totalOcc(pre),
+    val width = pairShuffleWidth(occ,
       hs.sparkSession.sessionState.conf.numShufflePartitions)
-    val l = widenForJoin(pre.select(col("blk"), col("hs_id").as("left_id"),
+    val l = widenForJoin(prefixed.select(col("blk"), col("hs_id").as("left_id"),
       col("n").as("nl"), posexplode(col("prefix")).as(Seq("lp", "h"))),
       width, col("blk"), col("h"))
     val r = widenForJoin(pre.select(col("blk"), col("hs_id").as("right_id"),
@@ -820,7 +903,8 @@ object Dedup {
     * hashes identically. Returns (left_id, right_id) distinct. */
   def minHashPairs(df: DataFrame, id: String, tokenSet: String,
                    k: Int = 16, bands: Int = 4): DataFrame =
-    minHashPairsHashed(hashedSets(df, id, tokenSet, Nil), k, bands)
+    minHashPairsHashed(hashedSets(df, id, tokenSet, Nil)
+      .persist(StorageLevel.MEMORY_AND_DISK), k, bands)
 
   /** Hashed n-token shingle sets built without materializing shingle strings:
     * posexplode the token array, hash each token once, window-`lead` the next
@@ -832,6 +916,7 @@ object Dedup {
   def shingleHashedSets(df: DataFrame, id: String, tokens: String,
                         n: Int = 3): DataFrame =
     shingleHashedSetsBlocked(df, id, tokens, n, Nil)
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** [[shingleHashedSets]] with carried block columns (language, source,
     * batch side): the carries ride the posexplode and the per-doc
@@ -866,7 +951,6 @@ object Dedup {
       .select(col("hs_id") +: carry.map(col) :+
         xxhash64((0 until n).map(j => coalesce(col(s"h$j"), lit(0L))): _*).as("sh"): _*)
       .groupBy(col("hs_id") +: carry.map(col): _*).agg(collect_set(col("sh")).as("hs"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   /** MinHash-LSH near-dup detection straight from a token-array column:
@@ -946,7 +1030,8 @@ object Dedup {
     * so the corpus text is tokenized exactly once per run. */
   def minHashDedup(df: DataFrame, id: String, tokenSet: String,
                    threshold: Double, k: Int = 16, bands: Int = 4): DataFrame =
-    minHashDedupHashed(hashedSets(df, id, tokenSet, Nil), threshold, k, bands)
+    minHashDedupHashed(hashedSets(df, id, tokenSet, Nil)
+      .persist(StorageLevel.MEMORY_AND_DISK), threshold, k, bands)
 
   private def minHashDedupHashed(hs: DataFrame, threshold: Double,
                                  k: Int, bands: Int): DataFrame = {
@@ -1258,6 +1343,7 @@ object Dedup {
       s"cascade threshold must be in (0, 1], got $threshold")
     val hsRaw = hashedSets(df, id, tokenSet, Seq(block))
       .withColumnRenamed(block, "blk")
+      .persist(pairPersistLevel(df.sparkSession))
     val occRow = hsRaw.agg(sum(size(col("hs")))).head()
     val occN = if (occRow.isNullAt(0)) 0L else occRow.getLong(0)
     if (occN <= occGate)

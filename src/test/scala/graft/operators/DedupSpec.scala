@@ -198,6 +198,71 @@ class DedupSpec extends SparkSpec {
     assert(bitmap === prefix)
   }
 
+  test("prefix cache trims to ord-only, releases the input cache, and honors the level/carry seams") {
+    // the round-15 cache-fit work (SCALE.md §Round 14: at sf100 the pair
+    // family's persisted bytes cross the local cache-fit boundary): the
+    // corpus-scale cache must hold each token hash ONCE (ord only — the
+    // prefix column is a slice computed on cache read), and the hashed-set
+    // INPUT cache must be released the moment the prefix cache
+    // materializes. The conf seams restore the round-14 shape and switch
+    // the storage level, and every variant must emit identical pairs.
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        array_distinct(split(col("text"), " ")).as("tok"))
+    def build() = Dedup.jaccardPairs(d, "doc_id", "tok", "lang", 0.95,
+      vocabHint = Some(1L << 20)) // force the PPJoin prefix path
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("left_id", "right_id", "jaccard").as[(Long, Long, Double)]
+        .collect().map { case (l, r, j) => (l, r, math.rint(j * 1e9)) }.toSet
+    def cachedSchemas(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+      df.queryExecution.optimizedPlan.collect {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryRelation =>
+          m.output.map(_.name).toSeq
+      }
+    def release() = graft.GraftSession.releaseCaches(spark, blocking = true)
+    release()
+    val expected = try {
+      val pairs = build()
+      // eager construction materialized the prefix cache and RELEASED the
+      // consumer-less input cache: exactly one corpus-scale RDD stays
+      val cached = spark.sparkContext.getRDDStorageInfo
+      assert(cached.length === 1, cached.map(_.name).mkString(" | "))
+      val schemas = cachedSchemas(pairs)
+      assert(schemas.exists(_.contains("ord")), schemas.toString)
+      assert(!schemas.exists(_.contains("prefix")),
+        s"prefix must not be materialized into the cache by default: $schemas")
+      collectPairs(pairs)
+    } finally release()
+    assert(expected.nonEmpty)
+    // legacy (round-14) shape via the A/B seams: prefix carried in the
+    // cache, input cache kept — same pairs, two resident caches
+    spark.conf.set("spark.graft.pair.carryPrefixInCache", "true")
+    spark.conf.set("spark.graft.pair.keepInputCache", "true")
+    try {
+      val pairs = build()
+      val cached = spark.sparkContext.getRDDStorageInfo
+      assert(cached.length === 2, cached.map(_.name).mkString(" | "))
+      assert(cachedSchemas(pairs).exists(_.contains("prefix")))
+      assert(collectPairs(pairs) === expected)
+    } finally {
+      spark.conf.unset("spark.graft.pair.carryPrefixInCache")
+      spark.conf.unset("spark.graft.pair.keepInputCache")
+      release()
+    }
+    // storage-level seam: serialized cache, identical pairs
+    spark.conf.set("spark.graft.pair.persistLevel", "MEMORY_AND_DISK_SER")
+    try {
+      val pairs = build()
+      val info = spark.sparkContext.getRDDStorageInfo
+      assert(info.nonEmpty && info.forall(i => !i.storageLevel.deserialized),
+        info.map(i => s"${i.name}:${i.storageLevel}").mkString(" | "))
+      assert(collectPairs(pairs) === expected)
+    } finally {
+      spark.conf.unset("spark.graft.pair.persistLevel")
+      release()
+    }
+  }
+
   test("delete-1 neighborhood path ≡ bitmap ≡ prefix on the real corpus") {
     // τ=0.95 over ≤31 distinct word tokens per doc → any qualifying pair
     // differs by ≤1 token (⌊31·0.05/0.95⌋ = 1), so the deletion path is
