@@ -132,4 +132,15 @@ object ProfileUtil {
     if (fourth) buildScaledDocs(spark, sf10, sf100, 10, "d", 128)
     (sf1, sf10, sf100)
   }
+
+  /** Standalone corpus build (`runMain graft.tools.ProfileUtil [fourth]`)
+    * so the scaled corpora can be (re)built once, ahead of a measurement
+    * session, instead of silently inside its first timed tool. */
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dirs = scaledDocsDirs(spark, fourth = args.contains("fourth"))
+    println(s"[scale] corpora ready: $dirs")
+    spark.stop()
+  }
 }
