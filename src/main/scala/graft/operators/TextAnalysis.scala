@@ -455,15 +455,20 @@ object TextAnalysis {
     * either way. Feed `dropDuplicates(id)` — or a synthetic unique key —
     * if the input may carry repeated ids.
     *
-    * `shuffleWidth` widens the per-gram reduce's exchange (deployment
-    * override; never narrower than the session conf, default off). An
-    * interleaved calibration-bracketed A/B at the fourth synthetic decade
-    * (270 M tokens; ProfileCalibrated novelty_ab, SCALE.md §Round 14)
-    * measured widening to ~1 M rows/partition a WASH against the static
-    * session width (pair ratios 0.61/1.17×, zero agg spill either way,
-    * calm-machine exponent ~1.05 = the linear bound) — so, as with
-    * [[winnowedFingerprints]], nothing engages automatically below the
-    * regime the measurements reach. */
+    * The per-gram reduce's exchange SELF-SIZES from the leaf scan bytes
+    * ([[gramReduceWidth]], ~3 MB compressed per partition ≈ 1 M gram
+    * rows; never narrower than the session conf, so it is a no-op at
+    * bench scale and on a cluster session already sized wider).
+    * `shuffleWidth` overrides it when a deployment knows better. Round 14
+    * A/B'd the widening and called it a WASH — but its "zero agg spill
+    * either way" evidence came from the vacuous probe that read a
+    * never-executed plan (ADVICE r14). The round-15 re-run with the
+    * fixed probe (ProfileCalibrated novelty_ab, interleaved,
+    * calm-bracketed, SCALE.md §Round 15) reversed it: at the fourth
+    * synthetic decade the static session width spills 105-107 GB in the
+    * per-gram hash maps vs 44.5 GB widened, and the widened shape runs
+    * 1.17-1.65× faster — so the width is now WIRED as the default, not
+    * left as opt-in surface. */
   def ngramNovelty(df: org.apache.spark.sql.DataFrame, id: String,
                    textCol: String, n: Int = 8,
                    shuffleWidth: Option[Int] = None): org.apache.spark.sql.DataFrame = {
@@ -480,14 +485,16 @@ object TextAnalysis {
       .dropDuplicates("nv_id", "g") // exchange-free: window partitioning reused
     val shortSide = tok.where(size(col("tk")) < n)
       .select(col("nv_id"), md5Long(concat_ws(" ", col("tk"))).as("g"))
-    // `shuffleWidth` (deployment override; never narrower than the session
-    // conf) widens the per-gram reduce's exchange — the one exchange here
-    // that carries the FULL gram stream into per-task hash maps. Applied
+    // the per-gram reduce's exchange carries the FULL gram stream into
+    // per-task hash maps — width self-sized from the scan bytes
+    // (gramReduceWidth; a no-op at bench scale, 105→44 GB less spill and
+    // 1.2-1.7× at the fourth decade), `shuffleWidth` overriding. Applied
     // before the persist, so the cache stores at that width and the
     // groupBy("g") below reuses the partitioning instead of adding a
     // second exchange.
     val grams = Dedup.widenForJoin(longSide.union(shortSide),
-        shuffleWidth.getOrElse(0), col("g"))
+        shuffleWidth.getOrElse(gramReduceWidth(leafScanBytes(df),
+          df.sparkSession.sessionState.conf.numShufflePartitions)), col("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // grams is persisted because it feeds BOTH the per-gram reduce and the
     // per-doc reduce (Catalyst never reuses the exchange — measured, see
@@ -558,20 +565,20 @@ object TextAnalysis {
 
   /** ~32 MB of compressed scan bytes per partition for exchanges that
     * carry the full token stream — the arithmetic spill boundary, NOT a
-    * measured optimum. The measured result is a NEGATIVE one
-    * (ProfileCalibrated winnow_ab, SCALE.md §Round 14): at the fourth
-    * synthetic decade (817 MB parquet, 270 M tokens) the per-doc window
-    * sort at the static 32-partition width ran ~350 MB of exploded rows
-    * per task with ZERO spill (plan metrics), and widening to 204 was
-    * indistinguishable from the unwidened shape under interleaved
-    * calibration-bracketed A/B (pair ratios 0.62/0.93/1.32× in host-load
-    * noise). So the width deliberately does NOT engage in any regime
-    * measured so far; it exists for the regime the arithmetic says MUST
-    * spill — exploded bytes ≈ 13× compressed (snappy ~3× × UnsafeRow
-    * ~4×), so 32 MB compressed ≈ 420 MB in the sort, the fair-share task
-    * budget where this box's unified pool refuses allocation — and a
-    * partition 10× past the measured no-spill point is not a regime to
-    * enter at a static width. */
+    * measured optimum. The measured result is a NEGATIVE one, re-confirmed
+    * in round 15 with the FIXED spill probe (the round-14 "zero spill"
+    * reads came from a never-executed plan — ADVICE r14): at the fourth
+    * synthetic decade (817 MB parquet, 270 M tokens) the q40 plan spills
+    * ~8.7 GB in the per-doc window sort IN BOTH SHAPES — the spill is
+    * width-invariant at the widths A/B'd (the per-DOC sort is bounded by
+    * doc length × window, not by partition count alone) — and the widened
+    * vs unwidened wall clocks stay a wash under interleaved
+    * calm-bracketed A/B (round 15: 32.1 vs 33.6 s, ratio 1.05; round 14:
+    * ratios 0.62-1.32 in host noise). So the width deliberately does NOT
+    * engage in any regime measured so far; it exists for the regime the
+    * arithmetic says the sort volume itself explodes — exploded bytes ≈
+    * 13× compressed (snappy ~3× × UnsafeRow ~4×), so 32 MB compressed ≈
+    * 420 MB in the sort per task. */
   private[operators] val ScanStreamTargetBytesPerPartition: Long = 32L << 20
 
   /** Data-aware width for token-stream exchanges — the scan-shaped twin of
@@ -581,6 +588,24 @@ object TextAnalysis {
   private[operators] def scanStreamWidth(scanBytes: BigInt, sessionWidth: Int): Int =
     math.max(sessionWidth,
       (scanBytes / ScanStreamTargetBytesPerPartition).min(1024).toInt)
+
+  /** ~3 MB of compressed scan bytes per partition for the PER-GRAM REDUCE
+    * exchange (≈ 1 M gram rows at the corpus's measured ~3 B/token
+    * compressed) — [[ngramNovelty]]'s width driver, the fitted twin of
+    * [[Dedup.pairShuffleWidth]]'s 0.75 M-rows target. Unlike
+    * [[ScanStreamTargetBytesPerPartition]] (an arithmetic insurance
+    * bound), this one is MEASURED: at the fourth synthetic decade the
+    * static session width packs ~8 M gram rows per task hash map and
+    * spills 105-107 GB; ~1 M rows/partition spills 44.5 GB and runs
+    * 1.17-1.65× faster (ProfileCalibrated novelty_ab with the fixed
+    * spill probe, SCALE.md §Round 15). */
+  private[operators] val GramReduceTargetBytesPerPartition: Long = 3L << 20
+
+  /** Data-aware width for gram-reduce exchanges: never narrower than the
+    * session conf, capped at 1024 inside the measured regime. */
+  private[operators] def gramReduceWidth(scanBytes: BigInt, sessionWidth: Int): Int =
+    math.max(sessionWidth,
+      (scanBytes / GramReduceTargetBytesPerPartition).min(1024).toInt)
 
   /** Content fingerprint for exact dedup: md5 of the normalized body. */
   def fingerprintMd5(text: Column): Column = md5(lower(trim(text)))
@@ -623,11 +648,13 @@ object TextAnalysis {
     * output is O(n/w) of the k-gram stream — the standard plagiarism/near-
     * dup index build. The exchange carries the FULL token stream; its
     * width comes from the scan bytes ([[scanStreamWidth]] — insurance
-    * against the sort-spill regime the arithmetic predicts ~10× past the
-    * measured no-spill point, deliberately a no-op at every scale
-    * measured so far; see its scaladoc for the round-14 A/B that
-    * REJECTED an eager 4 MB/partition target), or from `shuffleWidth`
-    * when a deployment knows better. Either way the widening exchange IS
+    * against the regime where the sort volume itself explodes,
+    * deliberately a no-op at every scale measured so far; the per-doc
+    * sort DOES spill ~8.7 GB at the fourth decade but identically in
+    * both A/B shapes and at a wall-time wash — see its scaladoc for the
+    * round-15 re-measurement and the round-14 A/B that REJECTED an eager
+    * 4 MB/partition target), or from `shuffleWidth` when a deployment
+    * knows better. Either way the widening exchange IS
     * the window's own hash exchange and the final distinct reuses it —
     * one exchange total, spec-asserted, never narrower than the session
     * conf. */

@@ -88,11 +88,14 @@ object ProfileCalibrated {
         val sorted = pairs.sorted
         println(f"[calib] median unwidened/widened ratio = ${sorted(sorted.length / 2)}%.2f×")
       case "novelty_ab" =>
-        // q76's per-gram reduce at the static session width packs ~6.6 M
-        // gram rows per task's hash map at the fourth decade (sf100
-        // measured 185-250 s, calm brackets, spill 0, exponent 1.27+).
-        // A/B the gram-reduce exchange widened to ~1 M rows/partition vs
-        // the default plan, interleaved like winnow_ab.
+        // q76's per-gram reduce at the static session width packs ~8 M
+        // gram rows per task's hash map at the fourth decade and spills
+        // 105-107 GB (fixed probe, round 15 — the round-14 "spill 0" was
+        // the vacuous readout). Since round 15 the width self-sizes
+        // (gramReduceWidth): A/B the WIRED default (None → auto) against
+        // the pre-round-15 static shape (Some(4) — below the session
+        // width, so widenForJoin is a no-op and the plan is the old
+        // static-width one), interleaved like winnow_ab.
         def noveltyAt(d: String, width: Option[Int]) = graft.operators.TextAnalysis
           .ngramNovelty(spark.read.parquet(s"$d/documents.parquet"),
             "doc_id", "text", n = 8, shuffleWidth = width)
@@ -108,13 +111,13 @@ object ProfileCalibrated {
         release()
         val pairsN = (1 to reps).map { i =>
           val c = calib()
-          val (td, sd) = runWithSpill(novelty(None))
-          val (tw, sw) = runWithSpill(novelty(Some(204)))
-          println(f"[calib] pair$i calib=$c%.3f default=$td%.2f s (spill ${sd >> 20} MB) " +
-            f"widened=$tw%.2f s (spill ${sw >> 20} MB) default/widened=${td / tw}%.2f×")
-          td / tw
+          val (ta, sa) = runWithSpill(novelty(None))
+          val (ts, ss) = runWithSpill(novelty(Some(4)))
+          println(f"[calib] pair$i calib=$c%.3f auto=$ta%.2f s (spill ${sa >> 20} MB) " +
+            f"static=$ts%.2f s (spill ${ss >> 20} MB) static/auto=${ts / ta}%.2f×")
+          ts / ta
         }.sorted
-        println(f"[calib] median default/widened ratio = ${pairsN(pairsN.length / 2)}%.2f×")
+        println(f"[calib] median static/auto ratio = ${pairsN(pairsN.length / 2)}%.2f×")
 
       case _ =>
         // every arg is a `query:dir:reps` triple, run in sequence, each

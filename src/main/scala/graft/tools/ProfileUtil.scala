@@ -46,6 +46,33 @@ object ProfileUtil {
     walk(root)
   }
 
+  /** Per-node spill map over an EXECUTED plan — same walk as
+    * [[sumMetric]] but keeps (nodeName#id, bytes) for every node with a
+    * nonzero `spillSize`, so a multi-stage plan's aggregate spill number
+    * can be ATTRIBUTED to the operator that paid it (the sum alone cannot
+    * distinguish a sort-merge join's input sorts from an aggregate's
+    * hash-map overflow — and the fix differs). */
+  def spillByNode(root: SparkPlan): Seq[(String, Long)] = {
+    val seenCaches = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    val out = collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def walk(p: SparkPlan): Unit = {
+      p.metrics.get("spillSize").map(_.value).filter(_ > 0).foreach(v =>
+        out += s"${p.nodeName}#${p.id}" -> v)
+      val kids: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case c: InMemoryTableScanExec =>
+          if (seenCaches.add(c.relation.cacheBuilder)) Seq(c.relation.cachedPlan)
+          else Nil
+        case other => other.children
+      }
+      kids.foreach(walk); p.subqueries.foreach(walk)
+    }
+    walk(root)
+    out.sortBy(-_._2).toSeq
+  }
+
   /** Build `df`'s plan, execute it, and report (wall seconds, spill bytes)
     * — both from the SAME QueryExecution. Execution goes through
     * `queryExecution.toRdd.count()`: that runs the exact physical plan the
