@@ -119,6 +119,18 @@ object Dedup {
   private def keepInputCache(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.conf.get("spark.graft.pair.keepInputCache", "false").toBoolean
 
+  /** Round-15 A/B seam (`spark.graft.pair.legacyOrderJoin`, default
+    * false): restores the round-14 ordered-arrays build — a FULL
+    * document-frequency relation (one row per distinct token) inner
+    * sort-merge-joined onto the posting stream. The per-node spill map
+    * (`tools.ProfileSpillMap`, SCALE.md §Round 15) attributed ~17 GB of
+    * q60's 79 GB fourth-decade spill to that join's two input sorts and
+    * ~20 GB to the df-aggregate feeding it; the default shape joins only
+    * REPEATED tokens (df ≥ 2) as a shuffled-hash build side instead —
+    * see [[orderedArrays]] for why the arrays are provably identical. */
+  private def legacyOrderJoin(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.get("spark.graft.pair.legacyOrderJoin", "false").toBoolean
+
   /** id + distinct xxhash64'd token set. NOT persisted here: callers
     * persist at their own layering (block rename + set size) so the
     * cached plan IS the one their downstream paths reference — which is
@@ -164,9 +176,22 @@ object Dedup {
     * within the measured regime. `occ` is the total token-occurrence
     * count the routing aggregate (or a one-row sum over the persisted
     * prefix relation) already has — no extra corpus pass. */
-  private[operators] def pairShuffleWidth(occ: Long, sessionWidth: Int): Int =
+  private[operators] def pairShuffleWidth(occ: Long, sessionWidth: Int,
+                                          cap: Long = 1024L): Int =
     math.max(sessionWidth,
-      math.min(1024L, occ / PairJoinTargetOccPerPartition).toInt)
+      math.min(cap, occ / PairJoinTargetOccPerPartition).toInt)
+
+  /** Upper bound on the self-sized pair widths
+    * (`spark.graft.pair.maxShuffleWidth`, default 1024 — the measured
+    * regime through the third decade). The fourth-decade corpora want
+    * more: q60's full-posting volume at the 1000× corpus computes to
+    * ~3600 partitions before the cap, so the cap — not the 0.75 M-row
+    * target — decides its per-task memory there. Runtime conf so the
+    * regime boundary is a deployment decision, A/B-measurable without a
+    * rebuild ([[pairShuffleWidth]] still never narrows below the
+    * session width). */
+  private def pairWidthCap(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get("spark.graft.pair.maxShuffleWidth", "1024").toLong
 
   /** Repartition `df` on the posting-join keys at `width` — but ONLY when
     * that widens the plan past the session default: at bench scale the
@@ -369,7 +394,8 @@ object Dedup {
     // this path triggers precisely on big corpora (occ > SmallCorpusOccMax)
     // — size the Θ(Σn) delete-fingerprint join from the data
     val width = pairShuffleWidth(totalOcc(base),
-      hs.sparkSession.sessionState.conf.numShufflePartitions)
+      hs.sparkSession.sessionState.conf.numShufflePartitions,
+      pairWidthCap(hs.sparkSession))
     // `base` is materialized (MEMORY_AND_DISK: its blocks can spill but
     // never vanish), and every downstream stage reads it — the input
     // cache has no consumer left; at corpus scale holding it doubles the
@@ -467,18 +493,48 @@ object Dedup {
     * duplicating the array head into a second cached column (the
     * round-14 shape; [[carryPrefixInCache]] restores it for A/B).
     * Shared by Jaccard and containment candidate generation; both are
-    * lossless over it. */
+    * lossless over it.
+    *
+    * The document-frequency attach (round-15 default shape): only
+    * REPEATED tokens (df ≥ 2) enter the join, as the build side of a
+    * shuffled-hash left join, with missing df coalesced to 1. The arrays
+    * are PROVABLY identical to joining the full df relation: a df = 1
+    * token's struct is (1, h) either way (its real count IS 1), and the
+    * sort tie-breaks equal-df tokens by hash in both shapes. What changes
+    * is the plan: the join's build side shrinks from one row per DISTINCT
+    * token (≈ the posting count itself on a mostly-unique dictionary —
+    * the synthetic scaled corpora, and every corpus's hapax tail) to one
+    * row per repeated token — bounded above by postings/2, since df ≥ 2
+    * charges every build row at least two stream rows, so a ~0.75 M-row
+    * posting partition ([[pairShuffleWidth]]) carries at most ~0.37 M
+    * build entries (≈ 10 MB hashed) and the SHUFFLE_HASH build always
+    * fits. That turns the round-14 sort-merge join — which sorted BOTH
+    * corpus-scale sides, ~17 GB of q60's 79 GB fourth-decade spill
+    * (`tools.ProfileSpillMap`, SCALE.md §Round 15) — into a sort-free
+    * streaming probe. [[legacyOrderJoin]] restores the old shape for A/B. */
   private def orderedArrays(hs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
-    val tokDf = hs.select(explode(col("hs")).as("h"))
-      .groupBy("h").agg(count(lit(1)).as("tdf"))
     // carry columns ride the groupBy for free: hs_id is unique per row,
     // so they are functionally dependent keys, not extra grouping work
     val keys = Seq("blk", "hs_id", "n") ++ carry
-    hs.select(keys.map(col) :+ explode(col("hs")).as("h"): _*)
-      .join(tokDf, "h")
-      .groupBy(keys.map(col): _*)
-      .agg(transform(array_sort(collect_list(struct(col("tdf"), col("h")))),
-        s => s.getField("h")).as("ord"))
+    val postings = hs.select(keys.map(col) :+ explode(col("hs")).as("h"): _*)
+    if (legacyOrderJoin(hs.sparkSession)) {
+      val tokDf = hs.select(explode(col("hs")).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("tdf"))
+      postings.join(tokDf, "h")
+        .groupBy(keys.map(col): _*)
+        .agg(transform(array_sort(collect_list(struct(col("tdf"), col("h")))),
+          s => s.getField("h")).as("ord"))
+    } else {
+      val repeated = hs.select(explode(col("hs")).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("tdf"))
+        .where(col("tdf") >= 2)
+      postings.join(repeated.hint("SHUFFLE_HASH"), Seq("h"), "left")
+        .select(keys.map(col) :+
+          struct(coalesce(col("tdf"), lit(1L)).as("tdf"), col("h")).as("th"): _*)
+        .groupBy(keys.map(col): _*)
+        .agg(transform(array_sort(collect_list(col("th"))),
+          s => s.getField("h")).as("ord"))
+    }
   }
 
   /** The PPJoin prefix as an expression over (`ord`, `n`):
@@ -531,7 +587,8 @@ object Dedup {
       // which the hashed-set input cache is released inside prefixCache)
       val (pre, prefixed, occ) = prefixCache(hs, threshold)
       val width = pairShuffleWidth(occ,
-        hs.sparkSession.sessionState.conf.numShufflePartitions)
+        hs.sparkSession.sessionState.conf.numShufflePartitions,
+        pairWidthCap(hs.sparkSession))
       val l = widenForJoin(prefixed.select(col("blk"), col("hs_id").as("left_id"),
         col("n").as("nl"), posexplode(col("prefix")).as(Seq("lp", "h"))),
         width, col("blk"), col("h"))
@@ -702,7 +759,8 @@ object Dedup {
   private def crossJaccardFromHashed(hs: DataFrame, threshold: Double): DataFrame = {
     val (pre, prefixed, occ) = prefixCache(hs, threshold, carry = Seq("side"))
     val width = pairShuffleWidth(occ,
-      hs.sparkSession.sessionState.conf.numShufflePartitions)
+      hs.sparkSession.sessionState.conf.numShufflePartitions,
+      pairWidthCap(hs.sparkSession))
     val l = widenForJoin(prefixed.where(col("side") === 0).select(col("blk"),
       col("hs_id").as("left_id"), col("n").as("nl"),
       posexplode(col("prefix")).as(Seq("lp", "h"))),
@@ -809,7 +867,8 @@ object Dedup {
     // the r side explodes FULL ordered arrays, so Σn is exactly this
     // join's posting volume — size its shuffle from the data
     val width = pairShuffleWidth(occ,
-      hs.sparkSession.sessionState.conf.numShufflePartitions)
+      hs.sparkSession.sessionState.conf.numShufflePartitions,
+      pairWidthCap(hs.sparkSession))
     val l = widenForJoin(prefixed.select(col("blk"), col("hs_id").as("left_id"),
       col("n").as("nl"), posexplode(col("prefix")).as(Seq("lp", "h"))),
       width, col("blk"), col("h"))

@@ -33,6 +33,9 @@ object ProfileSpillMap {
       println(f"[spillmap] rep$i calib=$c%.3f $q $dir wall=$dt%.2f s " +
         f"totalSpill=${nodes.map(_._2).sum >> 20} MB")
       nodes.foreach { case (n, v) => println(f"[spillmap]   ${v >> 20}%8d MB  $n") }
+      println("[spillmap] plan (spilling nodes in context):")
+      ProfileUtil.planOutline(qe.executedPlan)
+        .foreach(l => println(s"[spillmap]   $l"))
       graft.GraftSession.releaseCaches(spark, blocking = true)
       System.gc()
     }

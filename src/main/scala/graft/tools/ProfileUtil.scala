@@ -73,6 +73,32 @@ object ProfileUtil {
     out.sortBy(-_._2).toSeq
   }
 
+  /** Indented one-line-per-node outline of an EXECUTED plan (same walk as
+    * [[spillByNode]], same node ids) with each node's expressions
+    * truncated — enough context to tell WHICH aggregate or sort a spill
+    * id belongs to (grouping keys vs join keys vs sort order) without the
+    * full formatted explain. */
+  def planOutline(root: SparkPlan, maxWidth: Int = 140): Seq[String] = {
+    val seenCaches = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    val out = collection.mutable.ArrayBuffer.empty[String]
+    def walk(p: SparkPlan, depth: Int): Unit = {
+      val detail = p.simpleString(8).replaceAll("\\s+", " ")
+      out += ("  " * depth + s"#${p.id} " + detail).take(maxWidth)
+      val kids: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case c: InMemoryTableScanExec =>
+          if (seenCaches.add(c.relation.cacheBuilder)) Seq(c.relation.cachedPlan)
+          else Nil
+        case other => other.children
+      }
+      kids.foreach(walk(_, depth + 1)); p.subqueries.foreach(walk(_, depth + 1))
+    }
+    walk(root, 0)
+    out.toSeq
+  }
+
   /** Build `df`'s plan, execute it, and report (wall seconds, spill bytes)
     * — both from the SAME QueryExecution. Execution goes through
     * `queryExecution.toRdd.count()`: that runs the exact physical plan the

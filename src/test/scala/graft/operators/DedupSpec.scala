@@ -263,6 +263,71 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("df≥2 order join ≡ legacy full-df join, and the default attach is sort-free") {
+    // the round-15 ordered-arrays rewrite (SCALE.md §Round 15 spill map):
+    // the rarest-first order must be IDENTICAL whether the df attach joins
+    // the full token-frequency relation (legacy, sort-merge) or only the
+    // df≥2 tokens as a shuffled-hash build side with coalesce(df, 1) — a
+    // df=1 token's sort struct is (1, h) either way. Identity of the
+    // ORDER (not just the pair set) matters: a different order changes
+    // prefixes, and a lossy prefix would drop pairs — so compare pairs
+    // AND values on the real corpus, for both the jaccard and the
+    // containment consumers.
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"),
+        array_distinct(split(col("text"), " ")).as("tok"))
+    def jac() = Dedup.jaccardPairs(d, "doc_id", "tok", "lang", 0.95,
+        vocabHint = Some(1L << 20)) // force the PPJoin prefix path
+      .select("left_id", "right_id", "jaccard").as[(Long, Long, Double)]
+      .collect().map { case (l, r, j) => (l, r, math.rint(j * 1e9)) }.toSet
+    def cont() = Dedup.containmentPairs(d, "doc_id", "tok", "lang", 0.9)
+      .select("left_id", "right_id", "containment").as[(Long, Long, Double)]
+      .collect().map { case (l, r, c) => (l, r, math.rint(c * 1e9)) }.toSet
+    def release() = graft.GraftSession.releaseCaches(spark, blocking = true)
+    release()
+    // default shape: the df attach inside the cached ord build must be a
+    // hash join (shuffled-hash or AQE-promoted broadcast), never a
+    // sort-merge join — the two corpus-scale input sorts are the ~17 GB
+    // spill term the rewrite removes
+    val probe = Dedup.containmentPairs(d, "doc_id", "tok", "lang", 0.9)
+    probe.count()
+    // recurse through AQE stages to reach the cache interiors — a plain
+    // collect on executedPlan sees only the final stage's surface
+    def cachedPlans(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      val here = p match {
+        case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          Seq(c.relation.cachedPlan.toString)
+        case _ => Nil
+      }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ kids.flatMap(cachedPlans)
+    }
+    val cachedBuilds = cachedPlans(probe.queryExecution.executedPlan)
+    val ordBuild = cachedBuilds.filter(_.contains("collect_list"))
+    assert(ordBuild.nonEmpty, s"expected the cached ord build: $cachedBuilds")
+    assert(ordBuild.forall(p => !p.contains("SortMergeJoin")),
+      s"default df attach must not sort-merge:\n${ordBuild.mkString}")
+    assert(ordBuild.exists(p =>
+      p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin")),
+      s"default df attach must hash-join:\n${ordBuild.mkString}")
+    val (jacNew, contNew) = (jac(), cont())
+    release()
+    spark.conf.set("spark.graft.pair.legacyOrderJoin", "true")
+    try {
+      assert(jac() === jacNew)
+      assert(cont() === contNew)
+      assert(contNew.nonEmpty && jacNew.nonEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.pair.legacyOrderJoin")
+      release()
+    }
+  }
+
   test("delete-1 neighborhood path ≡ bitmap ≡ prefix on the real corpus") {
     // τ=0.95 over ≤31 distinct word tokens per doc → any qualifying pair
     // differs by ≤1 token (⌊31·0.05/0.95⌋ = 1), so the deletion path is
