@@ -511,8 +511,33 @@ object Dedup {
     * fits. That turns the round-14 sort-merge join — which sorted BOTH
     * corpus-scale sides, ~17 GB of q60's 79 GB fourth-decade spill
     * (`tools.ProfileSpillMap`, SCALE.md §Round 15) — into a sort-free
-    * streaming probe. [[legacyOrderJoin]] restores the old shape for A/B. */
-  private def orderedArrays(hs: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    * streaming probe. [[legacyOrderJoin]] restores the old shape for A/B.
+    *
+    * Every exchange in the build is sized by `width` — the same
+    * data-driven [[pairShuffleWidth]] the candidate joins already use
+    * (computed from the INPUT relation's posting volume, so it exists
+    * before the build runs). The round-14 build ran its aggregates at
+    * the SESSION width: at the fourth decade that is ~84 M posting rows
+    * per task, which is what pushed the token-df aggregate (~20 GB) and
+    * the collect_list pair (~41 GB) into sort/spill in the first place —
+    * width-first beats fallback-tuning: raising the
+    * objectHashAggregate fallback threshold instead was measured 2×
+    * SLOWER at sf10 (hash-mode buffer churn) and OOMs the JVM at sf100
+    * (the threshold counts KEYS, not buffer bytes — nothing bounds the
+    * per-task array memory the way a 0.75 M-row partition does).
+    * [[widenForJoin]] leaves every exchange untouched when the computed
+    * width is at or below the session conf, so bench-scale plans are
+    * byte-identical to round-14's.
+    *
+    * The df≥2 aggregate and the probe stream are both pre-partitioned on
+    * `h` at `width`, so the aggregate needs no second exchange and the
+    * hash join consumes both sides exchange-free; the collect_list
+    * groupBy is pre-partitioned on (blk, hs_id) — a subset of its
+    * grouping keys, which satisfies its clustering requirement — so its
+    * per-task state is bounded by the posting width however large the
+    * corpus. */
+  private def orderedArrays(hs: DataFrame, width: Int,
+                            carry: Seq[String] = Nil): DataFrame = {
     // carry columns ride the groupBy for free: hs_id is unique per row,
     // so they are functionally dependent keys, not extra grouping work
     val keys = Seq("blk", "hs_id", "n") ++ carry
@@ -525,12 +550,15 @@ object Dedup {
         .agg(transform(array_sort(collect_list(struct(col("tdf"), col("h")))),
           s => s.getField("h")).as("ord"))
     } else {
-      val repeated = hs.select(explode(col("hs")).as("h"))
+      val repeated = widenForJoin(hs.select(explode(col("hs")).as("h")),
+          width, col("h"))
         .groupBy("h").agg(count(lit(1)).as("tdf"))
         .where(col("tdf") >= 2)
-      postings.join(repeated.hint("SHUFFLE_HASH"), Seq("h"), "left")
+      val attached = widenForJoin(postings, width, col("h"))
+        .join(repeated.hint("SHUFFLE_HASH"), Seq("h"), "left")
         .select(keys.map(col) :+
           struct(coalesce(col("tdf"), lit(1L)).as("tdf"), col("h")).as("th"): _*)
+      widenForJoin(attached, width, col("blk"), col("hs_id"))
         .groupBy(keys.map(col): _*)
         .agg(transform(array_sort(collect_list(col("th"))),
           s => s.getField("h")).as("ord"))
@@ -548,18 +576,26 @@ object Dedup {
   /** Persist the ordered-arrays relation for a τ-thresholded pair path
     * and hand back (cache, prefixed view): the cache carries `ord` only
     * unless the [[carryPrefixInCache]] A/B seam materializes `prefix`
-    * too; the view always exposes both. One eager single-row aggregate
-    * ([[totalOcc]]) materializes the cache and yields the posting volume
-    * that sizes the pair shuffle; the hashed-set INPUT cache is released
-    * here — its last consumer was this build ([[keepInputCache]]). */
+    * too; the view always exposes both. Two eager bounded aggregates run
+    * here: [[totalOcc]] over the INPUT relation first — materializing
+    * the hashed-set cache and yielding the posting volume that sizes
+    * every exchange of the ord BUILD itself, not just the downstream
+    * pair shuffles ([[orderedArrays]]) — then a count that materializes
+    * the prefix cache, after which the input cache, consumer-less from
+    * then on, is released ([[keepInputCache]]). Release must not precede
+    * materialization: an evicted input under a lazy prefix cache would
+    * silently re-run the whole token hash/shingle build. */
   private def prefixCache(hs: DataFrame, threshold: Double,
                           carry: Seq[String] = Nil): (DataFrame, DataFrame, Long) = {
     val spark = hs.sparkSession
-    val base = orderedArrays(hs, carry)
+    val occ = totalOcc(hs)
+    val width = pairShuffleWidth(occ,
+      spark.sessionState.conf.numShufflePartitions, pairWidthCap(spark))
+    val base = orderedArrays(hs, width, carry)
     val pre =
       (if (carryPrefixInCache(spark)) base.withColumn("prefix", prefixExpr(threshold))
        else base).persist(pairPersistLevel(spark))
-    val occ = totalOcc(pre)
+    pre.count()
     if (!keepInputCache(spark)) hs.unpersist(blocking = false)
     val prefixed =
       if (carryPrefixInCache(spark)) pre

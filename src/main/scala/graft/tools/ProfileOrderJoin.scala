@@ -8,15 +8,14 @@ package graft.tools
   * the token-df aggregate, ~17 GB in the df-attach sort-merge join's
   * input sorts. Three levers, each independently switchable:
   *
-  *   - the df≥2 shuffled-hash attach ([[graft.operators.Dedup]]
-  *     `orderedArrays`, round-15 default; `legacyOrderJoin` seam
-  *     restores the full-df sort-merge shape) — targets the ~17 GB;
-  *   - `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
-  *     raised so the collect_list stays in hash mode (per-task state is
-  *     bounded by the self-sized posting widths) — targets the ~41 GB;
+  *   - the df≥2 shuffled-hash attach with every build exchange sized by
+  *     the posting volume ([[graft.operators.Dedup]] `orderedArrays`,
+  *     round-15 default; `legacyOrderJoin` restores the full-df
+  *     sort-merge shape at session width) — targets the sorts AND the
+  *     per-task aggregate state;
   *   - `spark.graft.pair.maxShuffleWidth` raised past 1024 (q60's
   *     posting volume computes to ~3600 partitions at sf100 before the
-  *     cap) — shrinks every per-task working set.
+  *     cap) — shrinks every per-task working set further.
   *
   * Interleaved + rotated + calibration-bracketed per the round-14
   * protocol; spill from the executed plan, top nodes printed so the
@@ -36,14 +35,15 @@ object ProfileOrderJoin {
     val spark = graft.GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // the fallback-threshold lever was A/B'd and REJECTED before the
+    // width rework: 2x slower at sf10 (hash-mode buffer churn, legs
+    // 47-60 s vs 21-24) and an outright JVM OOM at sf100 — the threshold
+    // counts KEYS, not buffer bytes, so nothing bounds per-task array
+    // memory. Width-first sizing replaces it (SCALE.md §Round 15).
     val variants: Seq[(String, Map[String, String])] = Seq(
       "legacy" -> Map("spark.graft.pair.legacyOrderJoin" -> "true"),
       "new" -> Map.empty,
-      "newfb" -> Map(
-        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "4194304"),
-      "newfbw" -> Map(
-        "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "4194304",
-        "spark.graft.pair.maxShuffleWidth" -> "4096"))
+      "neww" -> Map("spark.graft.pair.maxShuffleWidth" -> "4096"))
 
     def release(): Unit = {
       graft.GraftSession.releaseCaches(spark, blocking = true)
