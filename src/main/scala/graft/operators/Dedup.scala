@@ -426,8 +426,24 @@ object Dedup {
         greatest(col("sup_id"), col("sub_id")).as("right_id"),
         when(col("sup_id") < col("sub_id"), col("nsup")).otherwise(col("nsub")).as("nl"),
         when(col("sup_id") < col("sub_id"), col("nsub")).otherwise(col("nsup")).as("nr"))
-    widenedVerifyJoin(eq.unionByName(sub)
-      .dropDuplicates("left_id", "right_id"), width,
+    // pair-level dedup of the candidate union. distinct() over the full
+    // (blk, pair, sizes) row — NOT dropDuplicates(left_id, right_id):
+    // the rows are functionally determined by the pair (blk and sizes
+    // derive from the same two docs), so the results are identical, but
+    // dropDuplicates plants first(blk) aggregates whose string buffer
+    // forces a SORT-based aggregate — measured 4.6-9.9 GB of sort spill
+    // at the fourth decade, the one spilling node left in this path
+    // (SCALE.md §Round 15) — where grouping-only distinct stays a hash
+    // aggregate, and the exchange is width-sized instead of riding the
+    // session default. A/B seam `spark.graft.pair.legacyPairDistinct`
+    // restores the round-14 shape.
+    val candidates =
+      if (hs.sparkSession.conf.get("spark.graft.pair.legacyPairDistinct",
+          "false").toBoolean)
+        eq.unionByName(sub).dropDuplicates("left_id", "right_id")
+      else widenForJoin(eq.unionByName(sub), width,
+        col("blk"), col("left_id"), col("right_id")).distinct()
+    widenedVerifyJoin(candidates, width,
       base.select(col("blk"), col("hs_id").as("left_id"), col("hs").as("ls")),
       base.select(col("blk"), col("hs_id").as("right_id"), col("hs").as("rs")))
       .withColumn("inter", size(array_intersect(col("ls"), col("rs"))))

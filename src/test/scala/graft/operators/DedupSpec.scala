@@ -336,6 +336,15 @@ class DedupSpec extends SparkSpec {
     val del1 = Dedup.jaccardPairsDelete1Path(docs, "doc_id", "tok", "lang", 0.95)
       .select("left_id", "right_id", "jaccard").as[(Long, Long, Double)]
       .collect().map { case (l, r, j) => (l, r, math.rint(j * 1e9)) }.toSet
+    // round-15 candidate-dedup seam: the widened grouping-only distinct
+    // (default) and the round-14 dropDuplicates(first-aggregate) shape
+    // must emit identical pairs — the A/B's validity condition
+    spark.conf.set("spark.graft.pair.legacyPairDistinct", "true")
+    val del1Legacy = try Dedup.jaccardPairsDelete1Path(docs, "doc_id", "tok", "lang", 0.95)
+        .select("left_id", "right_id", "jaccard").as[(Long, Long, Double)]
+        .collect().map { case (l, r, j) => (l, r, math.rint(j * 1e9)) }.toSet
+      finally spark.conf.unset("spark.graft.pair.legacyPairDistinct")
+    assert(del1Legacy === del1)
     val bitmap = Dedup.jaccardPairs(docs, "doc_id", "tok", "lang", 0.95)
       .select("left_id", "right_id", "jaccard").as[(Long, Long, Double)]
       .collect().map { case (l, r, j) => (l, r, math.rint(j * 1e9)) }.toSet
