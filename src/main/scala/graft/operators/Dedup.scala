@@ -131,6 +131,18 @@ object Dedup {
   private def legacyOrderJoin(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.conf.get("spark.graft.pair.legacyOrderJoin", "false").toBoolean
 
+  /** Round-15 A/B seam (`spark.graft.pair.candidateHashJoin`, default
+    * false — honored by the CONTAINMENT candidate join only for now):
+    * build the candidate join as a shuffled-hash join on the prefix
+    * side instead of sort-merge. The containment join's sides are
+    * asymmetric (A's prefix explode ≈ (1−τ)·Σn rows vs B's full Σn), so
+    * the build side is the small one and per-partition build state is
+    * bounded by the width target. The sorts it would skip do NOT spill
+    * at the measured fourth decade (they sort in memory) — this is a
+    * CPU lever, kept measure-first like every width knob. */
+  private def candidateHashJoin(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.get("spark.graft.pair.candidateHashJoin", "false").toBoolean
+
   /** id + distinct xxhash64'd token set. NOT persisted here: callers
     * persist at their own layering (block rename + set size) so the
     * cached plan IS the one their downstream paths reference — which is
@@ -927,7 +939,8 @@ object Dedup {
     val r = widenForJoin(pre.select(col("blk"), col("hs_id").as("right_id"),
       col("n").as("nr"), posexplode(col("ord")).as(Seq("rp", "h"))),
       width, col("blk"), col("h"))
-    val candidates = l.join(r, Seq("blk", "h"))
+    val lSide = if (candidateHashJoin(hs.sparkSession)) l.hint("SHUFFLE_HASH") else l
+    val candidates = lSide.join(r, Seq("blk", "h"))
       .where(col("left_id") =!= col("right_id"))
       .where(col("nr") >= lit(threshold) * col("nl") - 1e-9)
       // one row per pair, at A's FIRST matched prefix token (min lp): the
