@@ -1465,15 +1465,23 @@ object Dedup {
       reliable: Boolean, occGate: Long): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"cascade threshold must be in (0, 1], got $threshold")
+    // `n` is computed BEFORE the persist so the cached plan is the exact
+    // (blk, hs_id, hs, n) relation handed to jaccardPairsFromHashed —
+    // Dataset.unpersist releases by plan identity, and the round-15 shape
+    // (persist bare, derive `n` per consumer) made every documented
+    // release downstream a silent no-op on this path (ADVICE r15 #1): at
+    // corpus scale the input cache stayed resident through the whole
+    // cascade, exactly the cache-fit pressure the release exists to shed.
     val hsRaw = hashedSets(df, id, tokenSet, Seq(block))
       .withColumnRenamed(block, "blk")
+      .withColumn("n", size(col("hs")))
       .persist(pairPersistLevel(df.sparkSession))
-    val occRow = hsRaw.agg(sum(size(col("hs")))).head()
+    val occRow = hsRaw.agg(sum(col("n"))).head()
     val occN = if (occRow.isNullAt(0)) 0L else occRow.getLong(0)
     if (occN <= occGate)
       return canonicalIds(df.select(col(id)), id,
-        jaccardPairsFromHashed(hsRaw.withColumn("n", size(col("hs"))),
-          threshold, vocabHint = None), reliable = reliable)
+        jaccardPairsFromHashed(hsRaw, threshold, vocabHint = None),
+        reliable = reliable)
     val hs = hsRaw.withColumn("skey", array_sort(col("hs")))
     val withRep = hs.join(
       hs.groupBy(col("blk"), col("skey")).agg(min(col("hs_id")).as("rep")),
@@ -1484,11 +1492,18 @@ object Dedup {
     // empty doc stays its own canonical, exactly as in the plain path
     val stars = withRep.where(col("hs_id") =!= col("rep") && size(col("hs")) > 0)
       .select(col("rep").as("left_id"), col("hs_id").as("right_id"))
+    // persisted as the EXACT plan the pair stage consumes (same reason as
+    // hsRaw above): the delete-1/prefix paths release it the moment their
+    // own derived cache has materialized
     val repHs = withRep.where(col("hs_id") === col("rep"))
-      .select(col("blk"), col("hs_id"), col("hs"))
-      .withColumn("n", size(col("hs")))
+      .select(col("blk"), col("hs_id"), col("n"), col("hs"))
+      .persist(pairPersistLevel(df.sparkSession))
     val repPairs = jaccardPairsFromHashed(repHs, threshold, vocabHint = None)
       .select("left_id", "right_id")
+    // the pair stage's eager routing aggregate materialized repHs — and
+    // therefore withRep's cache blocks — so the raw input has no consumer
+    // left (stars reads withRep, not hsRaw)
+    if (!keepInputCache(df.sparkSession)) hsRaw.unpersist(blocking = false)
     canonicalIds(df.select(col(id)), id, repPairs.unionByName(stars),
       reliable = reliable)
   }

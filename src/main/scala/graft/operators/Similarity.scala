@@ -707,17 +707,37 @@ object Similarity {
     // failure) and is scrubbed — its un-markered files fall to the orphan
     // scrub below, and the batch replays cleanly afterwards.
     //
-    // The acquisition itself is ATOMIC: `create(overwrite = false)` on
-    // the mutex file (creating the staging dir implicitly) throws for
-    // every caller but one, so two compactions racing past the heal block
-    // above cannot both proceed — the round-14 `mkdirs` flag succeeded
-    // for both.
+    // The acquisition: `create(overwrite = false)` on the mutex file
+    // (creating the staging dir implicitly) throws for every caller but
+    // one — ATOMIC on HDFS and local filesystems (the same caveat as the
+    // rename commit points below; on S3A-style object stores existence is
+    // checked at create() and the object lands at close(), so two racers
+    // can both "win" — run maintenance single-writer there, as the store
+    // docs themselves require for rename-based committers). The round-14
+    // `mkdirs` flag succeeded for both callers on EVERY filesystem.
     try fs.create(mutex, false).close()
     catch { case e: java.io.IOException =>
       throw new IllegalStateException(
         s"index at $root: a concurrent compaction won the mutex race " +
           s"($mutex already exists). Retry after it finishes.", e)
     }
+    // Narrow the create-window race (ADVICE r15): the staging dir becomes
+    // visible a beat before the mutex file inside it, and a concurrent
+    // caller's heal block reads that window as a CRASHED run — deleting
+    // the live winner's staging (mutex included). Re-checking our own
+    // mutex after acquisition catches a healer that already ran over us
+    // and fails loudly instead of compacting unguarded. Not a total fix:
+    // a healer whose exists(mutex) probe ran inside the create window but
+    // whose staging delete lands after this re-check removes the mutex
+    // unobserved (nothing else is in staging yet, so no data moves) and
+    // leaves THIS run unguarded against a third compactor — the residual
+    // exposure is three concurrent compactions on one index, microseconds
+    // wide against a mutex that lives for the whole run.
+    if (!fs.exists(mutex))
+      throw new IllegalStateException(
+        s"index at $root: compaction mutex $mutex vanished after " +
+          "acquisition — a concurrent caller's crash-heal raced the " +
+          "acquisition window. Retry.")
     val leasesDir = new Path(root, LeasesDirName)
     if (fs.exists(leasesDir)) {
       // staleness is judged against the STORE's clock, not the client's:
@@ -849,9 +869,11 @@ object Similarity {
     val probe = new org.apache.hadoop.fs.Path(
       root, s"_clockprobe-${java.util.UUID.randomUUID()}")
     fs.create(probe, true).close()
-    val t = fs.getFileStatus(probe).getModificationTime
-    fs.delete(probe, false)
-    t
+    // the delete rides a finally: a getFileStatus failure (or a kill
+    // between create and delete) must not leak probe files at the index
+    // root — they are reader-invisible but nothing else ever scrubs them
+    try fs.getFileStatus(probe).getModificationTime
+    finally fs.delete(probe, false)
   }
 
   /** Raise an append lease — one `_leases/lease-<uuid>` file per in-flight

@@ -34,7 +34,13 @@ object ProfileCrossCascade {
     val dir = "/tmp/graft_scale3_sf1verb"
     val copies = 10
 
-    val marker = new java.io.File(s"$dir/_SCALED_OK_v1")
+    // construction-parameterized marker (same scheme as
+    // ProfileUtil.buildScaledDocs): the verbatim corpus differs from the
+    // disjoint-token ones only in construction, so the marker must encode
+    // that construction — a bare version tag would let a stale corpus
+    // built under older parameters measure as if it were this one
+    val srcTag = sf01.replaceAll("[^A-Za-z0-9.]+", "_")
+    val marker = new java.io.File(s"$dir/_SCALED_OK_VERBATIM_${srcTag}_${copies}x_p32")
     if (!marker.exists()) {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val docs = spark.read.parquet(s"$sf01/documents.parquet")

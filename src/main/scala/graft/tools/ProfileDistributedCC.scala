@@ -31,26 +31,11 @@ object ProfileDistributedCC {
     val sf1 = "/tmp/graft_scale3_sf1"
     val sf10 = "/tmp/graft_scale3_sf10"
 
-    def build(dir: String, copies: Int): Unit = {
-      val marker = new java.io.File(s"$dir/_SCALED_OK_v1")
-      if (marker.exists()) return
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
-      val docs = spark.read.parquet(s"$sf01/documents.parquet")
-      val nDoc = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
-      (0 until copies).map { i =>
-        docs.select(
-          (col("doc_id") + lit(i.toLong * nDoc)).as("doc_id"),
-          array_join(transform(split(col("text"), " "),
-            t => concat(lit(s"c$i"), t)), " ").as("text"),
-          col("lang"), col("source"), col("n_chars"))
-      }.reduce(_ unionByName _)
-        .repartition(32)
-        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-      marker.createNewFile()
-      println(s"[scale] built ${copies}x docs corpus at $dir")
-    }
-    build(sf1, 10)
-    build(sf10, 100)
+    // construction-parameterized markers (shared with every other scale
+    // tool via ProfileUtil): a raw versioned marker here would silently
+    // reuse bytes another tool built under different parameters
+    ProfileUtil.buildScaledDocs(spark, sf01, sf1, 10, "c", 32)
+    ProfileUtil.buildScaledDocs(spark, sf01, sf10, 100, "c", 32)
 
     def release(): Unit = {
       graft.GraftSession.releaseCaches(spark, blocking = true)

@@ -64,6 +64,11 @@ object ProfileIndexVerify {
     // name exactly that file as CORRUPT (md5 alone — length preserved)
     val victim = files(files.length / 2).getPath
     val len = fs.getFileStatus(victim).getLen
+    // this harness is explicitly a scale tool: a >= 2 GB victim would make
+    // len.toInt wrap negative (or silently truncate the rewrite) — fail
+    // loudly instead of corrupting the fixture it is about to measure
+    require(len <= Int.MaxValue,
+      s"bit-flip buffer path only handles files < 2 GB, $victim is $len B")
     val buf = new Array[Byte](len.toInt)
     val in = fs.open(victim); try in.readFully(0L, buf) finally in.close()
     buf(buf.length / 2) = (buf(buf.length / 2) ^ 0x1).toByte
