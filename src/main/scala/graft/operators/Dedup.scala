@@ -143,6 +143,19 @@ object Dedup {
   private def candidateHashJoin(spark: org.apache.spark.sql.SparkSession): Boolean =
     spark.conf.get("spark.graft.pair.candidateHashJoin", "false").toBoolean
 
+  /** Round-16 A/B seam (`spark.graft.pair.delete1HashJoin`, default
+    * false): build the delete-1 path's two candidate joins — equal-set
+    * (slim ⋈ slim) and subset (delete-fingerprints ⋈ slim) — as
+    * shuffled-hash joins with the doc-level `slim` relation as the build
+    * side instead of sort-merge. `slim` is one row per document where the
+    * fingerprint stream is one row per token OCCURRENCE, so the build side
+    * is the structurally small one and per-partition build state is
+    * bounded by the width target. The input sorts these joins would skip
+    * hold ~7-10 GB at the fourth decade without spilling (SCALE.md §R15
+    * decision 3) — a CPU lever, measure-first like [[candidateHashJoin]]. */
+  private def delete1HashJoin(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.get("spark.graft.pair.delete1HashJoin", "false").toBoolean
+
   /** id + distinct xxhash64'd token set. NOT persisted here: callers
     * persist at their own layering (block rename + set size) so the
     * cached plan IS the one their downstream paths reference — which is
@@ -414,11 +427,16 @@ object Dedup {
     // resident bytes for nothing
     if (!keepInputCache(hs.sparkSession)) hs.unpersist(blocking = false)
     val slim = base.select(col("blk"), col("fp"), col("hs_id"), col("n"))
+    // the [[delete1HashJoin]] seam hints the doc-level slim side as a
+    // shuffled-hash BUILD side (one row per doc vs one per occurrence on
+    // the fingerprint stream), skipping both candidate joins' input sorts
+    def maybeHash(df: DataFrame): DataFrame =
+      if (delete1HashJoin(hs.sparkSession)) df.hint("SHUFFLE_HASH") else df
     // equal-set candidates: same (block, fingerprint)
     val eq = slim.select(col("blk"), col("fp"),
         col("hs_id").as("left_id"), col("n").as("nl"))
-      .join(slim.select(col("blk"), col("fp"),
-        col("hs_id").as("right_id"), col("n").as("nr")), Seq("blk", "fp"))
+      .join(maybeHash(slim.select(col("blk"), col("fp"),
+        col("hs_id").as("right_id"), col("n").as("nr"))), Seq("blk", "fp"))
       .where(col("left_id") < col("right_id"))
       .select(col("blk"), col("left_id"), col("right_id"), col("nl"), col("nr"))
     // subset candidates: superset drops one token and lands on the
@@ -427,9 +445,9 @@ object Dedup {
       col("n").as("nsup"),
       explode(transform(col("hs"), h => col("fp") - h)).as("fp")),
       width, col("blk"), col("fp"))
-    val sub = dels.join(widenForJoin(slim.select(col("blk"), col("fp"),
+    val sub = dels.join(maybeHash(widenForJoin(slim.select(col("blk"), col("fp"),
         col("hs_id").as("sub_id"), col("n").as("nsub")),
-        width, col("blk"), col("fp")), Seq("blk", "fp"))
+        width, col("blk"), col("fp"))), Seq("blk", "fp"))
       .where(col("sub_id") =!= col("sup_id"))
       .where(col("nsub") === col("nsup") - 1)
       .where(col("nsub") >= lit(threshold) * col("nsup") - 1e-9)

@@ -46,29 +46,38 @@ object ProfileSeamAB {
       }
     }
 
-    val rows = collection.mutable.ArrayBuffer.empty[(String, String, Double, Double, Long)]
+    // every leg carries BOTH sentinels — CPU and I/O — bracketing the run
+    // on each side (pre + post): a storm arriving MID-leg is then visible
+    // as an inflated post bracket even when the pre bracket read calm,
+    // which is exactly how round-15's q60 A/B ended unadjudicable.
+    val rows = collection.mutable.ArrayBuffer
+      .empty[(String, String, Double, Double, Double, Long)]
     (1 to reps).foreach { rep =>
       val rotated = variants.drop((rep - 1) % variants.size) ++
         variants.take((rep - 1) % variants.size)
       queries.foreach { q =>
         rotated.foreach { case (name, confs) =>
-          val c = ProfileUtil.calib(spark)
+          val (c, io) = ProfileUtil.calibBoth(spark)
           confs.foreach { case (k, v) => spark.conf.set(k, v) }
           val (t, spill) = try run(q) finally spark.conf.unset(seam)
+          val (c2, io2) = ProfileUtil.calibBoth(spark)
+          val cw = math.max(c, c2); val iow = math.max(io, io2)
           println(f"[seamab] $seam $q $dir rep$rep variant=$name%-4s " +
-            f"calib=$c%.3f t=$t%8.2f s spill=${spill >> 20}%6d MB")
+            f"cpu=$c%.3f/$c2%.3f io=$io%.3f/$io2%.3f t=$t%8.2f s " +
+            f"spill=${spill >> 20}%6d MB")
           Console.flush()
-          rows += ((q, name, c, t, spill))
+          rows += ((q, name, cw, iow, t, spill))
         }
       }
     }
-    println(f"${"query"}%-20s ${"variant"}%-5s ${"min t"}%9s ${"worst calib"}%12s ${"max spill"}%10s")
+    println(f"${"query"}%-20s ${"variant"}%-5s ${"min t"}%9s ${"worst cpu"}%10s ${"worst io"}%9s ${"max spill"}%10s")
     queries.foreach { q =>
       variants.foreach { case (name, _) =>
         val vs = rows.filter(r => r._1 == q && r._2 == name)
         if (vs.nonEmpty)
-          println(f"$q%-20s $name%-5s ${vs.map(_._4).min}%9.2f " +
-            f"${vs.map(_._3).max}%12.3f ${vs.map(_._5).max >> 20}%8d M")
+          println(f"$q%-20s $name%-5s ${vs.map(_._5).min}%9.2f " +
+            f"${vs.map(_._3).max}%10.3f ${vs.map(_._4).max}%9.3f " +
+            f"${vs.map(_._6).max >> 20}%8d M")
       }
     }
     spark.stop()

@@ -41,9 +41,11 @@ object ProfileThirdDecade {
     def timeMin(name: String, dir: String, runs: Int): Double = {
       // calibration bracket: host throughput drifts up to ~8× on minute
       // timescales with the guest idle (round 14, ProfileCalibrated) —
-      // a leg timed against an inflated sentinel is re-run, not banked
-      graft.Bench.calibrationOnce(spark)
-      val c = (1 to 3).map(_ => graft.Bench.calibrationOnce(spark)).min
+      // a leg timed against an inflated sentinel is re-run, not banked.
+      // Both sentinels since round 16, pre AND post: a CPU-calm leg can
+      // still integrate an I/O storm (the round-15 seam-A/B ambiguity),
+      // and a storm arriving mid-leg shows in the post bracket.
+      val (c, io) = ProfileUtil.calibBoth(spark)
       val t = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         graft.queries.Queries.all(name)(spark, dir).count()
@@ -51,7 +53,9 @@ object ProfileThirdDecade {
         release()
         dt
       }.min
-      println(f"[leg] $name $dir runs=$runs min=$t%.2f s calib=$c%.3f"); Console.flush()
+      val (c2, io2) = ProfileUtil.calibBoth(spark)
+      println(f"[leg] $name $dir runs=$runs min=$t%.2f s " +
+        f"cpu=$c%.3f/$c2%.3f io=$io%.3f/$io2%.3f"); Console.flush()
       t
     }
 

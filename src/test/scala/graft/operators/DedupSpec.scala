@@ -345,6 +345,15 @@ class DedupSpec extends SparkSpec {
         .collect().map { case (l, r, j) => (l, r, math.rint(j * 1e9)) }.toSet
       finally spark.conf.unset("spark.graft.pair.legacyPairDistinct")
     assert(del1Legacy === del1)
+    // round-16 candidate-join seam: the shuffled-hash build (slim side)
+    // and the default sort-merge shape must emit identical pairs — the
+    // A/B's validity condition
+    spark.conf.set("spark.graft.pair.delete1HashJoin", "true")
+    val del1Shj = try Dedup.jaccardPairsDelete1Path(docs, "doc_id", "tok", "lang", 0.95)
+        .select("left_id", "right_id", "jaccard").as[(Long, Long, Double)]
+        .collect().map { case (l, r, j) => (l, r, math.rint(j * 1e9)) }.toSet
+      finally spark.conf.unset("spark.graft.pair.delete1HashJoin")
+    assert(del1Shj === del1)
     val bitmap = Dedup.jaccardPairs(docs, "doc_id", "tok", "lang", 0.95)
       .select("left_id", "right_id", "jaccard").as[(Long, Long, Double)]
       .collect().map { case (l, r, j) => (l, r, math.rint(j * 1e9)) }.toSet
