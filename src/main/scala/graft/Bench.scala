@@ -62,6 +62,31 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** One I/O-side sentinel sample: write 256 MiB to a temp file on
+    * `java.io.tmpdir` (the same filesystem Spark's local dirs — shuffle
+    * files, spill, disk-backed cache blocks — default to), fsync it to
+    * the device, delete it, return wall seconds. The CPU sentinel above
+    * is provably blind to host-level DISK contention (round 15's seam
+    * A/B ended unadjudicable on exactly that: a calm CPU bracket around
+    * a wall that integrated an I/O storm), so since round 16 both
+    * sentinels ride the artifact. Single-threaded + synchronous: device
+    * contention shows up directly as sample time (~0.45-0.6 s calm). */
+  private[graft] def ioProbeOnce(): Double = {
+    val f = java.io.File.createTempFile("graft_ioprobe_", ".bin")
+    try {
+      val buf = new Array[Byte](1 << 20)
+      java.util.Arrays.fill(buf, 0x5A.toByte)
+      val t0 = System.nanoTime()
+      val out = new java.io.FileOutputStream(f)
+      try {
+        var i = 0
+        while (i < 256) { out.write(buf); i += 1 }
+        out.getFD.sync()
+      } finally out.close()
+      (System.nanoTime() - t0) / 1e9
+    } finally f.delete()
+  }
+
   /** Per-run outcomes → (min over successes, median over successes,
     * #failed runs). Pure, spec-covered: this is the arithmetic an earlier
     * -1.0 sentinel silently corrupted. */
@@ -88,7 +113,8 @@ object Bench {
                                 runsPerQuery: Int, sfDir: String,
                                 calibration: Option[Double] = None,
                                 calibrationMid: Option[Double] = None,
-                                calibrationAfter: Option[Double] = None): String = {
+                                calibrationAfter: Option[Double] = None,
+                                ioCalibration: Seq[Double] = Nil): String = {
     def qmap(pick: ((String, Option[Double], Option[Double], Int, Int)) => Option[Double]) =
       results.collect { case r if pick(r).isDefined => s"\"" + r._1 + "\":" + pick(r).get }
         .mkString("{", ",", "}")
@@ -100,7 +126,9 @@ object Bench {
     val totalMed = results.flatMap(_._3).sum
     val calib = calibration.map(c => s""""calibration_s":$c,""").getOrElse("") +
       calibrationMid.map(c => s""""calibration_mid_s":$c,""").getOrElse("") +
-      calibrationAfter.map(c => s""""calibration_after_s":$c,""").getOrElse("")
+      calibrationAfter.map(c => s""""calibration_after_s":$c,""").getOrElse("") +
+      (if (ioCalibration.nonEmpty)
+        ioCalibration.mkString(s""""calibration_io_s":[""", ",", "],") else "")
     s"""{"metric":"total","value":$total,"unit":"sec","stat":"min",$calib"runs_per_query":$runsPerQuery,"queries":${qmap(_._2)},"total_median":$totalMed,"queries_median":${qmap(_._3)},"runs_bumped":$extraJson,"failed_runs":$failedJson,"n_failed_queries":${results.count(_._2.isEmpty)},"sf":"$sfDir"}"""
   }
 
@@ -119,7 +147,8 @@ object Bench {
       sfDir: String, calibration: Option[Double] = None,
       calibrationMid: Option[Double] = None,
       calibrationAfter: Option[Double] = None,
-      detailFile: String = "bench_metric.json"): String = {
+      detailFile: String = "bench_metric.json",
+      ioCalibration: Seq[Double] = Nil): String = {
     def stem(n: String) = n.takeWhile(_ != '_')
     val stems = results.map(r => stem(r._1))
     val key: String => String =
@@ -131,7 +160,9 @@ object Bench {
       .mkString("{", ",", "}")
     val calib = calibration.map(c => s""""calibration_s":${r3(c)},""").getOrElse("") +
       calibrationMid.map(c => s""""calibration_mid_s":${r3(c)},""").getOrElse("") +
-      calibrationAfter.map(c => s""""calibration_after_s":${r3(c)},""").getOrElse("")
+      calibrationAfter.map(c => s""""calibration_after_s":${r3(c)},""").getOrElse("") +
+      (if (ioCalibration.nonEmpty)
+        ioCalibration.map(r3).mkString(s""""calibration_io_s":[""", ",", "],") else "")
     s"""{"metric":"total","value":${r3(results.flatMap(_._2).sum)},"unit":"sec","stat":"min",$calib"queries":$qs,"n_failed_queries":${results.count(_._2.isEmpty)},"detail":"$detailFile","sf":"$sfDir"}"""
   }
 
@@ -167,6 +198,10 @@ object Bench {
     // timed), then min-of-3 — the same noise-floor stat as the queries
     calibrationOnce(spark)
     val calibration = (1 to 3).map(_ => calibrationOnce(spark)).min
+    // the I/O twin rides the same three positions (pre/mid/post), one
+    // min-of-3 each — ~2 s apiece against a multi-minute bench, and the
+    // artifact can then distinguish a CPU storm from a disk storm
+    val ioCalibration = (1 to 3).map(_ => ioProbeOnce()).min
     // None = the run threw; failures are reported separately and NEVER enter
     // a stat or the total (a -1.0 sentinel would silently *shrink* the
     // headline number — the worst possible failure mode for a benchmark).
@@ -196,11 +231,14 @@ object Bench {
     val (firstHalf, secondHalf) = names.splitAt(names.size / 2)
     val r1 = timeQueries(firstHalf)
     val calibrationMid = (1 to 3).map(_ => calibrationOnce(spark)).min
+    val ioCalibrationMid = (1 to 3).map(_ => ioProbeOnce()).min
     val results = r1 ++ timeQueries(secondHalf)
     val calibrationAfter = (1 to 3).map(_ => calibrationOnce(spark)).min
+    val ioCalibrationAfter = (1 to 3).map(_ => ioProbeOnce()).min
+    val ioTriple = Seq(ioCalibration, ioCalibrationMid, ioCalibrationAfter)
     val benchFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "bench_metric.json")
     val json = renderJson(results, runs, sfDir, Some(calibration),
-      Some(calibrationMid), Some(calibrationAfter))
+      Some(calibrationMid), Some(calibrationAfter), ioTriple)
     java.nio.file.Files.write(
       java.nio.file.Paths.get(benchFile), (json + "\n").getBytes("UTF-8"))
     Console.err.flush()
@@ -218,7 +256,7 @@ object Bench {
     // process's own fd 1.
     val compact = renderCompactJson(results, sfDir, Some(calibration),
       Some(calibrationMid), Some(calibrationAfter),
-      new java.io.File(benchFile).getName)
+      new java.io.File(benchFile).getName, ioTriple)
     val raw = new java.io.FileOutputStream(java.io.FileDescriptor.out)
     raw.write((compact + "\n").getBytes("UTF-8"))
     raw.flush()

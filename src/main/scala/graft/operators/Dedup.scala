@@ -98,63 +98,31 @@ object Dedup {
     StorageLevel.fromString(
       spark.conf.get("spark.graft.pair.persistLevel", "MEMORY_AND_DISK"))
 
-  /** Round-15 A/B seam (`spark.graft.pair.carryPrefixInCache`, default
-    * false): when true, the ordered-prefix cache materializes the `prefix`
-    * column (the round-14 shape — prefix bytes DUPLICATE the head of
-    * `ord`, ~+5-20% cache payload at the bench thresholds plus per-row
-    * array overhead); when false the prefix is a codegen'd `slice` over
-    * `ord` computed on cache READ — same plan shape, fewer cached bytes.
-    * Kept as a conf so the two cache payloads can be A/B'd in ONE session
-    * (interleaved, calm-bracketed — the round-14 protocol). */
-  private def carryPrefixInCache(spark: org.apache.spark.sql.SparkSession): Boolean =
-    spark.conf.get("spark.graft.pair.carryPrefixInCache", "false").toBoolean
+  /** Seam retention policy (round 16). An A/B seam lives exactly as long
+    * as its experiment: once the A/B is banked in SCALE.md and DECIDED,
+    * the losing branch is deleted and its conf retired — git history at
+    * the banking commit keeps the losing shape reproducible, and a kept
+    * seam is an untested code path that every later restructuring must
+    * drag along (round 15 ended with five of them in this file).
+    * Deployment overrides are NOT experiments and stay:
+    * `spark.graft.pair.persistLevel` ([[pairPersistLevel]]) and
+    * `spark.graft.pair.maxShuffleWidth` ([[pairWidthCap]]) encode
+    * regime boundaries a 100 TB deployment tunes per cluster, each with
+    * its negative A/B recorded at the definition site.
+    *
+    * Retired this round (verdict in, losing branch deleted):
+    * `carryPrefixInCache` (trimmed ord-only cache won, SCALE.md §R15),
+    * `keepInputCache` (release-after-materialize won, §R15),
+    * `legacyOrderJoin` (df≥2 shuffled-hash attach won, §R15),
+    * `legacyPairDistinct` (widened grouping-only distinct won, §R15),
+    * `candidateHashJoin` (round 15's AMBIGUOUS containment-join lever,
+    * re-run with the I/O sentinel: two sessions' minima disagree in
+    * DIRECTION, effect below session noise — REJECTED, §R16),
+    * `delete1HashJoin` (built and REJECTED this round — the delete-1
+    * candidate joins' hash build measured ~1.2× slower on calm
+    * both-sentinel legs, §R16; sort-merge stays). */
 
-  /** Round-15 A/B seam (`spark.graft.pair.keepInputCache`, default
-    * false): when false, the hashed-set INPUT cache is dropped as soon as
-    * the derived ordered-prefix (or delete-1 fingerprint) cache has
-    * materialized — the input relation has no consumer after that point,
-    * and holding it doubles the resident corpus-scale bytes exactly where
-    * the cache-fit boundary bites (SCALE.md §Round 14: q60's sf100 step).
-    * True restores the round-14 keep-everything behavior for comparison. */
-  private def keepInputCache(spark: org.apache.spark.sql.SparkSession): Boolean =
-    spark.conf.get("spark.graft.pair.keepInputCache", "false").toBoolean
 
-  /** Round-15 A/B seam (`spark.graft.pair.legacyOrderJoin`, default
-    * false): restores the round-14 ordered-arrays build — a FULL
-    * document-frequency relation (one row per distinct token) inner
-    * sort-merge-joined onto the posting stream. The per-node spill map
-    * (`tools.ProfileSpillMap`, SCALE.md §Round 15) attributed ~17 GB of
-    * q60's 79 GB fourth-decade spill to that join's two input sorts and
-    * ~20 GB to the df-aggregate feeding it; the default shape joins only
-    * REPEATED tokens (df ≥ 2) as a shuffled-hash build side instead —
-    * see [[orderedArrays]] for why the arrays are provably identical. */
-  private def legacyOrderJoin(spark: org.apache.spark.sql.SparkSession): Boolean =
-    spark.conf.get("spark.graft.pair.legacyOrderJoin", "false").toBoolean
-
-  /** Round-15 A/B seam (`spark.graft.pair.candidateHashJoin`, default
-    * false — honored by the CONTAINMENT candidate join only for now):
-    * build the candidate join as a shuffled-hash join on the prefix
-    * side instead of sort-merge. The containment join's sides are
-    * asymmetric (A's prefix explode ≈ (1−τ)·Σn rows vs B's full Σn), so
-    * the build side is the small one and per-partition build state is
-    * bounded by the width target. The sorts it would skip do NOT spill
-    * at the measured fourth decade (they sort in memory) — this is a
-    * CPU lever, kept measure-first like every width knob. */
-  private def candidateHashJoin(spark: org.apache.spark.sql.SparkSession): Boolean =
-    spark.conf.get("spark.graft.pair.candidateHashJoin", "false").toBoolean
-
-  /** Round-16 A/B seam (`spark.graft.pair.delete1HashJoin`, default
-    * false): build the delete-1 path's two candidate joins — equal-set
-    * (slim ⋈ slim) and subset (delete-fingerprints ⋈ slim) — as
-    * shuffled-hash joins with the doc-level `slim` relation as the build
-    * side instead of sort-merge. `slim` is one row per document where the
-    * fingerprint stream is one row per token OCCURRENCE, so the build side
-    * is the structurally small one and per-partition build state is
-    * bounded by the width target. The input sorts these joins would skip
-    * hold ~7-10 GB at the fourth decade without spilling (SCALE.md §R15
-    * decision 3) — a CPU lever, measure-first like [[candidateHashJoin]]. */
-  private def delete1HashJoin(spark: org.apache.spark.sql.SparkSession): Boolean =
-    spark.conf.get("spark.graft.pair.delete1HashJoin", "false").toBoolean
 
   /** id + distinct xxhash64'd token set. NOT persisted here: callers
     * persist at their own layering (block rename + set size) so the
@@ -298,7 +266,7 @@ object Dedup {
     * sizes the pair shuffle ([[pairShuffleWidth]]) and doubles as the
     * materializer of the persisted prefix cache every downstream stage
     * reuses (at which point the hashed-set INPUT cache, consumer-less
-    * from then on, is released — see [[keepInputCache]]). Build the plan
+    * from then on, is released). Build the plan
     * only when you intend to run it. */
   def jaccardPairs(df: DataFrame, id: String, tokenSet: String,
                    block: String, threshold: Double,
@@ -425,18 +393,18 @@ object Dedup {
     // never vanish), and every downstream stage reads it — the input
     // cache has no consumer left; at corpus scale holding it doubles the
     // resident bytes for nothing
-    if (!keepInputCache(hs.sparkSession)) hs.unpersist(blocking = false)
+    hs.unpersist(blocking = false)
     val slim = base.select(col("blk"), col("fp"), col("hs_id"), col("n"))
-    // the [[delete1HashJoin]] seam hints the doc-level slim side as a
-    // shuffled-hash BUILD side (one row per doc vs one per occurrence on
-    // the fingerprint stream), skipping both candidate joins' input sorts
-    def maybeHash(df: DataFrame): DataFrame =
-      if (delete1HashJoin(hs.sparkSession)) df.hint("SHUFFLE_HASH") else df
+    // the candidate joins stay SORT-MERGE deliberately: a SHUFFLE_HASH
+    // build on the doc-level slim side was A/B'd at the fourth decade and
+    // REJECTED — calm legs read ~1.2× slower with the hash build and zero
+    // spill either way (the input sorts never spill, so there was nothing
+    // to save; SCALE.md §Round 16). The seam retired with its verdict.
     // equal-set candidates: same (block, fingerprint)
     val eq = slim.select(col("blk"), col("fp"),
         col("hs_id").as("left_id"), col("n").as("nl"))
-      .join(maybeHash(slim.select(col("blk"), col("fp"),
-        col("hs_id").as("right_id"), col("n").as("nr"))), Seq("blk", "fp"))
+      .join(slim.select(col("blk"), col("fp"),
+        col("hs_id").as("right_id"), col("n").as("nr")), Seq("blk", "fp"))
       .where(col("left_id") < col("right_id"))
       .select(col("blk"), col("left_id"), col("right_id"), col("nl"), col("nr"))
     // subset candidates: superset drops one token and lands on the
@@ -445,9 +413,9 @@ object Dedup {
       col("n").as("nsup"),
       explode(transform(col("hs"), h => col("fp") - h)).as("fp")),
       width, col("blk"), col("fp"))
-    val sub = dels.join(maybeHash(widenForJoin(slim.select(col("blk"), col("fp"),
+    val sub = dels.join(widenForJoin(slim.select(col("blk"), col("fp"),
         col("hs_id").as("sub_id"), col("n").as("nsub")),
-        width, col("blk"), col("fp"))), Seq("blk", "fp"))
+        width, col("blk"), col("fp")), Seq("blk", "fp"))
       .where(col("sub_id") =!= col("sup_id"))
       .where(col("nsub") === col("nsup") - 1)
       .where(col("nsub") >= lit(threshold) * col("nsup") - 1e-9)
@@ -465,14 +433,10 @@ object Dedup {
     // at the fourth decade, the one spilling node left in this path
     // (SCALE.md §Round 15) — where grouping-only distinct stays a hash
     // aggregate, and the exchange is width-sized instead of riding the
-    // session default. A/B seam `spark.graft.pair.legacyPairDistinct`
-    // restores the round-14 shape.
-    val candidates =
-      if (hs.sparkSession.conf.get("spark.graft.pair.legacyPairDistinct",
-          "false").toBoolean)
-        eq.unionByName(sub).dropDuplicates("left_id", "right_id")
-      else widenForJoin(eq.unionByName(sub), width,
-        col("blk"), col("left_id"), col("right_id")).distinct()
+    // session default (adopted round 15; the dropDuplicates seam retired
+    // with its verdict — see the seam retention policy above).
+    val candidates = widenForJoin(eq.unionByName(sub), width,
+      col("blk"), col("left_id"), col("right_id")).distinct()
     widenedVerifyJoin(candidates, width,
       base.select(col("blk"), col("hs_id").as("left_id"), col("hs").as("ls")),
       base.select(col("blk"), col("hs_id").as("right_id"), col("hs").as("rs")))
@@ -537,7 +501,7 @@ object Dedup {
     * ([[prefixExpr]]) computed on cache READ by the consumers, so the
     * corpus-scale cache holds each token hash exactly ONCE instead of
     * duplicating the array head into a second cached column (the
-    * round-14 shape; [[carryPrefixInCache]] restores it for A/B).
+    * round-14 shape — A/B'd and retired, SCALE.md §R15).
     * Shared by Jaccard and containment candidate generation; both are
     * lossless over it.
     *
@@ -557,7 +521,9 @@ object Dedup {
     * fits. That turns the round-14 sort-merge join — which sorted BOTH
     * corpus-scale sides, ~17 GB of q60's 79 GB fourth-decade spill
     * (`tools.ProfileSpillMap`, SCALE.md §Round 15) — into a sort-free
-    * streaming probe. [[legacyOrderJoin]] restores the old shape for A/B.
+    * streaming probe (adopted round 15; the full-df seam retired with
+    * its verdict — the A/B table and the order-identity argument above
+    * remain the record).
     *
     * Every exchange in the build is sized by `width` — the same
     * data-driven [[pairShuffleWidth]] the candidate joins already use
@@ -588,47 +554,36 @@ object Dedup {
     // so they are functionally dependent keys, not extra grouping work
     val keys = Seq("blk", "hs_id", "n") ++ carry
     val postings = hs.select(keys.map(col) :+ explode(col("hs")).as("h"): _*)
-    if (legacyOrderJoin(hs.sparkSession)) {
-      val tokDf = hs.select(explode(col("hs")).as("h"))
-        .groupBy("h").agg(count(lit(1)).as("tdf"))
-      postings.join(tokDf, "h")
-        .groupBy(keys.map(col): _*)
-        .agg(transform(array_sort(collect_list(struct(col("tdf"), col("h")))),
-          s => s.getField("h")).as("ord"))
-    } else {
-      val repeated = widenForJoin(hs.select(explode(col("hs")).as("h")),
-          width, col("h"))
-        .groupBy("h").agg(count(lit(1)).as("tdf"))
-        .where(col("tdf") >= 2)
-      val attached = widenForJoin(postings, width, col("h"))
-        .join(repeated.hint("SHUFFLE_HASH"), Seq("h"), "left")
-        .select(keys.map(col) :+
-          struct(coalesce(col("tdf"), lit(1L)).as("tdf"), col("h")).as("th"): _*)
-      widenForJoin(attached, width, col("blk"), col("hs_id"))
-        .groupBy(keys.map(col): _*)
-        .agg(transform(array_sort(collect_list(col("th"))),
-          s => s.getField("h")).as("ord"))
-    }
+    val repeated = widenForJoin(hs.select(explode(col("hs")).as("h")),
+        width, col("h"))
+      .groupBy("h").agg(count(lit(1)).as("tdf"))
+      .where(col("tdf") >= 2)
+    val attached = widenForJoin(postings, width, col("h"))
+      .join(repeated.hint("SHUFFLE_HASH"), Seq("h"), "left")
+      .select(keys.map(col) :+
+        struct(coalesce(col("tdf"), lit(1L)).as("tdf"), col("h")).as("th"): _*)
+    widenForJoin(attached, width, col("blk"), col("hs_id"))
+      .groupBy(keys.map(col): _*)
+      .agg(transform(array_sort(collect_list(col("th"))),
+        s => s.getField("h")).as("ord"))
   }
 
   /** The PPJoin prefix as an expression over (`ord`, `n`):
     * slice(ord, 1, n − ⌈τ·n⌉ + 1). Codegen'd array slice — computed per
-    * cache read, never materialized into the cache (default; see
-    * [[carryPrefixInCache]]). */
+    * cache read, never materialized into the cache. */
   private def prefixExpr(threshold: Double): Column =
     slice(col("ord"), lit(1),
       (col("n") - ceil(lit(threshold) * col("n")) + 1).cast("int"))
 
   /** Persist the ordered-arrays relation for a τ-thresholded pair path
     * and hand back (cache, prefixed view): the cache carries `ord` only
-    * unless the [[carryPrefixInCache]] A/B seam materializes `prefix`
-    * too; the view always exposes both. Two eager bounded aggregates run
-    * here: [[totalOcc]] over the INPUT relation first — materializing
-    * the hashed-set cache and yielding the posting volume that sizes
-    * every exchange of the ord BUILD itself, not just the downstream
-    * pair shuffles ([[orderedArrays]]) — then a count that materializes
-    * the prefix cache, after which the input cache, consumer-less from
-    * then on, is released ([[keepInputCache]]). Release must not precede
+    * — the prefix is sliced per read; the view exposes both. Two eager
+    * bounded aggregates run here: [[totalOcc]] over the INPUT relation
+    * first — materializing the hashed-set cache and yielding the posting
+    * volume that sizes every exchange of the ord BUILD itself, not just
+    * the downstream pair shuffles ([[orderedArrays]]) — then a count
+    * that materializes the prefix cache, after which the input cache,
+    * consumer-less from then on, is released. Release must not precede
     * materialization: an evicted input under a lazy prefix cache would
     * silently re-run the whole token hash/shingle build. */
   private def prefixCache(hs: DataFrame, threshold: Double,
@@ -637,16 +592,10 @@ object Dedup {
     val occ = totalOcc(hs)
     val width = pairShuffleWidth(occ,
       spark.sessionState.conf.numShufflePartitions, pairWidthCap(spark))
-    val base = orderedArrays(hs, width, carry)
-    val pre =
-      (if (carryPrefixInCache(spark)) base.withColumn("prefix", prefixExpr(threshold))
-       else base).persist(pairPersistLevel(spark))
+    val pre = orderedArrays(hs, width, carry).persist(pairPersistLevel(spark))
     pre.count()
-    if (!keepInputCache(spark)) hs.unpersist(blocking = false)
-    val prefixed =
-      if (carryPrefixInCache(spark)) pre
-      else pre.withColumn("prefix", prefixExpr(threshold))
-    (pre, prefixed, occ)
+    hs.unpersist(blocking = false)
+    (pre, pre.withColumn("prefix", prefixExpr(threshold)), occ)
   }
 
   /** Large-dictionary path: PPJoin prefix filtering (τ > 0) or the full
@@ -957,8 +906,14 @@ object Dedup {
     val r = widenForJoin(pre.select(col("blk"), col("hs_id").as("right_id"),
       col("n").as("nr"), posexplode(col("ord")).as(Seq("rp", "h"))),
       width, col("blk"), col("h"))
-    val lSide = if (candidateHashJoin(hs.sparkSession)) l.hint("SHUFFLE_HASH") else l
-    val candidates = lSide.join(r, Seq("blk", "h"))
+    // the candidate join stays SORT-MERGE deliberately: a shuffled-hash
+    // build on the (≈5× smaller) prefix side was A/B'd at the fourth
+    // decade TWICE — round 15's minima favored the hash join 1.31×, the
+    // round-16 both-sentinel re-run favored sort-merge 1.47× on the
+    // calmest legs, zero spill either way (the input sorts never spill).
+    // Two sessions disagreeing in DIRECTION means the seam's effect is
+    // below session noise — no reproducible win; retired (SCALE.md §R16).
+    val candidates = l.join(r, Seq("blk", "h"))
       .where(col("left_id") =!= col("right_id"))
       .where(col("nr") >= lit(threshold) * col("nl") - 1e-9)
       // one row per pair, at A's FIRST matched prefix token (min lp): the
@@ -1521,7 +1476,7 @@ object Dedup {
     // the pair stage's eager routing aggregate materialized repHs — and
     // therefore withRep's cache blocks — so the raw input has no consumer
     // left (stars reads withRep, not hsRaw)
-    if (!keepInputCache(df.sparkSession)) hsRaw.unpersist(blocking = false)
+    hsRaw.unpersist(blocking = false)
     canonicalIds(df.select(col(id)), id, repPairs.unionByName(stars),
       reliable = reliable)
   }

@@ -674,16 +674,28 @@ object Similarity {
       // one is a crashed run: heal and retake. Recovery latency for a
       // killed compactor is therefore bounded by `leaseStaleMs` — size it
       // above the longest expected maintenance run, as for appends.
-      if (fs.exists(mutex) &&
-          storeNow(fs, root) - fs.getFileStatus(mutex).getModificationTime < leaseStaleMs)
-        throw new IllegalStateException(
-          s"index at $root is being compacted by another caller " +
-            s"($mutex is live): two concurrent compactions would race the " +
-            "same staging tree. Retry after it finishes; a mutex older " +
-            s"than leaseStaleMs=$leaseStaleMs ms is treated as crashed " +
-            "and healed automatically.")
-      fs.listStatus(staging).filter(_.getPath.getName.startsWith("retired_cluster="))
-        .foreach { r =>
+      // every probe here races the OWNING compaction's own completion,
+      // which deletes mutex and staging out from under us (exists → true,
+      // then the file vanishes before getFileStatus/listStatus — observed
+      // as a FileNotFoundException under the fleet-shaped concurrency
+      // test). A vanished artifact means the other run just finished or
+      // was healed: refuse retryably, exactly as if its mutex were live —
+      // the retry sees the settled state.
+      def refuseLive(): Nothing = throw new IllegalStateException(
+        s"index at $root is being compacted by another caller " +
+          s"($mutex is live): two concurrent compactions would race the " +
+          "same staging tree. Retry after it finishes; a mutex older " +
+          s"than leaseStaleMs=$leaseStaleMs ms is treated as crashed " +
+          "and healed automatically.")
+      val mutexLive =
+        try fs.exists(mutex) &&
+          storeNow(fs, root) - fs.getFileStatus(mutex).getModificationTime < leaseStaleMs
+        catch { case _: java.io.FileNotFoundException => refuseLive() }
+      if (mutexLive) refuseLive()
+      val retired =
+        try fs.listStatus(staging).filter(_.getPath.getName.startsWith("retired_cluster="))
+        catch { case _: java.io.FileNotFoundException => refuseLive() }
+      retired.foreach { r =>
           val live = new Path(root, r.getPath.getName.stripPrefix("retired_"))
           if (fs.exists(live)) fs.delete(live, true)
           // Hadoop rename reports most failures as `false`, not an

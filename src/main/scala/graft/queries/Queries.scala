@@ -924,12 +924,20 @@ object Queries {
   /** Session-scoped scratch path for a materialized vector index: keyed by
     * (tag, SF dir, application id) so concurrent sessions on the same SF
     * (e.g. the bench and the correctness gate) never race on
-    * overwrite-mid-read; reclaimed with the OS tmpdir. */
+    * overwrite-mid-read. Scrubbed on graceful JVM exit (the appId key
+    * means no later session can ever reuse the bytes, so every exit —
+    * test, bench, gate — would otherwise leave a permanent orphan; ~100
+    * of them had accumulated in tmp by round 16). A killed JVM still
+    * leaks one dir; the appId prefix makes those safely identifiable. */
   private def indexScratch(s: org.apache.spark.sql.SparkSession, dir: String,
-                           tag: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
+                           tag: String): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
       dir.replaceAll("[^A-Za-z0-9]", "_") + "_" +
       s.sparkContext.applicationId.replaceAll("[^A-Za-z0-9]", "_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))))
+    path
+  }
 
   /** ONE clustered index serves all three indexed tiers (q81 ADC, q82
     * exact-cosine, q83 SemDeDup) — the amortization the stored index

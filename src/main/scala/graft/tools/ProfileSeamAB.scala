@@ -5,7 +5,7 @@ package graft.tools
   * interleaved + rotated + calibration-bracketed per the round-14
   * protocol, spill from the executed plan. Exists so each new
   * measure-first lever doesn't need its own one-shot tool
-  * (ProfilePairDistinct is the pattern this generalizes).
+  * (the retired round-15 one-shot tools are the pattern this generalizes).
   *
   * Usage: `runMain graft.tools.ProfileSeamAB <seamConf> <dir> [reps] [queries…]` */
 object ProfileSeamAB {

@@ -130,42 +130,16 @@ object ProfileUtil {
     (1 to 3).map(_ => graft.Bench.calibrationOnce(spark)).min
   }
 
-  /** Bytes one I/O sentinel sample writes: large enough to outlast the
-    * device's write-back buffering under fsync (the calm floor is device
-    * throughput, not syscall latency — measured ~0.45-0.6 s calm on this
-    * host), small enough to bracket every leg for ~2 s. */
-  private val IoProbeBytes: Long = 256L << 20
-
-  /** One I/O-side sentinel sample: write [[IoProbeBytes]] to a temp file
-    * on `java.io.tmpdir` — the same filesystem Spark's local dirs (shuffle
-    * files, spill, cached disk blocks) default to — fsync it to the
-    * device, delete it, return wall seconds. Exists because the CPU
-    * sentinel is provably blind to I/O-side host contention: the round-15
-    * q60 candidateHashJoin A/B's worst leg ran at a CALM CPU bracket while
-    * its wall integrated an I/O storm, leaving the A/B unadjudicable
-    * (SCALE.md §R15). The write path is single-threaded and synchronous —
-    * host-level device contention shows up directly as sample time. */
-  def ioProbeOnce(): Double = {
-    val f = java.io.File.createTempFile("graft_ioprobe_", ".bin")
-    try {
-      val buf = new Array[Byte](1 << 20)
-      java.util.Arrays.fill(buf, 0x5A.toByte)
-      val t0 = System.nanoTime()
-      val out = new java.io.FileOutputStream(f)
-      try {
-        var i = 0L
-        while (i < (IoProbeBytes >> 20)) { out.write(buf); i += 1 }
-        out.getFD.sync()
-      } finally out.close()
-      (System.nanoTime() - t0) / 1e9
-    } finally f.delete()
-  }
-
-  /** I/O-side calm floor: min-of-3 of [[ioProbeOnce]] (no warm-up needed —
-    * there is no codegen to compile; the first sample is as honest as the
-    * rest). Same banking rule as [[calib]]: a leg whose bracket reads
+  /** I/O-side calm floor: min-of-3 of the fsync'd-write sentinel
+    * ([[graft.Bench.ioProbeOnce]] — a 256 MiB synchronous write to the
+    * shuffle filesystem, ~0.45-0.6 s calm on this host; no warm-up needed,
+    * there is no codegen to compile). Exists because the CPU sentinel is
+    * provably blind to I/O-side host contention: the round-15 q60
+    * candidateHashJoin A/B's worst leg ran at a CALM CPU bracket while its
+    * wall integrated an I/O storm, leaving the A/B unadjudicable (SCALE.md
+    * §R15). Same banking rule as [[calib]]: a leg whose bracket reads
     * ≥ ~1.5× the session's calm floor is re-run or discarded. */
-  def ioCalib(): Double = (1 to 3).map(_ => ioProbeOnce()).min
+  def ioCalib(): Double = (1 to 3).map(_ => graft.Bench.ioProbeOnce()).min
 
   /** Both sentinels, as every banked leg should carry them from round 16
     * on: (CPU floor, I/O floor). A leg is CALM only when BOTH read at

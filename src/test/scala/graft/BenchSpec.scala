@@ -73,6 +73,31 @@ class BenchSpec extends AnyFunSuite {
     assert(compact.startsWith("{\"metric\":\"total\""), compact)
   }
 
+  test("I/O sentinel triple rides both renders when measured, absent otherwise") {
+    // round 16: the CPU sentinel cannot see disk contention (the q60 seam
+    // A/B's calm-CPU/stormy-I/O leg), so the fsync'd-write sentinel's
+    // pre/mid/post samples ride the artifact as one array field
+    val rows = Seq(("q1", Some(0.5), Some(0.5), 0, 3))
+    val full = Bench.renderJson(rows, 3, "/sf",
+      calibration = Some(0.077), ioCalibration = Seq(0.51, 0.48, 1.93))
+    assert(full.contains("\"calibration_io_s\":[0.51,0.48,1.93]"), full)
+    val compact = Bench.renderCompactJson(rows, "/sf",
+      calibration = Some(0.077), ioCalibration = Seq(0.512345, 0.48, 1.93))
+    assert(compact.contains("\"calibration_io_s\":[0.512,0.48,1.93]"), compact)
+    assert(compact.startsWith("{\"metric\":\"total\""), compact)
+    assert(!Bench.renderJson(rows, 3, "/sf").contains("calibration_io_s"))
+    assert(!Bench.renderCompactJson(rows, "/sf").contains("calibration_io_s"))
+  }
+
+  test("I/O probe returns a positive wall time and leaves no probe file behind") {
+    def probeFiles = Option(new java.io.File(System.getProperty("java.io.tmpdir"))
+      .listFiles((_, n) => n.startsWith("graft_ioprobe_"))).map(_.length).getOrElse(0)
+    val before = probeFiles
+    val t = Bench.ioProbeOnce()
+    assert(t > 0.0 && t < 600.0, s"implausible probe time $t s")
+    assert(probeFiles === before, "the probe must delete its temp file")
+  }
+
   test("compact stdout line: qNN stems, 3-decimal rounding, fits the driver's 2000-char tail") {
     // realistic shape: 88 queries with full-length names, as in SparkEntry
     val results = (1 to 88).map { i =>

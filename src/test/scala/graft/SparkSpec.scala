@@ -13,9 +13,13 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    // the per-run warehouse dir is scrubbed on graceful JVM exit — one
+    // orphan per `sbt test` invocation otherwise (~40 had accumulated)
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(wh.toFile)))
     val s = GraftSession.builder(master = "local[4]", shufflePartitions = 4)
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-wh").toString)
+      .config("spark.sql.warehouse.dir", wh.toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s

@@ -198,14 +198,14 @@ class DedupSpec extends SparkSpec {
     assert(bitmap === prefix)
   }
 
-  test("prefix cache trims to ord-only, releases the input cache, and honors the level/carry seams") {
+  test("prefix cache trims to ord-only, releases the input cache, and honors the persist-level conf") {
     // the round-15 cache-fit work (SCALE.md §Round 14: at sf100 the pair
     // family's persisted bytes cross the local cache-fit boundary): the
     // corpus-scale cache must hold each token hash ONCE (ord only — the
     // prefix column is a slice computed on cache read), and the hashed-set
     // INPUT cache must be released the moment the prefix cache
-    // materializes. The conf seams restore the round-14 shape and switch
-    // the storage level, and every variant must emit identical pairs.
+    // materializes. The persist-level deployment conf switches the
+    // storage level and must emit identical pairs.
     val d = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("lang"),
         array_distinct(split(col("text"), " ")).as("tok"))
@@ -234,22 +234,7 @@ class DedupSpec extends SparkSpec {
       collectPairs(pairs)
     } finally release()
     assert(expected.nonEmpty)
-    // legacy (round-14) shape via the A/B seams: prefix carried in the
-    // cache, input cache kept — same pairs, two resident caches
-    spark.conf.set("spark.graft.pair.carryPrefixInCache", "true")
-    spark.conf.set("spark.graft.pair.keepInputCache", "true")
-    try {
-      val pairs = build()
-      val cached = spark.sparkContext.getRDDStorageInfo
-      assert(cached.length === 2, cached.map(_.name).mkString(" | "))
-      assert(cachedSchemas(pairs).exists(_.contains("prefix")))
-      assert(collectPairs(pairs) === expected)
-    } finally {
-      spark.conf.unset("spark.graft.pair.carryPrefixInCache")
-      spark.conf.unset("spark.graft.pair.keepInputCache")
-      release()
-    }
-    // storage-level seam: serialized cache, identical pairs
+    // storage-level deployment conf: serialized cache, identical pairs
     spark.conf.set("spark.graft.pair.persistLevel", "MEMORY_AND_DISK_SER")
     try {
       val pairs = build()
@@ -263,16 +248,16 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("df≥2 order join ≡ legacy full-df join, and the default attach is sort-free") {
+  test("ordered-arrays df attach is hash-joined and sort-free on the real corpus") {
     // the round-15 ordered-arrays rewrite (SCALE.md §Round 15 spill map):
-    // the rarest-first order must be IDENTICAL whether the df attach joins
-    // the full token-frequency relation (legacy, sort-merge) or only the
-    // df≥2 tokens as a shuffled-hash build side with coalesce(df, 1) — a
-    // df=1 token's sort struct is (1, h) either way. Identity of the
-    // ORDER (not just the pair set) matters: a different order changes
-    // prefixes, and a lossy prefix would drop pairs — so compare pairs
-    // AND values on the real corpus, for both the jaccard and the
-    // containment consumers.
+    // the df attach joins only df≥2 tokens as a shuffled-hash build side
+    // with coalesce(df, 1) — provably order-identical to the full-df
+    // sort-merge shape it replaced (a df=1 token's sort struct is (1, h)
+    // either way; the legacy seam asserted the identity pair-for-pair on
+    // this corpus until its A/B was banked and the seam retired). What
+    // must HOLD structurally: the attach inside the cached ord build is a
+    // hash join, never a sort-merge — those two corpus-scale input sorts
+    // were the ~17 GB spill term the rewrite removed.
     val d = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("lang"),
         array_distinct(split(col("text"), " ")).as("tok"))
@@ -315,17 +300,9 @@ class DedupSpec extends SparkSpec {
     assert(ordBuild.exists(p =>
       p.contains("ShuffledHashJoin") || p.contains("BroadcastHashJoin")),
       s"default df attach must hash-join:\n${ordBuild.mkString}")
-    val (jacNew, contNew) = (jac(), cont())
+    // both consumers of the shared ord build produce pairs on this corpus
+    assert(jac().nonEmpty && cont().nonEmpty)
     release()
-    spark.conf.set("spark.graft.pair.legacyOrderJoin", "true")
-    try {
-      assert(jac() === jacNew)
-      assert(cont() === contNew)
-      assert(contNew.nonEmpty && jacNew.nonEmpty)
-    } finally {
-      spark.conf.unset("spark.graft.pair.legacyOrderJoin")
-      release()
-    }
   }
 
   test("delete-1 neighborhood path ≡ bitmap ≡ prefix on the real corpus") {
@@ -336,24 +313,6 @@ class DedupSpec extends SparkSpec {
     val del1 = Dedup.jaccardPairsDelete1Path(docs, "doc_id", "tok", "lang", 0.95)
       .select("left_id", "right_id", "jaccard").as[(Long, Long, Double)]
       .collect().map { case (l, r, j) => (l, r, math.rint(j * 1e9)) }.toSet
-    // round-15 candidate-dedup seam: the widened grouping-only distinct
-    // (default) and the round-14 dropDuplicates(first-aggregate) shape
-    // must emit identical pairs — the A/B's validity condition
-    spark.conf.set("spark.graft.pair.legacyPairDistinct", "true")
-    val del1Legacy = try Dedup.jaccardPairsDelete1Path(docs, "doc_id", "tok", "lang", 0.95)
-        .select("left_id", "right_id", "jaccard").as[(Long, Long, Double)]
-        .collect().map { case (l, r, j) => (l, r, math.rint(j * 1e9)) }.toSet
-      finally spark.conf.unset("spark.graft.pair.legacyPairDistinct")
-    assert(del1Legacy === del1)
-    // round-16 candidate-join seam: the shuffled-hash build (slim side)
-    // and the default sort-merge shape must emit identical pairs — the
-    // A/B's validity condition
-    spark.conf.set("spark.graft.pair.delete1HashJoin", "true")
-    val del1Shj = try Dedup.jaccardPairsDelete1Path(docs, "doc_id", "tok", "lang", 0.95)
-        .select("left_id", "right_id", "jaccard").as[(Long, Long, Double)]
-        .collect().map { case (l, r, j) => (l, r, math.rint(j * 1e9)) }.toSet
-      finally spark.conf.unset("spark.graft.pair.delete1HashJoin")
-    assert(del1Shj === del1)
     val bitmap = Dedup.jaccardPairs(docs, "doc_id", "tok", "lang", 0.95)
       .select("left_id", "right_id", "jaccard").as[(Long, Long, Double)]
       .collect().map { case (l, r, j) => (l, r, math.rint(j * 1e9)) }.toSet

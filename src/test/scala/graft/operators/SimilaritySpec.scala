@@ -1138,4 +1138,118 @@ class SimilaritySpec extends SparkSpec {
       .select("bucket").as[Long].collect()
     assert(b.toSeq === b2.toSeq)
   }
+
+  test("fleet-shaped maintenance: parallel appenders race live compactions, every batch lands exactly once") {
+    // The exclusion protocol is spec-proven PAIRWISE above (append vs
+    // compaction, compaction vs compaction); what a 100 TB nightly ingest
+    // actually runs is the fleet shape — N appenders and a maintenance
+    // loop hammering ONE index concurrently, every caller retrying its
+    // fail-fast refusals. The invariants that must survive arbitrary
+    // interleaving on a real filesystem: every batch's rows land exactly
+    // once (no loss under compaction swaps, no double-landing under
+    // replays), the manifest stays byte-exact, and the verify pass ends
+    // clean. Threads share the SparkSession — concurrent actions from
+    // multiple threads are a supported Spark pattern (cluster drivers do
+    // exactly this).
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = Similarity.ivfCentroids(e, k = 4, iters = 1)
+    val books = Similarity.pqTrain(e, 4, 16, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("fleet_maint").toString + "/idx"
+    val nBatches = 6
+    try {
+      // seed the index so the first compaction has something to probe
+      Similarity.ivfPqIndexWrite(e.where(col("vec_id") % 100 === 99), dir, coarse, books)
+      val seeded = spark.read.parquet(dir).count()
+      val batchRows = (0 until nBatches)
+        .map(i => i.toLong -> e.where(col("vec_id") % 100 < 99 &&
+          col("vec_id") % nBatches === i)).toMap
+      // fleetDone flips when every appender thread has EXITED (landed or
+      // failed) — the maintainers' loop condition, so one failed appender
+      // can never leave a maintainer spinning past the join timeout
+      val fleetDone = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def retrying[A](tag: String)(body: => A): A = {
+        var left = 600
+        while (true) {
+          try return body
+          catch { case _: IllegalStateException =>
+            left -= 1
+            require(left > 0, s"$tag starved: still refused after 600 retries")
+            Thread.sleep(50)
+          }
+        }
+        sys.error("unreachable")
+      }
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val compacted = new java.util.concurrent.atomic.AtomicInteger(0)
+      val appenders = (0 until nBatches).map { i =>
+        new Thread(() => {
+          try {
+            val first = retrying(s"append-$i")(
+              Similarity.ivfPqIndexAppendOnce(batchRows(i.toLong), dir, i.toLong,
+                coarse, books))
+            assert(first, s"batch $i: first presentation must land")
+            // immediate replay of the SAME id must be a no-op even while
+            // the rest of the fleet is mid-flight
+            val replay = retrying(s"replay-$i")(
+              Similarity.ivfPqIndexAppendOnce(batchRows(i.toLong), dir, i.toLong,
+                coarse, books))
+            assert(!replay, s"batch $i: replay must skip")
+          } catch { case t: Throwable => failures.add(t) }
+        }, s"appender-$i")
+      }
+      val maintainers = (0 until 2).map { m =>
+        new Thread(() => {
+          try {
+            // keep compacting until the fleet quiesces, racing the appends
+            // — the inter-attempt sleep leaves windows for refused appends
+            // to land (without it two maintainers can hold the staging
+            // flag nearly continuously and starve the fleet)
+            // the second condition keeps trying past quiescence until at
+            // least one compaction completed — on a quiesced index the
+            // attempt succeeds immediately, so the "compaction raced the
+            // fleet and completed" witness below can never flake
+            while (!fleetDone.get() || compacted.get() == 0) {
+              try {
+                Similarity.ivfPqIndexCompact(spark, dir, maxFilesPerCluster = 1)
+                compacted.incrementAndGet()
+              } catch { case _: IllegalStateException => () } // refused: lease or rival compactor
+              Thread.sleep(100)
+            }
+          } catch { case t: Throwable => failures.add(t) }
+        }, s"maintainer-$m")
+      }
+      (appenders ++ maintainers).foreach(_.start())
+      appenders.foreach(_.join(300000))
+      fleetDone.set(true)
+      maintainers.foreach(_.join(300000))
+      assert(failures.isEmpty, failures.toArray.mkString("\n"))
+      assert(compacted.get() > 0, "the maintenance loop never won a compaction")
+      // exactly-once: every batch's rows present once, nothing lost to a
+      // swap, nothing doubled by a replay
+      val end = spark.read.parquet(dir)
+      assert(end.count() === seeded + batchRows.values.map(_.count()).sum)
+      // the stored layout's id column is neighbor_id (ivfPqEncode renames)
+      assert(end.groupBy("neighbor_id").count().where(col("count") > 1).count() === 0,
+        "a row landed twice under the fleet interleaving")
+      // a final compaction + stamp + verify on the quiesced index ends
+      // clean (the fleet ran UNSTAMPED: a manifest is maintained by its
+      // appenders read-modify-write, and the contract feeds appends from
+      // ONE sequential streaming sink — parallel appenders racing one
+      // stamp is out of contract, so the stamp lands after quiescence)
+      Similarity.ivfPqIndexCompact(spark, dir, maxFilesPerCluster = 1)
+      Similarity.ivfPqIndexManifest(spark, dir)
+      assert(Similarity.ivfPqIndexVerify(spark, dir).isEmpty,
+        "post-fleet verify must report no discrepancies")
+      // no maintenance residue: no leases, no staging, no orphan batches
+      assert(!new java.io.File(dir + "_compacting").exists())
+      val leases = Option(new java.io.File(dir, "_leases").listFiles())
+        .map(_.toSeq).getOrElse(Nil)
+      assert(leases.isEmpty, s"leaked leases: $leases")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
+  }
 }

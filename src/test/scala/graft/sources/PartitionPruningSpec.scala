@@ -22,23 +22,25 @@ class PartitionPruningSpec extends SparkSpec {
 
   test("date-partitioned write + equality predicate reads exactly one partition") {
     val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
-    // Tables.events owns the ts normalization (nanos-era long vs the
-    // micros TIMESTAMP the round-13 testdata writes) — never convert raw
-    graft.sources.Tables.events(spark, sf)
-      .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
-      .write.mode("overwrite").partitionBy("day").parquet(dir)
+    try {
+      // Tables.events owns the ts normalization (nanos-era long vs the
+      // micros TIMESTAMP the round-13 testdata writes) — never convert raw
+      graft.sources.Tables.events(spark, sf)
+        .withColumn("day", date_format(col("ts"), "yyyy-MM-dd"))
+        .write.mode("overwrite").partitionBy("day").parquet(dir)
 
-    val all = spark.read.parquet(dir)
-    val nDays = all.select("day").distinct().count()
-    assert(nDays > 5, s"fixture should span many days, got $nDays")
+      val all = spark.read.parquet(dir)
+      val nDays = all.select("day").distinct().count()
+      assert(nDays > 5, s"fixture should span many days, got $nDays")
 
-    val pruned = all.where(col("day") === "2024-01-05")
-    val scan = scanOf(pruned)
-    assert(scan.metadata("PartitionFilters").contains("day"),
-      "predicate must appear as a partition filter, not a data filter")
-    val filesRead = scan.metrics("numFiles").value
-    val filesTotal = scanOf(all).metrics("numFiles").value
-    assert(filesRead > 0 && filesRead < filesTotal / 2,
-      s"pruning should skip most partitions: read $filesRead of $filesTotal")
+      val pruned = all.where(col("day") === "2024-01-05")
+      val scan = scanOf(pruned)
+      assert(scan.metadata("PartitionFilters").contains("day"),
+        "predicate must appear as a partition filter, not a data filter")
+      val filesRead = scan.metrics("numFiles").value
+      val filesTotal = scanOf(all).metrics("numFiles").value
+      assert(filesRead > 0 && filesRead < filesTotal / 2,
+        s"pruning should skip most partitions: read $filesRead of $filesTotal")
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 }
