@@ -51,10 +51,15 @@ object Packing {
     require(chunkTokens > 0, s"chunkTokens must be positive, got $chunkTokens")
     require(stride > 0 && stride <= chunkTokens,
       s"stride must be in [1, $chunkTokens], got $stride")
-    val n = size(tokens)
+    val n = size(col("tok"))
     val nChunks = when(n <= chunkTokens, lit(1)).otherwise(
       lit(1) + ceil((n - chunkTokens).cast("double") / stride).cast("int"))
-    df.select(id.as("doc_id"), tokens.as("tok"),
+    // two-step projection: the caller's `tokens` expression (often a
+    // Θ(|text|) split/tokenize) → attribute, THEN the explode. In one
+    // select the generator is hoisted below it (ExtractGenerator), so the
+    // tokenizer would re-run once per CHUNK row — Θ(|text|·chunks)/doc
+    df.select(id.as("doc_id"), tokens.as("tok"))
+      .select(col("doc_id"), col("tok"),
         explode(sequence(lit(0), nChunks - 1)).as("c"))
       .select(col("doc_id"), col("c").cast("long").as("chunk_id"),
         concat_ws(" ", slice(col("tok"), col("c") * stride + 1, lit(chunkTokens)))

@@ -111,9 +111,16 @@ object Similarity {
     var cents = corpus.orderBy(col(idCol)).limit(k).select(col(vecCol))
       .collect().map(_.getSeq[Float](0).map(_.toDouble).toArray)
     for (_ <- 0 until iters) {
+      // two-step projection: assignment → attribute, THEN the explode.
+      // A generator in the same select is hoisted BELOW the other
+      // expressions (ExtractGenerator), so the inlined k-way argmax would
+      // re-run once per EXPLODED row — ×dim work, the same no-CSE trap
+      // [[pqTrain]] documents (measured here: build k64 81→4 s at 2k rows,
+      // 393 s→… at 20k, with the per-row marginal ~17 ms — ProfileAnnScale)
       val means = corpus
         .select(nearestCentroid(col(vecCol), cents).as("cluster"),
-          posexplode(col(vecCol)).as(Seq("pos", "x")))
+          col(vecCol).as("iv_v"))
+        .select(col("cluster"), posexplode(col("iv_v")).as(Seq("pos", "x")))
         // decimal sums are order-independent, so centroids (and therefore
         // bucket assignments) are identical under any partition layout; the
         // exact decimal sum is cast to double BEFORE the divide so the mean
@@ -132,20 +139,40 @@ object Similarity {
   }
 
   /** Index of the nearest centroid (argmax cosine), as a pure row-local
-    * expression over literal centroids — no shuffle, broadcast-free. */
+    * expression — no shuffle, broadcast-free. Evaluated by the fused
+    * [[graft.functions.CentroidTopN]] kernel: one expression node carrying
+    * the k×dim matrix as a referenced object, so plan size is constant in
+    * k and the k ≈ √N regime a fourth-decade corpus wants (k ≥ 1024) is
+    * reachable. Bit-identical to [[nearestCentroidLiteral]] (the shape
+    * this replaced — spec-asserted, ties and NaN included), so stored
+    * cluster layouts are unchanged. */
   def nearestCentroid(vec: Column, centroids: Array[Array[Double]]): Column =
+    graft.functions.CentroidFunctions.centroidTopN(vec, centroids, 1).getItem(0)
+
+  /** The literal-expression argmax the kernel replaced: k inlined cosine
+    * kernels + structs + array_max. Kept as the parity/measurement
+    * reference — Θ(k·dim) expression NODES, so plan build cost grows with
+    * k (unusable past ~k≈64); see CentroidExpressionsSpec and SCALE.md. */
+  private[graft] def nearestCentroidLiteral(vec: Column,
+                                            centroids: Array[Array[Double]]): Column =
     array_max(array(centroids.zipWithIndex.map { case (c, i) =>
       struct(graft.functions.VectorFunctions.vectorCosine(vec, typedLit(c.toSeq)).as("cos"),
         lit(i).as("cluster"))
     }: _*)).getField("cluster")
 
-  /** The query side probes its `nprobe` nearest centroids. */
+  /** The query side probes its `nprobe` nearest centroids: `array<int>` of
+    * cluster ids, descending (cos, id) — same kernel, same tie rules. */
   private def probeCentroids(vec: Column, centroids: Array[Array[Double]],
                              nprobe: Int): Column =
-    slice(reverse(array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
+    graft.functions.CentroidFunctions.centroidTopN(vec, centroids, nprobe)
+
+  /** Literal-shape probe (parity reference, see [[nearestCentroidLiteral]]). */
+  private[graft] def probeCentroidsLiteral(vec: Column, centroids: Array[Array[Double]],
+                                           nprobe: Int): Column =
+    transform(slice(reverse(array_sort(array(centroids.zipWithIndex.map { case (c, i) =>
       struct(graft.functions.VectorFunctions.vectorCosine(vec, typedLit(c.toSeq)).as("cos"),
         lit(i).as("cluster"))
-    }: _*))), 1, nprobe)
+    }: _*))), 1, nprobe), s => s.getField("cluster"))
 
   /** IVF ANN top-k: corpus partitioned by nearest-centroid cluster, queries
     * probe their `nprobe` closest clusters — candidate generation is an
@@ -159,7 +186,7 @@ object Similarity {
       nearestCentroid(col(vecCol), centroids).as("cluster"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         explode(probeCentroids(col(vecCol), centroids, nprobe)).as("probe"))
-      .select(col("query_id"), col("qv"), col("probe.cluster").as("cluster"))
+      .select(col("query_id"), col("qv"), col("probe").as("cluster"))
     ivfScoreTopK(q, c, k)
   }
 
@@ -353,14 +380,23 @@ object Similarity {
     val dsub = codebooks(0)(0).length
     queries
       .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .select(col("query_id") +: (0 until m).map(s =>
-          slice(col("qv"), s * dsub + 1, dsub).as(s"q_sub_$s")) :+
+      // subvectors and norms become attributes BEFORE the probe explode;
+      // sharing a select with the generator would hoist them above the
+      // Generate and re-evaluate them once per probe row (×nprobe)
+      .select(col("query_id") +: col("qv") +: (0 until m).map(s =>
+          slice(col("qv"), s * dsub + 1, dsub).as(s"q_sub_$s")): _*)
+      .select(col("query_id") +: col("qv") +:
+        (0 until m).map(s => col(s"q_sub_$s")) ++:
+        (0 until m).map(s => graft.functions.VectorFunctions
+          .vectorDot(col(s"q_sub_$s"), col(s"q_sub_$s")).as(s"q_nrm_$s")): _*)
+      .select(col("query_id") +:
+        (0 until m).map(s => col(s"q_sub_$s")) ++:
+        (0 until m).map(s => col(s"q_nrm_$s")) :+
         explode(probeCentroids(col("qv"), coarse, nprobe)).as("probe"): _*)
       .select(col("query_id") +:
         (0 until m).map(s => col(s"q_sub_$s")) ++:
-        (0 until m).map(s => graft.functions.VectorFunctions
-          .vectorDot(col(s"q_sub_$s"), col(s"q_sub_$s")).as(s"q_nrm_$s")) :+
-        col("probe.cluster").as("cluster"): _*)
+        (0 until m).map(s => col(s"q_nrm_$s")) :+
+        col("probe").as("cluster"): _*)
   }
 
   /** Shared clustered-ADC scoring: broadcast the probed queries, equi-join
@@ -397,12 +433,32 @@ object Similarity {
     * code-only deployment sets `withVectors = false` (appends must then
     * use the same setting — parquet files in one index must agree on
     * schema). */
+  /** Exchange an encoded relation onto the cluster layout before a
+    * partitionBy write. A dynamic-partition write without it emits up to
+    * (write tasks × k) files — at k ≥ 1024 on a wide cluster that is
+    * millions of files per rewrite, and every append batch seeds
+    * (tasks × touched clusters) fragments for compaction to clean.
+    * Hash-partitioning on (cluster, salt) bounds the count at k×F total
+    * (each (cluster, salt) combo lands in exactly one task), where
+    * F = max(1, shuffle width / k) keeps write parallelism ≥ the session
+    * width when k is small. The salt is a deterministic id hash — layout
+    * only, row content and cluster values are untouched. */
+  private def clusteredLayout(encoded: DataFrame, k: Int,
+                              idCol: String = "neighbor_id"): DataFrame = {
+    val w = encoded.sparkSession.sessionState.conf.numShufflePartitions
+    val f = math.max(1, w / math.max(1, k))
+    encoded.repartition(k * f, col("cluster"),
+      pmod(xxhash64(col(idCol)), lit(f.toLong)))
+  }
+
   def ivfPqIndexWrite(corpus: DataFrame, path: String,
                       coarse: Array[Array[Double]],
                       codebooks: Array[Array[Array[Double]]],
                       idCol: String = "vec_id", vecCol: String = "embedding",
                       withVectors: Boolean = true): Unit =
-    ivfPqEncode(corpus, coarse, codebooks, idCol, vecCol, keepVec = withVectors)
+    clusteredLayout(
+      ivfPqEncode(corpus, coarse, codebooks, idCol, vecCol, keepVec = withVectors),
+      coarse.length)
       .write.mode("overwrite").partitionBy("cluster").parquet(path)
 
   /** APPEND a batch into an existing clustered index: new vectors encode
@@ -439,7 +495,9 @@ object Similarity {
       val stamped = fs.exists(new Path(root, ManifestName))
       val before: Set[String] =
         if (stamped) indexDataFiles(fs, root).map(_._2).toSet else Set.empty
-      ivfPqEncode(batch, coarse, codebooks, idCol, vecCol, keepVec = withVectors)
+      clusteredLayout(
+        ivfPqEncode(batch, coarse, codebooks, idCol, vecCol, keepVec = withVectors),
+        coarse.length)
         .write.mode("append").partitionBy("cluster").parquet(path)
       if (stamped) {
         val added = indexDataFiles(fs, root).filterNot(f => before(f._2))
@@ -540,7 +598,9 @@ object Similarity {
       // trailing-slash path would stage at `dir/_batch<id>` INSIDE the
       // index root and leave permanent residue there after a crash
       val staging = new Path(root.toString + s"_batch$batchId")
-      ivfPqEncode(batch, coarse, codebooks, idCol, vecCol, keepVec = withVectors)
+      clusteredLayout(
+        ivfPqEncode(batch, coarse, codebooks, idCol, vecCol, keepVec = withVectors),
+        coarse.length)
         .write.mode("overwrite").partitionBy("cluster").parquet(staging.toString)
       val prefix = s"b${batchId}_"
       if (fs.exists(root))
@@ -1301,7 +1361,7 @@ object Similarity {
       "ivfTopKIndexed needs an index written withVectors = true (no embedding column found)")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         explode(probeCentroids(col(vecCol), centroids, nprobe)).as("probe"))
-      .select(col("query_id"), col("qv"), col("probe.cluster").as("cluster"))
+      .select(col("query_id"), col("qv"), col("probe").as("cluster"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probed = q.select(col("cluster")).distinct()
       .collect().map(_.getInt(0)).sorted
@@ -1454,8 +1514,13 @@ object Similarity {
   def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
     val amax = array_max(transform(col(vecCol), x => abs(x.cast("double"))))
-    df.select(col(idCol), (amax / 127.0).as("scale"),
-        posexplode(col(vecCol)).as(Seq("pos", "x")))
+    // two-step projection: the Θ(dim) scale → attribute, THEN the explode —
+    // a generator in the same select is hoisted below the other expressions
+    // (ExtractGenerator), which would re-run the array_max scan once per
+    // EXPLODED element, Θ(dim²)/vector (the [[pqTrain]] no-CSE trap)
+    df.select(col(idCol), (amax / 127.0).as("scale"), col(vecCol).as("qi_v"))
+      .select(col(idCol), col("scale"),
+        posexplode(col("qi_v")).as(Seq("pos", "x")))
       .select(col(idCol), col("pos").cast("long").as("pos"),
         when(col("scale") === 0.0, lit(0L))
           .otherwise(floor(col("x").cast("double") / col("scale") + 0.5).cast("long"))
