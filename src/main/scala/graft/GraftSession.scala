@@ -29,6 +29,13 @@ object GraftSession {
       // the driver testdata stores events.ts as parquet INT64 TIMESTAMP(NANOS),
       // which Spark cannot represent natively; read as long and convert.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // id-shortlist fetches (the ANN refine tier's vector fetch) push an
+      // isin over row-group-sorted ids into the parquet scan; past this
+      // threshold Spark degrades the pushed In to a min/max range, which
+      // skips nothing over hash-scattered ids — raise it to cover a
+      // serving-shaped shortlist (row-group stat eval is per row GROUP,
+      // so a 1024-term In costs microseconds per file)
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
       .config("spark.ui.enabled", "false")
 
   def defaultCpus: Int =

@@ -442,13 +442,22 @@ object Similarity {
     * (each (cluster, salt) combo lands in exactly one task), where
     * F = max(1, shuffle width / k) keeps write parallelism ≥ the session
     * width when k is small. The salt is a deterministic id hash — layout
-    * only, row content and cluster values are untouched. */
+    * only, row content and cluster values are untouched.
+    *
+    * Rows are additionally SORTED by (cluster, id) within each write task:
+    * the (cluster) prefix satisfies the dynamic-partition writer's required
+    * ordering (so this replaces, not adds to, the sort the writer would
+    * inject), and the id suffix gives every parquet row group a tight
+    * min/max stat on the id column — which turns a pushed id-shortlist
+    * filter ([[ivfPqTopKRefined]]'s vector fetch) into genuine row-group
+    * skipping, the columnar analog of a point lookup. */
   private def clusteredLayout(encoded: DataFrame, k: Int,
                               idCol: String = "neighbor_id"): DataFrame = {
     val w = encoded.sparkSession.sessionState.conf.numShufflePartitions
     val f = math.max(1, w / math.max(1, k))
     encoded.repartition(k * f, col("cluster"),
       pmod(xxhash64(col(idCol)), lit(f.toLong)))
+      .sortWithinPartitions(col("cluster"), col(idCol))
   }
 
   def ivfPqIndexWrite(corpus: DataFrame, path: String,
@@ -886,6 +895,10 @@ object Similarity {
     // instead of |dirty| directories
     pruneToProbed(spark.read.parquet(path), dirty.toArray)
       .repartition(dirty.length, col("cluster"))
+      // preserve the id-sorted row groups the original write laid down
+      // ([[clusteredLayout]]): a compacted cluster must keep serving the
+      // refine tier's pushed-id row-group skipping
+      .sortWithinPartitions(col("cluster"), col("neighbor_id"))
       .write.mode("overwrite").partitionBy("cluster").parquet(freshRoot.toString)
     dirty.foreach { c =>
       val live = new Path(root, s"cluster=$c")
@@ -1250,6 +1263,85 @@ object Similarity {
       .select(col("neighbor_id") +: col("cluster") +:
         codebooks.indices.map(s => col(s"code_$s")): _*)
     adcScoreClustered(q, pruned, codebooks, k)
+  }
+
+  /** Pushed-id fetch cap for [[ivfPqTopKRefined]]: beyond this many
+    * shortlist ids the isin is dropped from the scan (the broadcast
+    * semi-join alone is correct; only the row-group skipping is lost) —
+    * an unbounded In would bloat the plan and, past the session's parquet
+    * `pushdown.inFilterThreshold`, degrade to a useless min/max range
+    * over hash-scattered ids anyway. */
+  private val RefineFetchPushdownMax = 1024
+
+  /** Exact-cosine REFINEMENT of the ADC probe — the FAISS refine tier
+    * (IndexRefineFlat) on the clustered parquet layout. Two passes over
+    * the same stored index:
+    *
+    *   1. ADC shortlist: score the probed clusters over the CODE columns
+    *      only (m bytes/candidate — [[ivfPqTopKIndexed]]'s exact plan)
+    *      and keep `rerank`·k per query by (adc_dist, neighbor_id);
+    *   2. exact rerank: fetch ONLY the shortlisted rows' stored vectors
+    *      and re-cut the final top-k by exact cosine.
+    *
+    * Recovers the recall ADC loses to quantization ERROR (the shortlist
+    * reordering) at vector-I/O cost proportional to the SHORTLIST —
+    * |probed|·m bytes of codes + |shortlist| vectors — where
+    * [[ivfTopKIndexed]] reads every probed vector and [[ivfPqTopKIndexed]]
+    * never corrects the quantized ordering. Probe misses (true neighbors
+    * in UNPROBED clusters) are nprobe's territory: with `rerank`·k
+    * covering every probed candidate this is exactly [[ivfTopKIndexed]]
+    * (spec-asserted), never better.
+    *
+    * The fetch is a broadcast semi-join of the shortlist against the
+    * probed cluster directories, with the shortlist ids also PUSHED into
+    * the parquet scan (≤ [[RefineFetchPushdownMax]] ids): index files are
+    * id-sorted within each cluster ([[clusteredLayout]]; compaction
+    * preserves it), so the row-group min/max stats on `neighbor_id` make
+    * the pushed In skip row groups — the columnar analog of FAISS's
+    * in-memory id lookup. Serving-shaped by design (the shortlist and the
+    * query batch ride broadcasts); corpus-scale query batches belong on
+    * [[ivfTopKIndexed]]. Output schema matches [[ivfTopKIndexed]]:
+    * (query_id, neighbor_id, cosine, rk). */
+  def ivfPqTopKRefined(queries: DataFrame, index: DataFrame, k: Int,
+                       coarse: Array[Array[Double]],
+                       codebooks: Array[Array[Array[Double]]], nprobe: Int = 2,
+                       rerank: Int = 4,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rerank >= 1, s"need rerank ≥ 1, got $rerank")
+    assertNotCompacting(index)
+    require(index.columns.contains("embedding"),
+      "ivfPqTopKRefined needs an index written withVectors = true (no embedding column found)")
+    val q = prepProbedQueries(queries, coarse, codebooks, nprobe, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probed = q.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val codesOnly = pruneToProbed(index, probed)
+      .select(col("neighbor_id") +: col("cluster") +:
+        codebooks.indices.map(s => col(s"code_$s")): _*)
+    val shortlist = adcScoreClustered(q, codesOnly, codebooks, rerank * k)
+      .select(col("query_id"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the id list is shortlist-sized (≤ |queries|·rerank·k — probe-batch
+    // scale by contract, same as the probed-cluster collect above)
+    val ids = shortlist.select(col("neighbor_id")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val vectors0 = pruneToProbed(index, probed)
+      .select(col("neighbor_id"), col("embedding").as("nv"))
+    val vectors =
+      if (ids.length <= RefineFetchPushdownMax)
+        vectors0.where(col("neighbor_id")
+          .isin(ids.map(java.lang.Long.valueOf).toIndexedSeq: _*))
+      else vectors0
+    val qvs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val scored = vectors
+      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(broadcast(qvs), Seq("query_id"))
+      .withColumn("cosine", round(cosine(col("qv"), col("nv")), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rk").cast("long").as("rk"))
   }
 
   /** Restrict a stored clustered index to the probed clusters with a

@@ -48,6 +48,43 @@ object OracleSql {
     base.updated("q81_ivfpq_indexed", base("q72_ivfpq"))
       .updated("q82_ivf_indexed", base("q39_ann_ivf"))
       .updated("q83_semantic_indexed", base("q80_semantic_dedup"))
+      .updated("q89_ivfpq_refined", refinedFromAdc(base("q72_ivfpq")))
+
+  /** q89: q72's quantizer replay up through the per-candidate ADC
+    * distances (`dist`), then the refine tier's two extra steps — a
+    * rerank·k = 10 shortlist by (adc_dist, neighbor_id) and an
+    * exact-cosine re-cut of the top 5 — mirroring
+    * [[graft.operators.Similarity.ivfPqTopKRefined]]'s two passes. Built
+    * FROM q72's SQL so the shared IVF+PQ machinery can never drift
+    * between the two oracles; the exact-cosine tail is q39's spelling
+    * (the one already hash-parity-proven against the engine's fused
+    * kernel via q82). */
+  private def refinedFromAdc(adcSql: String): String = {
+    val tail = adcSql.indexOf("SELECT query_id, neighbor_id, adc_dist")
+    require(tail >= 0, "q72 oracle shape changed; update q89's refine tail")
+    adcSql.substring(0, tail).reverse.dropWhile(_ == '\n').reverse + ",\n" +
+      """shortlist AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |             ORDER BY adc_dist ASC, neighbor_id ASC) AS rk
+        |    FROM dist) WHERE rk <= 10),
+        |rpair AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |         unnest(q.embedding) AS uq, unnest(n.embedding) AS ue
+        |  FROM shortlist s
+        |  JOIN e q ON q.vec_id = s.query_id
+        |  JOIN e n ON n.vec_id = s.neighbor_id),
+        |rscored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(sum(CAST(uq AS DOUBLE) * CAST(ue AS DOUBLE))
+        |           / (sqrt(sum(CAST(uq AS DOUBLE) * CAST(uq AS DOUBLE)))
+        |            * sqrt(sum(CAST(ue AS DOUBLE) * CAST(ue AS DOUBLE)))), 6) AS cosine
+        |  FROM rpair GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+        |  FROM rscored) WHERE rk <= 5""".stripMargin
+  }
 
   private lazy val base: Map[String, String] = Map(
 

@@ -1025,6 +1025,25 @@ object Queries {
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
   }
 
+  /** q81's ADC probe REFINED by exact cosine — the FAISS refine tier
+    * (IndexRefineFlat) over the [[sharedIvfPqIndex]] layout: the ADC pass
+    * shortlists rerank·k = 10 candidates per query from the CODE columns
+    * alone, the stored vectors of JUST the shortlist are fetched back
+    * (broadcast semi-join + pushed-id row-group skipping over the
+    * id-sorted cluster files), and the final top-5 is re-cut by exact
+    * cosine. Sits between q81 (pure ADC: m bytes of I/O per candidate,
+    * quantization error kept) and q82 (exact probe: every probed vector
+    * read) — shortlist-proportional vector I/O, quantization error gone
+    * from the final ordering. Deterministic end-to-end; the oracle
+    * replays the shortlist and the rerank in SQL on top of q72's
+    * quantizer replay. */
+  val q89_ivfpq_refined: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val (coarse, books, path) = sharedIvfPqIndex(s, dir)
+    Similarity.ivfPqTopKRefined(e.where(col("vec_id") < 10),
+      s.read.parquet(path), k = 5, coarse, books, nprobe = 2, rerank = 2)
+  }
+
   /** Token de-stutter: collapse immediate repetitions ("the the the" →
     * "the"), the OCR/scrape cleaning pass — per-doc before/after counts
     * plus the cleaned text. Pure per-row array lambda, no shuffle. */
@@ -1233,5 +1252,6 @@ object Queries {
     "q86_corpus_shuffle" -> q86_corpus_shuffle,
     "q87_term_tags" -> q87_term_tags,
     "q88_multimodal_mix" -> q88_multimodal_mix,
+    "q89_ivfpq_refined" -> q89_ivfpq_refined,
   )
 }

@@ -84,7 +84,7 @@ object ProfileAnnScale {
       System.gc()
     }
     val rows = collection.mutable.ArrayBuffer.empty[(String, String, Double)]
-    def leg(decade: String, what: String, runs: Int)(f: => Long): Unit = {
+    def leg(decade: String, what: String, runs: Int, note: String = "")(f: => Long): Unit = {
       val (c, io) = ProfileUtil.calibBoth(spark)
       val t = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -96,10 +96,14 @@ object ProfileAnnScale {
       }.min
       val (c2, io2) = ProfileUtil.calibBoth(spark)
       println(f"[annscale] $decade%-6s $what%-10s runs=$runs min=$t%8.2f s " +
-        f"cpu=$c%.3f/$c2%.3f io=$io%.3f/$io2%.3f")
+        f"cpu=$c%.3f/$c2%.3f io=$io%.3f/$io2%.3f" + note)
       Console.flush()
       rows += ((decade, what, t))
     }
+    /** (query, neighbor) pairs of a top-k result — the recall basis. */
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
 
     val decades =
       if (args.contains("smoke")) Seq("sf0.1" -> sf01)
@@ -108,6 +112,13 @@ object ProfileAnnScale {
     decades.foreach { case (name, dir) =>
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val queries = emb.where(col("vec_id") < 10)
+      // exact ground truth first: timed as its own leg, then its pairs are
+      // the recall basis for every probe at this decade (untimed re-run)
+      leg(name, "brute", 2) {
+        Similarity.bruteForceTopK(queries, emb, k = 5).count()
+      }
+      val truth = pairsOf(Similarity.bruteForceTopK(queries, emb, k = 5))
+      release()
       val ks = if (name == "sf10" || name == "sf100") Seq(8, 64, 1024) else Seq(8, 64)
       ks.foreach { k =>
         val idx = s"/tmp/graft_annscale_idx_${name}_k$k"
@@ -120,20 +131,32 @@ object ProfileAnnScale {
           Similarity.ivfPqIndexWrite(emb, idx, coarse, books)
           1L
         }
-        leg(name, s"probe k$k", 2) {
-          Similarity.ivfPqTopKIndexed(queries, spark.read.parquet(idx),
-            k = 5, coarse, books, nprobe = 2).count()
+        // nprobe=2 everywhere (the bench default); at k=1024 also
+        // nprobe=16 — the deployment-real scaled-k config (read fraction
+        // 16/1024 ≈ 1.6%, vs k8's fixed 25%): fixed nprobe at growing k
+        // must shed noise-neighbor recall, scaled nprobe is the claim
+        val nprobes = if (k == 1024) Seq(2, 16) else Seq(2)
+        nprobes.foreach { np =>
+          // recall@5 vs the exact pairs, computed OUTSIDE the timed window
+          // (ADC quantization error + the probed fraction both bound it)
+          val got = pairsOf(Similarity.ivfPqTopKIndexed(queries,
+            spark.read.parquet(idx), k = 5, coarse, books, nprobe = np))
+          release()
+          val recall = got.intersect(truth).size.toDouble / truth.size
+          val tag = if (np == 2) s"probe k$k" else s"probe k$k np$np"
+          leg(name, tag, 2, note = f" recall@5=$recall%.3f") {
+            Similarity.ivfPqTopKIndexed(queries, spark.read.parquet(idx),
+              k = 5, coarse, books, nprobe = np).count()
+          }
         }
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
-      }
-      leg(name, "brute", 2) {
-        Similarity.bruteForceTopK(queries, emb, k = 5).count()
       }
     }
     println(f"${"decade"}%-7s ${"variant"}%-10s ${"min t (s)"}%10s")
     rows.foreach { case (d, w, t) => println(f"$d%-7s $w%-10s $t%10.2f") }
     // per-decade exponents for the probes (the scale claim under test)
-    Seq("probe k8", "probe k64", "brute").foreach { w =>
+    Seq("probe k8", "probe k64", "probe k1024", "probe k1024 np16", "brute")
+      .foreach { w =>
       val series = decades.map(_._1).flatMap(d =>
         rows.find(r => r._1 == d && r._2 == w).map(r => (d, r._3)))
       val exps = series.sliding(2).collect {

@@ -186,6 +186,97 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopKRefined: covering rerank ≡ exact probe; recall ≥ ADC; id-sorted files + pushed-id fetch") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = Similarity.ivfCentroids(e, k = 4, iters = 1)
+    val books = Similarity.pqTrain(e, 4, 16, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("refine_index").toString
+    try {
+      Similarity.ivfPqIndexWrite(e, dir, coarse, books)
+      val index = spark.read.parquet(dir)
+      val q = e.where(col("vec_id") < 5)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4))
+      def assertIdSortedFiles(): Unit =
+        new java.io.File(dir).listFiles()
+          .filter(f => f.isDirectory && f.getName.startsWith("cluster="))
+          .flatMap(_.listFiles()).filter(_.getName.endsWith(".parquet"))
+          .foreach { f =>
+            val ids = spark.read.parquet(f.getPath).select("neighbor_id").as[Long].collect()
+            assert(ids.sameElements(ids.sorted),
+              s"${f.getParentFile.getName}/${f.getName} must be id-sorted " +
+                "(row-group min/max stats are what the pushed-id fetch skips on)")
+          }
+      // the layout contract the refine fetch depends on: every data file
+      // holds its cluster's rows in id order
+      assertIdSortedFiles()
+      // a covering shortlist reranks EVERY probed candidate, so the result
+      // IS the exact-cosine probe — on partial and full probes alike
+      val n = e.count().toInt
+      Seq(2, 4).foreach { nprobe =>
+        val refined = rows(Similarity.ivfPqTopKRefined(q, index, 3, coarse, books, nprobe, rerank = n))
+        val exact = rows(Similarity.ivfTopKIndexed(q, index, 3, coarse, nprobe))
+        assert(refined.toSeq === exact.toSeq,
+          s"covering rerank at nprobe=$nprobe must equal the exact probe")
+      }
+      // refinement reorders the ADC shortlist by TRUE cosine, so recall vs
+      // the exact truth set can only rise (deterministic on this corpus)
+      val truth = Similarity.bruteForceTopK(q, e, 3)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      def recall(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+          .intersect(truth).size.toDouble / truth.size
+      val adcR = recall(Similarity.ivfPqTopKIndexed(q, index, 3, coarse, books, nprobe = 2))
+      val refR = recall(Similarity.ivfPqTopKRefined(q, index, 3, coarse, books, nprobe = 2, rerank = 4))
+      assert(refR >= adcR, f"refined recall $refR%.3f fell below ADC recall $adcR%.3f")
+      // plan contract: the fetch scan reads the vectors WITH the shortlist
+      // ids pushed into the parquet scan (the row-group-skipping filter);
+      // the ADC pass keeps its codes-only ReadSchema (asserted for
+      // ivfPqTopKIndexed above — same plan)
+      val out = Similarity.ivfPqTopKRefined(
+        e.where(col("vec_id") === 0), index, 3, coarse, books, nprobe = 1, rerank = 2)
+      out.count()
+      val scans = out.queryExecution.executedPlan.collectWithSubqueries {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }.flatMap(_.collect { case s: FileSourceScanExec => s })
+        .filter(_.relation.location.rootPaths.exists(_.toString.contains("refine_index")))
+      val fetchScan = scans.find(_.requiredSchema.fieldNames.contains("embedding"))
+      assert(fetchScan.isDefined, "the vector-fetch scan must appear in the executed plan")
+      assert(fetchScan.get.metadata("PushedFilters").contains("neighbor_id"),
+        s"the shortlist ids must be pushed into the fetch scan, got " +
+          fetchScan.get.metadata("PushedFilters"))
+      assert(fetchScan.get.partitionFilters.nonEmpty,
+        "the fetch scan must keep the probed-cluster partition filter")
+      // append + compact must preserve both the contract and the layout
+      val batch = e.where(col("vec_id") < 10)
+        .withColumn("vec_id", col("vec_id") + lit(100000L))
+      Similarity.ivfPqIndexAppend(batch, dir, coarse, books)
+      assert(Similarity.ivfPqIndexCompact(spark, dir, maxFilesPerCluster = 1).nonEmpty,
+        "the append must have left at least one cluster dirty")
+      assertIdSortedFiles()
+      val index2 = spark.read.parquet(dir)
+      val refined2 = rows(Similarity.ivfPqTopKRefined(q, index2, 3, coarse, books, nprobe = 4, rerank = n + 10))
+      val exact2 = rows(Similarity.ivfTopKIndexed(q, index2, 3, coarse, nprobe = 4))
+      assert(refined2.toSeq === exact2.toSeq,
+        "covering rerank must still equal the exact probe after append + compaction")
+      // codes-only index: the refine tier needs the stored vectors
+      val bare = java.nio.file.Files.createTempDirectory("refine_bare").toString
+      try {
+        Similarity.ivfPqIndexWrite(e, bare, coarse, books, withVectors = false)
+        intercept[IllegalArgumentException] {
+          Similarity.ivfPqTopKRefined(q, spark.read.parquet(bare), 3, coarse, books)
+        }
+      } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(bare))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
+  }
+
   test("semanticDedupIndexed: stored-index SemDeDup ≡ in-memory semanticDedup, codes column-pruned") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
