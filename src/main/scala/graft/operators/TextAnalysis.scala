@@ -512,6 +512,85 @@ object TextAnalysis {
       .withColumn("novelty", col("n_unique").cast("double") / col("n_grams"))
   }
 
+  /** ExactSubstr duplicated-span REMOVAL (Lee et al., arXiv:2107.06499 —
+    * the deduplication that paper actually ships, where [[ngramNovelty]]
+    * is only its per-doc score): every n-token window that occurs at two
+    * or more (doc, position) sites corpus-wide marks its span duplicated;
+    * overlapping/adjacent spans merge into maximal spans; the cleaned text
+    * is the doc with those spans cut out. The paper finds the same spans
+    * with a single-machine suffix array; an n-gram window finds exactly
+    * the duplicated substrings of length ≥ n (any such substring contains
+    * a duplicated n-gram, and every duplicated n-gram is such a
+    * substring), which distributes: no suffix array, no global structure —
+    * just a gram reduce and a doc reduce.
+    *
+    * Returns (id, n_tokens, n_removed, n_spans, clean_text).
+    * Docs shorter than n tokens carry no window and are never cut
+    * (matching the paper: substrings below the match length are ignored).
+    * Unlike [[ngramNovelty]] the per-doc gram set is NOT deduped — a gram
+    * twice in ONE doc is a duplicated substring too (self-repetition),
+    * exactly as the suffix array sees it.
+    *
+    * Scale shape: grams ride the same posexplode + window-lead build as
+    * [[ngramNovelty]] (one exchange on the doc id), then ONE exchange on
+    * the gram hash — self-sized by [[gramReduceWidth]], persisted at that
+    * width because it feeds both the occurrence reduce and the dup-site
+    * semi-join; the reduce output stays partitioned on `g`, so the
+    * semi-join back (the step q76 avoids but removal fundamentally needs:
+    * WHICH sites are duplicated, not how many) adds NO exchange
+    * (plan-asserted in TextAnalysisSpec). Dup sites then reduce to
+    * doc-grain start-position arrays (bounded by doc length), and the
+    * rebuild is a row-local higher-order filter over (tokens, starts) —
+    * token q survives iff no duplicated window starts in (q−n, q] — with
+    * span count read off the sorted starts (a new span wherever the gap
+    * to the previous start exceeds n). No driver action, no
+    * corpus-scale sort; the only window is the lead build's per-doc one.
+    *
+    * Reference scope note: the cashback reference has no corpus dedup at
+    * all (its text surface is `api.py:122-132` description cleanup); this
+    * generalizes the repo's dedup family to span grain. */
+  def exactSubstrRemove(df: org.apache.spark.sql.DataFrame, id: String,
+                        textCol: String, n: Int = 8,
+                        shuffleWidth: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    require(n > 0, s"window length must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(id).as("es_id"), tokens(col(textCol)).as("tk"))
+    val w = Window.partitionBy("es_id").orderBy("pos")
+    var th = tok.where(size(col("tk")) >= n)
+      .select(col("es_id"), posexplode(col("tk")).as(Seq("pos", "tok")))
+    (1 until n).foreach { j => th = th.withColumn(s"t$j", lead(col("tok"), j).over(w)) }
+    val gramSites = (if (n > 1) th.where(col(s"t${n - 1}").isNotNull) else th)
+      .select(col("es_id"), col("pos"), md5Long(concat_ws(" ",
+        col("tok") +: (1 until n).map(j => col(s"t$j")): _*)).as("g"))
+    // one exchange on g serves both consumers: the occurrence reduce
+    // preserves HashPartitioning(g), so the semi-join back is
+    // exchange-free on both sides (the persisted cache holds the
+    // partitioning; Catalyst never reuses the exchange otherwise).
+    val sites = Dedup.widenForJoin(gramSites,
+        shuffleWidth.getOrElse(gramReduceWidth(leafScanBytes(df),
+          df.sparkSession.sessionState.conf.numShufflePartitions)), col("g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // lifecycle owner: GraftSession.releaseCaches
+    val dupGrams = sites.groupBy("g").agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= 2).select("g")
+    val starts = sites.join(dupGrams, Seq("g"), "left_semi")
+      .groupBy("es_id").agg(sort_array(collect_list(col("pos"))).as("st"))
+    val joined = tok.join(starts, Seq("es_id"), "left")
+      .withColumn("st", coalesce(col("st"), array().cast("array<int>")))
+    val kept = filter(col("tk"), (t, q) =>
+      !exists(col("st"), p => p <= q && q < p + n))
+    // spans merge iff the next start begins inside-or-adjacent-to the
+    // previous window: a gap opens only when st(i) > st(i-1) + n.
+    val spans = when(size(col("st")) <= 1, size(col("st")).cast("long"))
+      .otherwise(lit(1L) + size(filter(sequence(lit(2), size(col("st"))), i =>
+        element_at(col("st"), i) > element_at(col("st"), i - lit(1)) + n)).cast("long"))
+    joined.select(col("es_id").as(id),
+      size(col("tk")).cast("long").as("n_tokens"),
+      (size(col("tk")) - size(kept)).cast("long").as("n_removed"),
+      spans.as("n_spans"),
+      array_join(kept, " ").as("clean_text"))
+  }
+
   /** DSIR-style importance score (Xie et al., arXiv:2302.03169): per doc,
     * the mean token log-ratio ln(p_target/p_corpus) between a target
     * slice's unigram LM (add-one smoothed — target misses tokens) and the

@@ -1394,6 +1394,40 @@ object OracleSql {
         |       CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS novelty
         |FROM g JOIN dfq USING (g) GROUP BY 1""".stripMargin,
 
+    // q90: ExactSubstr span removal. Same gram hash as q76 but occurrence-
+    // counted over ALL (doc, pos) sites (no per-doc distinct — a window
+    // repeated within one doc is duplicated too); kept tokens replay the
+    // engine's coverage predicate (token q-1 is cut iff some duplicated
+    // window starts in (q-1-8, q-1]); span count is the gaps-and-islands
+    // read of the sorted start list (new span iff the gap exceeds n).
+    // DuckDB list indexes and lambda position params are 1-based where
+    // Spark's are 0-based — hence the q - 1.
+    "q90_exact_substr_rm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |         ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15))::BIGINT AS g
+        |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+        |        FROM t WHERE len(tk) >= 8)),
+        |dup AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+        |st AS (SELECT doc_id, list_sort(list(pos)) AS st
+        |       FROM g JOIN dup USING (g) GROUP BY 1),
+        |j AS (SELECT t.doc_id, t.tk, coalesce(st.st, CAST([] AS BIGINT[])) AS st
+        |      FROM t LEFT JOIN st USING (doc_id)),
+        |k AS (SELECT doc_id, tk, st,
+        |             list_filter(tk, (x, q) ->
+        |               len(list_filter(st, p -> p <= q - 1 AND q - 1 < p + 8)) = 0) AS kept
+        |      FROM j)
+        |SELECT doc_id,
+        |       CAST(len(tk) AS BIGINT) AS n_tokens,
+        |       CAST(len(tk) - len(kept) AS BIGINT) AS n_removed,
+        |       CAST(CASE WHEN len(st) <= 1 THEN len(st)
+        |                 ELSE 1 + len(list_filter(generate_series(2, len(st)),
+        |                        i -> st[i] > st[i - 1] + 8))
+        |            END AS BIGINT) AS n_spans,
+        |       coalesce(array_to_string(kept, ' '), '') AS clean_text
+        |FROM k""".stripMargin,
+
     "q77_dsir_score" ->
       """WITH tk AS (
         |  SELECT doc_id, lang = 'en' AS is_t,

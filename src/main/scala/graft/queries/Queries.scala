@@ -1044,6 +1044,16 @@ object Queries {
       s.read.parquet(path), k = 5, coarse, books, nprobe = 2, rerank = 2)
   }
 
+  /** ExactSubstr duplicated-span removal over the dup-planted corpus — the
+    * paper's actual dedup output where q76 is only its score: maximal
+    * ≥8-token spans that occur at two or more (doc, position) sites
+    * corpus-wide are CUT from the text. Planted edit-duplicates lose the
+    * shared passages from both members; self-repeated passages inside one
+    * doc are cut too (the suffix-array semantics q76's cross-doc distinct
+    * deliberately ignores). */
+  val q90_exact_substr_rm: Q = (s, dir) =>
+    TextAnalysis.exactSubstrRemove(Tables.documents(s, dir), "doc_id", "text", n = 8)
+
   /** Token de-stutter: collapse immediate repetitions ("the the the" →
     * "the"), the OCR/scrape cleaning pass — per-doc before/after counts
     * plus the cleaned text. Pure per-row array lambda, no shuffle. */
@@ -1253,5 +1263,6 @@ object Queries {
     "q87_term_tags" -> q87_term_tags,
     "q88_multimodal_mix" -> q88_multimodal_mix,
     "q89_ivfpq_refined" -> q89_ivfpq_refined,
+    "q90_exact_substr_rm" -> q90_exact_substr_rm,
   )
 }

@@ -480,4 +480,95 @@ class TextAnalysisSpec extends SparkSpec {
     assert(wideDf.collect().toSet ===
       TextAnalysis.winnowedFingerprints(docs, "doc_id", "tok").collect().toSet)
   }
+
+  test("exact-substr removal: shared, self-repeated, and merged spans cut exactly") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),                // shares its pos-0 8-gram with doc 2
+      (2L, "x y a b c d e f g h w z"),            // ... at pos 2
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),     // fully original
+      (4L, "p q r s t u v w k1 p q r s t u v w"), // self-repeat: two disjoint spans
+      (5L, "m1 m2 m3 m4 m5 m6 m7 m8 m9 tail5"),   // 9-token run shared with doc 6:
+      (6L, "head6 m1 m2 m3 m4 m5 m6 m7 m8 m9"),   //   two overlapping grams, ONE span
+      (7L, "s1 s2 s3"),                           // short and identical to doc 8 —
+      (8L, "s1 s2 s3")                            //   below the match length, never cut
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.exactSubstrRemove(docs, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out === Array(
+      (1L, 10L, 8L, 1L, "i j"),
+      (2L, 12L, 8L, 1L, "x y w z"),
+      (3L, 10L, 0L, 0L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10"),
+      (4L, 17L, 16L, 2L, "k1"),
+      (5L, 10L, 9L, 1L, "tail5"),
+      (6L, 10L, 9L, 1L, "head6"),
+      (7L, 3L, 0L, 0L, "s1 s2 s3"),
+      (8L, 3L, 0L, 0L, "s1 s2 s3")))
+    graft.GraftSession.releaseCaches(spark)
+  }
+
+  test("exact-substr removal: corpus invariants and consistency with novelty") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+    val rm = TextAnalysis.exactSubstrRemove(df, "doc_id", "text", n = 8).cache()
+    // conservation + the spans⟺removal biconditional (a span covers ≥ n
+    // tokens; any removal implies a duplicated start)
+    val bad = rm.where(col("n_removed") > col("n_tokens") ||
+      (col("n_spans") === 0) =!= (col("n_removed") === 0) ||
+      (col("n_spans") > 0 && col("n_removed") < 8)).count()
+    assert(bad === 0)
+    // kept token count reconciles with the cleaned text (split("") is [""]
+    // — a fully-cut doc is the one shape where size(split) can't be 0)
+    val recon = rm.where(
+      when(col("n_removed") === col("n_tokens"), col("clean_text") =!= "")
+        .otherwise(size(split(col("clean_text"), " ")) =!=
+          col("n_tokens") - col("n_removed"))).count()
+    assert(recon === 0)
+    // the corpus plants edit-duplicates: something must actually be cut
+    assert(rm.where(col("n_removed") > 0).count() > 0,
+      "dup-planted corpus must yield duplicated spans")
+    // tie to q76 on docs long enough to carry windows: novelty 1 means no
+    // gram is shared ANYWHERE, so nothing may be cut; novelty 0 means
+    // every distinct gram is cross-doc shared, so EVERY site is covered
+    val nv = TextAnalysis.ngramNovelty(df, "doc_id", "text", n = 8)
+    val joined = rm.join(nv.select(col("doc_id"), col("novelty")), Seq("doc_id"))
+      .where(col("n_tokens") >= 8)
+    assert(joined.where(col("novelty") === 1.0 && col("n_removed") > 0).count() === 0,
+      "fully-novel docs must survive whole")
+    assert(joined.where(col("novelty") === 0.0 &&
+      col("n_removed") =!= col("n_tokens")).count() === 0,
+      "zero-novelty docs must be cut entirely")
+    rm.unpersist()
+    graft.GraftSession.releaseCaches(spark)
+  }
+
+  test("exact-substr plan: the dup semi-join rides the persisted gram exchange — ≤4 shuffles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+    val out = TextAnalysis.exactSubstrRemove(df, "doc_id", "text", n = 8)
+    assert(out.count() > 0)
+    val seenCaches = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    def exchanges(p: org.apache.spark.sql.execution.SparkPlan): Seq[ShuffleExchangeExec] = {
+      val here = p match { case s: ShuffleExchangeExec => Seq(s); case _ => Nil }
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case c: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          if (seenCaches.add(c.relation.cacheBuilder)) Seq(c.relation.cachedPlan) else Nil
+        case other => other.children
+      }
+      here ++ kids.flatMap(exchanges)
+    }
+    val shuffles = exchanges(out.queryExecution.executedPlan)
+      .filter(_.outputPartitioning.numPartitions > 1) // count()'s final agg excluded
+    // budget: the lead window (doc id), the gram widen (inside the cache),
+    // the starts reduce (doc id), and the rebuild join's token side. The
+    // occurrence reduce and the dup semi-join must REUSE the cached gram
+    // partitioning — a 5th exchange means that reuse regressed.
+    assert(shuffles.length <= 4,
+      s"expected ≤4 shuffles (window, gram widen, starts reduce, join-left), got " +
+        s"${shuffles.length}: " + shuffles.map(s =>
+          s.outputPartitioning.numPartitions + "@" + s.child.nodeName).mkString(", "))
+    graft.GraftSession.releaseCaches(spark)
+  }
 }
