@@ -265,6 +265,75 @@ object Sampling {
     } finally out.close()
   }
 
+  /** EXACTLY-k budgeted selection by score — the quality-filter step that
+    * keeps the best k documents of a corpus (FineWeb-style classifier-score
+    * curation with a hard budget), deterministically: rows rank by
+    * (score DESC, md5(key), key), the [[fixedSizeSample]] tie-break
+    * discipline, so the kept set is a pure function of content — stable
+    * across runs, engines, and partitioning. `key` must be row-unique.
+    *
+    * Scale shape — the naive `orderBy(desc).limit(k)` either ships every
+    * partition's top k to ONE task (TakeOrdered: fine for small k, dead at
+    * budget-sized k) or range-sorts the corpus; this instead never sorts
+    * corpus rows at all:
+    *   1. ONE map-side-combined aggregate to (score, count) — the score
+    *      histogram, metadata-sized because scores are QUANTIZED (every
+    *      score in this repo is round-6; a raw unrounded double would make
+    *      the histogram corpus-sized, so cardinality > [[MaxDistinctScores]]
+    *      fails fast with that instruction rather than silently collecting
+    *      a corpus to the driver);
+    *   2. the threshold score τ and the above-τ row count read off the
+    *      histogram on the driver (a bounded-metadata collect);
+    *   3. ONE more corpus pass keeps score > τ outright — a pure per-row
+    *      predicate — and md5-ranks ONLY the τ tie group for the remaining
+    *      slots. The tie-group window is the single non-narrow step; its
+    *      input is |{score = τ}| rows, and when a deployment's boundary
+    *      group is itself huge, the md5-prefix pre-cut documented on
+    *      [[fixedSizeSample]] composes here unchanged (the kept ranks are
+    *      a prefix of the md5 order).
+    * Rows with null or NaN score are never selected (neither is a
+    * ranking); if fewer than k scored rows exist, all are kept. */
+  def topKByScore(df: DataFrame, key: Column, score: Column, k: Int): DataFrame = {
+    require(k > 0, s"budget must be positive, got $k")
+    val reserved = Seq("tk_score", "tk_key", "tk_rn").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"input columns collide with reserved names: ${reserved.mkString(", ")}")
+    val s = df
+      .withColumn("tk_score", score.cast("double"))
+      .withColumn("tk_key", key.cast("string"))
+      .where(col("tk_score").isNotNull && !isnan(col("tk_score")))
+    val hist = s.groupBy("tk_score").agg(count(lit(1)).as("c"))
+      .take(MaxDistinctScores + 1)
+    require(hist.length <= MaxDistinctScores,
+      s"score histogram exceeds $MaxDistinctScores distinct values — " +
+        "quantize the score (round it) before budgeted selection")
+    val desc = hist.map(r => (r.getDouble(0), r.getLong(1))).sortBy(-_._1)
+    var cum = 0L
+    var i = 0
+    while (i < desc.length && cum + desc(i)._2 < k) { cum += desc(i)._2; i += 1 }
+    if (i >= desc.length) { // fewer than k scored rows: keep them all
+      s.select(df.columns.map(col).toIndexedSeq: _*)
+    } else {
+      val (tau, _) = desc(i)
+      val rem = k - cum
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("tk_score"))
+        .orderBy(graft.functions.Md5LongFunction.md5Long(col("tk_key")).asc,
+          col("tk_key").asc)
+      val boundary = s.where(col("tk_score") === tau)
+        .withColumn("tk_rn", row_number().over(w))
+        .where(col("tk_rn") <= rem)
+        .drop("tk_rn")
+      s.where(col("tk_score") > tau).unionByName(boundary)
+        .select(df.columns.map(col).toIndexedSeq: _*)
+    }
+  }
+
+  /** Fail-fast ceiling for [[topKByScore]]'s driver-side score histogram:
+    * 2²⁰ distinct score values ≈ 16 MB of (double, long) rows — far above
+    * any rounded score's cardinality, far below driver trouble. */
+  val MaxDistinctScores: Int = 1 << 20
+
   /** Split assignment by cumulative bucket ranges, e.g.
     * `Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)`. Fractions are
     * interpreted in bucket units (buckets=100 → percent granularity). */

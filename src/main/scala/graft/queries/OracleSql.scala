@@ -1428,6 +1428,27 @@ object OracleSql {
         |       coalesce(array_to_string(kept, ' '), '') AS clean_text
         |FROM k""".stripMargin,
 
+    // q91: q33's exact score expression (already hash-parity-proven), then
+    // the budget selection is definitionally the first 200 rows of the
+    // total order (score DESC, md5Long(key), key) — the engine computes
+    // the same set threshold-wise, never sorting corpus rows.
+    "q91_quality_budget" ->
+      """WITH scored AS (
+        |  SELECT doc_id, round(
+        |      least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
+        |    + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |         / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0)) * 0.3
+        |    + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |         / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.3, 6) AS quality
+        |  FROM documents)
+        |SELECT doc_id, quality FROM (
+        |  SELECT doc_id, quality,
+        |         row_number() OVER (ORDER BY quality DESC,
+        |           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |           CAST(doc_id AS VARCHAR)) AS rn
+        |  FROM scored)
+        |WHERE rn <= 200""".stripMargin,
+
     "q77_dsir_score" ->
       """WITH tk AS (
         |  SELECT doc_id, lang = 'en' AS is_t,

@@ -1054,6 +1054,18 @@ object Queries {
   val q90_exact_substr_rm: Q = (s, dir) =>
     TextAnalysis.exactSubstrRemove(Tables.documents(s, dir), "doc_id", "text", n = 8)
 
+  /** Budgeted quality selection: the best 200 docs by q33's composite
+    * quality score, EXACTLY 200, ties broken by md5(doc_id) — the
+    * FineWeb-style keep-the-top-of-the-classifier curation step with a
+    * hard budget. No corpus sort: the threshold reads off the
+    * metadata-sized score histogram and only the boundary tie group is
+    * ranked ([[graft.operators.Sampling.topKByScore]]). */
+  val q91_quality_budget: Q = (s, dir) => {
+    val scored = Tables.documents(s, dir).select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text"), Stopwords).as("quality"))
+    Sampling.topKByScore(scored, col("doc_id"), col("quality"), k = 200)
+  }
+
   /** Token de-stutter: collapse immediate repetitions ("the the the" →
     * "the"), the OCR/scrape cleaning pass — per-doc before/after counts
     * plus the cleaned text. Pure per-row array lambda, no shuffle. */
@@ -1264,5 +1276,6 @@ object Queries {
     "q88_multimodal_mix" -> q88_multimodal_mix,
     "q89_ivfpq_refined" -> q89_ivfpq_refined,
     "q90_exact_substr_rm" -> q90_exact_substr_rm,
+    "q91_quality_budget" -> q91_quality_budget,
   )
 }

@@ -280,4 +280,82 @@ class SamplingSpec extends SparkSpec {
       assert(again.length === 2, "re-export must rewrite the manifest")
     } finally org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
+
+  test("topKByScore: exactly k, boundary ties md5-broken, equals the naive sort-limit") {
+    // three score groups with the budget landing INSIDE the middle group,
+    // plus null/NaN rows that must never be selected
+    val rows = (0L until 40L).map(n => (n, 0.9)) ++
+      (40L until 100L).map(n => (n, 0.5)) ++
+      (100L until 160L).map(n => (n, 0.1)) ++
+      Seq((200L, Double.NaN))
+    val df = rows.toDF("doc_id", "score")
+      .unionByName(Seq(201L).toDF("doc_id").withColumn("score", lit(null).cast("double")))
+    val k = 70
+    val kept = Sampling.topKByScore(df, col("doc_id"), col("score"), k)
+    assert(kept.count() === k)
+    assert(kept.columns.toSeq === Seq("doc_id", "score"))
+    // equivalence to the naive global sort-limit under the same total order
+    val naive = df.where(col("score").isNotNull && !isnan(col("score")))
+      .orderBy(col("score").desc,
+        graft.functions.Md5LongFunction.md5Long(col("doc_id").cast("string")).asc,
+        col("doc_id").cast("string").asc)
+      .limit(k)
+    assert(kept.collect().toSet === naive.collect().toSet)
+    // all of the 0.9 group survives; exactly 30 of the 0.5 tie group does,
+    // and WHICH 30 is the md5 prefix of that group (content-deterministic)
+    val keptSet = kept.as[(Long, Double)].collect().toSet
+    assert((0L until 40L).forall(n => keptSet.contains((n, 0.9))))
+    assert(keptSet.count(_._2 === 0.5) === 30)
+    assert(keptSet.forall { case (n, _) => n < 100L })
+    // layout-invariant: the kept set is a function of content only
+    val reKept = Sampling.topKByScore(df.repartition(7), col("doc_id"),
+      col("score"), k).collect().toSet
+    assert(reKept === kept.collect().toSet)
+  }
+
+  test("topKByScore: k past the scored population keeps exactly the scored rows; guards fire") {
+    val df = Seq((1L, 0.3), (2L, 0.7), (3L, Double.NaN)).toDF("doc_id", "score")
+    val all = Sampling.topKByScore(df, col("doc_id"), col("score"), k = 10)
+    assert(all.as[(Long, Double)].collect().toSet === Set((1L, 0.3), (2L, 0.7)))
+    val collide = df.withColumnRenamed("score", "tk_score")
+    val ex = intercept[IllegalArgumentException] {
+      Sampling.topKByScore(collide, col("doc_id"), col("tk_score"), k = 1)
+    }
+    assert(ex.getMessage.contains("tk_score"))
+    assert(intercept[IllegalArgumentException] {
+      Sampling.topKByScore(df, col("doc_id"), col("score"), k = 0)
+    }.getMessage.contains("budget"))
+  }
+
+  test("topKByScore plan: no corpus sort — histogram threshold + boundary-only ranking") {
+    import org.apache.spark.sql.execution.{SortExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), TextAnalysis.qualityScore(col("text"), Seq("the", "a")).as("q"))
+    val kept = Sampling.topKByScore(docs, col("doc_id"), col("q"), k = 200)
+    assert(kept.count() === 200)
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    val plan = nodes(kept.queryExecution.executedPlan)
+    // the whole point vs orderBy().limit(): no TakeOrdered single-task
+    // merge, no global corpus sort — the only sort allowed is the boundary
+    // tie group's window sort (its input is one score value's rows)
+    assert(!plan.exists(_.isInstanceOf[TakeOrderedAndProjectExec]),
+      "budget selection must not funnel partition top-ks into one task")
+    val sorts = plan.collect { case s: SortExec if s.global => s }
+    assert(sorts.isEmpty, s"no global sort may appear, got: $sorts")
+    // two exchanges: the boundary window's hash exchange; the above-τ
+    // branch is a pure filter (the histogram pass is a separate job)
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      .filter(_.outputPartitioning.numPartitions > 1)
+    assert(shuffles.length <= 1,
+      s"only the boundary tie-group window may shuffle, got ${shuffles.length}")
+  }
 }
