@@ -1265,6 +1265,46 @@ object Similarity {
     adcScoreClustered(q, pruned, codebooks, k)
   }
 
+  /** FILTERED ANN probe over the stored index — the vector-DB "filtered
+    * search" feature: only candidates whose id appears in `allow` (a
+    * licensing allow-list, a tenant's slice, a freshness cut) may fill
+    * the top-k. PRE-filter semantics: the allow semi-join lands beneath
+    * the ADC ranking, so disallowed rows never occupy a slot and every
+    * query still gets k ALLOWED answers when they exist — where filtering
+    * the finished top-k (post-filter) k-starves exactly the queries whose
+    * true neighbors are disallowed. Identity: ≡ [[ivfPqTopKIndexed]] over
+    * an index holding only allowed rows (spec-asserted) — the quantizers
+    * are frozen, so the filter changes candidates, never geometry.
+    *
+    * Scale shape: [[ivfPqTopKIndexed]]'s exact plan (static partition
+    * pruning to the probed clusters, code-columns-only scan) plus ONE
+    * left-semi join on `neighbor_id`. The allow-list is metadata-shaped
+    * in every named use (ids, not vectors) and rides a broadcast;
+    * a corpus-scale allow relation still plans — the semi-join falls
+    * back to shuffle on the PROBED slice, not the corpus — but belongs
+    * upstream as its own curated index. Recall caveat (the honest
+    * vector-DB one): probes are chosen by the QUERY's nearest centroids,
+    * not the allowed density — a highly selective filter concentrated in
+    * unprobed clusters needs a larger nprobe, same as any coarse miss. */
+  def ivfPqTopKIndexedFiltered(queries: DataFrame, index: DataFrame, k: Int,
+                               coarse: Array[Array[Double]],
+                               codebooks: Array[Array[Array[Double]]],
+                               allow: DataFrame, nprobe: Int = 2,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): DataFrame = {
+    assertNotCompacting(index)
+    val q = prepProbedQueries(queries, coarse, codebooks, nprobe, idCol, vecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probed = q.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val allowIds = allow.select(col(idCol).as("neighbor_id")).distinct()
+    val pruned = pruneToProbed(index, probed)
+      .select(col("neighbor_id") +: col("cluster") +:
+        codebooks.indices.map(s => col(s"code_$s")): _*)
+      .join(allowIds, Seq("neighbor_id"), "left_semi")
+    adcScoreClustered(q, pruned, codebooks, k)
+  }
+
   /** Pushed-id fetch cap for [[ivfPqTopKRefined]]: beyond this many
     * shortlist ids the isin is dropped from the scan (the broadcast
     * semi-join alone is correct; only the row-group skipping is lost) —

@@ -49,6 +49,18 @@ object OracleSql {
       .updated("q82_ivf_indexed", base("q39_ann_ivf"))
       .updated("q83_semantic_indexed", base("q80_semantic_dedup"))
       .updated("q89_ivfpq_refined", refinedFromAdc(base("q72_ivfpq")))
+      .updated("q92_ann_filtered", filteredFromAdc(base("q72_ivfpq")))
+
+  /** q92: q72's full quantizer replay with the allow-list predicate
+    * injected at the candidate PAIRING (the `term` CTE's join) — before
+    * any ranking, mirroring the engine's pre-filter semi-join beneath the
+    * ADC window. Built FROM q72's SQL so the shared machinery cannot
+    * drift between the two oracles. */
+  private def filteredFromAdc(adcSql: String): String = {
+    val pairing = "JOIN ca2 ON p.cluster = ca2.cluster AND p.query_id <> ca2.neighbor_id"
+    require(adcSql.contains(pairing), "q72 oracle shape changed; update q92's filter injection")
+    adcSql.replace(pairing, pairing + "\n        AND ca2.neighbor_id % 2 = 0")
+  }
 
   /** q89: q72's quantizer replay up through the per-candidate ADC
     * distances (`dist`), then the refine tier's two extra steps — a

@@ -1054,6 +1054,20 @@ object Queries {
   val q90_exact_substr_rm: Q = (s, dir) =>
     TextAnalysis.exactSubstrRemove(Tables.documents(s, dir), "doc_id", "text", n = 8)
 
+  /** Filtered ANN probe over the stored index — q81's exact plan with an
+    * allow-list (here: even vec_ids, a stand-in for a license/tenant cut)
+    * semi-joined BENEATH the ADC ranking, so disallowed candidates never
+    * occupy a top-k slot (pre-filter semantics: every query still gets k
+    * allowed answers when the probed clusters hold them, where filtering
+    * the finished top-k would k-starve). */
+  val q92_ann_filtered: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val (coarse, books, path) = sharedIvfPqIndex(s, dir)
+    Similarity.ivfPqTopKIndexedFiltered(e.where(col("vec_id") < 10),
+      s.read.parquet(path), k = 5, coarse, books,
+      allow = e.where(col("vec_id") % 2 === 0).select("vec_id"), nprobe = 2)
+  }
+
   /** Budgeted quality selection: the best 200 docs by q33's composite
     * quality score, EXACTLY 200, ties broken by md5(doc_id) — the
     * FineWeb-style keep-the-top-of-the-classifier curation step with a
@@ -1277,5 +1291,6 @@ object Queries {
     "q89_ivfpq_refined" -> q89_ivfpq_refined,
     "q90_exact_substr_rm" -> q90_exact_substr_rm,
     "q91_quality_budget" -> q91_quality_budget,
+    "q92_ann_filtered" -> q92_ann_filtered,
   )
 }

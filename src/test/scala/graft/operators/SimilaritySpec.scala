@@ -146,6 +146,67 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopKIndexedFiltered: pre-filter ≡ probing an allowed-only index; beats post-filter; broadcast semi-join under the pruned scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = Similarity.ivfCentroids(e, k = 4, iters = 1)
+    val books = Similarity.pqTrain(e, 4, 16, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_filter").toString
+    try {
+      Similarity.ivfPqIndexWrite(e, dir, coarse, books)
+      val index = spark.read.parquet(dir)
+      val q = e.where(col("vec_id") < 5)
+      val even = e.where(col("vec_id") % 2 === 0).select("vec_id")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+      val filtered = Similarity.ivfPqTopKIndexedFiltered(
+        q, index, 5, coarse, books, allow = even, nprobe = 2)
+      // the semantics contract: identical to running the UNfiltered probe
+      // over an index that only ever held the allowed rows (frozen
+      // quantizers — the filter changes candidates, never geometry)
+      val allowedOnly = Similarity.ivfPqTopKIndexed(
+        q, index.where(col("neighbor_id") % 2 === 0), 5, coarse, books, nprobe = 2)
+      assert(rows(filtered) === rows(allowedOnly),
+        "pre-filter must equal probing an allowed-only index")
+      // every answer is allowed, and pre-filter strictly beats filtering
+      // the finished top-k: the slots disallowed rows held are refilled
+      val got = rows(filtered)
+      assert(got.nonEmpty && got.forall(_._2 % 2 == 0))
+      val unfiltered = rows(Similarity.ivfPqTopKIndexed(q, index, 5, coarse, books, nprobe = 2))
+      val postFilter = unfiltered.filter(_._2 % 2 == 0)
+      assert(got.length >= postFilter.length)
+      assert(got.length > postFilter.length,
+        "the fixture must exercise slot refill (pre-filter > post-filter)")
+      // allow-everything is exactly the unfiltered probe
+      val all = Similarity.ivfPqTopKIndexedFiltered(
+        q, index, 5, coarse, books, allow = e.select("vec_id"), nprobe = 2)
+      assert(rows(all) === unfiltered)
+      // plan: the allow list rides a broadcast LEFT SEMI beneath the ADC
+      // window, and the scan keeps q81's partition pruning + column pruning
+      filtered.count()
+      val nodes = filtered.queryExecution.executedPlan.collectWithSubqueries {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val semi = nodes.flatMap(_.collect {
+        case j: BroadcastHashJoinExec if j.joinType.sql == "LEFT SEMI" => j
+      })
+      assert(semi.nonEmpty, "the allow semi-join must plan as a broadcast left semi")
+      val idxScan = nodes.flatMap(_.collect { case s: FileSourceScanExec => s })
+        .find(_.relation.location.rootPaths.exists(_.toString.contains("ivfpq_filter")))
+      assert(idxScan.isDefined && idxScan.get.partitionFilters.nonEmpty,
+        "filtering must not cost the probed-cluster partition pruning")
+      assert(!idxScan.get.requiredSchema.fieldNames.contains("embedding"),
+        "filtering must not cost the ADC column pruning")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
+  }
+
   test("ivfTopKIndexed: exact-cosine probe over the stored index ≡ ivfTopK; prunes partitions and PQ-code columns") {
     import spark.implicits._
     import org.apache.spark.sql.execution.FileSourceScanExec
