@@ -55,6 +55,22 @@ object Bench {
     * mid-run, read the tail queries' times with suspicion; all three
     * inflated = the whole session was slow, normalize by the ratio; all
     * three calm with one query moved = a genuine regression. */
+  /** The timed action: a no-op datasource write, forcing EVERY output
+    * column through the full plan, evaluated distributed and discarded
+    * (nothing returns to the driver). `count()` is NOT a benchmark
+    * action: Catalyst prunes columns nothing references and eliminates a
+    * join whose unreferenced side is provably unique-keyed, so a
+    * count-timed query can legitimately skip the work it claims to
+    * measure — q90's count() optimizes to a BARE RELATION SCAN (the
+    * whole span-removal plan eliminated: its output is corpus ⟕ per-doc
+    * aggregate, exactly the eliminable shape), and every map-shaped
+    * query's expression work was likewise pruned from its count. The
+    * correctness gate was never affected (Verify writes parquet).
+    * Protocol change round 16: totals before/after are
+    * action-incomparable (BENCH_HISTORY.md §timed action). */
+  private[graft] def materialize(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   private[graft] def calibrationOnce(spark: SparkSession): Double = {
     val t0 = System.nanoTime()
     spark.range(0L, 20000000L, 1L, 32)
@@ -190,7 +206,7 @@ object Bench {
       System.gc()
     }
     names.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count() catch { case _: Throwable => }
+      try materialize(fn(spark, "/root/testdata/sf0.001")) catch { case _: Throwable => }
       release()
     }
     System.gc()
@@ -207,7 +223,7 @@ object Bench {
     // headline number — the worst possible failure mode for a benchmark).
     def timeOnce(fn: (SparkSession, String) => DataFrame): Option[Double] = {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val ok = try { materialize(fn(spark, sfDir)); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
       release()
       if (ok) Some(dt) else None

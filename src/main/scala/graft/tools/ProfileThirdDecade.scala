@@ -48,7 +48,12 @@ object ProfileThirdDecade {
       val (c, io) = ProfileUtil.calibBoth(spark)
       val t = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
-        graft.queries.Queries.all(name)(spark, dir).count()
+        // noop-write, not count(): count() lets Catalyst elide exactly the
+        // work under measurement (q90's count optimized to a bare scan —
+        // see Bench.materialize). The banked pre-round-16 legs here
+        // (q24/q60/q62/q76, agg/join-shaped outputs) are count-inelidable,
+        // so their numbers stand.
+        graft.Bench.materialize(graft.queries.Queries.all(name)(spark, dir))
         val dt = (System.nanoTime() - t0) / 1e9
         release()
         dt

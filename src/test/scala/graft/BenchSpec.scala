@@ -134,4 +134,21 @@ class BenchSpec extends AnyFunSuite {
       ("q_bimodal", Some(2.0), Some(6.8), 0, 5)), 3, "/sf")
     assert(json.contains("\"runs_bumped\":{\"q_bimodal\":5}"), json)
   }
+
+  test("the timed action defeats count-elision: q90's count drops its joins, materialize keeps them") {
+    val spark = SparkSpec.session
+    val df = graft.queries.Queries.all("q90_exact_substr_rm")(
+      spark, "/root/testdata/sf0.001")
+    // count() legitimately optimizes the whole operator away (its output
+    // is corpus ⟕ unique-keyed aggregate — the eliminable shape); this is
+    // WHY Bench times a full-output noop write instead
+    val cntPlan = df.groupBy().count().queryExecution.optimizedPlan.toString
+    assert(!cntPlan.toLowerCase.contains("join"),
+      s"expected count() to eliminate q90's joins (the hazard this test pins):\n$cntPlan")
+    val fullPlan = df.queryExecution.optimizedPlan.toString
+    assert(fullPlan.toLowerCase.contains("join"),
+      "the full-output plan must retain the operator's joins")
+    Bench.materialize(df) // and the timed action itself runs green
+    GraftSession.releaseCaches(spark)
+  }
 }
