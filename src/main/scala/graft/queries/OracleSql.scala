@@ -364,6 +364,40 @@ object OracleSql {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
         |  FROM scored) WHERE rk <= 5""".stripMargin,
 
+    // q93: q27's exact brute top-5 (same cosine spelling and tie-break),
+    // then the majority vote — count per (query, label), winner by
+    // (votes DESC, label ASC). Confidence is votes/k with both operands
+    // exact integers, so the double is bit-identical across engines.
+    "q93_knn_label" ->
+      """WITH pair AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |         unnest(q.embedding) AS uq, unnest(e.embedding) AS ue
+        |  FROM embeddings q, embeddings e
+        |  WHERE q.vec_id < 10 AND q.vec_id <> e.vec_id),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(sum(CAST(uq AS DOUBLE) * CAST(ue AS DOUBLE))
+        |           / (sqrt(sum(CAST(uq AS DOUBLE) * CAST(uq AS DOUBLE)))
+        |            * sqrt(sum(CAST(ue AS DOUBLE) * CAST(ue AS DOUBLE)))), 6) AS cosine
+        |  FROM pair GROUP BY 1, 2),
+        |nn AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id
+        |             ORDER BY cosine DESC, neighbor_id) AS rk
+        |    FROM scored) WHERE rk <= 5),
+        |votes AS (
+        |  SELECT nn.query_id, e.label, count(*) AS votes
+        |  FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
+        |  WHERE e.label IS NOT NULL
+        |  GROUP BY 1, 2)
+        |SELECT query_id, CAST(label AS BIGINT) AS label,
+        |       CAST(votes AS BIGINT) AS votes,
+        |       CAST(votes AS DOUBLE) / 5 AS confidence
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY votes DESC, label ASC) AS rk
+        |      FROM votes) WHERE rk = 1""".stripMargin,
+
     "q28_embedding_stats" ->
       """SELECT vec_id,
         |       CAST(len(embedding) AS BIGINT) AS dim,

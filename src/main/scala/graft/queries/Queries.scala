@@ -1054,6 +1054,15 @@ object Queries {
   val q90_exact_substr_rm: Q = (s, dir) =>
     TextAnalysis.exactSubstrRemove(Tables.documents(s, dir), "doc_id", "text", n = 8)
 
+  /** Retrieval-based labeling: the 10 probe vectors take the majority
+    * label of their 5 nearest neighbors (ties to the smaller label), with
+    * vote count and votes/k confidence — the label-the-unlabeled-by-
+    * retrieval curation step, deterministic end-to-end. */
+  val q93_knn_label: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    Similarity.knnLabel(e.where(col("vec_id") < 10), e, k = 5)
+  }
+
   /** Filtered ANN probe over the stored index — q81's exact plan with an
     * allow-list (here: even vec_ids, a stand-in for a license/tenant cut)
     * semi-joined BENEATH the ADC ranking, so disallowed candidates never
@@ -1292,5 +1301,6 @@ object Queries {
     "q90_exact_substr_rm" -> q90_exact_substr_rm,
     "q91_quality_budget" -> q91_quality_budget,
     "q92_ann_filtered" -> q92_ann_filtered,
+    "q93_knn_label" -> q93_knn_label,
   )
 }

@@ -16,9 +16,12 @@ class PlanContractSpec extends SparkSpec {
     *  - q70: PQ ADC search (small query set × persisted code relation).
     *  - q63/q64: a SINGLE-ROW grand-total cross join (an equi-join on a
     *    constant key would be folded back to a BNLJ by ConstantPropagation
-    *    anyway — 1 × N is linear, not quadratic). */
+    *    anyway — 1 × N is linear, not quadratic).
+    *  - q93: kNN labeling's neighbor stage IS q27's brute tier (the same
+    *    broadcast small-query-set × corpus scan); the vote stage on top
+    *    is equi-join + reduce only. */
   private val intendedBnlj = Set("q27_ann_cosine", "q70_pq_adc",
-    "q63_source_drift", "q64_distinctive_terms")
+    "q63_source_drift", "q64_distinctive_terms", "q93_knn_label")
 
   test("no declared query plans a cartesian product; BNLJ only where intended") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

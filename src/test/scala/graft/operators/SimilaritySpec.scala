@@ -1171,6 +1171,48 @@ class SimilaritySpec extends SparkSpec {
     one.foreach(c => assert(math.abs(c - 1.0) < 1e-9))
   }
 
+  test("knnLabel: majority vote with smaller-label ties, null labels never vote, matches hand count") {
+    import spark.implicits._
+    // geometry: queries near (1, 0); n5 points away and never enters top-4
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.1f), 2),
+      (11L, Seq(1.0f, -0.1f), 2),
+      (12L, Seq(0.9f, 0.0f), 1),
+      (13L, Seq(1.1f, 0.05f), 1),
+      (14L, Seq(0.0f, 1.0f), 0)
+    ).toDF("vec_id", "embedding", "label")
+    val q = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+      .withColumn("label", lit(null).cast("int"))
+    val out = Similarity.knnLabel(q, corpus, k = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    // top-4 = {10,11,12,13}: labels 2×2 vs 1×2 — the 2-2 tie breaks to 1
+    assert(out === Array((0L, 1L, 2L, 0.5)))
+    // null corpus labels are excluded from the vote, not ranked
+    val nulled = corpus.withColumn("label",
+      when(col("vec_id") === 12L || col("vec_id") === 13L,
+        lit(null).cast("int")).otherwise(col("label")))
+    val out2 = Similarity.knnLabel(q, nulled, k = 4)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out2 === Array((0L, 2L, 2L, 0.5)))
+    // real corpus: winner matches a hand count over bruteForceTopK + labels
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val probes = e.where(col("vec_id") < 10)
+    val got = Similarity.knnLabel(probes, e, k = 5)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    val labels = e.select(col("vec_id"), col("label"))
+      .as[(Long, Int)].collect().toMap
+    val expected = Similarity.bruteForceTopK(probes, e, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).toSeq.map { case (qid, nns) =>
+        val counts = nns.map(n => labels(n._2).toLong)
+          .groupBy(identity).map { case (l, v) => (l, v.size.toLong) }
+        val (wl, wv) = counts.toSeq.minBy { case (l, v) => (-v, l) }
+        (qid, wl, wv, wv.toDouble / 5)
+      }.sortBy(_._1)
+    assert(got.toSeq === expected)
+    graft.GraftSession.releaseCaches(spark)
+  }
+
   test("brute-force top-k: k rows per query, ranks contiguous, scores descending") {
     val out = Similarity.bruteForceTopK(emb.where(col("vec_id") < 5), emb, k = 4)
       .select("query_id", "rk", "cosine").as[(Long, Long, Double)].collect()
