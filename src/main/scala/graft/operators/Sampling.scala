@@ -284,13 +284,14 @@ object Sampling {
     *      a corpus to the driver);
     *   2. the threshold score τ and the above-τ row count read off the
     *      histogram on the driver (a bounded-metadata collect);
-    *   3. ONE more corpus pass keeps score > τ outright — a pure per-row
-    *      predicate — and md5-ranks ONLY the τ tie group for the remaining
-    *      slots. The tie-group window is the single non-narrow step; its
-    *      input is |{score = τ}| rows, and when a deployment's boundary
-    *      group is itself huge, the md5-prefix pre-cut documented on
-    *      [[fixedSizeSample]] composes here unchanged (the kept ranks are
-    *      a prefix of the md5 order).
+    *   3. ONE more corpus pass keeps score ≥ τ — a pure per-row
+    *      predicate leaving ~k + ties rows — and the per-score md5-rank
+    *      window decides the τ tie group's remaining slots. The window is
+    *      the single non-narrow step and its input is ANSWER-sized
+    *      (|{score ≥ τ}|); when a deployment's boundary group is itself
+    *      huge, the md5-prefix pre-cut documented on [[fixedSizeSample]]
+    *      composes here unchanged (the kept ranks are a prefix of the
+    *      md5 order).
     * Rows with null or NaN score are never selected (neither is a
     * ranking); if fewer than k scored rows exist, all are kept. */
   def topKByScore(df: DataFrame, key: Column, score: Column, k: Int): DataFrame = {
@@ -302,11 +303,19 @@ object Sampling {
       .withColumn("tk_score", score.cast("double"))
       .withColumn("tk_key", key.cast("string"))
       .where(col("tk_score").isNotNull && !isnan(col("tk_score")))
-    val hist = s.groupBy("tk_score").agg(count(lit(1)).as("c"))
-      .take(MaxDistinctScores + 1)
-    require(hist.length <= MaxDistinctScores,
-      s"score histogram exceeds $MaxDistinctScores distinct values — " +
-        "quantize the score (round it) before budgeted selection")
+    // ONE corpus pass builds the histogram; it is cached so the guard
+    // count and the collect read the same computed relation (a bare
+    // take(N) would re-run the aggregate under the driver's limit
+    // escalation — measured 3-4 extra score passes at bench scale), and
+    // the guard fires BEFORE any corpus-sized collect can happen.
+    val histDf = s.groupBy("tk_score").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = try {
+      require(histDf.count() <= MaxDistinctScores,
+        s"score histogram exceeds $MaxDistinctScores distinct values — " +
+          "quantize the score (round it) before budgeted selection")
+      histDf.collect()
+    } finally histDf.unpersist()
     val desc = hist.map(r => (r.getDouble(0), r.getLong(1))).sortBy(-_._1)
     var cum = 0L
     var i = 0
@@ -316,15 +325,16 @@ object Sampling {
     } else {
       val (tau, _) = desc(i)
       val rem = k - cum
+      // ONE selection pass: the ≥ τ filter leaves ~k + ties rows, so the
+      // tie-break window exchanges an ANSWER-sized relation (above-τ score
+      // groups get ranked too — harmless, they are kept regardless)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("tk_score"))
         .orderBy(graft.functions.Md5LongFunction.md5Long(col("tk_key")).asc,
           col("tk_key").asc)
-      val boundary = s.where(col("tk_score") === tau)
+      s.where(col("tk_score") >= tau)
         .withColumn("tk_rn", row_number().over(w))
-        .where(col("tk_rn") <= rem)
-        .drop("tk_rn")
-      s.where(col("tk_score") > tau).unionByName(boundary)
+        .where(col("tk_score") > tau || col("tk_rn") <= rem)
         .select(df.columns.map(col).toIndexedSeq: _*)
     }
   }

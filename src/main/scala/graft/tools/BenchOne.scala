@@ -8,8 +8,10 @@ object BenchOne {
     val spark = graft.GraftSession.local()
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()
-      val n = graft.queries.Queries.all(name)(spark, dir).count()
-      println(f"[bench1] $name rep$i ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+      // noop-write, not count() — count() lets Catalyst elide the work
+      // under measurement (see Bench.materialize)
+      graft.Bench.materialize(graft.queries.Queries.all(name)(spark, dir))
+      println(f"[bench1] $name rep$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
       // the Bench protocol: each rep pays for its own materialization, and
       // GC debt never crosses a timed window
       graft.GraftSession.releaseCaches(spark, blocking = true)
