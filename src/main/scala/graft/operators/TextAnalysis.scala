@@ -553,20 +553,12 @@ object TextAnalysis {
                         textCol: String, n: Int = 8,
                         shuffleWidth: Option[Int] = None): org.apache.spark.sql.DataFrame = {
     require(n > 0, s"window length must be positive, got $n")
-    import org.apache.spark.sql.expressions.Window
     val tok = df.select(col(id).as("es_id"), tokens(col(textCol)).as("tk"))
-    val w = Window.partitionBy("es_id").orderBy("pos")
-    var th = tok.where(size(col("tk")) >= n)
-      .select(col("es_id"), posexplode(col("tk")).as(Seq("pos", "tok")))
-    (1 until n).foreach { j => th = th.withColumn(s"t$j", lead(col("tok"), j).over(w)) }
-    val gramSites = (if (n > 1) th.where(col(s"t${n - 1}").isNotNull) else th)
-      .select(col("es_id"), col("pos"), md5Long(concat_ws(" ",
-        col("tok") +: (1 until n).map(j => col(s"t$j")): _*)).as("g"))
     // one exchange on g serves both consumers: the occurrence reduce
     // preserves HashPartitioning(g), so the semi-join back is
     // exchange-free on both sides (the persisted cache holds the
     // partitioning; Catalyst never reuses the exchange otherwise).
-    val sites = Dedup.widenForJoin(gramSites,
+    val sites = Dedup.widenForJoin(esGramSites(tok, n),
         shuffleWidth.getOrElse(gramReduceWidth(leafScanBytes(df),
           df.sparkSession.sessionState.conf.numShufflePartitions)), col("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -575,6 +567,69 @@ object TextAnalysis {
       .where(col("occ") >= 2).select("g")
     val starts = sites.join(dupGrams, Seq("g"), "left_semi")
       .groupBy("es_id").agg(sort_array(collect_list(col("pos"))).as("st"))
+    esRebuild(tok, starts, n, id)
+  }
+
+  /** Cross-corpus ExactSubstr removal — the incremental-ingest variant of
+    * [[exactSubstrRemove]], shaped like q62 is to q24: clean a NEW batch
+    * against a FROZEN corpus, cutting every batch span of ≥ n tokens that
+    * appears anywhere in the corpus. Frozen-corpus semantics: only
+    * corpus-side occurrences make a batch gram duplicated — batch-internal
+    * repeats are deliberately NOT counted here (that is
+    * [[exactSubstrRemove]]'s job on the batch, and the two compose);
+    * corpus docs themselves are never touched or emitted.
+    *
+    * Scale shape: the corpus contributes only its DISTINCT gram hashes —
+    * one window build plus one self-sized map-side-combined reduce
+    * (boilerplate grams collapse early), no positions carried; the batch's
+    * gram sites then attach by an INNER join with NO forced hint: when the
+    * batch is genuinely small (the nightly case) AQE converts the join to
+    * a broadcast of the batch side at runtime — the corpus gram stream is
+    * probed in place, zero extra corpus exchange (executed-plan-asserted
+    * in TextAnalysisSpec) — while a corpus-sized "batch" degrades to a
+    * widened shuffle join instead of an impossible forced broadcast.
+    * Rebuild identical to [[exactSubstrRemove]]'s. Output rows are the
+    * batch docs only, same schema. */
+  def exactSubstrRemoveAgainst(batch: org.apache.spark.sql.DataFrame,
+                               corpus: org.apache.spark.sql.DataFrame,
+                               id: String, textCol: String, n: Int = 8,
+                               shuffleWidth: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+    require(n > 0, s"window length must be positive, got $n")
+    val tok = batch.select(col(id).as("es_id"), tokens(col(textCol)).as("tk"))
+    val batchSites = esGramSites(tok, n)
+    val corpusTok = corpus.select(col(id).as("es_id"), tokens(col(textCol)).as("tk"))
+    val corpusGrams = Dedup.widenForJoin(esGramSites(corpusTok, n).select("g"),
+        shuffleWidth.getOrElse(gramReduceWidth(leafScanBytes(corpus),
+          corpus.sparkSession.sessionState.conf.numShufflePartitions)), col("g"))
+      .distinct()
+    val starts = batchSites.join(corpusGrams, Seq("g"))
+      .groupBy("es_id").agg(sort_array(collect_list(col("pos"))).as("st"))
+    esRebuild(tok, starts, n, id)
+  }
+
+  /** Shared gram-site build for the ExactSubstr family: (es_id, pos, g)
+    * for every n-token window, on the codegen'd posexplode + window-lead
+    * path (see [[ngramNovelty]]'s scaladoc for why this beats the
+    * higher-order builder). Docs shorter than n yield no row. */
+  private def esGramSites(tok: org.apache.spark.sql.DataFrame,
+                          n: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("es_id").orderBy("pos")
+    var th = tok.where(size(col("tk")) >= n)
+      .select(col("es_id"), posexplode(col("tk")).as(Seq("pos", "tok")))
+    (1 until n).foreach { j => th = th.withColumn(s"t$j", lead(col("tok"), j).over(w)) }
+    (if (n > 1) th.where(col(s"t${n - 1}").isNotNull) else th)
+      .select(col("es_id"), col("pos"), md5Long(concat_ws(" ",
+        col("tok") +: (1 until n).map(j => col(s"t$j")): _*)).as("g"))
+  }
+
+  /** Shared rebuild for the ExactSubstr family: left-join the duplicated
+    * start arrays back at doc grain and cut covered tokens row-locally
+    * (token q survives iff no duplicated window starts in (q−n, q]);
+    * span count is the gaps-and-islands read of the sorted starts. */
+  private def esRebuild(tok: org.apache.spark.sql.DataFrame,
+                        starts: org.apache.spark.sql.DataFrame,
+                        n: Int, id: String): org.apache.spark.sql.DataFrame = {
     val joined = tok.join(starts, Seq("es_id"), "left")
       .withColumn("st", coalesce(col("st"), array().cast("array<int>")))
     val kept = filter(col("tk"), (t, q) =>

@@ -1495,6 +1495,41 @@ object OracleSql {
         |  FROM scored)
         |WHERE rn <= 200""".stripMargin,
 
+    // q94: q90's machinery with frozen-corpus duplication — a batch gram
+    // is duplicated iff it appears (at any position) on the corpus side;
+    // batch-internal repeats deliberately do not count. Same coverage
+    // predicate and span arithmetic as q90.
+    "q94_cross_substr_rm" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |b AS (SELECT * FROM t WHERE doc_id % 7 = 0),
+        |c AS (SELECT * FROM t WHERE doc_id % 7 <> 0),
+        |bg AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |         ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15))::BIGINT AS g
+        |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+        |        FROM b WHERE len(tk) >= 8)),
+        |cg AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15))::BIGINT AS g
+        |  FROM (SELECT tk, unnest(generate_series(1, len(tk) - 7)) AS i
+        |        FROM c WHERE len(tk) >= 8)),
+        |st AS (SELECT doc_id, list_sort(list(pos)) AS st
+        |       FROM bg JOIN cg USING (g) GROUP BY 1),
+        |j AS (SELECT b.doc_id, b.tk, coalesce(st.st, CAST([] AS BIGINT[])) AS st
+        |      FROM b LEFT JOIN st USING (doc_id)),
+        |k AS (SELECT doc_id, tk, st,
+        |             list_filter(tk, (x, q) ->
+        |               len(list_filter(st, p -> p <= q - 1 AND q - 1 < p + 8)) = 0) AS kept
+        |      FROM j)
+        |SELECT doc_id,
+        |       CAST(len(tk) AS BIGINT) AS n_tokens,
+        |       CAST(len(tk) - len(kept) AS BIGINT) AS n_removed,
+        |       CAST(CASE WHEN len(st) <= 1 THEN len(st)
+        |                 ELSE 1 + len(list_filter(generate_series(2, len(st)),
+        |                        i -> st[i] > st[i - 1] + 8))
+        |            END AS BIGINT) AS n_spans,
+        |       coalesce(array_to_string(kept, ' '), '') AS clean_text
+        |FROM k""".stripMargin,
+
     "q77_dsir_score" ->
       """WITH tk AS (
         |  SELECT doc_id, lang = 'en' AS is_t,

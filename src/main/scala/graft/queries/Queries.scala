@@ -1054,6 +1054,20 @@ object Queries {
   val q90_exact_substr_rm: Q = (s, dir) =>
     TextAnalysis.exactSubstrRemove(Tables.documents(s, dir), "doc_id", "text", n = 8)
 
+  /** Cross-corpus ExactSubstr removal: the doc_id % 7 == 0 slice plays the
+    * nightly ingest batch, the rest the frozen corpus — batch spans of ≥8
+    * tokens that appear anywhere in the corpus are cut (planted duplicate
+    * partners usually straddle the 1-in-7 split, so cross-side hits are
+    * dense at every SF); batch-internal repeats survive by the documented
+    * frozen-corpus semantics. */
+  val q94_cross_substr_rm: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.exactSubstrRemoveAgainst(
+      docs.where(col("doc_id") % 7 === 0),
+      docs.where(col("doc_id") % 7 =!= 0),
+      "doc_id", "text", n = 8)
+  }
+
   /** Retrieval-based labeling: the 10 probe vectors take the majority
     * label of their 5 nearest neighbors (ties to the smaller label), with
     * vote count and votes/k confidence — the label-the-unlabeled-by-
@@ -1302,5 +1316,6 @@ object Queries {
     "q91_quality_budget" -> q91_quality_budget,
     "q92_ann_filtered" -> q92_ann_filtered,
     "q93_knn_label" -> q93_knn_label,
+    "q94_cross_substr_rm" -> q94_cross_substr_rm,
   )
 }

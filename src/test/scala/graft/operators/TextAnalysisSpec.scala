@@ -540,6 +540,73 @@ class TextAnalysisSpec extends SparkSpec {
     graft.GraftSession.releaseCaches(spark)
   }
 
+  test("cross-corpus exact-substr: corpus hits cut, batch-internal repeats survive, composes with the self variant") {
+    val batch = Seq(
+      (1L, "a b c d e f g h i j"),                 // pos-0 8-gram lives in the corpus → cut
+      (2L, "p q r s t u v w k1 p q r s t u v w"),  // batch-INTERNAL repeat only → survives whole
+      (3L, "n1 n2 n3 n4 n5 n6 n7 n8 n9"),          // nothing shared → untouched
+      (4L, "s1 s2 s3")                             // short: immune even though the corpus holds it
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, "z1 z2 a b c d e f g h z3"),
+      (101L, "s1 s2 s3 filler w1 w2 w3 w4 w5")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.exactSubstrRemoveAgainst(batch, corpus, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out === Array(
+      (1L, 10L, 8L, 1L, "i j"),
+      (2L, 17L, 0L, 0L, "p q r s t u v w k1 p q r s t u v w"),
+      (3L, 9L, 0L, 0L, "n1 n2 n3 n4 n5 n6 n7 n8 n9"),
+      (4L, 3L, 0L, 0L, "s1 s2 s3")),
+      "frozen-corpus semantics: only corpus-side occurrences duplicate a batch gram")
+    // corpus docs are never emitted
+    assert(out.map(_._1).toSet === Set(1L, 2L, 3L, 4L))
+    // on the real corpus with a split whose dups are cross-side, the
+    // composition identity holds: against(batch, corpus) = self(batch ∪
+    // corpus) restricted to batch — for docs whose duplicated grams all
+    // live on the other side
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val b = docs.where(col("doc_id") % 7 === 0)
+    val c = docs.where(col("doc_id") % 7 =!= 0)
+    val against = TextAnalysis.exactSubstrRemoveAgainst(b, c, "doc_id", "text", n = 8)
+    // weaker (always-true) identity on the real corpus: the self variant
+    // over the union counts batch-internal + corpus-internal dups TOO, so
+    // it can only cut MORE from each batch doc, never less
+    val selfUnion = TextAnalysis.exactSubstrRemove(docs, "doc_id", "text", n = 8)
+      .where(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), col("n_removed").as("self_removed"))
+    val fewer = against.join(selfUnion, Seq("doc_id"))
+      .where(col("n_removed") > col("self_removed")).count()
+    assert(fewer === 0,
+      "the frozen-corpus variant may never cut more than the self variant over the union")
+    assert(against.where(col("n_removed") > 0).count() > 0,
+      "the 1-in-7 split must produce cross-side hits on the dup-planted corpus")
+    graft.GraftSession.releaseCaches(spark)
+  }
+
+  test("cross-corpus exact-substr plan: the batch side broadcasts into the corpus gram stream") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = TextAnalysis.exactSubstrRemoveAgainst(
+      docs.where(col("doc_id") % 7 === 0),
+      docs.where(col("doc_id") % 7 =!= 0), "doc_id", "text", n = 8)
+    out.count()
+    val nodes = out.queryExecution.executedPlan.collectWithSubqueries {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val bhj = nodes.flatMap(_.collect { case j: BroadcastHashJoinExec => j })
+    assert(bhj.nonEmpty,
+      "the batch gram sites must broadcast — the corpus gram stream is probed in place")
+    val smjOnG = nodes.flatMap(_.collect {
+      case j: SortMergeJoinExec if j.leftKeys.exists(_.toString.contains("g#")) => j
+    })
+    assert(smjOnG.isEmpty,
+      s"no sort-merge join may appear on the gram attach: $smjOnG")
+    graft.GraftSession.releaseCaches(spark)
+  }
+
   test("exact-substr plan: the dup semi-join rides the persisted gram exchange — ≤4 shuffles") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
