@@ -579,6 +579,11 @@ object TextAnalysis {
     * [[exactSubstrRemove]]'s job on the batch, and the two compose);
     * corpus docs themselves are never touched or emitted.
     *
+    * Passing a BENCHMARK suite as `corpus` makes this span-level test-set
+    * DECONTAMINATION — the removal counterpart of [[contaminationHits]]'s
+    * flagging (cut the leaked passage, keep the document), with the same
+    * machinery and oracle story.
+    *
     * Scale shape: the corpus contributes only its DISTINCT gram hashes —
     * one window build plus one self-sized map-side-combined reduce
     * (boilerplate grams collapse early), no positions carried; the batch's
