@@ -339,6 +339,68 @@ object Sampling {
     }
   }
 
+  /** TOKEN-budget selection by score — [[topKByScore]]'s sibling with the
+    * budget denominated in TOKENS, the unit real dataset cuts use: walk
+    * docs in (score DESC, md5(key), key) order and keep the maximal
+    * PREFIX whose running token total fits `budget`. Prefix-greedy (the
+    * standard practice), not knapsack: the first doc that would overflow
+    * the budget is dropped and, the order being total and the running sum
+    * monotone, so is everything after it. Deterministic — the kept set is
+    * a pure function of content.
+    *
+    * Scale shape mirrors [[topKByScore]]: ONE map-side-combined
+    * (score, docs, tokens) histogram (same [[MaxDistinctScores]]
+    * fail-fast), the boundary score read off it on the driver, then ONE
+    * ≥ τ selection pass — above-τ docs are kept outright (their token
+    * mass provably fits), and the τ tie group takes a running-sum window
+    * in md5 order against the remaining budget. Above-τ rows number at
+    * most `budget` (every doc carries ≥ 1 token); the tie group is
+    * unbounded in principle and composes with [[fixedSizeSample]]'s
+    * md5-prefix pre-cut when huge. Null/NaN scores and null token counts
+    * are never selected. */
+  def keepByTokenBudget(df: DataFrame, key: Column, score: Column,
+                        tokenCount: Column, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    val reserved = Seq("tk_score", "tk_key", "tk_n", "tk_cum").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"input columns collide with reserved names: ${reserved.mkString(", ")}")
+    val s = df
+      .withColumn("tk_score", score.cast("double"))
+      .withColumn("tk_key", key.cast("string"))
+      .withColumn("tk_n", tokenCount.cast("long"))
+      .where(col("tk_score").isNotNull && !isnan(col("tk_score")) &&
+        col("tk_n").isNotNull && col("tk_n") >= 0)
+    val histDf = s.groupBy("tk_score")
+      .agg(count(lit(1)).as("c"), sum(col("tk_n")).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = try {
+      require(histDf.count() <= MaxDistinctScores,
+        s"score histogram exceeds $MaxDistinctScores distinct values — " +
+          "quantize the score (round it) before budgeted selection")
+      histDf.collect()
+    } finally histDf.unpersist()
+    val desc = hist.map(r => (r.getDouble(0), r.getLong(2))).sortBy(-_._1)
+    var cumTok = 0L
+    var i = 0
+    while (i < desc.length && cumTok + desc(i)._2 <= budget) { cumTok += desc(i)._2; i += 1 }
+    if (i >= desc.length) { // every scored doc fits the budget
+      s.select(df.columns.map(col).toIndexedSeq: _*)
+    } else {
+      val (tau, _) = desc(i)
+      val rem = budget - cumTok // < the τ group's token mass, ≥ 0
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("tk_score"))
+        .orderBy(graft.functions.Md5LongFunction.md5Long(col("tk_key")).asc,
+          col("tk_key").asc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      s.where(col("tk_score") >= tau)
+        .withColumn("tk_cum", sum(col("tk_n")).over(w))
+        .where(col("tk_score") > tau || col("tk_cum") <= rem)
+        .select(df.columns.map(col).toIndexedSeq: _*)
+    }
+  }
+
   /** Fail-fast ceiling for [[topKByScore]]'s driver-side score histogram:
     * 2²⁰ distinct score values ≈ 16 MB of (double, long) rows — far above
     * any rounded score's cardinality, far below driver trouble. */

@@ -1495,6 +1495,28 @@ object OracleSql {
         |  FROM scored)
         |WHERE rn <= 200""".stripMargin,
 
+    // q95: q33's exact score + token counts, then the kept set is the
+    // maximal prefix of the total order (quality DESC, md5Long(key), key)
+    // whose running token sum fits the budget — the engine computes the
+    // same set threshold-wise without sorting corpus rows.
+    "q95_token_budget" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |         round(
+        |      least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
+        |    + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |         / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0)) * 0.3
+        |    + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |         / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.3, 6) AS quality,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT *, sum(n_tokens) OVER (ORDER BY quality DESC,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |        CAST(doc_id AS VARCHAR)
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM scored)
+        |SELECT doc_id, quality, n_tokens FROM r WHERE cum <= 20000""".stripMargin,
+
     // q94: q90's machinery with frozen-corpus duplication — a batch gram
     // is duplicated iff it appears (at any position) on the corpus side;
     // batch-internal repeats deliberately do not count. Same coverage

@@ -1054,6 +1054,19 @@ object Queries {
   val q90_exact_substr_rm: Q = (s, dir) =>
     TextAnalysis.exactSubstrRemove(Tables.documents(s, dir), "doc_id", "text", n = 8)
 
+  /** Token-budget selection: keep the highest-quality docs while the
+    * running TOKEN total fits a 20k budget (the unit real dataset cuts
+    * use), walking (quality DESC, md5(doc_id)) — prefix-greedy and
+    * deterministic. The budget lands mid-corpus at every SF, so the
+    * boundary running-sum is exercised. */
+  val q95_token_budget: Q = (s, dir) => {
+    val scored = Tables.documents(s, dir).select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text"), Stopwords).as("quality"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    Sampling.keepByTokenBudget(scored, col("doc_id"), col("quality"),
+      col("n_tokens"), budget = 20000L)
+  }
+
   /** Cross-corpus ExactSubstr removal: the doc_id % 7 == 0 slice plays the
     * nightly ingest batch, the rest the frozen corpus — batch spans of ≥8
     * tokens that appear anywhere in the corpus are cut (planted duplicate
@@ -1317,5 +1330,6 @@ object Queries {
     "q92_ann_filtered" -> q92_ann_filtered,
     "q93_knn_label" -> q93_knn_label,
     "q94_cross_substr_rm" -> q94_cross_substr_rm,
+    "q95_token_budget" -> q95_token_budget,
   )
 }

@@ -327,6 +327,47 @@ class SamplingSpec extends SparkSpec {
     }.getMessage.contains("budget"))
   }
 
+  test("keepByTokenBudget: maximal prefix by token mass, boundary running sum, equals the naive window") {
+    // scores force the order: the 0.9 group (300 tokens) fits whole, the
+    // 0.5 tie group (100 tokens/doc) takes the boundary running sum, the
+    // 0.1 group must vanish entirely
+    val rows = (0L until 3L).map(n => (n, 0.9, 100L)) ++
+      (10L until 20L).map(n => (n, 0.5, 100L)) ++
+      (30L until 35L).map(n => (n, 0.1, 10L))
+    val df = rows.toDF("doc_id", "score", "n_tok")
+    val budget = 650L // 300 above + 350 into the tie group → 3 boundary docs (300), not 4
+    val kept = Sampling.keepByTokenBudget(df, col("doc_id"), col("score"),
+      col("n_tok"), budget).as[(Long, Double, Long)].collect().toSet
+    assert(kept.count(_._2 == 0.9) === 3, "the above-τ group is kept whole")
+    assert(kept.count(_._2 == 0.5) === 3, "the boundary keeps the maximal md5 prefix that fits")
+    assert(kept.count(_._2 == 0.1) === 0, "past the boundary nothing survives (prefix property)")
+    // exact equality with the naive global running-sum definition
+    val naive = df.withColumn("cum", sum(col("n_tok")).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc,
+            graft.functions.Md5LongFunction.md5Long(col("doc_id").cast("string")).asc,
+            col("doc_id").cast("string").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      .where(col("cum") <= budget).drop("cum")
+      .as[(Long, Double, Long)].collect().toSet
+    assert(kept === naive)
+    // a budget covering everything keeps every scored row; layout-invariance
+    val all = Sampling.keepByTokenBudget(df.repartition(5), col("doc_id"),
+      col("score"), col("n_tok"), budget = 100000L)
+    assert(all.count() === df.count())
+    assert(Sampling.keepByTokenBudget(df.repartition(7), col("doc_id"),
+      col("score"), col("n_tok"), budget).as[(Long, Double, Long)].collect().toSet === kept)
+    // guards
+    assert(intercept[IllegalArgumentException] {
+      Sampling.keepByTokenBudget(df, col("doc_id"), col("score"), col("n_tok"), 0L)
+    }.getMessage.contains("budget"))
+    assert(intercept[IllegalArgumentException] {
+      Sampling.keepByTokenBudget(df.withColumnRenamed("n_tok", "tk_n"),
+        col("doc_id"), col("score"), col("tk_n"), 10L)
+    }.getMessage.contains("tk_n"))
+  }
+
   test("topKByScore plan: no corpus sort — histogram threshold + boundary-only ranking") {
     import org.apache.spark.sql.execution.{SortExec, TakeOrderedAndProjectExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
