@@ -582,7 +582,9 @@ object TextAnalysis {
     * Passing a BENCHMARK suite as `corpus` makes this span-level test-set
     * DECONTAMINATION — the removal counterpart of [[contaminationHits]]'s
     * flagging (cut the leaked passage, keep the document), with the same
-    * machinery and oracle story.
+    * machinery and oracle story. Streams via `foreachBatch`: the frozen
+    * corpus makes each doc's result micro-batch-invariant, so per-batch
+    * removal ≡ one batch run over the union (StreamsSpec).
     *
     * Scale shape: the corpus contributes only its DISTINCT gram hashes —
     * one window build plus one self-sized map-side-combined reduce

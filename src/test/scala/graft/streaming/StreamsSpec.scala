@@ -63,6 +63,45 @@ class StreamsSpec extends SparkSpec {
     graft.GraftSession.releaseCaches(spark, blocking = true)
   }
 
+  test("streaming span decontamination via foreachBatch: micro-batch union ≡ one batch run") {
+    // exactSubstrRemoveAgainst is per-doc against a FROZEN corpus, so the
+    // result for a doc does not depend on which micro-batch carried it —
+    // the union of per-micro-batch removals equals one batch removal over
+    // everything. foreachBatch is the composition point (the operator's
+    // per-doc lead window is a batch-only shape).
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val incoming = docs.where(col("doc_id") % 7 === 0)
+    val frozen = docs.where(col("doc_id") % 7 =!= 0).select("doc_id", "text").cache()
+    val expected = graft.operators.TextAnalysis
+      .exactSubstrRemoveAgainst(incoming, frozen, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    val acc = scala.collection.mutable.Set.empty[(Long, Long, Long, Long, String)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val cleaned = graft.operators.TextAnalysis
+          .exactSubstrRemoveAgainst(batch, frozen, "doc_id", "text", n = 8)
+          .as[(Long, Long, Long, Long, String)](
+            org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long, String)])
+          .collect()
+        acc.synchronized { acc ++= cleaned }
+        ()
+      }
+      .start()
+    val rows = incoming.select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    input.addData(b1.toIndexedSeq); q.processAllAvailable()
+    input.addData(b2.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    assert(acc.toSet === expected,
+      "frozen-corpus span removal must be micro-batch-invariant")
+    assert(expected.exists(_._3 > 0), "fixture must actually cut spans")
+    frozen.unpersist()
+    graft.GraftSession.releaseCaches(spark, blocking = true)
+  }
+
   test("row-local text operators run unchanged on a stream (batch/stream unification)") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
