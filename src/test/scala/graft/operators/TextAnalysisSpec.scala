@@ -540,6 +540,32 @@ class TextAnalysisSpec extends SparkSpec {
     graft.GraftSession.releaseCaches(spark)
   }
 
+  test("exact-substr removal: window-length edges (n=1 token grain; n beyond every doc cuts nothing)") {
+    val docs = Seq(
+      (1L, "a b a c"),   // token 'a' repeats (within doc): both sites cut at n=1
+      (2L, "b d"),       // 'b' also in doc 1: cross-doc duplicated at n=1
+      (3L, "e f g")      // all tokens unique corpus-wide
+    ).toDF("doc_id", "text")
+    val n1 = TextAnalysis.exactSubstrRemove(docs, "doc_id", "text", n = 1)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    // duplicated tokens at n=1: a (doc1 ×2), b (doc1, doc2)
+    assert(n1 === Array(
+      (1L, 4L, 3L, 1L, "c"),     // a, b, a cut — adjacent, ONE maximal span
+      (2L, 2L, 1L, 1L, "d"),
+      (3L, 3L, 0L, 0L, "e f g")))
+    // n longer than every doc: no window exists anywhere, nothing is cut,
+    // even for docs that are exact clones of each other
+    val clones = Seq((1L, "x y z"), (2L, "x y z")).toDF("doc_id", "text")
+    val big = TextAnalysis.exactSubstrRemove(clones, "doc_id", "text", n = 10)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(big === Array((1L, 3L, 0L, 0L, "x y z"), (2L, 3L, 0L, 0L, "x y z")))
+    // parameter guard
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.exactSubstrRemove(docs, "doc_id", "text", n = 0)
+    }.getMessage.contains("window"))
+    graft.GraftSession.releaseCaches(spark)
+  }
+
   test("cross-corpus exact-substr: corpus hits cut, batch-internal repeats survive, composes with the self variant") {
     val batch = Seq(
       (1L, "a b c d e f g h i j"),                 // pos-0 8-gram lives in the corpus → cut
