@@ -354,10 +354,13 @@ object Sampling {
     * ≥ τ selection pass — above-τ docs are kept outright (their token
     * mass provably fits), and the τ tie group takes a running-sum window
     * in md5 order against the remaining budget. Above-τ rows number at
-    * most `budget` (every doc carries ≥ 1 token); the tie group is
-    * unbounded in principle and composes with [[fixedSizeSample]]'s
-    * md5-prefix pre-cut when huge. Null/NaN scores and null token counts
-    * are never selected. */
+    * most `budget` BECAUSE every selectable doc carries ≥ 1 token: rows
+    * with a non-positive token count are excluded up front (a zero-token
+    * doc contributes nothing a token budget measures and would void that
+    * bound; a negative count is ill-formed input), exactly as null/NaN
+    * scores and null token counts are. The tie group is unbounded in
+    * principle and composes with [[fixedSizeSample]]'s md5-prefix
+    * pre-cut when huge. */
   def keepByTokenBudget(df: DataFrame, key: Column, score: Column,
                         tokenCount: Column, budget: Long): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
@@ -369,7 +372,7 @@ object Sampling {
       .withColumn("tk_key", key.cast("string"))
       .withColumn("tk_n", tokenCount.cast("long"))
       .where(col("tk_score").isNotNull && !isnan(col("tk_score")) &&
-        col("tk_n").isNotNull && col("tk_n") >= 0)
+        col("tk_n").isNotNull && col("tk_n") > 0)
     val histDf = s.groupBy("tk_score")
       .agg(count(lit(1)).as("c"), sum(col("tk_n")).as("t"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -80,34 +80,43 @@ object Similarity {
     * embedding corpus (the curation pattern behind classifier-assisted
     * filtering when no trained model exists: label the unlabeled by their
     * labeled neighbors). Each query takes the label holding the most of
-    * its k nearest neighbors; ties break to the SMALLER label, votes and
-    * votes/k confidence ride along — fully deterministic, so the vote is
-    * hard-oracle-able. Rows whose corpus label is null never vote
-    * (a missing label is not a class; null tie-break order also differs
-    * across engines, so nulls are excluded rather than ranked).
+    * its k nearest neighbors; ties break to the SMALLEST label in the
+    * label type's own ordering (numeric for numeric labels, lexicographic
+    * for strings), votes and votes/k confidence ride along — fully
+    * deterministic, so the vote is hard-oracle-able. The winning label is
+    * returned in the corpus column's ORIGINAL type (no cast: a string
+    * label class votes and wins as itself — a silent cast-to-null here
+    * once produced valid-looking all-null labels). Rows whose corpus
+    * label is null never vote (a missing label is not a class; null
+    * tie-break order also differs across engines, so nulls are excluded
+    * rather than ranked).
     *
     * Scale shape: the neighbor relation is ANSWER-sized (|queries|·k
-    * rows) and BROADCASTS against the corpus labels — one pass over the
-    * label column, no corpus shuffle; the vote reduce and the per-query
-    * argmax window then run on |queries|·(distinct labels) rows,
-    * metadata scale. Serving-shaped on the same contract as
-    * [[bruteForceTopK]] (the query batch broadcasts); swap the neighbor
-    * stage for [[ivfPqTopKIndexed]]'s output to label against a stored
-    * 100 TB index — the vote stage is identical. */
+    * rows) and attaches to the corpus labels by an UNHINTED equi-join —
+    * for any sane query batch AQE broadcasts the neighbor side at runtime
+    * (one pass over the label column, no full corpus exchange), while a
+    * batch too large to broadcast degrades to a shuffle join instead of
+    * blowing `spark.sql.broadcastTimeout`/driver memory the way a forced
+    * hint would. The vote reduce and the per-query argmax window then run
+    * on |queries|·(distinct labels) rows, metadata scale. Serving-shaped
+    * on the same contract as [[bruteForceTopK]] (the query batch
+    * broadcasts); swap the neighbor stage for [[ivfPqTopKIndexed]]'s
+    * output to label against a stored 100 TB index — the vote stage is
+    * identical. */
   def knnLabel(queries: DataFrame, corpus: DataFrame, k: Int,
                labelCol: String = "label", idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
     val nn = bruteForceTopK(queries, corpus, k, idCol, vecCol)
     val lbl = corpus.where(col(labelCol).isNotNull)
       .select(col(idCol).as("neighbor_id"), col(labelCol).as("knn_lbl"))
-    val votes = lbl.join(broadcast(nn.select("query_id", "neighbor_id")),
+    val votes = lbl.join(nn.select("query_id", "neighbor_id"),
         Seq("neighbor_id"))
       .groupBy("query_id", "knn_lbl")
       .agg(count(lit(1)).as("votes"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("votes").desc, col("knn_lbl").asc)
     votes.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
-      .select(col("query_id"), col("knn_lbl").cast("long").as("label"),
+      .select(col("query_id"), col("knn_lbl").as("label"),
         col("votes").cast("long").as("votes"),
         (col("votes").cast("double") / k).as("confidence"))
   }

@@ -548,17 +548,34 @@ object TextAnalysis {
     *
     * Reference scope note: the cashback reference has no corpus dedup at
     * all (its text surface is `api.py:122-132` description cleanup); this
-    * generalizes the repo's dedup family to span grain. */
+    * generalizes the repo's dedup family to span grain.
+    *
+    * COLLISION TRADEOFF (destructive, so stated precisely): duplication is
+    * keyed on the 60-bit [[graft.functions.Md5LongFunction.md5Long]] gram
+    * hash, and here — unlike [[ngramNovelty]]/q76, where a collision only
+    * perturbs a score — a false-positive "duplicated" gram CUTS ≥ n tokens
+    * of innocent text. Expected colliding gram pairs among G distinct
+    * grams ≈ G²/2⁶¹: negligible below ~10⁹ grams (< 1 collision), and at a
+    * 100 TB corpus (~10¹³ gram sites) ≈ 4×10⁷ pairs — a few PPM of grams
+    * spuriously removed. That is in-noise for training-data curation (the
+    * paper's own span finding is heuristic at the boundaries) but NOT
+    * lossless. When lossless removal is required, pass
+    * `hashGrams = false`: grams are then keyed by their VALUE (the n-token
+    * string itself) — zero false positives, at the cost of the gram
+    * exchange carrying ~n tokens per site instead of 8 bytes (the
+    * self-sized width scales accordingly; equivalence on collision-free
+    * data is spec-asserted). */
   def exactSubstrRemove(df: org.apache.spark.sql.DataFrame, id: String,
                         textCol: String, n: Int = 8,
-                        shuffleWidth: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+                        shuffleWidth: Option[Int] = None,
+                        hashGrams: Boolean = true): org.apache.spark.sql.DataFrame = {
     require(n > 0, s"window length must be positive, got $n")
     val tok = df.select(col(id).as("es_id"), tokens(col(textCol)).as("tk"))
     // one exchange on g serves both consumers: the occurrence reduce
     // preserves HashPartitioning(g), so the semi-join back is
     // exchange-free on both sides (the persisted cache holds the
     // partitioning; Catalyst never reuses the exchange otherwise).
-    val sites = Dedup.widenForJoin(esGramSites(tok, n),
+    val sites = Dedup.widenForJoin(esGramSites(tok, n, hashGrams),
         shuffleWidth.getOrElse(gramReduceWidth(leafScanBytes(df),
           df.sparkSession.sessionState.conf.numShufflePartitions)), col("g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -584,7 +601,17 @@ object TextAnalysis {
     * flagging (cut the leaked passage, keep the document), with the same
     * machinery and oracle story. Streams via `foreachBatch`: the frozen
     * corpus makes each doc's result micro-batch-invariant, so per-batch
-    * removal ≡ one batch run over the union (StreamsSpec).
+    * removal ≡ one batch run over the union (StreamsSpec). Streaming
+    * callers should NOT call this per micro-batch — it rebuilds the
+    * frozen corpus's full gram reduce (the operator's most expensive
+    * stage) every batch; build [[corpusGramHashes]] ONCE, persist it, and
+    * run [[exactSubstrRemoveAgainstGrams]] per batch instead (identical
+    * results, spec-asserted — this overload is just the two composed).
+    *
+    * The 60-bit gram-hash collision tradeoff documented on
+    * [[exactSubstrRemove]] applies identically (a colliding batch gram is
+    * spuriously cut); `hashGrams = false` keys on gram values for
+    * lossless removal, on both sides symmetrically.
     *
     * Scale shape: the corpus contributes only its DISTINCT gram hashes —
     * one window build plus one self-sized map-side-combined reduce
@@ -600,15 +627,49 @@ object TextAnalysis {
   def exactSubstrRemoveAgainst(batch: org.apache.spark.sql.DataFrame,
                                corpus: org.apache.spark.sql.DataFrame,
                                id: String, textCol: String, n: Int = 8,
-                               shuffleWidth: Option[Int] = None): org.apache.spark.sql.DataFrame = {
+                               shuffleWidth: Option[Int] = None,
+                               hashGrams: Boolean = true): org.apache.spark.sql.DataFrame =
+    exactSubstrRemoveAgainstGrams(batch,
+      corpusGramHashes(corpus, id, textCol, n, shuffleWidth, hashGrams),
+      id, textCol, n, hashGrams)
+
+  /** The frozen corpus's DISTINCT gram keys — the reusable half of
+    * [[exactSubstrRemoveAgainst]], exposed so that repeated callers (a
+    * `foreachBatch` stream decontaminating every micro-batch, a nightly
+    * job over many batches) pay the corpus's window build + self-sized
+    * gram reduce ONCE: persist the returned single-column (`g`)
+    * DataFrame and hand it to [[exactSubstrRemoveAgainstGrams]] per
+    * batch. Without this split the corpus reduce — the operator's
+    * dominant stage (SCALE.md §R16: ~83% of the wall, holder of the only
+    * spilling node) — is silently repaid every micro-batch. */
+  def corpusGramHashes(corpus: org.apache.spark.sql.DataFrame,
+                       id: String, textCol: String, n: Int = 8,
+                       shuffleWidth: Option[Int] = None,
+                       hashGrams: Boolean = true): org.apache.spark.sql.DataFrame = {
     require(n > 0, s"window length must be positive, got $n")
-    val tok = batch.select(col(id).as("es_id"), tokens(col(textCol)).as("tk"))
-    val batchSites = esGramSites(tok, n)
     val corpusTok = corpus.select(col(id).as("es_id"), tokens(col(textCol)).as("tk"))
-    val corpusGrams = Dedup.widenForJoin(esGramSites(corpusTok, n).select("g"),
+    Dedup.widenForJoin(esGramSites(corpusTok, n, hashGrams).select("g"),
         shuffleWidth.getOrElse(gramReduceWidth(leafScanBytes(corpus),
           corpus.sparkSession.sessionState.conf.numShufflePartitions)), col("g"))
       .distinct()
+  }
+
+  /** [[exactSubstrRemoveAgainst]] with the corpus side pre-reduced: cleans
+    * `batch` against a gram-key relation built by [[corpusGramHashes]]
+    * (single column `g`, same `n` and `hashGrams` — the caller owns that
+    * contract and the relation's persistence lifecycle). Per-call work is
+    * batch-sized only: the batch's gram sites, the attach join (AQE
+    * broadcasts the small side at runtime), and the rebuild. */
+  def exactSubstrRemoveAgainstGrams(batch: org.apache.spark.sql.DataFrame,
+                                    corpusGrams: org.apache.spark.sql.DataFrame,
+                                    id: String, textCol: String, n: Int = 8,
+                                    hashGrams: Boolean = true): org.apache.spark.sql.DataFrame = {
+    require(n > 0, s"window length must be positive, got $n")
+    require(corpusGrams.columns.toSeq == Seq("g"),
+      s"corpusGrams must be the single-column (g) relation built by " +
+        s"corpusGramHashes, got columns ${corpusGrams.columns.mkString(", ")}")
+    val tok = batch.select(col(id).as("es_id"), tokens(col(textCol)).as("tk"))
+    val batchSites = esGramSites(tok, n, hashGrams)
     val starts = batchSites.join(corpusGrams, Seq("g"))
       .groupBy("es_id").agg(sort_array(collect_list(col("pos"))).as("st"))
     esRebuild(tok, starts, n, id)
@@ -617,17 +678,21 @@ object TextAnalysis {
   /** Shared gram-site build for the ExactSubstr family: (es_id, pos, g)
     * for every n-token window, on the codegen'd posexplode + window-lead
     * path (see [[ngramNovelty]]'s scaladoc for why this beats the
-    * higher-order builder). Docs shorter than n yield no row. */
+    * higher-order builder). Docs shorter than n yield no row. `hash`
+    * picks the gram key: the 60-bit md5Long (8 bytes/site, PPM-level
+    * birthday collisions at 10¹³ grams — see [[exactSubstrRemove]]) or
+    * the raw n-token string (collision-free, ~n tokens/site). */
   private def esGramSites(tok: org.apache.spark.sql.DataFrame,
-                          n: Int): org.apache.spark.sql.DataFrame = {
+                          n: Int, hash: Boolean = true): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("es_id").orderBy("pos")
     var th = tok.where(size(col("tk")) >= n)
       .select(col("es_id"), posexplode(col("tk")).as(Seq("pos", "tok")))
     (1 until n).foreach { j => th = th.withColumn(s"t$j", lead(col("tok"), j).over(w)) }
+    val gram = concat_ws(" ", col("tok") +: (1 until n).map(j => col(s"t$j")): _*)
     (if (n > 1) th.where(col(s"t${n - 1}").isNotNull) else th)
-      .select(col("es_id"), col("pos"), md5Long(concat_ws(" ",
-        col("tok") +: (1 until n).map(j => col(s"t$j")): _*)).as("g"))
+      .select(col("es_id"), col("pos"),
+        (if (hash) md5Long(gram) else gram).as("g"))
   }
 
   /** Shared rebuild for the ExactSubstr family: left-join the duplicated

@@ -391,7 +391,7 @@ object OracleSql {
         |  FROM nn JOIN embeddings e ON e.vec_id = nn.neighbor_id
         |  WHERE e.label IS NOT NULL
         |  GROUP BY 1, 2)
-        |SELECT query_id, CAST(label AS BIGINT) AS label,
+        |SELECT query_id, label,
         |       CAST(votes AS BIGINT) AS votes,
         |       CAST(votes AS DOUBLE) / 5 AS confidence
         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -1514,7 +1514,7 @@ object OracleSql {
         |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
         |        CAST(doc_id AS VARCHAR)
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-        |      FROM scored)
+        |      FROM scored WHERE n_tokens > 0)
         |SELECT doc_id, quality, n_tokens FROM r WHERE cum <= 20000""".stripMargin,
 
     // q94: q90's machinery with frozen-corpus duplication — a batch gram

@@ -358,6 +358,14 @@ class SamplingSpec extends SparkSpec {
     assert(all.count() === df.count())
     assert(Sampling.keepByTokenBudget(df.repartition(7), col("doc_id"),
       col("score"), col("n_tok"), budget).as[(Long, Double, Long)].collect().toSet === kept)
+    // non-positive token counts are never selected (they would void the
+    // "above-τ rows ≤ budget" bound the scaladoc states): a zero-token
+    // top-scorer and a negative-count row both vanish, budget untouched
+    val withDegenerate = df.union(
+      Seq((90L, 99.0, 0L), (91L, 99.0, -5L)).toDF("doc_id", "score", "n_tok"))
+    val kept2 = Sampling.keepByTokenBudget(withDegenerate, col("doc_id"),
+      col("score"), col("n_tok"), budget).as[(Long, Double, Long)].collect().toSet
+    assert(kept2 === kept)
     // guards
     assert(intercept[IllegalArgumentException] {
       Sampling.keepByTokenBudget(df, col("doc_id"), col("score"), col("n_tok"), 0L)

@@ -1213,6 +1213,24 @@ class SimilaritySpec extends SparkSpec {
     graft.GraftSession.releaseCaches(spark)
   }
 
+  test("knnLabel: string label classes win as themselves in their original type (no cast-to-null)") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.1f), "news"),
+      (11L, Seq(1.0f, -0.1f), "news"),
+      (12L, Seq(0.9f, 0.0f), "blog"),
+      (13L, Seq(1.1f, 0.05f), "blog"),
+      (14L, Seq(0.0f, 1.0f), "spam")
+    ).toDF("vec_id", "embedding", "label")
+    val q = Seq((0L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+      .withColumn("label", lit(null).cast("string"))
+    val out = Similarity.knnLabel(q, corpus, k = 4)
+    assert(out.schema("label").dataType === org.apache.spark.sql.types.StringType)
+    // 2-2 tie between "news" and "blog" breaks lexicographically to "blog"
+    assert(out.as[(Long, String, Long, Double)].collect() ===
+      Array((0L, "blog", 2L, 0.5)))
+  }
+
   test("brute-force top-k: k rows per query, ranks contiguous, scores descending") {
     val out = Similarity.bruteForceTopK(emb.where(col("vec_id") < 5), emb, k = 4)
       .select("query_id", "rk", "cosine").as[(Long, Long, Double)].collect()

@@ -610,6 +610,62 @@ class TextAnalysisSpec extends SparkSpec {
     graft.GraftSession.releaseCaches(spark)
   }
 
+  test("exact-substr: value-keyed grams (hashGrams=false) ≡ hashed on collision-free data") {
+    // the lossless escape hatch the collision scaladoc offers: keying on
+    // the gram STRING must produce identical removals wherever no 60-bit
+    // collision exists (i.e. any corpus this side of ~10^9 grams)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val hashed = TextAnalysis.exactSubstrRemove(docs, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    val byValue = TextAnalysis.exactSubstrRemove(docs, "doc_id", "text", n = 8,
+        hashGrams = false)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(byValue === hashed)
+    val b = docs.where(col("doc_id") % 7 === 0)
+    val c = docs.where(col("doc_id") % 7 =!= 0)
+    val againstHashed = TextAnalysis
+      .exactSubstrRemoveAgainst(b, c, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    val againstByValue = TextAnalysis
+      .exactSubstrRemoveAgainst(b, c, "doc_id", "text", n = 8, hashGrams = false)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(againstByValue === againstHashed)
+    graft.GraftSession.releaseCaches(spark)
+  }
+
+  test("corpusGramHashes + exactSubstrRemoveAgainstGrams: the split API ≡ the fused call") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val b = docs.where(col("doc_id") % 7 === 0)
+    val c = docs.where(col("doc_id") % 7 =!= 0)
+    val fused = TextAnalysis.exactSubstrRemoveAgainst(b, c, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    // the streaming pattern: build the corpus reduce once, persist, reuse
+    val grams = TextAnalysis.corpusGramHashes(c, "doc_id", "text", n = 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      assert(grams.columns.toSeq === Seq("g"))
+      val split = TextAnalysis
+        .exactSubstrRemoveAgainstGrams(b, grams, "doc_id", "text", n = 8)
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      assert(split === fused)
+      // two "micro-batches" against the same persisted grams compose to
+      // the same union (the foreachBatch contract, here without a stream)
+      val split1 = TextAnalysis.exactSubstrRemoveAgainstGrams(
+        b.where(col("doc_id") % 2 === 0), grams, "doc_id", "text", n = 8)
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      val split2 = TextAnalysis.exactSubstrRemoveAgainstGrams(
+        b.where(col("doc_id") % 2 =!= 0), grams, "doc_id", "text", n = 8)
+        .as[(Long, Long, Long, Long, String)].collect().toSet
+      assert((split1 ++ split2) === fused)
+    } finally grams.unpersist()
+    // the guard: a relation that is not the (g) contract is refused
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.exactSubstrRemoveAgainstGrams(b,
+        c.select(col("doc_id"), col("text")), "doc_id", "text", n = 8)
+    }.getMessage.contains("corpusGramHashes"))
+    graft.GraftSession.releaseCaches(spark)
+  }
+
   test("cross-corpus exact-substr plan: the batch side broadcasts into the corpus gram stream") {
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

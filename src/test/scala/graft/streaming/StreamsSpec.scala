@@ -68,7 +68,11 @@ class StreamsSpec extends SparkSpec {
     // result for a doc does not depend on which micro-batch carried it —
     // the union of per-micro-batch removals equals one batch removal over
     // everything. foreachBatch is the composition point (the operator's
-    // per-doc lead window is a batch-only shape).
+    // per-doc lead window is a batch-only shape). The corpus gram reduce
+    // — the operator's dominant stage — is built ONCE via
+    // corpusGramHashes and persisted; each micro-batch pays only its own
+    // batch-sized attach (the pattern the operator's scaladoc prescribes;
+    // calling exactSubstrRemoveAgainst per batch would rebuild it).
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
@@ -77,12 +81,15 @@ class StreamsSpec extends SparkSpec {
     val expected = graft.operators.TextAnalysis
       .exactSubstrRemoveAgainst(incoming, frozen, "doc_id", "text", n = 8)
       .as[(Long, Long, Long, Long, String)].collect().toSet
+    val frozenGrams = graft.operators.TextAnalysis
+      .corpusGramHashes(frozen, "doc_id", "text", n = 8)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val acc = scala.collection.mutable.Set.empty[(Long, Long, Long, Long, String)]
     val input = MemoryStream[(Long, String)]
     val q = input.toDF().toDF("doc_id", "text").writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val cleaned = graft.operators.TextAnalysis
-          .exactSubstrRemoveAgainst(batch, frozen, "doc_id", "text", n = 8)
+          .exactSubstrRemoveAgainstGrams(batch, frozenGrams, "doc_id", "text", n = 8)
           .as[(Long, Long, Long, Long, String)](
             org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long, String)])
           .collect()
@@ -98,6 +105,7 @@ class StreamsSpec extends SparkSpec {
     assert(acc.toSet === expected,
       "frozen-corpus span removal must be micro-batch-invariant")
     assert(expected.exists(_._3 > 0), "fixture must actually cut spans")
+    frozenGrams.unpersist()
     frozen.unpersist()
     graft.GraftSession.releaseCaches(spark, blocking = true)
   }
