@@ -103,49 +103,70 @@ object Bench {
     } finally f.delete()
   }
 
-  /** Per-run outcomes → (min over successes, median over successes,
-    * #failed runs). Pure, spec-covered: this is the arithmetic an earlier
-    * -1.0 sentinel silently corrupted. */
+  /** Per-run outcomes → (min, median, trimmed mean, #failed runs), all
+    * over successes only. Pure, spec-covered: this is the arithmetic an
+    * earlier -1.0 sentinel silently corrupted.
+    *
+    * The TRIMMED MEAN (drop the single slowest success, mean the rest;
+    * the lone value when only one run succeeded) is the round-17 noise
+    * bound: three same-code all-calm banks spread the min-headline
+    * 54.3–61.5 s (±7%) because per-query minima ACCUMULATE calm-band
+    * noise — each of 95 minima independently picks its query's luckiest
+    * draw, so the total walks with the session. The trimmed mean stays
+    * robust to one storm/mode-swung run (which the median is for) while
+    * averaging the calm-band jitter the min samples, at the cost of a
+    * small constant inflation (it includes non-minimal calm runs). The
+    * min REMAINS the headline for cross-round continuity; the trimmed
+    * twin is the stat to difference when asking "did this round regress"
+    * (BENCH_HISTORY §headline noise states the resolvable delta). */
   private[graft] def statsOverSuccesses(
-      runs: Seq[Option[Double]]): (Option[Double], Option[Double], Int) = {
+      runs: Seq[Option[Double]]): (Option[Double], Option[Double], Option[Double], Int) = {
     val ok = runs.flatten.sorted
+    val trimmed =
+      if (ok.isEmpty) None
+      else if (ok.size == 1) Some(ok.head)
+      else Some(ok.dropRight(1).sum / (ok.size - 1))
     (ok.headOption,
       if (ok.nonEmpty) Some(ok(ok.length / 2)) else None,
+      trimmed,
       runs.size - ok.size)
   }
 
   /** Back-compat shim for the original median-only stat (kept spec'd so the
     * failure arithmetic stays pinned under both names). */
   private[graft] def medianOverSuccesses(runs: Seq[Option[Double]]): (Option[Double], Int) = {
-    val (_, med, failed) = statsOverSuccesses(runs)
+    val (_, med, _, failed) = statsOverSuccesses(runs)
     (med, failed)
   }
 
-  /** (name, min, median, failedRuns, nRuns) rows → the metric JSON line.
-    * `value`/`queries` carry the min (see scaladoc above); the median twin
-    * rides alongside. Queries with no successful run are excluded from
-    * both query maps and both totals and counted in `n_failed_queries`. */
-  private[graft] def renderJson(results: Seq[(String, Option[Double], Option[Double], Int, Int)],
+  /** (name, min, median, trimmed, failedRuns, nRuns) rows → the metric
+    * JSON line. `value`/`queries` carry the min (see scaladoc above); the
+    * median and trimmed-mean twins ride alongside (`total_trimmed` is the
+    * round-over-round comparison stat — see [[statsOverSuccesses]]).
+    * Queries with no successful run are excluded from all query maps and
+    * totals and counted in `n_failed_queries`. */
+  private[graft] def renderJson(results: Seq[(String, Option[Double], Option[Double], Option[Double], Int, Int)],
                                 runsPerQuery: Int, sfDir: String,
                                 calibration: Option[Double] = None,
                                 calibrationMid: Option[Double] = None,
                                 calibrationAfter: Option[Double] = None,
                                 ioCalibration: Seq[Double] = Nil): String = {
-    def qmap(pick: ((String, Option[Double], Option[Double], Int, Int)) => Option[Double]) =
+    def qmap(pick: ((String, Option[Double], Option[Double], Option[Double], Int, Int)) => Option[Double]) =
       results.collect { case r if pick(r).isDefined => s"\"" + r._1 + "\":" + pick(r).get }
         .mkString("{", ",", "}")
-    val failedJson = results.collect { case (n, _, _, f, _) if f > 0 => s"\"" + n + "\":" + f }
+    val failedJson = results.collect { case (n, _, _, _, f, _) if f > 0 => s"\"" + n + "\":" + f }
       .mkString("{", ",", "}")
-    val extraJson = results.collect { case (n, _, _, _, nr) if nr != runsPerQuery => s"\"" + n + "\":" + nr }
+    val extraJson = results.collect { case (n, _, _, _, _, nr) if nr != runsPerQuery => s"\"" + n + "\":" + nr }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val totalMed = results.flatMap(_._3).sum
+    val totalTrim = results.flatMap(_._4).sum
     val calib = calibration.map(c => s""""calibration_s":$c,""").getOrElse("") +
       calibrationMid.map(c => s""""calibration_mid_s":$c,""").getOrElse("") +
       calibrationAfter.map(c => s""""calibration_after_s":$c,""").getOrElse("") +
       (if (ioCalibration.nonEmpty)
         ioCalibration.mkString(s""""calibration_io_s":[""", ",", "],") else "")
-    s"""{"metric":"total","value":$total,"unit":"sec","stat":"min",$calib"runs_per_query":$runsPerQuery,"queries":${qmap(_._2)},"total_median":$totalMed,"queries_median":${qmap(_._3)},"runs_bumped":$extraJson,"failed_runs":$failedJson,"n_failed_queries":${results.count(_._2.isEmpty)},"sf":"$sfDir"}"""
+    s"""{"metric":"total","value":$total,"unit":"sec","stat":"min",$calib"runs_per_query":$runsPerQuery,"queries":${qmap(_._2)},"total_median":$totalMed,"queries_median":${qmap(_._3)},"total_trimmed":$totalTrim,"queries_trimmed":${qmap(_._4)},"runs_bumped":$extraJson,"failed_runs":$failedJson,"n_failed_queries":${results.count(_._2.isEmpty)},"sf":"$sfDir"}"""
   }
 
   /** Compact stdout twin of [[renderJson]]: the grading driver keeps only
@@ -159,7 +180,7 @@ object Bench {
     * `"detail"` names the file carrying the full untruncated line. Falls
     * back to full names if the stems ever collide. */
   private[graft] def renderCompactJson(
-      results: Seq[(String, Option[Double], Option[Double], Int, Int)],
+      results: Seq[(String, Option[Double], Option[Double], Option[Double], Int, Int)],
       sfDir: String, calibration: Option[Double] = None,
       calibrationMid: Option[Double] = None,
       calibrationAfter: Option[Double] = None,
@@ -172,14 +193,14 @@ object Bench {
     def r3(d: Double) =
       BigDecimal(d).setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
     val qs = results
-      .collect { case (n, Some(v), _, _, _) => s"\"" + key(n) + "\":" + r3(v) }
+      .collect { case (n, Some(v), _, _, _, _) => s"\"" + key(n) + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val calib = calibration.map(c => s""""calibration_s":${r3(c)},""").getOrElse("") +
       calibrationMid.map(c => s""""calibration_mid_s":${r3(c)},""").getOrElse("") +
       calibrationAfter.map(c => s""""calibration_after_s":${r3(c)},""").getOrElse("") +
       (if (ioCalibration.nonEmpty)
         ioCalibration.map(r3).mkString(s""""calibration_io_s":[""", ",", "],") else "")
-    s"""{"metric":"total","value":${r3(results.flatMap(_._2).sum)},"unit":"sec","stat":"min",$calib"queries":$qs,"n_failed_queries":${results.count(_._2.isEmpty)},"detail":"$detailFile","sf":"$sfDir"}"""
+    s"""{"metric":"total","value":${r3(results.flatMap(_._2).sum)},"unit":"sec","stat":"min",$calib"total_trimmed":${r3(results.flatMap(_._4).sum)},"queries":$qs,"n_failed_queries":${results.count(_._2.isEmpty)},"detail":"$detailFile","sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -231,13 +252,17 @@ object Bench {
     def timeQueries(qs: Seq[(String, (SparkSession, String) => DataFrame)]) =
       qs.map { case (name, fn) =>
         var outcomes = Seq.fill(runs)(timeOnce(fn))
-        // spread > 2× ⇒ the query straddles JVM modes (SCALE.md §Bench
-        // variance) — deepen the sample so the reported min is the fast mode
+        // spread > 1.5× ⇒ the query straddles JVM modes or caught a noise
+        // burst (SCALE.md §Bench variance) — deepen the sample so the min
+        // comes from the fast mode and the trimmed mean from a wider base.
+        // Round 17 lowered the trigger from 2.0: the 2× gate only caught
+        // full mode-swings, while the headline's ±7% spread accumulates
+        // from sub-2× per-query jitter the deeper sample now absorbs.
         val ok = outcomes.flatten
-        if (ok.nonEmpty && ok.max / ok.min > 2.0)
+        if (ok.nonEmpty && ok.max / ok.min > 1.5)
           outcomes ++= Seq.fill(maxRuns - outcomes.size)(timeOnce(fn))
-        val (mn, med, nFailed) = statsOverSuccesses(outcomes)
-        (name, mn, med, nFailed, outcomes.size)
+        val (mn, med, trim, nFailed) = statsOverSuccesses(outcomes)
+        (name, mn, med, trim, nFailed, outcomes.size)
       }
     // the sentinel re-samples MID-loop and AFTER the last query (no
     // warm-up rep needed — the codegen class compiled before the loop):

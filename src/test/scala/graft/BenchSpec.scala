@@ -7,11 +7,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * headline total) — plus the round-10 min/median twin stats. */
 class BenchSpec extends AnyFunSuite {
 
-  test("min and median ignore failed runs") {
-    assert(Bench.statsOverSuccesses(Seq(Some(1.0), None, Some(3.0))) === (Some(1.0), Some(3.0), 1))
-    assert(Bench.statsOverSuccesses(Seq(Some(2.0), Some(1.0), Some(3.0))) === (Some(1.0), Some(2.0), 0))
-    assert(Bench.statsOverSuccesses(Seq(None, None, None)) === (None, None, 3))
-    assert(Bench.statsOverSuccesses(Nil) === (None, None, 0))
+  test("min, median and trimmed mean ignore failed runs") {
+    assert(Bench.statsOverSuccesses(Seq(Some(1.0), None, Some(3.0))) === (Some(1.0), Some(3.0), Some(1.0), 1))
+    assert(Bench.statsOverSuccesses(Seq(Some(2.0), Some(1.0), Some(3.0))) === (Some(1.0), Some(2.0), Some(1.5), 0))
+    assert(Bench.statsOverSuccesses(Seq(None, None, None)) === (None, None, None, 3))
+    assert(Bench.statsOverSuccesses(Nil) === (None, None, None, 0))
+    // one successful run: the trimmed mean IS that run (nothing to trim)
+    assert(Bench.statsOverSuccesses(Seq(Some(4.0), None, None)) === (Some(4.0), Some(4.0), Some(4.0), 2))
     // the back-compat shim keeps the original median contract
     assert(Bench.medianOverSuccesses(Seq(Some(1.0), None, Some(3.0))) === (Some(3.0), 1))
   }
@@ -19,37 +21,52 @@ class BenchSpec extends AnyFunSuite {
   test("min is the headline; a mode-swung run inflates the median but not the min") {
     // the round-9 scenario: identical code, one run lands in the slow JVM
     // mode — min stays at the noise floor, median records the swing
-    val (mn, med, f) = Bench.statsOverSuccesses(Seq(Some(2.1), Some(7.9), Some(2.2)))
+    val (mn, med, trim, f) = Bench.statsOverSuccesses(Seq(Some(2.1), Some(7.9), Some(2.2)))
     assert(mn === Some(2.1) && med === Some(2.2) && f === 0)
+    // the trimmed mean ALSO sheds the swung run (drop-max), but averages
+    // the two calm draws instead of picking the luckier one — the
+    // round-17 headline-noise stat (BENCH_HISTORY §headline noise)
+    assert(math.abs(trim.get - 2.15) < 1e-12)
+  }
+
+  test("trimmed mean averages calm-band jitter the min samples") {
+    // three calm runs: min picks the luckiest draw, trimmed averages the
+    // two fastest — same-code sessions differ less in the trimmed stat
+    val (_, _, t1, _) = Bench.statsOverSuccesses(Seq(Some(1.00), Some(1.10), Some(1.06)))
+    val (_, _, t2, _) = Bench.statsOverSuccesses(Seq(Some(1.04), Some(1.12), Some(1.02)))
+    assert(math.abs(t1.get - 1.03) < 1e-12)
+    assert(math.abs(t2.get - 1.03) < 1e-12)
   }
 
   test("all-failed queries are excluded from both totals and counted, partial failures listed") {
     val json = Bench.renderJson(Seq(
-      ("q_ok", Some(1.5), Some(1.6), 0, 3),
-      ("q_flaky", Some(2.0), Some(2.5), 1, 3),
-      ("q_dead", None, None, 3, 3)), runsPerQuery = 3, sfDir = "/sf")
+      ("q_ok", Some(1.5), Some(1.6), Some(1.55), 0, 3),
+      ("q_flaky", Some(2.0), Some(2.5), Some(2.25), 1, 3),
+      ("q_dead", None, None, None, 3, 3)), runsPerQuery = 3, sfDir = "/sf")
     // total = 1.5 + 2.0 only; q_dead contributes nothing (never -1.0)
     assert(json.contains("\"value\":3.5"), json)
     assert(json.contains("\"stat\":\"min\""), json)
     assert(json.contains("\"queries\":{\"q_ok\":1.5,\"q_flaky\":2.0}"), json)
     assert(json.contains("\"total_median\":4.1"), json)
     assert(json.contains("\"queries_median\":{\"q_ok\":1.6,\"q_flaky\":2.5}"), json)
+    assert(json.contains("\"total_trimmed\":3.8"), json)
+    assert(json.contains("\"queries_trimmed\":{\"q_ok\":1.55,\"q_flaky\":2.25}"), json)
     assert(json.contains("\"failed_runs\":{\"q_flaky\":1,\"q_dead\":3}"), json)
     assert(json.contains("\"n_failed_queries\":1"), json)
     assert(!json.contains("-1"), json)
   }
 
   test("clean run renders empty failure and bump fields") {
-    val json = Bench.renderJson(Seq(("q1", Some(0.5), Some(0.5), 0, 3)), 3, "/sf")
+    val json = Bench.renderJson(Seq(("q1", Some(0.5), Some(0.5), Some(0.5), 0, 3)), 3, "/sf")
     assert(json.contains("\"failed_runs\":{}") && json.contains("\"n_failed_queries\":0"))
     assert(json.contains("\"runs_bumped\":{}"), json)
   }
 
   test("calibration sentinel rides the JSON when measured, absent otherwise") {
-    val withCal = Bench.renderJson(Seq(("q1", Some(0.5), Some(0.5), 0, 3)), 3, "/sf",
+    val withCal = Bench.renderJson(Seq(("q1", Some(0.5), Some(0.5), Some(0.5), 0, 3)), 3, "/sf",
       calibration = Some(0.42))
     assert(withCal.contains("\"calibration_s\":0.42"), withCal)
-    val without = Bench.renderJson(Seq(("q1", Some(0.5), Some(0.5), 0, 3)), 3, "/sf")
+    val without = Bench.renderJson(Seq(("q1", Some(0.5), Some(0.5), Some(0.5), 0, 3)), 3, "/sf")
     assert(!without.contains("calibration_s"), without)
   }
 
@@ -58,13 +75,13 @@ class BenchSpec extends AnyFunSuite {
     // tail — undiagnosable without the committed bank. With three samples
     // the artifact carries the signature itself (calm pre, inflated
     // mid/after ⇒ storm arrived mid-run).
-    val full = Bench.renderJson(Seq(("q1", Some(0.5), Some(0.5), 0, 3)), 3, "/sf",
+    val full = Bench.renderJson(Seq(("q1", Some(0.5), Some(0.5), Some(0.5), 0, 3)), 3, "/sf",
       calibration = Some(0.077), calibrationMid = Some(0.31),
       calibrationAfter = Some(0.29))
     assert(full.contains("\"calibration_s\":0.077"), full)
     assert(full.contains("\"calibration_mid_s\":0.31"), full)
     assert(full.contains("\"calibration_after_s\":0.29"), full)
-    val compact = Bench.renderCompactJson(Seq(("q1", Some(0.5), Some(0.5), 0, 3)), "/sf",
+    val compact = Bench.renderCompactJson(Seq(("q1", Some(0.5), Some(0.5), Some(0.5), 0, 3)), "/sf",
       calibration = Some(0.077), calibrationMid = Some(0.312345),
       calibrationAfter = Some(0.29))
     assert(compact.contains("\"calibration_mid_s\":0.312"), compact)
@@ -77,7 +94,7 @@ class BenchSpec extends AnyFunSuite {
     // round 16: the CPU sentinel cannot see disk contention (the q60 seam
     // A/B's calm-CPU/stormy-I/O leg), so the fsync'd-write sentinel's
     // pre/mid/post samples ride the artifact as one array field
-    val rows = Seq(("q1", Some(0.5), Some(0.5), 0, 3))
+    val rows = Seq(("q1", Some(0.5), Some(0.5), Some(0.5), 0, 3))
     val full = Bench.renderJson(rows, 3, "/sf",
       calibration = Some(0.077), ioCalibration = Seq(0.51, 0.48, 1.93))
     assert(full.contains("\"calibration_io_s\":[0.51,0.48,1.93]"), full)
@@ -102,7 +119,7 @@ class BenchSpec extends AnyFunSuite {
     // realistic shape: 88 queries with full-length names, as in SparkEntry
     val results = (1 to 88).map { i =>
       (f"q$i%02d_some_longish_operator_name", Some(1.23456789 * i % 7),
-        Some(1.3 * i % 7), 0, 3)
+        Some(1.3 * i % 7), Some(1.25 * i % 7), 0, 3)
     }
     val json = Bench.renderCompactJson(results, "/root/testdata/sf0.1",
       calibration = Some(0.069432519), calibrationMid = Some(0.071234),
@@ -119,9 +136,9 @@ class BenchSpec extends AnyFunSuite {
 
   test("compact line falls back to full names when stems collide, and drops dead queries") {
     val json = Bench.renderCompactJson(Seq(
-      ("q01_variant_a", Some(1.0), Some(1.0), 0, 3),
-      ("q01_variant_b", Some(2.0), Some(2.0), 0, 3),
-      ("q02_dead", None, None, 3, 3)), "/sf")
+      ("q01_variant_a", Some(1.0), Some(1.0), Some(1.0), 0, 3),
+      ("q01_variant_b", Some(2.0), Some(2.0), Some(2.0), 0, 3),
+      ("q02_dead", None, None, None, 3, 3)), "/sf")
     assert(json.contains("\"q01_variant_a\":1.0") && json.contains("\"q01_variant_b\":2.0"), json)
     assert(!json.contains("q02_dead"), json)
     assert(json.contains("\"n_failed_queries\":1"), json)
@@ -130,8 +147,8 @@ class BenchSpec extends AnyFunSuite {
 
   test("a spread-bumped query surfaces its deepened run count") {
     val json = Bench.renderJson(Seq(
-      ("q_stable", Some(0.5), Some(0.5), 0, 3),
-      ("q_bimodal", Some(2.0), Some(6.8), 0, 5)), 3, "/sf")
+      ("q_stable", Some(0.5), Some(0.5), Some(0.5), 0, 3),
+      ("q_bimodal", Some(2.0), Some(6.8), Some(2.4), 0, 5)), 3, "/sf")
     assert(json.contains("\"runs_bumped\":{\"q_bimodal\":5}"), json)
   }
 
