@@ -1429,6 +1429,95 @@ object Similarity {
         col("rk").cast("long").as("rk"))
   }
 
+  /** [[tuneProbe]]'s result: the cheapest (nprobe, rerank) meeting the
+    * recall target on the tuning sample, the recall that pair achieved,
+    * whether the target was met at all within the caps (when false, the
+    * pair is the best-achieving one found), and the full evaluation trace
+    * `(nprobe, rerank, recall)` in the order walked — the caller's
+    * record of the measured curve, SCALE.md-bankable as-is. */
+  final case class ProbePlan(nprobe: Int, rerank: Int, recall: Double,
+                             targetMet: Boolean,
+                             trace: Seq[(Int, Int, Double)])
+
+  /** Recall-targeted probe planning: measure, on a small query SAMPLE,
+    * the cheapest `(nprobe, rerank)` whose [[ivfPqTopKRefined]] recall@k
+    * against the exact truth set meets `recallTarget` — turning the two
+    * hand-picked knobs into a stated recall contract. The banked curves
+    * (SCALE.md §R16) say the levers are independent — nprobe lifts the
+    * COARSE miss (true neighbors in unprobed clusters), rerank the
+    * QUANTIZATION miss (ADC mis-ordering inside probed ones) — so the
+    * walk honors the 100 TB cost asymmetry between them: nprobe is
+    * corpus-I/O (a probe reads ~nprobe/k of the codes) while rerank is
+    * answer-I/O (rerank·k vector point-lookups per query). For each
+    * nprobe (doubling from 1) it exhausts the cheap lever first —
+    * doubling rerank until the target is met or recall plateaus (the
+    * exact-at-this-nprobe ceiling, where only more clusters can help) —
+    * before paying for more clusters.
+    *
+    * Tuning cost: ONE exact pass over the index (the brute-force truth
+    * set — the unavoidable ground-truth price, paid once per index
+    * build/tuning session, amortized over every probe batch the plan
+    * then serves) plus a handful of sample-sized refined probes. All
+    * driver-side state is sample-scale (|sample|·k truth pairs). The
+    * sample should be representative of production queries; recall on a
+    * different query distribution is the caller's risk (hold out a
+    * validation sample — `ProfileProbeTune` shows the pattern).
+    * Deterministic end-to-end. Requires an index written
+    * `withVectors = true` (the truth set and the refine tier both read
+    * stored vectors). Each evaluated cell leaves the refine tier's
+    * sample-scale persists behind per the repo's session-scoped cache
+    * convention — bracket a tuning session with
+    * [[graft.GraftSession.withCaches]]. */
+  def tuneProbe(sample: DataFrame, index: DataFrame, k: Int,
+                coarse: Array[Array[Double]],
+                codebooks: Array[Array[Array[Double]]],
+                recallTarget: Double,
+                maxNprobe: Int = 0, maxRerank: Int = 16,
+                idCol: String = "vec_id", vecCol: String = "embedding"): ProbePlan = {
+    require(recallTarget > 0.0 && recallTarget <= 1.0,
+      s"recall target must be in (0, 1], got $recallTarget")
+    require(maxRerank >= 1, s"need maxRerank ≥ 1, got $maxRerank")
+    require(index.columns.contains("embedding"),
+      "tuneProbe needs an index written withVectors = true (no embedding column found)")
+    val npCap = math.min(if (maxNprobe > 0) maxNprobe else coarse.length, coarse.length)
+    require(npCap >= 1, s"need maxNprobe ≥ 1, got $maxNprobe")
+    def pairsOf(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairsOf(bruteForceTopK(sample,
+      index.select(col("neighbor_id").as(idCol), col("embedding").as(vecCol)),
+      k, idCol, vecCol))
+    require(truth.nonEmpty, "tuning sample produced an empty truth set — is the sample empty?")
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+    var best: (Int, Int, Double) = (0, 0, -1.0)
+    var met: Option[(Int, Int, Double)] = None
+    val nprobes = Iterator.iterate(1)(_ * 2).takeWhile(_ < npCap).toSeq :+ npCap
+    val npIt = nprobes.iterator
+    while (met.isEmpty && npIt.hasNext) {
+      val np = npIt.next()
+      var rerank = 1
+      var prev = -1.0
+      var exhausted = false
+      while (met.isEmpty && !exhausted && rerank <= maxRerank) {
+        val got = pairsOf(ivfPqTopKRefined(sample, index, k, coarse, codebooks,
+          nprobe = np, rerank = rerank, idCol = idCol, vecCol = vecCol))
+        val recall = got.intersect(truth).size.toDouble / truth.size
+        trace += ((np, rerank, recall))
+        if (recall > best._3) best = (np, rerank, recall)
+        if (recall >= recallTarget) met = Some((np, rerank, recall))
+        // plateau = the exact-at-this-nprobe ceiling: more rerank cannot
+        // recover neighbors whose clusters were never probed
+        else if (recall <= prev + 1e-12) exhausted = true
+        prev = recall
+        rerank *= 2
+      }
+    }
+    met match {
+      case Some((np, r, rec)) => ProbePlan(np, r, rec, targetMet = true, trace.toSeq)
+      case None => ProbePlan(best._1, best._2, best._3, targetMet = false, trace.toSeq)
+    }
+  }
+
   /** Restrict a stored clustered index to the probed clusters with a
     * STATIC partition-pruning predicate. The pruning literals are typed
     * from the index's actual cluster column: parquet partition-column

@@ -1231,6 +1231,58 @@ class SimilaritySpec extends SparkSpec {
       Array((0L, "blog", 2L, 0.5)))
   }
 
+  test("tuneProbe: cheapest (nprobe, rerank) meeting the recall target; honest when capped out") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = Similarity.ivfCentroids(e, k = 8, iters = 1)
+    val books = Similarity.pqTrain(e, 4, 16, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("tune_probe_idx").toString
+    try {
+      Similarity.ivfPqIndexWrite(e, dir, coarse, books)
+      val index = spark.read.parquet(dir)
+      val sample = e.where(col("vec_id") < 8)
+      def pairsOf(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val truth = pairsOf(Similarity.bruteForceTopK(sample, e, k = 5))
+
+      val plan = Similarity.tuneProbe(sample, index, k = 5, coarse, books,
+        recallTarget = 0.6, maxRerank = 64)
+      assert(plan.targetMet && plan.recall >= 0.6, plan.toString)
+      // the chosen pair REPLAYS: an independent probe at those knobs
+      // reproduces exactly the recall the plan reports
+      val replay = pairsOf(Similarity.ivfPqTopKRefined(sample, index, k = 5,
+        coarse, books, nprobe = plan.nprobe, rerank = plan.rerank))
+      assert(replay.intersect(truth).size.toDouble / truth.size === plan.recall)
+      // cheapest-first: the walk stops AT the meeting cell, every earlier
+      // trace cell missed the target
+      assert(plan.trace.last === ((plan.nprobe, plan.rerank, plan.recall)))
+      assert(plan.trace.dropRight(1).forall(_._3 < 0.6), plan.trace.toString)
+
+      // a perfect-recall target is reachable: nprobe can reach k (all
+      // clusters probed) and a covering rerank makes refined ≡ exact
+      val full = Similarity.tuneProbe(sample, index, k = 5, coarse, books,
+        recallTarget = 1.0, maxRerank = 1024)
+      assert(full.targetMet && full.recall === 1.0, full.toString)
+
+      // unreachable under tight caps: reports targetMet=false and the
+      // best-achieving cell it did find, trace preserved
+      val capped = Similarity.tuneProbe(sample, index, k = 5, coarse, books,
+        recallTarget = 0.999, maxNprobe = 1, maxRerank = 1)
+      assert(!capped.targetMet)
+      assert(capped.trace.nonEmpty && capped.recall === capped.trace.map(_._3).max)
+      assert(capped.nprobe === 1 && capped.rerank === 1)
+
+      // guards: malformed target, codes-only index
+      assert(intercept[IllegalArgumentException] {
+        Similarity.tuneProbe(sample, index, 5, coarse, books, recallTarget = 1.5)
+      }.getMessage.contains("recall target"))
+      assert(intercept[IllegalArgumentException] {
+        Similarity.tuneProbe(sample, index.drop("embedding"), 5, coarse, books, 0.5)
+      }.getMessage.contains("withVectors"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    graft.GraftSession.releaseCaches(spark, blocking = true)
+  }
+
   test("brute-force top-k: k rows per query, ranks contiguous, scores descending") {
     val out = Similarity.bruteForceTopK(emb.where(col("vec_id") < 5), emb, k = 4)
       .select("query_id", "rk", "cosine").as[(Long, Long, Double)].collect()
