@@ -1391,7 +1391,43 @@ object Similarity {
                        coarse: Array[Array[Double]],
                        codebooks: Array[Array[Array[Double]]], nprobe: Int = 2,
                        rerank: Int = 4,
-                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    refinedImpl(queries, index, k, coarse, codebooks, nprobe, rerank,
+      allow = None, idCol, vecCol)
+
+  /** FILTERED refine tier — [[ivfPqTopKRefinedFiltered]] composes
+    * [[ivfPqTopKIndexedFiltered]]'s pre-filter semantics with
+    * [[ivfPqTopKRefined]]'s exact rerank: the allow semi-join lands on
+    * the code relation BENEATH the ADC shortlist (disallowed rows never
+    * occupy a shortlist slot — no k-starvation), and the final ordering
+    * is exact cosine over the allowed shortlist's fetched vectors.
+    *
+    * This composition is the practical answer to the filtered tier's
+    * measured recall ceiling (SCALE.md §R17): filtered ADC ranks by
+    * QUANTIZED distance, and on a quantization-hostile corpus its recall
+    * vs the filtered truth is capped by code noise — measured 0.26–0.40
+    * on the uniform allow-list, where this tier's exact rerank removes
+    * exactly that term. The OTHER failure mode — allowed mass
+    * concentrated in unprobed clusters (measured recall 0.000 at
+    * nprobe=2 on the adversarial fixture) — is coarse COVERAGE, which no
+    * rerank can recover; its lever remains nprobe ([[tuneProbe]] with the
+    * filter's selectivity in mind), exactly as the pre-filter caveat on
+    * [[ivfPqTopKIndexedFiltered]] states. */
+  def ivfPqTopKRefinedFiltered(queries: DataFrame, index: DataFrame, k: Int,
+                               coarse: Array[Array[Double]],
+                               codebooks: Array[Array[Array[Double]]],
+                               allow: DataFrame, nprobe: Int = 2,
+                               rerank: Int = 4,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): DataFrame =
+    refinedImpl(queries, index, k, coarse, codebooks, nprobe, rerank,
+      allow = Some(allow), idCol, vecCol)
+
+  private def refinedImpl(queries: DataFrame, index: DataFrame, k: Int,
+                          coarse: Array[Array[Double]],
+                          codebooks: Array[Array[Array[Double]]], nprobe: Int,
+                          rerank: Int, allow: Option[DataFrame],
+                          idCol: String, vecCol: String): DataFrame = {
     require(rerank >= 1, s"need rerank ≥ 1, got $rerank")
     assertNotCompacting(index)
     require(index.columns.contains("embedding"),
@@ -1400,9 +1436,18 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probed = q.select(col("cluster")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val codesOnly = pruneToProbed(index, probed)
+    val codesAll = pruneToProbed(index, probed)
       .select(col("neighbor_id") +: col("cluster") +:
         codebooks.indices.map(s => col(s"code_$s")): _*)
+    // pre-filter semantics: the allow cut lands beneath the shortlist so
+    // every shortlist slot is an ALLOWED candidate (same placement as
+    // ivfPqTopKIndexedFiltered's, one tier lower)
+    val codesOnly = allow match {
+      case Some(a) => codesAll.join(
+        a.select(col(idCol).as("neighbor_id")).distinct(),
+        Seq("neighbor_id"), "left_semi")
+      case None => codesAll
+    }
     val shortlist = adcScoreClustered(q, codesOnly, codebooks, rerank * k)
       .select(col("query_id"), col("neighbor_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

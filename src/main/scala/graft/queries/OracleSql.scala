@@ -50,6 +50,12 @@ object OracleSql {
       .updated("q83_semantic_indexed", base("q80_semantic_dedup"))
       .updated("q89_ivfpq_refined", refinedFromAdc(base("q72_ivfpq")))
       .updated("q92_ann_filtered", filteredFromAdc(base("q72_ivfpq")))
+      // q97: the two injections COMPOSE — the allow predicate lands at the
+      // candidate pairing (beneath the shortlist), then the refine tail
+      // reranks the (now allowed-only) shortlist by exact cosine; built
+      // from q72's SQL like both parents so none of the three can drift
+      .updated("q97_ann_filtered_refined",
+        refinedFromAdc(filteredFromAdc(base("q72_ivfpq"))))
 
   /** q92: q72's full quantizer replay with the allow-list predicate
     * injected at the candidate PAIRING (the `term` CTE's join) — before
@@ -1516,6 +1522,44 @@ object OracleSql {
         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |      FROM scored WHERE n_tokens > 0)
         |SELECT doc_id, quality, n_tokens FROM r WHERE cum <= 20000""".stripMargin,
+
+    // q96: the composed curation pass — q90's span removal verbatim, then
+    // q33's quality expression and q95's running-sum budget selection both
+    // computed over the CLEANED text (the stage boundary the composition
+    // is evidence for). Budget 15000 on cleaned tokens.
+    "q96_curation_pipeline" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |         ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15))::BIGINT AS g
+        |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+        |        FROM t WHERE len(tk) >= 8)),
+        |dup AS (SELECT g FROM g GROUP BY g HAVING count(*) >= 2),
+        |st AS (SELECT doc_id, list_sort(list(pos)) AS st
+        |       FROM g JOIN dup USING (g) GROUP BY 1),
+        |j AS (SELECT t.doc_id, t.tk, coalesce(st.st, CAST([] AS BIGINT[])) AS st
+        |      FROM t LEFT JOIN st USING (doc_id)),
+        |cleaned AS (
+        |  SELECT doc_id,
+        |         coalesce(array_to_string(list_filter(tk, (x, q) ->
+        |           len(list_filter(st, p -> p <= q - 1 AND q - 1 < p + 8)) = 0), ' '), '') AS ct
+        |  FROM j),
+        |scored AS (
+        |  SELECT doc_id,
+        |         round(
+        |      least(CAST(length(ct) AS DOUBLE) / 200.0, 1.0) * 0.4
+        |    + (CAST(len(list_distinct(string_split(ct, ' '))) AS DOUBLE)
+        |         / greatest(CAST(len(string_split(ct, ' ')) AS DOUBLE), 1.0)) * 0.3
+        |    + (1.0 - CAST(length(ct) - length(regexp_replace(ct, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |         / greatest(CAST(length(ct) AS DOUBLE), 1.0)) * 0.3, 6) AS quality,
+        |         CAST(len(string_split(ct, ' ')) AS BIGINT) AS n_tokens
+        |  FROM cleaned),
+        |r AS (SELECT *, sum(n_tokens) OVER (ORDER BY quality DESC,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |        CAST(doc_id AS VARCHAR)
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM scored WHERE n_tokens > 0)
+        |SELECT doc_id, quality, n_tokens FROM r WHERE cum <= 15000""".stripMargin,
 
     // q94: q90's machinery with frozen-corpus duplication — a batch gram
     // is duplicated iff it appears (at any position) on the corpus side;

@@ -1044,6 +1044,20 @@ object Queries {
       s.read.parquet(path), k = 5, coarse, books, nprobe = 2, rerank = 2)
   }
 
+  /** Filtered REFINED probe — q92's pre-filter semantics composed with
+    * q89's exact rerank: the allow semi-join beneath the ADC shortlist,
+    * exact cosine over the allowed shortlist's fetched vectors. The
+    * production shape for filtered vector search (filtered ADC alone is
+    * capped by quantization noise — SCALE.md §R17). */
+  val q97_ann_filtered_refined: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val (coarse, books, path) = sharedIvfPqIndex(s, dir)
+    Similarity.ivfPqTopKRefinedFiltered(e.where(col("vec_id") < 10),
+      s.read.parquet(path), k = 5, coarse, books,
+      allow = e.where(col("vec_id") % 2 === 0).select("vec_id"),
+      nprobe = 2, rerank = 2)
+  }
+
   /** ExactSubstr duplicated-span removal over the dup-planted corpus — the
     * paper's actual dedup output where q76 is only its score: maximal
     * ≥8-token spans that occur at two or more (doc, position) sites
@@ -1114,6 +1128,27 @@ object Queries {
     val scored = Tables.documents(s, dir).select(col("doc_id"),
       TextAnalysis.qualityScore(col("text"), Stopwords).as("quality"))
     Sampling.topKByScore(scored, col("doc_id"), col("quality"), k = 200)
+  }
+
+  /** Composed curation pass — the pipeline SHAPE, not a new operator:
+    * ExactSubstr span-dedup cleans the corpus (q90's machinery), quality
+    * is scored on the CLEANED text (q33's expression), and the token
+    * budget is counted on the cleaned token stream (q95's selection).
+    * One declared lineage with no stage materialization between
+    * operators — the composition evidence that the engine's curation
+    * stages chain without seams: the budget selector's score histogram
+    * builds directly on the dedup's rebuilt text, and Catalyst plans the
+    * whole pass as one job graph. Budget 15k lands mid-corpus after
+    * cleaning at every SF, so the boundary tie window is exercised on a
+    * DERIVED (not stored) score column. */
+  val q96_curation_pipeline: Q = (s, dir) => {
+    val cleaned = TextAnalysis.exactSubstrRemove(Tables.documents(s, dir),
+      "doc_id", "text", n = 8)
+    val scored = cleaned.select(col("doc_id"),
+      TextAnalysis.qualityScore(col("clean_text"), Stopwords).as("quality"),
+      TextAnalysis.tokenCount(col("clean_text")).as("n_tokens"))
+    Sampling.keepByTokenBudget(scored, col("doc_id"), col("quality"),
+      col("n_tokens"), budget = 15000L)
   }
 
   /** Token de-stutter: collapse immediate repetitions ("the the the" →
@@ -1331,5 +1366,7 @@ object Queries {
     "q93_knn_label" -> q93_knn_label,
     "q94_cross_substr_rm" -> q94_cross_substr_rm,
     "q95_token_budget" -> q95_token_budget,
+    "q96_curation_pipeline" -> q96_curation_pipeline,
+    "q97_ann_filtered_refined" -> q97_ann_filtered_refined,
   )
 }

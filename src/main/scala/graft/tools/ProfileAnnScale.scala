@@ -39,9 +39,9 @@ import org.apache.spark.sql.functions._
   * and this tool measures wall. Markers are construction-parameterized
   * like every scale corpus since round 15. */
 object ProfileAnnScale {
-  private def buildScaledEmb(spark: org.apache.spark.sql.SparkSession,
-                             srcDir: String, dir: String, copies: Int,
-                             rotStep: Int, parts: Int): Unit = {
+  private[tools] def buildScaledEmb(spark: org.apache.spark.sql.SparkSession,
+                                    srcDir: String, dir: String, copies: Int,
+                                    rotStep: Int, parts: Int): Unit = {
     val srcTag = srcDir.replaceAll("[^A-Za-z0-9.]+", "_")
     val marker = new java.io.File(
       s"$dir/_SCALED_OK_EMB_${srcTag}_${copies}x_r${rotStep}_p$parts")

@@ -75,9 +75,19 @@ object ProfileFilteredRecall {
           release()
           f"np$np=${got.intersect(truth).size.toDouble / truth.size}%.3f"
         }.mkString(" ")
+        // the refined-filtered composition: exact rerank removes the ADC
+        // quantization term, leaving coarse COVERAGE as the only miss
+        val lineR = Seq(2, 8, 16, 64).map { np =>
+          val got = pairsOf(Similarity.ivfPqTopKRefinedFiltered(
+            queries, index, k = 5, coarse, books, allow = allow,
+            nprobe = np, rerank = 8))
+          release()
+          f"np$np=${got.intersect(truth).size.toDouble / truth.size}%.3f"
+        }.mkString(" ")
         val (c2, io2) = ProfileUtil.calibBoth(spark)
-        println(f"[filt] $name%-12s |allow|=$allowN%5d/$n recall@5: $line " +
+        println(f"[filt] $name%-12s |allow|=$allowN%5d/$n adc     recall@5: $line " +
           f"cpu=$c%.3f/$c2%.3f io=$io%.3f/$io2%.3f")
+        println(f"[filt] $name%-12s |allow|=$allowN%5d/$n refineR8 recall@5: $lineR")
         Console.flush()
     }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))

@@ -207,6 +207,62 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqTopKRefinedFiltered: filter beneath the shortlist, exact rerank on top; covering knobs ≡ filtered brute force") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = Similarity.ivfCentroids(e, k = 4, iters = 1)
+    val books = Similarity.pqTrain(e, 4, 16, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_filtref").toString
+    try {
+      Similarity.ivfPqIndexWrite(e, dir, coarse, books)
+      val index = spark.read.parquet(dir)
+      val q = e.where(col("vec_id") < 5)
+      val even = e.where(col("vec_id") % 2 === 0).select("vec_id")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+      val rf = Similarity.ivfPqTopKRefinedFiltered(
+        q, index, 5, coarse, books, allow = even, nprobe = 2, rerank = 2)
+      val got = rows(rf)
+      // every answer is allowed
+      assert(got.nonEmpty && got.forall(_._2 % 2 == 0))
+      // frozen-quantizer identity (q92's contract, one tier up): identical
+      // to the unfiltered REFINED probe over an allowed-only index
+      val allowedOnly = Similarity.ivfPqTopKRefined(
+        q, index.where(col("neighbor_id") % 2 === 0), 5, coarse, books,
+        nprobe = 2, rerank = 2)
+      assert(got === rows(allowedOnly),
+        "filtered refine must equal refining an allowed-only index")
+      // allow-everything is exactly the unfiltered refined probe
+      val all = Similarity.ivfPqTopKRefinedFiltered(
+        q, index, 5, coarse, books, allow = e.select("vec_id"),
+        nprobe = 2, rerank = 2)
+      assert(rows(all) === rows(Similarity.ivfPqTopKRefined(
+        q, index, 5, coarse, books, nprobe = 2, rerank = 2)))
+      // covering knobs collapse to the exact filtered answer: all clusters
+      // probed + a shortlist holding every allowed candidate ⇒ the output
+      // IS brute-force top-k over the allowed slice (same cosine spelling,
+      // same tie rules) — the identity that pins the whole composition
+      val covering = Similarity.ivfPqTopKRefinedFiltered(
+        q, index, 5, coarse, books, allow = even, nprobe = 4, rerank = 200)
+      val truth = Similarity.bruteForceTopK(
+        q, e.join(even, Seq("vec_id"), "left_semi"), 5)
+      assert(rows(covering) === rows(truth),
+        "covering rerank + full probe must equal filtered brute force")
+      // and the refined tier can only improve on filtered ADC at the same
+      // knobs (exact reorder of a superset shortlist)
+      val truthPairs = rows(truth).map(r => (r._1, r._2)).toSet
+      val adcPairs = rows(Similarity.ivfPqTopKIndexedFiltered(
+        q, index, 5, coarse, books, allow = even, nprobe = 2))
+        .map(r => (r._1, r._2)).toSet
+      val rfPairs = got.map(r => (r._1, r._2)).toSet
+      assert(rfPairs.intersect(truthPairs).size >= adcPairs.intersect(truthPairs).size,
+        "exact rerank must not lose filtered-truth recall vs filtered ADC")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
+  }
+
   test("ivfTopKIndexed: exact-cosine probe over the stored index ≡ ivfTopK; prunes partitions and PQ-code columns") {
     import spark.implicits._
     import org.apache.spark.sql.execution.FileSourceScanExec
