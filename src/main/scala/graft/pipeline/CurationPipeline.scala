@@ -1,0 +1,202 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+
+/** The full training-data curation chain as ONE restartable driver:
+  *
+  * {{{
+  *   ingest → clean (ExactSubstr self-dedup)
+  *          → near-dup dedup (MinHash cascade, canonical per cluster)
+  *          → decontaminate (ExactSubstr vs a frozen eval suite)
+  *          → select (token-budget quality selection)
+  *          → shuffle + shard export with a validation manifest
+  * }}}
+  *
+  * Every stage already exists as an operator (q90/q41/q94/q95/q86); this
+  * driver is the COMPOSITION evidence — the shape a real 100 TB job runs —
+  * with the two properties a per-operator query can't exercise:
+  *
+  *   - '''Stage materialization.''' Each stage writes parquet under
+  *     `stagingRoot` and the next stage reads that, so a failed run
+  *     restarts at the last completed stage instead of re-paying the
+  *     corpus scan (at 100 TB a stage is hours; lineage-only recovery
+  *     would cascade). The staging write is also what makes the cache
+  *     bracket sound: [[graft.GraftSession.withCaches]] requires the
+  *     body's result materialized before the bracket closes.
+  *   - '''Cache lifecycle across stage boundaries.''' The dedup/ANN
+  *     operators persist intermediates (gram sites, hashed token sets)
+  *     that are session-scoped by design. Composing stages WITHOUT
+  *     releasing between them accumulates every stage's working set in
+  *     the block manager — at corpus scale, exactly the cache-fit
+  *     pressure that evicts the stage that actually needs the memory. The
+  *     driver brackets each stage with [[graft.GraftSession.withCaches]]
+  *     and records the persisted-block census after each boundary in its
+  *     [[CurationPipeline.Stage]] report (asserted 0 in
+  *     CurationPipelineSpec).
+  *
+  * Stage semantics (order matters and is deliberate):
+  *
+  *   1. ''Clean'' before dedup: self-duplicated boilerplate spans
+  *      (headers, license blurbs) otherwise inflate Jaccard similarity
+  *      between unrelated docs. Lang rides along via one co-partitioned
+  *      id join (both sides hash on the id — no broadcast needed, AQE
+  *      picks the strategy).
+  *   2. ''Dedup'' keeps each near-dup cluster's canonical (min-id) doc,
+  *      blocked by `langCol` exactly as q41.
+  *   3. ''Decontaminate'' cuts every span of ≥ `n` tokens that appears in
+  *      the frozen `heldOut` suite (the eval-leak gate, span grain — the
+  *      document survives, the leaked passage does not). The suite's
+  *      distinct gram keys are built ONCE via
+  *      [[graft.operators.TextAnalysis.corpusGramHashes]] — the
+  *      reusable-half split that exists precisely for drivers like this.
+  *   4. ''Select'' scores quality on the FINAL text (post-clean,
+  *      post-decontaminate — scoring earlier would rank on text that no
+  *      longer exists) and keeps the best-scoring prefix whose token
+  *      total fits `tokenBudget`. The score is rounded to 6 decimals
+  *      first: [[graft.operators.Sampling.keepByTokenBudget]]'s
+  *      histogram fail-fast (2²⁰ distinct scores) requires a quantized
+  *      score, and a [0,1] score at 1e-6 granularity is ≤ 10⁶+1 bins at
+  *      ANY corpus size.
+  *   5. ''Export'' shuffles deterministically (seeded md5 rank), shards,
+  *      writes JSONL + `_manifest.jsonl`, and VERIFIES the manifest's row
+  *      total against the selected count before reporting success — the
+  *      loader contract checked at the source.
+  *
+  * Reference scope note: the cashback reference's whole pipeline is the
+  * extract→transform→load DAG ([[Pipeline]], infra/lambda.tf:148-240);
+  * this is the same one-driver shape over the repo's LLM-curation
+  * operator families.
+  */
+object CurationPipeline {
+
+  /** One stage boundary: rows in/out, where the output landed, and how
+    * many persisted RDD blocks remained AFTER the stage's cache bracket
+    * closed (the census — 0 unless the caller holds its own caches). */
+  final case class Stage(name: String, rowsIn: Long, rowsOut: Long,
+                         path: String, cachedBlocksAfter: Int)
+
+  /** Full-run report: per-stage boundaries in execution order, the export
+    * root, its shard count, and the kept corpus's token total. */
+  final case class Report(stages: Seq[Stage], exportPath: String,
+                          shards: Int, keptTokens: Long)
+
+  /** Run the chain. `docs` must carry (`id`, `langCol`, `textCol`);
+    * `heldOut` carries (`id`, `textCol`) — the frozen eval/benchmark
+    * suite. Returns the per-stage report; the export lands at
+    * `stagingRoot/05_export` with its `_manifest.jsonl`. */
+  def run(spark: SparkSession, docs: DataFrame, heldOut: DataFrame,
+          stagingRoot: String,
+          id: String = "doc_id", textCol: String = "text",
+          langCol: String = "lang",
+          n: Int = 8, dedupThreshold: Double = 0.95,
+          tokenBudget: Long = 15000L,
+          shards: Int = 8, seed: String = "curation-v1",
+          stopwords: Seq[String] = Seq("the", "a")): Report = {
+
+    val stages = scala.collection.mutable.ArrayBuffer.empty[Stage]
+
+    def stage(name: String, sub: String, rowsIn: Long)(body: => DataFrame): (String, Long) = {
+      val path = s"$stagingRoot/$sub"
+      val out = GraftSession.withCaches(spark, blocking = true) {
+        body.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      }
+      val rowsOut = out.count()
+      stages += Stage(name, rowsIn, rowsOut, path,
+        spark.sparkContext.getPersistentRDDs.size)
+      (path, rowsOut)
+    }
+
+    val docsIn = docs.count()
+
+    // 1. clean — self-dedup at span grain; lang joins back on the id
+    // (co-partitioned: both sides shuffle on the id, no driver data).
+    val (cleanPath, cleanRows) = stage("clean", "01_clean", docsIn) {
+      TextAnalysis.exactSubstrRemove(docs, id, textCol, n)
+        .select(col(id), col("clean_text"))
+        .join(docs.select(col(id), col(langCol)), Seq(id))
+    }
+
+    // 2. dedup — near-dup clusters over the CLEANED text, keep canonicals.
+    val (dedupPath, dedupRows) = stage("dedup", "02_dedup", cleanRows) {
+      val clean = spark.read.parquet(cleanPath)
+      val toks = clean.select(col(id), col(langCol),
+        array_distinct(split(col("clean_text"), " ")).as("tok"))
+      val canon = Dedup.canonicalIdsCascade(toks, id, "tok", langCol, dedupThreshold)
+      clean.join(canon, Seq(id))
+        .where(col(id) === col("canonical_id"))
+        .select(col(id), col(langCol), col("clean_text"))
+    }
+
+    // 3. decontaminate — the frozen suite contributes distinct gram keys
+    // once; the kept corpus is the "batch" side of the cross remover.
+    val (deconPath, deconRows) = stage("decontaminate", "03_decontam", dedupRows) {
+      val kept = spark.read.parquet(dedupPath)
+      val suiteGrams = TextAnalysis.corpusGramHashes(heldOut, id, textCol, n)
+      TextAnalysis.exactSubstrRemoveAgainstGrams(
+          kept.select(col(id), col("clean_text")), suiteGrams, id, "clean_text", n)
+        .select(col(id), col("clean_text"))
+        .join(kept.select(col(id), col(langCol)), Seq(id))
+    }
+
+    // 4. select — quality on the final text, quantized for the histogram
+    // fail-fast; token budget counted on the same token stream.
+    val (selectPath, selectRows) = stage("select", "04_select", deconRows) {
+      val decon = spark.read.parquet(deconPath)
+      val scored = decon.select(col(id), col(langCol), col("clean_text"),
+        round(TextAnalysis.qualityScore(col("clean_text"), stopwords), 6).as("quality"),
+        TextAnalysis.tokenCount(col("clean_text")).as("n_tokens"))
+      Sampling.keepByTokenBudget(scored, col(id), col("quality"),
+        col("n_tokens"), tokenBudget)
+    }
+
+    // 5. export — deterministic shuffle + shards + manifest, then verify
+    // the manifest against the selected count BEFORE reporting success.
+    val exportPath = s"$stagingRoot/05_export"
+    val selected = spark.read.parquet(selectPath)
+    GraftSession.withCaches(spark, blocking = true) {
+      Sampling.exportShardsJsonl(selected, col(id), seed, shards, exportPath)
+    }
+    // `_`-prefixed files are invisible to Spark readers by design; the
+    // manifest is |shards| lines — read it driver-side like a loader would.
+    val manifestTotal = readManifestRowTotal(spark, exportPath)
+    require(manifestTotal == selectRows,
+      s"export manifest accounts for $manifestTotal rows but the selected " +
+        s"stage holds $selectRows — the transfer contract is broken")
+    stages += Stage("export", selectRows, manifestTotal, exportPath,
+      spark.sparkContext.getPersistentRDDs.size)
+
+    val keptTokens = {
+      val r = selected.agg(sum(col("n_tokens"))).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    Report(stages.toSeq, exportPath, shards, keptTokens)
+  }
+
+  /** Sum of the manifest's per-shard `rows` fields, read through the
+    * export root's own filesystem (works on HDFS/S3A paths, not just
+    * local disk). The `"rows":N` field is written by
+    * [[graft.operators.Sampling.writeExportManifest]] with fixed
+    * formatting, so a targeted extract beats dragging in a JSON parser. */
+  private[pipeline] def readManifestRowTotal(spark: SparkSession,
+                                             exportPath: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(exportPath, "_manifest.jsonl")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+                finally in.close()
+    val RowsField = """"rows":(\d+)""".r
+    lines.map { line =>
+      RowsField.findFirstMatchIn(line) match {
+        case Some(m) => m.group(1).toLong
+        case None => throw new IllegalStateException(
+          s"manifest line without a rows field: $line")
+      }
+    }.sum
+  }
+}

@@ -1572,4 +1572,93 @@ class SimilaritySpec extends SparkSpec {
       graft.GraftSession.releaseCaches(spark, blocking = true)
     }
   }
+
+  test("readers under maintenance: probes racing live compaction swaps " +
+      "either refuse retryably or answer bit-exact — never a torn result") {
+    // The second concurrency axis after the fleet test above: there the
+    // WRITERS race each other; here READERS race a compaction's swap
+    // window on a real filesystem. The serving contract under test:
+    // every probe attempt against an index being compacted either (a)
+    // raises a retryable refusal — the assertNotCompacting guard, or a
+    // vanished-file error from a rename landing under the scan — or (b)
+    // returns the bit-exact quiesced answer. A SUCCESSFUL probe with a
+    // wrong (torn, partially-swapped) result is the silent-loss failure
+    // mode the staging flag + STALE-listing validation exist to close;
+    // this soak hammers that window instead of staging it once.
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = Similarity.ivfCentroids(e, k = 4, iters = 1)
+    val books = Similarity.pqTrain(e, 4, 16, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("reader_maint").toString + "/idx"
+    val queries = e.where(col("vec_id") < 5)
+    def probeRows(): Seq[String] =
+      Similarity.ivfPqTopKIndexed(queries, spark.read.parquet(dir), 5,
+          coarse, books, nprobe = 4)
+        .collect().map(_.toString).sorted.toSeq
+    def retryable(t: Throwable): Boolean = {
+      var c: Throwable = t
+      while (c != null) {
+        if (c.isInstanceOf[IllegalStateException] ||
+            c.isInstanceOf[java.io.FileNotFoundException] ||
+            (c.getMessage != null && c.getMessage.contains("does not exist")))
+          return true
+        c = c.getCause
+      }
+      false
+    }
+    try {
+      // seed with 3/4 of the corpus; the remaining quarter feeds the
+      // re-fragmentation appends between cycles (appends run QUIESCED —
+      // mid-append visibility is a different, weaker contract)
+      Similarity.ivfPqIndexWrite(e.where(col("vec_id") % 4 =!= 0), dir, coarse, books)
+      val frag = (0 until 3).map(i =>
+        i -> e.where(col("vec_id") % 4 === 0 && col("vec_id") % 3 === i)).toMap
+      val refusals = new java.util.concurrent.atomic.AtomicInteger(0)
+      val wrongs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      (0 until 3).foreach { cycle =>
+        // fragment (quiesced), then take the cycle's truth (quiesced)
+        assert(Similarity.ivfPqIndexAppendOnce(frag(cycle), dir,
+          100L + cycle, coarse, books))
+        val truth = probeRows()
+        val compacting = new java.util.concurrent.atomic.AtomicBoolean(true)
+        val readers = (0 until 2).map { r =>
+          new Thread(() => {
+            try {
+              while (compacting.get()) {
+                try {
+                  val got = probeRows()
+                  if (got != truth)
+                    wrongs.add(s"cycle $cycle reader $r: torn probe result\n" +
+                      s"got:   ${got.mkString("; ")}\nwant:  ${truth.mkString("; ")}")
+                } catch {
+                  case t: Throwable if retryable(t) => refusals.incrementAndGet()
+                }
+              }
+            } catch { case t: Throwable => failures.add(t) }
+          }, s"reader-$cycle-$r")
+        }
+        readers.foreach(_.start())
+        try Similarity.ivfPqIndexCompact(spark, dir, maxFilesPerCluster = 1)
+        finally compacting.set(false)
+        readers.foreach(_.join(300000))
+      }
+      assert(failures.isEmpty, failures.toArray.mkString("\n"))
+      assert(wrongs.isEmpty, wrongs.toArray.mkString("\n\n"))
+      // settle: the quiesced index answers cleanly, content complete
+      assert(probeRows().nonEmpty)
+      assert(spark.read.parquet(dir).count() ===
+        e.where(col("vec_id") % 4 =!= 0).count() +
+          (0 until 3).map(i => frag(i).count()).sum)
+      // the window was actually exercised across the three swap cycles —
+      // with 2 readers looping against multi-second compactions a zero
+      // count means the guard path never ran and the soak proved nothing
+      assert(refusals.get() > 0,
+        "no reader ever hit the compaction window — soak vacuous")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(dir).getParentFile)
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
+  }
 }

@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Golden end-to-end run of the FULL curation chain — ingest → clean →
+  * dedup → decontaminate → select → shard export — through the one
+  * [[CurationPipeline]] driver, on the sf0.001 documents table split into
+  * a pipeline corpus (doc_id % 13 != 0) and a frozen held-out suite
+  * (doc_id % 13 == 0).
+  *
+  * What only this spec can catch (vs the per-operator specs/oracles):
+  * cross-stage cache lifecycle (the census assertions), parquet staging
+  * round-trips between operators, and the composed row-level result —
+  * the exported corpus is compared doc-for-doc against the same five
+  * operators composed DIRECTLY in this spec with no staging writes.
+  */
+class CurationPipelineSpec extends SparkSpec {
+
+  private def docsAll = spark.read.parquet(s"$sf/documents.parquet")
+  private def corpus = docsAll.where(col("doc_id") % 13 =!= 0)
+  private def heldOut = docsAll.where(col("doc_id") % 13 === 0)
+    .select(col("doc_id"), col("text"))
+
+  private val budget = 5000L
+
+  private lazy val run = {
+    val root = java.nio.file.Files.createTempDirectory("curation_e2e").toString
+    val report = CurationPipeline.run(spark, corpus, heldOut, root,
+      tokenBudget = budget, shards = 4, seed = "spec-seed")
+    (root, report)
+  }
+
+  /** The same chain composed directly — no staging writes, no driver —
+    * the independent expectation for the row-level comparison. */
+  private lazy val direct: DataFrame = {
+    val cleaned = TextAnalysis.exactSubstrRemove(corpus, "doc_id", "text", n = 8)
+      .select(col("doc_id"), col("clean_text"))
+      .join(corpus.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val toks = cleaned.select(col("doc_id"), col("lang"),
+      array_distinct(split(col("clean_text"), " ")).as("tok"))
+    val canon = Dedup.canonicalIdsCascade(toks, "doc_id", "tok", "lang", 0.95)
+    val kept = cleaned.join(canon, Seq("doc_id"))
+      .where(col("doc_id") === col("canonical_id"))
+      .select(col("doc_id"), col("lang"), col("clean_text"))
+    val decon = TextAnalysis.exactSubstrRemoveAgainst(
+        kept.select(col("doc_id"), col("clean_text")),
+        heldOut.withColumnRenamed("text", "clean_text"),
+        "doc_id", "clean_text", n = 8)
+      .select(col("doc_id"), col("clean_text"))
+      .join(kept.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val scored = decon.select(col("doc_id"), col("lang"), col("clean_text"),
+      round(TextAnalysis.qualityScore(col("clean_text"), Seq("the", "a")), 6).as("quality"),
+      TextAnalysis.tokenCount(col("clean_text")).as("n_tokens"))
+    Sampling.keepByTokenBudget(scored, col("doc_id"), col("quality"),
+      col("n_tokens"), budget)
+  }
+
+  test("stage flow is coherent: counts monotone where removal happens, " +
+      "row-preserving where only spans are cut") {
+    val (_, report) = run
+    val byName = report.stages.map(s => s.name -> s).toMap
+    assert(report.stages.map(_.name) ===
+      Seq("clean", "dedup", "decontaminate", "select", "export"))
+    // span removal keeps every doc; dedup and select genuinely drop rows
+    assert(byName("clean").rowsOut === byName("clean").rowsIn)
+    assert(byName("dedup").rowsOut < byName("dedup").rowsIn,
+      "the planted near-dups must collapse")
+    assert(byName("decontaminate").rowsOut === byName("decontaminate").rowsIn)
+    assert(byName("select").rowsOut < byName("select").rowsIn,
+      "the 5k budget must land mid-corpus")
+    assert(byName("select").rowsOut > 0)
+    // each stage's rowsIn is the previous stage's rowsOut
+    report.stages.sliding(2).foreach { case Seq(a, b) =>
+      assert(b.rowsIn === a.rowsOut, s"${b.name} rowsIn vs ${a.name} rowsOut")
+    }
+    assert(0L < report.keptTokens && report.keptTokens <= budget)
+  }
+
+  test("cache census is zero after every stage boundary") {
+    val (_, report) = run
+    report.stages.foreach { s =>
+      assert(s.cachedBlocksAfter === 0,
+        s"stage ${s.name} left ${s.cachedBlocksAfter} persisted blocks")
+    }
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
+  test("exported corpus matches the directly-composed chain doc-for-doc") {
+    val (root, _) = run
+    val exported = spark.read.json(s"$root/05_export/shard=*")
+      .select(col("doc_id").cast("long"), col("lang"), col("clean_text"),
+        col("quality").cast("double"), col("n_tokens").cast("long"))
+    val expect = direct.select(col("doc_id").cast("long"), col("lang"),
+      col("clean_text"), col("quality").cast("double"),
+      col("n_tokens").cast("long"))
+    assert(exported.count() === expect.count())
+    assert(exported.exceptAll(expect).isEmpty && expect.exceptAll(exported).isEmpty,
+      "export content must equal the stage-free composition")
+    graft.GraftSession.releaseCaches(spark, blocking = true)
+  }
+
+  test("manifest accounts for the export: per-shard rows sum to the kept " +
+      "corpus and every named file exists") {
+    val (root, report) = run
+    // `_`-prefixed: invisible to Spark readers — read as a loader would
+    val lines = java.nio.file.Files
+      .readAllLines(new java.io.File(s"$root/05_export", "_manifest.jsonl").toPath)
+    assert(lines.size === 4, "one line per shard")
+    val RowsField = """"rows":(\d+)""".r
+    val FileField = """"file":"([^"]+)"""".r
+    val total = lines.stream.mapToLong(l =>
+      RowsField.findFirstMatchIn(l).get.group(1).toLong).sum
+    assert(total === report.stages.last.rowsOut)
+    lines.forEach { l =>
+      val f = FileField.findFirstMatchIn(l).get.group(1)
+      assert(new java.io.File(s"$root/05_export/$f").isFile)
+    }
+  }
+
+  test("decontamination cut held-out spans: suite 8-grams are absent from " +
+      "the exported text") {
+    val (root, _) = run
+    val exported = spark.read.json(s"$root/05_export/shard=*")
+      .select(col("doc_id").cast("long").as("doc_id"), col("clean_text"))
+    // independent of the operator's own machinery: enumerate the windows
+    // with SQL higher-order functions and semi-join against the suite
+    val suiteTok = heldOut.select(split(col("text"), " ").as("tk"))
+      .select(explode(expr("transform(sequence(0, size(tk) - 8), i -> concat_ws(' ', slice(tk, i + 1, 8)))")).as("gram"))
+      .distinct()
+    val expTok = exported.select(split(col("clean_text"), " ").as("tk"))
+      .where(size(col("tk")) >= 8)
+      .select(explode(expr("transform(sequence(0, size(tk) - 8), i -> concat_ws(' ', slice(tk, i + 1, 8)))")).as("gram"))
+    val leaked = expTok.join(suiteTok, Seq("gram"), "left_semi").count()
+    assert(leaked === 0L, s"$leaked held-out 8-grams survived decontamination")
+    graft.GraftSession.releaseCaches(spark, blocking = true)
+  }
+}
