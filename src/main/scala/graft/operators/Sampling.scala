@@ -404,6 +404,94 @@ object Sampling {
     }
   }
 
+  /** Per-GROUP token-budget selection — [[keepByTokenBudget]] applied
+    * independently inside every group: for each group (domain, source,
+    * language, …) keep the maximal (score DESC, md5(key), key)-ordered
+    * prefix of its docs whose running token total fits `budgetPerGroup`.
+    * This is the per-domain cap real web-corpus curation applies (bound
+    * any one domain's contribution so boilerplate-heavy giants cannot
+    * dominate the mixture) — the reference has no analogue; the semantics
+    * follow the global operator doc-for-doc, per group.
+    *
+    * Scale shape: the global operator's driver-side histogram cannot
+    * generalize here (|groups| is corpus-scale — millions of domains — so
+    * a driver collect is out), and the naive spelling (running-sum window
+    * partitioned by group over the CORPUS in score order) sorts every
+    * group's full doc set and concentrates each giant domain in one task.
+    * Instead the threshold moves distributed:
+    *
+    *   1. ONE map-side-combined pass builds the (group, score)-level token
+    *      mass — |groups × quantized scores| rows, far below corpus scale.
+    *   2. A window over that LEVEL relation (partitioned by group, best
+    *      score first) yields each level's mass-strictly-above `tk_prev`;
+    *      levels with `tk_prev ≥ budget` are dropped, levels fitting
+    *      whole are kept outright, and the single boundary level per
+    *      group carries its remaining budget `tk_rem = budget − tk_prev`.
+    *   3. The decision joins back to the corpus on (group, score) — the
+    *      same keys step 1 exchanged on, so the exchange is reused; the
+    *      inner join IS the drop filter. Only boundary rows take the
+    *      running-sum window, partitioned by (group, score): its input is
+    *      answer-sized (each group's kept set numbers ≤ `budgetPerGroup`
+    *      docs because every selectable doc carries ≥ 1 token), and a
+    *      giant group's boundary tie set composes with
+    *      [[fixedSizeSample]]'s md5-prefix pre-cut exactly as the global
+    *      operator documents.
+    *
+    * Rows with a null group, null/NaN score, or non-positive token count
+    * are never selected (same exclusions, same reasons, as the global
+    * operator; a null group names no budget to charge). Deterministic —
+    * the kept set is a pure function of content. The score must be
+    * quantized (rounded) for the level relation to stay small; unlike the
+    * global operator there is no driver-side cardinality fail-fast — the
+    * level relation never leaves the cluster. */
+  def keepByGroupTokenBudget(df: DataFrame, group: Column, key: Column,
+                             score: Column, tokenCount: Column,
+                             budgetPerGroup: Long): DataFrame = {
+    require(budgetPerGroup > 0, s"token budget must be positive, got $budgetPerGroup")
+    val reserved = Seq("tk_grp", "tk_score", "tk_key", "tk_n", "tk_lvl",
+      "tk_prev", "tk_rem", "tk_cum").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"input columns collide with reserved names: ${reserved.mkString(", ")}")
+    val s = df
+      .withColumn("tk_grp", group.cast("string"))
+      .withColumn("tk_score", score.cast("double"))
+      .withColumn("tk_key", key.cast("string"))
+      .withColumn("tk_n", tokenCount.cast("long"))
+      .where(col("tk_grp").isNotNull &&
+        col("tk_score").isNotNull && !isnan(col("tk_score")) &&
+        col("tk_n").isNotNull && col("tk_n") > 0)
+    // (group, score)-level token mass: the one corpus-wide aggregate
+    val lvl = s.groupBy("tk_grp", "tk_score").agg(sum(col("tk_n")).as("tk_lvl"))
+    // per-group mass strictly ABOVE each level (best score first); levels
+    // have one row per (group, score) so the order is total without a
+    // tie-break. tk_rem is null ⇔ the level fits whole.
+    val wLvl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tk_grp")).orderBy(col("tk_score").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val dec = lvl
+      .withColumn("tk_prev", sum(col("tk_lvl")).over(wLvl) - col("tk_lvl"))
+      .where(col("tk_prev") < budgetPerGroup)
+      .withColumn("tk_rem",
+        when(col("tk_prev") + col("tk_lvl") <= budgetPerGroup,
+          lit(null).cast("long"))
+          .otherwise(lit(budgetPerGroup) - col("tk_prev")))
+      .drop("tk_lvl", "tk_prev")
+    // inner join = the drop filter; the boundary window's input is the
+    // kept set (answer-sized), partitioned per (group, score) so only the
+    // boundary level's running sum is ever consulted
+    val wTie = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tk_grp"), col("tk_score"))
+      .orderBy(graft.functions.Md5LongFunction.md5Long(col("tk_key")).asc,
+        col("tk_key").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    s.join(dec, Seq("tk_grp", "tk_score"))
+      .withColumn("tk_cum", sum(col("tk_n")).over(wTie))
+      .where(col("tk_rem").isNull || col("tk_cum") <= col("tk_rem"))
+      .select(df.columns.map(col).toIndexedSeq: _*)
+  }
+
   /** Fail-fast ceiling for [[topKByScore]]'s driver-side score histogram:
     * 2²⁰ distinct score values ≈ 16 MB of (double, long) rows — far above
     * any rounded score's cardinality, far below driver trouble. */

@@ -675,6 +675,98 @@ object TextAnalysis {
     esRebuild(tok, starts, n, id)
   }
 
+  /** Contamination REPORT — the audit twin of [[exactSubstrRemoveAgainst]]
+    * with the roles flipped: for every HELD-OUT doc (eval/benchmark item),
+    * quantify how much of it leaks into the training corpus at span grain.
+    * [[contaminationHits]] answers "which corpus docs are tainted" (drop
+    * grain) and q94 cuts leaked spans out of a batch; this answers the
+    * eval owner's question — "how badly is MY test set leaked, and where"
+    * — per held-out doc:
+    *
+    *   - `n_tokens`: the doc's token count;
+    *   - `leaked_sites`: its n-gram windows that occur anywhere in the
+    *     corpus (each a (pos, gram) site);
+    *   - `leaked_tokens`: tokens covered by the union of leaked windows —
+    *     exactly what [[exactSubstrRemoveAgainst]] would cut;
+    *   - `leaked_spans`: maximal contiguous leaked spans (windows merge
+    *     iff the gap between consecutive starts is ≤ n, as in the removal
+    *     family's span count);
+    *   - `max_span_tokens`: the longest single leaked span — the headline
+    *     stat (a 200-token verbatim leak is a different problem from 20
+    *     scattered 8-gram brushes with boilerplate).
+    *
+    * Every held-out doc appears (zeros when clean) — a report with absent
+    * rows is ambiguous. Docs shorter than n carry no window and report
+    * clean. The gram-hash collision tradeoff documented on
+    * [[exactSubstrRemove]] applies in its BENIGN form here (a collision
+    * only inflates a count — nothing is cut); `hashGrams = false` keys by
+    * value for exact counts.
+    *
+    * Scale shape: identical to [[exactSubstrRemoveAgainst]] with the
+    * sides swapped — the corpus (the big side) contributes only its
+    * DISTINCT gram keys via [[corpusGramHashes]] (build it once and call
+    * [[contaminationReportAgainstGrams]] directly when auditing many
+    * suites or re-auditing per ingest); the held-out suite is
+    * eval-sized, so its site build, the attach join (AQE broadcasts the
+    * suite side), and the per-doc stats are all answer-scale. All five
+    * stats are row-local reads of the sorted start array — the
+    * interval-merge scan runs inside one higher-order `aggregate`, no
+    * second shuffle, no driver action. */
+  def contaminationReport(heldOut: org.apache.spark.sql.DataFrame,
+                          corpus: org.apache.spark.sql.DataFrame,
+                          id: String, textCol: String, n: Int = 8,
+                          shuffleWidth: Option[Int] = None,
+                          hashGrams: Boolean = true): org.apache.spark.sql.DataFrame =
+    contaminationReportAgainstGrams(heldOut,
+      corpusGramHashes(corpus, id, textCol, n, shuffleWidth, hashGrams),
+      id, textCol, n, hashGrams)
+
+  /** [[contaminationReport]] with the corpus side pre-reduced by
+    * [[corpusGramHashes]] (same single-column `g` contract as
+    * [[exactSubstrRemoveAgainstGrams]], same caller-owned lifecycle):
+    * per-call work is suite-sized only. */
+  def contaminationReportAgainstGrams(heldOut: org.apache.spark.sql.DataFrame,
+                                      corpusGrams: org.apache.spark.sql.DataFrame,
+                                      id: String, textCol: String, n: Int = 8,
+                                      hashGrams: Boolean = true): org.apache.spark.sql.DataFrame = {
+    require(n > 0, s"window length must be positive, got $n")
+    require(corpusGrams.columns.toSeq == Seq("g"),
+      s"corpusGrams must be the single-column (g) relation built by " +
+        s"corpusGramHashes, got columns ${corpusGrams.columns.mkString(", ")}")
+    val tok = heldOut.select(col(id).as("es_id"), tokens(col(textCol)).as("tk"))
+    val sites = esGramSites(tok, n, hashGrams)
+    val starts = sites.join(corpusGrams, Seq("g"))
+      .groupBy("es_id").agg(sort_array(collect_list(col("pos"))).as("st"))
+    val joined = tok.join(starts, Seq("es_id"), "left")
+      .withColumn("st", coalesce(col("st"), array().cast("array<int>")))
+    // covered tokens / span count: the same row-local reads as esRebuild
+    val leaked = filter(col("tk"), (t, q) =>
+      exists(col("st"), p => p <= q && q < p + n))
+    val spans = when(size(col("st")) <= 1, size(col("st")).cast("long"))
+      .otherwise(lit(1L) + size(filter(sequence(lit(2), size(col("st"))), i =>
+        element_at(col("st"), i) > element_at(col("st"), i - lit(1)) + n)).cast("long"))
+    // longest merged interval: one left-to-right scan of the sorted starts
+    // carrying (first start of the current run, last start seen, best
+    // closed run); a run closes when the next start opens a gap > n
+    val maxSpan = when(size(col("st")) === 0, lit(0L)).otherwise(aggregate(
+      slice(col("st"), lit(2), greatest(size(col("st")) - 1, lit(0))),
+      struct(element_at(col("st"), 1).as("first"),
+        element_at(col("st"), 1).as("last"), lit(0).as("best")),
+      (acc, p) => struct(
+        when(p > acc("last") + n, p).otherwise(acc("first")).as("first"),
+        p.as("last"),
+        when(p > acc("last") + n,
+          greatest(acc("best"), acc("last") + n - acc("first")))
+          .otherwise(acc("best")).as("best")),
+      acc => greatest(acc("best"), acc("last") + n - acc("first")).cast("long")))
+    joined.select(col("es_id").as(id),
+      size(col("tk")).cast("long").as("n_tokens"),
+      size(col("st")).cast("long").as("leaked_sites"),
+      size(leaked).cast("long").as("leaked_tokens"),
+      spans.as("leaked_spans"),
+      maxSpan.as("max_span_tokens"))
+  }
+
   /** Shared gram-site build for the ExactSubstr family: (es_id, pos, g)
     * for every n-token window, on the codegen'd posexplode + window-lead
     * path (see [[ngramNovelty]]'s scaladoc for why this beats the

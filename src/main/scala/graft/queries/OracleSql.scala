@@ -1523,6 +1523,30 @@ object OracleSql {
         |      FROM scored WHERE n_tokens > 0)
         |SELECT doc_id, quality, n_tokens FROM r WHERE cum <= 20000""".stripMargin,
 
+    // q98: q95's selection PER SOURCE — the oracle replays the naive
+    // per-group spelling (running token sum over the identical total order,
+    // partitioned by source); the engine computes the same set via the
+    // distributed (group, score)-level threshold without sorting corpus
+    // rows, and the two coincide by the same prefix argument as q95.
+    "q98_domain_budget" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |         round(
+        |      least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
+        |    + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |         / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0)) * 0.3
+        |    + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |         / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.3, 6) AS quality,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source
+        |        ORDER BY quality DESC,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |        CAST(doc_id AS VARCHAR)
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM scored WHERE n_tokens > 0)
+        |SELECT doc_id, source, quality, n_tokens FROM r WHERE cum <= 800""".stripMargin,
+
     // q96: the composed curation pass — q90's span removal verbatim, then
     // q33's quality expression and q95's running-sum budget selection both
     // computed over the CLEANED text (the stage boundary the composition
@@ -1595,6 +1619,44 @@ object OracleSql {
         |            END AS BIGINT) AS n_spans,
         |       coalesce(array_to_string(kept, ' '), '') AS clean_text
         |FROM k""".stripMargin,
+
+    // q99: q94's split with the roles flipped — the % 7 == 0 slice is the
+    // held-out suite, audited against the rest. The oracle reads the three
+    // span stats off the COVERED-POSITION islands (unnest each leaked
+    // window to its positions, gaps-and-islands per doc), which coincides
+    // with the engine's start-gap interval merge: two starts merge iff the
+    // gap is ≤ n ⟺ their coverage is contiguous.
+    "q99_contamination_report" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |h AS (SELECT * FROM t WHERE doc_id % 7 = 0),
+        |c AS (SELECT * FROM t WHERE doc_id % 7 <> 0),
+        |hg AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |         ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15))::BIGINT AS g
+        |  FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+        |        FROM h WHERE len(tk) >= 8)),
+        |cg AS (
+        |  SELECT DISTINCT ('0x' || substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15))::BIGINT AS g
+        |  FROM (SELECT tk, unnest(generate_series(1, len(tk) - 7)) AS i
+        |        FROM c WHERE len(tk) >= 8)),
+        |hit AS (SELECT doc_id, pos FROM hg JOIN cg USING (g)),
+        |sites AS (SELECT doc_id, count(*) AS sites FROM hit GROUP BY 1),
+        |cov AS (SELECT DISTINCT doc_id, pos + u AS q
+        |        FROM hit, (SELECT unnest(generate_series(0, 7)) AS u)),
+        |isl AS (SELECT doc_id, q,
+        |               q - row_number() OVER (PARTITION BY doc_id ORDER BY q) AS grpk
+        |        FROM cov),
+        |runs AS (SELECT doc_id, count(*) AS rl FROM isl GROUP BY doc_id, grpk),
+        |ragg AS (SELECT doc_id, count(*) AS nspans, max(rl) AS maxrl,
+        |                sum(rl) AS covtok
+        |         FROM runs GROUP BY 1)
+        |SELECT h.doc_id,
+        |       CAST(len(h.tk) AS BIGINT) AS n_tokens,
+        |       CAST(coalesce(sites.sites, 0) AS BIGINT) AS leaked_sites,
+        |       CAST(coalesce(ragg.covtok, 0) AS BIGINT) AS leaked_tokens,
+        |       CAST(coalesce(ragg.nspans, 0) AS BIGINT) AS leaked_spans,
+        |       CAST(coalesce(ragg.maxrl, 0) AS BIGINT) AS max_span_tokens
+        |FROM h LEFT JOIN sites USING (doc_id) LEFT JOIN ragg USING (doc_id)""".stripMargin,
 
     "q77_dsir_score" ->
       """WITH tk AS (

@@ -1081,6 +1081,20 @@ object Queries {
       col("n_tokens"), budget = 20000L)
   }
 
+  /** Per-DOMAIN token-budget selection: q95's cut applied independently
+    * inside every `source` — the per-domain cap real web curation uses so
+    * no one domain dominates the mixture. 800 tokens per source lands
+    * mid-group at every SF (each source carries ≥1.1k tokens), so every
+    * group exercises its boundary running sum. Fully distributed: the
+    * per-group thresholds never visit the driver. */
+  val q98_domain_budget: Q = (s, dir) => {
+    val scored = Tables.documents(s, dir).select(col("doc_id"), col("source"),
+      TextAnalysis.qualityScore(col("text"), Stopwords).as("quality"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+    Sampling.keepByGroupTokenBudget(scored, col("source"), col("doc_id"),
+      col("quality"), col("n_tokens"), budgetPerGroup = 800L)
+  }
+
   /** Cross-corpus ExactSubstr removal: the doc_id % 7 == 0 slice plays the
     * nightly ingest batch, the rest the frozen corpus — batch spans of ≥8
     * tokens that appear anywhere in the corpus are cut (planted duplicate
@@ -1090,6 +1104,20 @@ object Queries {
   val q94_cross_substr_rm: Q = (s, dir) => {
     val docs = Tables.documents(s, dir)
     TextAnalysis.exactSubstrRemoveAgainst(
+      docs.where(col("doc_id") % 7 === 0),
+      docs.where(col("doc_id") % 7 =!= 0),
+      "doc_id", "text", n = 8)
+  }
+
+  /** Contamination report over q94's split with the roles flipped: the
+    * doc_id % 7 == 0 slice plays the held-out EVAL suite, the rest the
+    * training corpus — per eval doc, how many ≥8-token windows leak into
+    * the corpus, how many tokens they cover, in how many contiguous
+    * spans, and the longest single leak. Every suite doc reports (zeros
+    * when clean). */
+  val q99_contamination_report: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+    TextAnalysis.contaminationReport(
       docs.where(col("doc_id") % 7 === 0),
       docs.where(col("doc_id") % 7 =!= 0),
       "doc_id", "text", n = 8)
@@ -1368,5 +1396,7 @@ object Queries {
     "q95_token_budget" -> q95_token_budget,
     "q96_curation_pipeline" -> q96_curation_pipeline,
     "q97_ann_filtered_refined" -> q97_ann_filtered_refined,
+    "q98_domain_budget" -> q98_domain_budget,
+    "q99_contamination_report" -> q99_contamination_report,
   )
 }

@@ -376,6 +376,101 @@ class SamplingSpec extends SparkSpec {
     }.getMessage.contains("tk_n"))
   }
 
+  test("keepByGroupTokenBudget: per-group maximal prefix, equals the naive " +
+      "per-group window and the global operator applied per group") {
+    // group A: 0.9 level (300) fits whole, 0.5 level takes the boundary
+    //   running sum, 0.1 level vanishes — q95's fixture, now labelled A
+    // group B: a different shape — every doc at one score level, so B is
+    //   ALL boundary; 7×150 tokens against the 650 budget keeps 4 docs
+    // group C: total mass (400) under budget — kept whole, no boundary
+    val rows = ((0L until 3L).map(n => (n, "A", 0.9, 100L)) ++
+      (10L until 20L).map(n => (n, "A", 0.5, 100L)) ++
+      (30L until 35L).map(n => (n, "A", 0.1, 10L)) ++
+      (40L until 47L).map(n => (n, "B", 0.7, 150L)) ++
+      (50L until 54L).map(n => (n, "C", 0.2, 100L))).toSeq
+    val df = rows.toDF("doc_id", "grp", "score", "n_tok")
+    val budget = 650L
+    val kept = Sampling.keepByGroupTokenBudget(df, col("grp"), col("doc_id"),
+      col("score"), col("n_tok"), budget)
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(kept.count(r => r._2 == "A" && r._3 == 0.9) === 3)
+    assert(kept.count(r => r._2 == "A" && r._3 == 0.5) === 3)
+    assert(kept.count(r => r._2 == "A" && r._3 == 0.1) === 0)
+    assert(kept.count(_._2 == "B") === 4, "all-boundary group takes ⌊650/150⌋")
+    assert(kept.count(_._2 == "C") === 4, "under-budget group is kept whole")
+    // per-group token bound holds everywhere
+    kept.groupBy(_._2).foreach { case (g, rs) =>
+      assert(rs.map(_._4).sum <= budget, s"group $g exceeds its budget") }
+    // ≡ the naive per-group running-sum window
+    val naive = df.withColumn("cum", sum(col("n_tok")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("grp"))
+          .orderBy(col("score").desc,
+            graft.functions.Md5LongFunction.md5Long(col("doc_id").cast("string")).asc,
+            col("doc_id").cast("string").asc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      .where(col("cum") <= budget).drop("cum")
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(kept === naive)
+    // ≡ the GLOBAL operator applied to each group slice independently
+    val perGroup = Seq("A", "B", "C").flatMap { g =>
+      Sampling.keepByTokenBudget(df.where(col("grp") === g), col("doc_id"),
+        col("score"), col("n_tok"), budget)
+        .as[(Long, String, Double, Long)].collect()
+    }.toSet
+    assert(kept === perGroup)
+    // layout invariance + degenerate exclusions (null group joins null
+    // score / non-positive tokens as never-selected)
+    assert(Sampling.keepByGroupTokenBudget(df.repartition(7), col("grp"),
+      col("doc_id"), col("score"), col("n_tok"), budget)
+      .as[(Long, String, Double, Long)].collect().toSet === kept)
+    val withDegenerate = df.union(Seq(
+      (90L, null.asInstanceOf[String], 99.0, 100L),
+      (91L, "A", 99.0, 0L),
+      (92L, "B", Double.NaN, 100L)).toDF("doc_id", "grp", "score", "n_tok"))
+    assert(Sampling.keepByGroupTokenBudget(withDegenerate, col("grp"),
+      col("doc_id"), col("score"), col("n_tok"), budget)
+      .as[(Long, String, Double, Long)].collect().toSet === kept)
+    // budget covering everything keeps every selectable row
+    assert(Sampling.keepByGroupTokenBudget(df, col("grp"), col("doc_id"),
+      col("score"), col("n_tok"), 100000L).count() === df.count())
+    // guards
+    assert(intercept[IllegalArgumentException] {
+      Sampling.keepByGroupTokenBudget(df, col("grp"), col("doc_id"),
+        col("score"), col("n_tok"), 0L)
+    }.getMessage.contains("budget"))
+    assert(intercept[IllegalArgumentException] {
+      Sampling.keepByGroupTokenBudget(df.withColumnRenamed("n_tok", "tk_lvl"),
+        col("grp"), col("doc_id"), col("score"), col("tk_lvl"), 10L)
+    }.getMessage.contains("tk_lvl"))
+  }
+
+  test("keepByGroupTokenBudget plan: no corpus sort, no driver threshold — " +
+      "level aggregate + boundary-only ranking") {
+    import org.apache.spark.sql.execution.{SortExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text"), Seq("the", "a")).as("q"),
+        TextAnalysis.tokenCount(col("text")).as("n"))
+    val kept = Sampling.keepByGroupTokenBudget(docs, col("source"),
+      col("doc_id"), col("q"), col("n"), budgetPerGroup = 800L)
+    assert(kept.count() > 0)
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+      val kids = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      p +: kids.flatMap(nodes)
+    }
+    val plan = nodes(kept.queryExecution.executedPlan)
+    assert(!plan.exists(_.isInstanceOf[TakeOrderedAndProjectExec]))
+    val sorts = plan.collect { case s: SortExec if s.global => s }
+    assert(sorts.isEmpty, s"no global sort may appear, got: $sorts")
+  }
+
   test("topKByScore plan: no corpus sort — histogram threshold + boundary-only ranking") {
     import org.apache.spark.sql.execution.{SortExec, TakeOrderedAndProjectExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

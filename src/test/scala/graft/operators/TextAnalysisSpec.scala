@@ -720,4 +720,62 @@ class TextAnalysisSpec extends SparkSpec {
           s.outputPartitioning.numPartitions + "@" + s.child.nodeName).mkString(", "))
     graft.GraftSession.releaseCaches(spark)
   }
+
+  test("contaminationReport: per held-out doc leak stats — sites, covered " +
+      "tokens, merged spans, longest span; zeros for clean docs") {
+    val held = Seq(
+      (1L, "a b c d e f g h i j"),          // one leaked window at pos 0
+      (2L, "a b c d e f g h x1 x2 m1 m2 m3 m4 m5 m6 m7 m8"), // two leaks, gap > n
+      (3L, (1 to 16).map("c" + _).mkString(" ")), // fully leaked 16-token run
+      (4L, "n1 n2 n3 n4 n5 n6 n7 n8 n9"),   // clean
+      (5L, "s1 s2 s3")                      // short: no window, clean by definition
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      (100L, "z1 z2 a b c d e f g h z3"),
+      (101L, "s1 s2 s3 filler w1 w2 w3 w4 w5"),
+      (102L, "m1 m2 m3 m4 m5 m6 m7 m8"),
+      (103L, (1 to 16).map("c" + _).mkString(" "))
+    ).toDF("doc_id", "text")
+    val rep = TextAnalysis.contaminationReport(held, corpus, "doc_id", "text", n = 8)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(rep === Array(
+      (1L, 10L, 1L, 8L, 1L, 8L),
+      (2L, 18L, 2L, 16L, 2L, 8L),   // the two leaks never merge (gap 10 > 8)
+      (3L, 16L, 9L, 16L, 1L, 16L),  // 9 overlapping windows merge into ONE 16-token span
+      (4L, 9L, 0L, 0L, 0L, 0L),
+      (5L, 3L, 0L, 0L, 0L, 0L)),
+      "every held-out doc reports; stats read off the merged leak intervals")
+    // cross-operator identity on the real corpus: the report's covered
+    // tokens and span count must equal what exactSubstrRemoveAgainst would
+    // CUT under the same split — same machinery, audit vs removal grain
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val h = docs.where(col("doc_id") % 7 === 0)
+    val c = docs.where(col("doc_id") % 7 =!= 0)
+    val report = TextAnalysis.contaminationReport(h, c, "doc_id", "text", n = 8)
+    val removal = TextAnalysis.exactSubstrRemoveAgainst(h, c, "doc_id", "text", n = 8)
+      .select(col("doc_id"), col("n_tokens").as("rm_n"),
+        col("n_removed"), col("n_spans"))
+    val j = report.join(removal, Seq("doc_id")).cache()
+    assert(j.count() === h.count(), "report and removal cover the same docs")
+    assert(j.where(col("n_tokens") =!= col("rm_n") ||
+      col("leaked_tokens") =!= col("n_removed") ||
+      col("leaked_spans") =!= col("n_spans")).count() === 0,
+      "leaked_tokens/leaked_spans ≡ the removal's n_removed/n_spans")
+    // the longest span is bounded by the covered mass and reaches ≥ n
+    // wherever anything leaked at all
+    assert(j.where(col("max_span_tokens") > col("leaked_tokens")).count() === 0)
+    assert(j.where(col("leaked_sites") > 0 && col("max_span_tokens") < 8).count() === 0)
+    j.unpersist()
+    // split API ≡ fused, and the corpusGrams contract is guarded
+    val grams = TextAnalysis.corpusGramHashes(c, "doc_id", "text", n = 8)
+      .persist()
+    assert(TextAnalysis.contaminationReportAgainstGrams(h, grams, "doc_id", "text", n = 8)
+      .collect().map(_.toString).sorted.toSeq ===
+      report.collect().map(_.toString).sorted.toSeq)
+    grams.unpersist()
+    assert(intercept[IllegalArgumentException] {
+      TextAnalysis.contaminationReportAgainstGrams(h, c, "doc_id", "text", n = 8)
+    }.getMessage.contains("corpusGrams"))
+    graft.GraftSession.releaseCaches(spark)
+  }
 }
