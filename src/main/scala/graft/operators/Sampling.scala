@@ -92,6 +92,53 @@ object Sampling {
     df.where(hashBucket(key, buckets) < cut)
   }
 
+  /** Epoch-weighted mixture EXPANSION — the upsampling counterpart of
+    * [[mixToWeights]]: materialize per-stratum epoch factors (the
+    * pretraining recipe "wikipedia × 3.2 epochs, web × 0.5") by emitting
+    * each row `⌊w⌋` times plus one more iff its content-hash bucket falls
+    * under the fractional part — so a 3.2-epoch stratum repeats every doc
+    * 3 times and a deterministic 20% of docs a 4th, and a 0.5-epoch
+    * stratum keeps a deterministic half once. Strata not named keep
+    * `defaultEpochs` (1.0 = pass through). A weight of 0 drops the
+    * stratum.
+    *
+    * Output is the input schema plus an `epoch` column (0-based copy
+    * index), so downstream shuffling/export can spread copies apart and
+    * a (key, epoch) pair stays unique. The decision reuses
+    * [[hashBucket]]'s content hash: stable across runs, engines,
+    * partitioning, and appends, exactly as the rest of the family —
+    * and fractions quantize to bucket granularity (default 1%), floor'd,
+    * like [[stratifiedSample]].
+    *
+    * Scale shape: pure per-row expressions + a narrow explode (no
+    * shuffle, no join, no state); output size = Σ_s |s|·w_s by
+    * construction. At 100 TB the expansion is usually the LAST step
+    * before shard export — compose with [[corpusShuffle]] keyed on
+    * (key, epoch) so repeats land in different shards. */
+  def epochExpand(df: DataFrame, key: Column, stratum: Column,
+                  epochs: Seq[(String, Double)], defaultEpochs: Double = 1.0,
+                  buckets: Int = 100): DataFrame = {
+    require(epochs.forall(_._2 >= 0),
+      s"epoch factors must be non-negative, got $epochs")
+    require(defaultEpochs >= 0,
+      s"defaultEpochs must be non-negative, got $defaultEpochs")
+    require(epochs.map(_._1).distinct.size == epochs.size,
+      s"duplicate stratum names in epochs (a duplicate would silently " +
+        s"last-win): ${epochs.map(_._1)}")
+    require(!df.columns.contains("epoch"),
+      "input columns collide with reserved names: epoch")
+    val w = epochs.foldLeft(lit(defaultEpochs)) {
+      case (acc, (s, f)) => when(stratum === s, lit(f)).otherwise(acc)
+    }
+    val whole = floor(w).cast("int")
+    val fracBuckets = floor((w - floor(w)) * buckets).cast("long")
+    val copies = whole +
+      when(hashBucket(key, buckets) < fracBuckets, lit(1)).otherwise(lit(0))
+    df.withColumn("epoch",
+        explode(when(copies > 0, sequence(lit(0), copies - 1))
+          .otherwise(array().cast("array<int>"))))
+  }
+
   /** EXACTLY-k-per-stratum deterministic sample: rank each stratum's rows
     * by the md5 of their key (key itself as the tie-break) and keep the k
     * smallest — the fixed-BUDGET companion to [[stratifiedSample]]'s fixed

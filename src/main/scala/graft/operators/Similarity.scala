@@ -359,6 +359,98 @@ object Similarity {
         col("rk").cast("long").as("rk"))
   }
 
+  /** Train an 8-bit SCALAR quantizer (the FAISS IndexScalarQuantizer
+    * QT_8bit shape, the third codec tier between exact vectors and PQ):
+    * each dimension gets an independent affine [min, max] range and codes
+    * are the 0…255 grid buckets — 4× smaller than float32 at far higher
+    * fidelity than PQ's m bytes (SQ loses ~1/255 of each dim's range; PQ
+    * loses whole-subspace structure), the standard memory/recall
+    * middle ground.
+    *
+    * Returns (mins, maxs) as dim-sized driver arrays — bounded like the
+    * PQ codebooks (dim doubles, not corpus data). Scale shape: ONE
+    * distributed pass — posexplode to (dim, value) then a map-side-
+    * combined min/max per dim, so the corpus×dim explosion collapses to
+    * partitions×dim rows before the (tiny) shuffle. */
+  def sqTrain(corpus: DataFrame, idCol: String = "vec_id",
+              vecCol: String = "embedding"): (Array[Double], Array[Double]) = {
+    val mm = corpus.select(posexplode(col(vecCol)).as(Seq("sq_i", "sq_x")))
+      .groupBy("sq_i")
+      .agg(min(col("sq_x").cast("double")).as("mn"),
+        max(col("sq_x").cast("double")).as("mx"))
+      .orderBy("sq_i").collect()
+    require(mm.nonEmpty, "cannot train a scalar quantizer on an empty corpus")
+    (mm.map(_.getDouble(1)), mm.map(_.getDouble(2)))
+  }
+
+  /** SQ-encode the corpus: each vector compresses to one `sq_code`
+    * array<int> of 0…255 grid buckets — round((x−mn)·255/(mx−mn)),
+    * clamped so out-of-train-range values (appends after training) still
+    * encode, constant dimensions (mx == mn) code 0. Pure row-local
+    * expressions over dim-sized literal ranges: no shuffle, no join,
+    * integer-deterministic. */
+  def sqEncode(corpus: DataFrame, mins: Array[Double], maxs: Array[Double],
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(mins.length == maxs.length && mins.nonEmpty,
+      s"mins/maxs must be equal-length and non-empty, got ${mins.length}/${maxs.length}")
+    val mn = typedLit(mins.toSeq)
+    val mx = typedLit(maxs.toSeq)
+    corpus.select(col(idCol),
+      transform(col(vecCol), (x, i) => {
+        val lo = element_at(mn, i + 1); val hi = element_at(mx, i + 1)
+        when(hi > lo,
+          least(greatest(round((x.cast("double") - lo) * 255.0 / (hi - lo))
+            .cast("int"), lit(0)), lit(255)))
+          .otherwise(lit(0))
+      }).as("sq_code"))
+  }
+
+  /** SQ top-k search: queries score the quantizer's RECONSTRUCTIONS
+    * (mn_i + code_i·(mx_i−mn_i)/255) by the same query-constant-dropped
+    * squared-L2 the PQ tier ranks with — |x̂|² − 2·q·x̂ — so the whole
+    * corpus is scanned at 8-bit fidelity, the RAM-resident baseline tier
+    * exactly like [[pqTopK]] (the probed/refined tiers remain the scale
+    * path; SQ composes under IVF the same way PQ does).
+    *
+    * Plan shape mirrors [[pqTopK]] and inherits its measured lesson: the
+    * corpus side persists DECODED (plus its precomputed |x̂|²) before the
+    * broadcast join, because a BroadcastNestedLoopJoin re-drives its
+    * stream-side projection per PAIR — an unmaterialized decode would be
+    * re-run |queries|× per row. Persisting reconstructions trades the
+    * codes' 4× RAM edge for kernel-speed scoring; at a scale where that
+    * matters the index belongs in the stored/probed tiers anyway, and the
+    * PARQUET/storage side keeps the 4× (codes travel, doubles don't). */
+  def sqTopK(queries: DataFrame, codes: DataFrame,
+             mins: Array[Double], maxs: Array[Double], k: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(mins.length == maxs.length && mins.nonEmpty,
+      s"mins/maxs must be equal-length and non-empty, got ${mins.length}/${maxs.length}")
+    require(codes.columns.contains("sq_code"),
+      s"codes must carry sq_code (from sqEncode), got ${codes.columns.mkString(", ")}")
+    val mn = typedLit(mins.toSeq)
+    val step = typedLit(maxs.zip(mins).map { case (hi, lo) =>
+      if (hi > lo) (hi - lo) / 255.0 else 0.0 }.toSeq)
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("sq_qv"))
+    val c = codes
+      .select(col(idCol).as("neighbor_id"),
+        transform(col("sq_code"), (cd, i) =>
+          element_at(mn, i + 1) + element_at(step, i + 1) * cd).as("sq_dec"))
+      .withColumn("sq_cn",
+        graft.functions.VectorFunctions.vectorDot(col("sq_dec"), col("sq_dec")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sq_dist").asc, col("neighbor_id").asc)
+    broadcast(q).crossJoin(c)
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sq_dist", round(col("sq_cn") - lit(2.0) *
+        graft.functions.VectorFunctions.vectorDot(col("sq_qv"), col("sq_dec")), 6))
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sq_dist"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** Shared ADC distance: Σ_s (|q_s|² + |c_{code_s}|² − 2·q_s·c_{code_s}),
     * folded subspace-ascending; expects q_sub_s / q_nrm_s attributes on the
     * query side and code_s columns on the corpus side. */

@@ -177,6 +177,101 @@ object CurationPipeline {
     Report(stages.toSeq, exportPath, shards, keptTokens)
   }
 
+  /** Incremental ingest — ONE batch through the curation gauntlet against
+    * the existing curated state: the shape a nightly crawl append or a
+    * `foreachBatch` stream runs, where [[run]] is the from-scratch build.
+    * Returns the batch's SURVIVORS (`id`, `langCol`, `clean_text`) for the
+    * caller to append to the state; the corpus and suite are never
+    * touched. Stages mirror [[run]] 1–3 with incremental semantics:
+    *
+    *   1. ''Clean'': self-duplicated spans WITHIN the batch are cut
+    *      (batch-local; corpus-side span overlap is the decontaminate
+    *      stage's job only for the suite — cutting every span the corpus
+    *      already holds would empty legitimate near-miss docs that stage
+    *      2 is about to judge whole).
+    *   2. ''Dedup'', arrival-order-wins: within the batch, each near-dup
+    *      cluster keeps its canonical (min-id) doc exactly as [[run]];
+    *      then any batch doc with Jaccard ≥ τ against the EXISTING corpus
+    *      is dropped whole — the corpus doc arrived first and stays, the
+    *      q62 incremental-ingest semantics. (So sequential batches are
+    *      NOT order-invariant where duplicates straddle batches: the
+    *      earlier arrival survives. That is the contract every
+    *      incremental dedup has; batch-internal outcomes match [[run]].)
+    *   3. ''Decontaminate'' against `suiteGrams` — a relation from
+    *      [[graft.operators.TextAnalysis.corpusGramHashes]]. NOTE the
+    *      cross-bracket state rule: each batch runs inside a cache
+    *      bracket that releases EVERY session cache, so a `.persist()`ed
+    *      gram relation is silently demoted to recompute-per-batch after
+    *      the first call. For an eval-sized suite that recompute is
+    *      suite-sized and harmless; to make it zero, STAGE the grams to
+    *      parquet once and pass the `spark.read.parquet` handle — disk
+    *      staging is the cross-bracket state mechanism throughout this
+    *      driver, cache persists are bracket-local by design.
+    *
+    * Selection and export deliberately stay OFFLINE ([[run]] stages 4–5):
+    * the token-budget threshold is a global order statistic — feeding it
+    * per batch would select against a moving target and un-select nothing
+    * retroactively. Curate incrementally, select when you cut a dataset.
+    *
+    * Scale honesty: stages 1 and 3 are batch-sized (the suite relation is
+    * pre-reduced). Stage 2's cross check is the one per-batch pass that
+    * touches corpus-scale data — [[graft.operators.Dedup.crossJaccardPairs]]
+    * rebuilds the union's token document-frequency order per call (the
+    * PPJoin prefix theorem needs a SHARED rarest-first order, and the
+    * order shifts as the corpus grows, so it cannot be precomputed the
+    * way the suite grams can). That pass is one map-side-combined
+    * aggregate + the prefix candidate join with the batch side broadcast
+    * by AQE — q62's measured shape, sub-linear per decade (SCALE.md) —
+    * but it is NOT batch-sized; a deployment where it dominates should
+    * curate on a cadence, not per micro-batch.
+    *
+    * Contract: batch and corpus ids must be disjoint (crossJaccardPairs
+    * inherits it); `corpus` carries (`id`, `langCol`, `clean_text`).
+    * Survivors stage to `stagingPath` (parquet, overwrite) INSIDE the
+    * batch's cache bracket — the same materialize-then-release discipline
+    * as [[run]]'s stages, and the restart boundary a failed batch resumes
+    * from; the returned DataFrame reads from there. */
+  def ingestBatch(spark: SparkSession, batch: DataFrame, corpus: DataFrame,
+                  suiteGrams: DataFrame, stagingPath: String,
+                  id: String = "doc_id", textCol: String = "text",
+                  langCol: String = "lang",
+                  n: Int = 8, dedupThreshold: Double = 0.95): DataFrame = {
+    GraftSession.withCaches(spark, blocking = true) {
+      // 1. clean (batch-local spans), lang rides the id join as in run()
+      val clean = TextAnalysis.exactSubstrRemove(batch, id, textCol, n)
+        .select(col(id), col("clean_text"))
+        .join(batch.select(col(id), col(langCol)), Seq(id))
+      // 2a. within-batch canonicals — identical machinery to run() stage 2
+      val toks = clean.select(col(id), col(langCol),
+        array_distinct(split(col("clean_text"), " ")).as("tok"))
+      val canon = Dedup.canonicalIdsCascade(toks, id, "tok", langCol, dedupThreshold)
+      val selfKept = clean.join(canon, Seq(id))
+        .where(col(id) === col("canonical_id"))
+        .select(col(id), col(langCol), col("clean_text"))
+      // 2b. arrival-order-wins vs the corpus: batch docs matching any
+      // corpus doc at ≥ τ drop whole
+      val crossDup = Dedup.crossJaccardPairs(
+          selfKept.select(col(id), col(langCol),
+            array_distinct(split(col("clean_text"), " ")).as("tok")),
+          corpus.select(col(id), col(langCol),
+            array_distinct(split(col("clean_text"), " ")).as("tok")),
+          id, "tok", langCol, dedupThreshold)
+        .select(col("left_id").as(id)).distinct()
+      val survivors = selfKept.join(crossDup, Seq(id), "left_anti")
+      // 3. decontaminate against the caller-persisted suite grams, then
+      // stage: the write is the in-bracket materialization (a lazy result
+      // escaping the bracket would recompute unpersisted lineage)
+      TextAnalysis.exactSubstrRemoveAgainstGrams(
+          survivors.select(col(id), col("clean_text")), suiteGrams,
+          id, "clean_text", n)
+        .select(col(id), col("clean_text"))
+        .join(survivors.select(col(id), col(langCol)), Seq(id))
+        .select(col(id), col(langCol), col("clean_text"))
+        .write.mode("overwrite").parquet(stagingPath)
+    }
+    spark.read.parquet(stagingPath)
+  }
+
   /** Sum of the manifest's per-shard `rows` fields, read through the
     * export root's own filesystem (works on HDFS/S3A paths, not just
     * local disk). The `"rows":N` field is written by

@@ -927,6 +927,28 @@ object OracleSql {
         |FROM documents d JOIN cuts USING (lang)
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < cut""".stripMargin,
 
+    // q100: the epoch expansion replayed literally — same bucket hash as
+    // q54, per-row copies = ⌊w⌋ + (bucket < ⌊frac(w)·100⌋), epochs
+    // unnested 0-based. The frac arithmetic is written (w - floor(w)) in
+    // both engines so the IEEE noise (3.2 - 3.0 = 0.2000…018 → bucket cut
+    // 20) replays bit-for-bit.
+    "q100_epoch_mixture" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b,
+        |         CASE source WHEN 'src0' THEN CAST(3.2 AS DOUBLE)
+        |                     WHEN 'src1' THEN CAST(0.5 AS DOUBLE)
+        |                     WHEN 'src2' THEN CAST(0.0 AS DOUBLE)
+        |                     ELSE CAST(1.0 AS DOUBLE) END AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, source,
+        |             CAST(floor(w) AS INT)
+        |               + CASE WHEN b < floor((w - floor(w)) * 100) THEN 1 ELSE 0 END AS copies
+        |      FROM d)
+        |SELECT doc_id, source,
+        |       CAST(unnest(generate_series(0, copies - 1)) AS INT) AS epoch
+        |FROM c WHERE copies > 0""".stripMargin,
+
     "q55_passage_dedup" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
         |c AS (SELECT doc_id, tok, len(tok) AS n,
@@ -1202,6 +1224,43 @@ object OracleSql {
         |       CAST(max(CASE WHEN s = 2 THEN code END) AS BIGINT) AS code_2,
         |       CAST(max(CASE WHEN s = 3 THEN code END) AS BIGINT) AS code_3
         |FROM a1 GROUP BY 1""".stripMargin,
+
+    // q101: the scalar quantizer replayed literally — per-dim min/max
+    // (exact, no summation order), affine 0…255 codes with the clamp and
+    // constant-dim guard written as the engine writes them, decode, then
+    // the same query-constant-dropped squared L2 as q70 (|x̂|² − 2·q·x̂,
+    // both sums left-to-right).
+    "q101_sq_topk" ->
+      """WITH dims AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |mm AS (SELECT u.i, min(CAST(e.embedding[u.i] AS DOUBLE)) AS mn,
+        |              max(CAST(e.embedding[u.i] AS DOUBLE)) AS mx
+        |       FROM embeddings e, dims u GROUP BY 1),
+        |ml AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM mm),
+        |dec AS (
+        |  SELECT e.vec_id,
+        |         list_transform(generate_series(1, 64), i ->
+        |           mns[i]
+        |           + CASE WHEN mxs[i] > mns[i]
+        |                  THEN (mxs[i] - mns[i]) / 255.0 ELSE 0.0 END
+        |             * least(greatest(round(
+        |                 (CAST(e.embedding[i] AS DOUBLE) - mns[i]) * 255.0
+        |                 / CASE WHEN mxs[i] > mns[i]
+        |                        THEN mxs[i] - mns[i] ELSE 1.0 END), 0), 255)) AS d
+        |  FROM embeddings e, ml),
+        |cn AS (SELECT vec_id, d,
+        |              list_sum(list_transform(d, x -> x * x)) AS nrm
+        |       FROM dec),
+        |q AS (SELECT vec_id AS query_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+        |      FROM embeddings WHERE vec_id < 10),
+        |p AS (SELECT q.query_id, cn.vec_id AS neighbor_id,
+        |             round(cn.nrm - 2 * list_sum(list_transform(
+        |               generate_series(1, 64), i -> q.qv[i] * cn.d[i])), 6) AS sq_dist
+        |      FROM q, cn WHERE q.query_id <> cn.vec_id)
+        |SELECT query_id, neighbor_id, sq_dist, CAST(rk AS BIGINT) AS rk
+        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY sq_dist, neighbor_id) AS rk FROM p)
+        |WHERE rk <= 5""".stripMargin,
 
     "q70_pq_adc" ->
       """WITH params AS (SELECT unnest(generate_series(0, 3)) AS s),

@@ -909,6 +909,19 @@ object Queries {
       Similarity.pqEncode(e, books), books, k = 5)
   }
 
+  /** SQ8 top-5 — the scalar-quantizer codec tier (FAISS
+    * IndexScalarQuantizer QT_8bit): per-dim affine [min,max] ranges
+    * trained in one pass, corpus compressed to 0…255 grid codes, queries
+    * scan the reconstructions by the same query-constant-dropped squared
+    * L2 the PQ tier ranks with. The middle memory/recall point between
+    * q27's exact floats and q70's m-byte PQ. */
+  val q101_sq_topk: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val (mins, maxs) = Similarity.sqTrain(e)
+    Similarity.sqTopK(e.where(col("vec_id") < 10),
+      Similarity.sqEncode(e, mins, maxs), mins, maxs, k = 5)
+  }
+
   /** IVF+PQ top-5 — the production FAISS index shape composed from the
     * engine's own tiers: coarse clusters prune the corpus (equi-join on
     * the probed cluster ids), PQ codes compress what remains to m bytes
@@ -1080,6 +1093,17 @@ object Queries {
     Sampling.keepByTokenBudget(scored, col("doc_id"), col("quality"),
       col("n_tokens"), budget = 20000L)
   }
+
+  /** Epoch-weighted mixture expansion: the pretraining recipe
+    * "src0 × 3.2 epochs, src1 × 0.5, src2 dropped, everything else × 1"
+    * materialized — each doc repeats ⌊w⌋ times plus one more iff its
+    * content-hash bucket falls under the fractional part, with a 0-based
+    * `epoch` copy index. Deterministic, engine-replayable (md5 is md5). */
+  val q100_epoch_mixture: Q = (s, dir) =>
+    Sampling.epochExpand(
+      Tables.documents(s, dir).select(col("doc_id"), col("source")),
+      col("doc_id"), col("source"),
+      Seq("src0" -> 3.2, "src1" -> 0.5, "src2" -> 0.0), defaultEpochs = 1.0)
 
   /** Per-DOMAIN token-budget selection: q95's cut applied independently
     * inside every `source` — the per-domain cap real web curation uses so
@@ -1398,5 +1422,7 @@ object Queries {
     "q97_ann_filtered_refined" -> q97_ann_filtered_refined,
     "q98_domain_budget" -> q98_domain_budget,
     "q99_contamination_report" -> q99_contamination_report,
+    "q100_epoch_mixture" -> q100_epoch_mixture,
+    "q101_sq_topk" -> q101_sq_topk,
   )
 }

@@ -19,9 +19,12 @@ class PlanContractSpec extends SparkSpec {
     *    anyway — 1 × N is linear, not quadratic).
     *  - q93: kNN labeling's neighbor stage IS q27's brute tier (the same
     *    broadcast small-query-set × corpus scan); the vote stage on top
-    *    is equi-join + reduce only. */
+    *    is equi-join + reduce only.
+    *  - q101: SQ8 search is q70's whole-corpus ADC shape at a different
+    *    codec (small query set × persisted reconstruction relation). */
   private val intendedBnlj = Set("q27_ann_cosine", "q70_pq_adc",
-    "q63_source_drift", "q64_distinctive_terms", "q93_knn_label")
+    "q63_source_drift", "q64_distinctive_terms", "q93_knn_label",
+    "q101_sq_topk")
 
   test("no declared query plans a cartesian product; BNLJ only where intended") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -376,6 +376,57 @@ class SamplingSpec extends SparkSpec {
     }.getMessage.contains("tk_n"))
   }
 
+  test("epochExpand: ⌊w⌋ copies plus a deterministic hash-bucket extra, " +
+      "0-based epoch index, coherent with stratifiedSample's cut") {
+    val df = (0L until 600L).map(n =>
+      (n, if (n < 200) "A" else if (n < 400) "B" else "C")).toDF("doc_id", "grp")
+    val out = Sampling.epochExpand(df, col("doc_id"), col("grp"),
+      Seq("A" -> 2.5, "B" -> 0.25), defaultEpochs = 1.0)
+      .as[(Long, String, Int)].collect()
+    val copies = out.groupBy(_._1).view.mapValues(_.length).toMap
+    val buckets = df.withColumn("b", Sampling.hashBucket(col("doc_id")))
+      .as[(Long, String, Long)].collect().map(r => r._1 -> r._3).toMap
+    // A (2.5): 2 copies, 3 iff bucket < 50; B (0.25): 1 copy iff bucket
+    // < 25, else dropped; C (default 1.0): exactly once
+    (0L until 200L).foreach { n =>
+      assert(copies.getOrElse(n, 0) === (if (buckets(n) < 50) 3 else 2)) }
+    (200L until 400L).foreach { n =>
+      assert(copies.getOrElse(n, 0) === (if (buckets(n) < 25) 1 else 0)) }
+    (400L until 600L).foreach { n => assert(copies.getOrElse(n, 0) === 1) }
+    // epoch is exactly 0..copies-1 per doc
+    out.groupBy(_._1).foreach { case (n, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (0 until copies(n)).toSeq) }
+    // the fractional-copy decision IS stratifiedSample's cut: B's kept set
+    // equals the 0.25-fraction stratified sample of the B slice
+    val bKept = out.filter(_._2 == "B").map(_._1).toSet
+    val strat = Sampling.stratifiedSample(df.where(col("grp") === "B"),
+      col("doc_id"), col("grp"), Seq("B" -> 0.25))
+      .as[(Long, String)].collect().map(_._1).toSet
+    assert(bKept === strat)
+    // weight 0 drops a stratum outright; all-1.0 ≡ input + epoch 0
+    assert(Sampling.epochExpand(df, col("doc_id"), col("grp"),
+      Seq("C" -> 0.0)).where(col("grp") === "C").count() === 0)
+    val id = Sampling.epochExpand(df, col("doc_id"), col("grp"), Seq())
+      .as[(Long, String, Int)].collect()
+    assert(id.length === 600 && id.forall(_._3 == 0))
+    // layout invariance
+    assert(Sampling.epochExpand(df.repartition(7), col("doc_id"), col("grp"),
+      Seq("A" -> 2.5, "B" -> 0.25)).as[(Long, String, Int)].collect().toSet
+      === out.toSet)
+    // guards
+    assert(intercept[IllegalArgumentException] {
+      Sampling.epochExpand(df, col("doc_id"), col("grp"), Seq("A" -> -1.0))
+    }.getMessage.contains("non-negative"))
+    assert(intercept[IllegalArgumentException] {
+      Sampling.epochExpand(df, col("doc_id"), col("grp"),
+        Seq("A" -> 1.0, "A" -> 2.0))
+    }.getMessage.contains("duplicate"))
+    assert(intercept[IllegalArgumentException] {
+      Sampling.epochExpand(df.withColumn("epoch", lit(0)), col("doc_id"),
+        col("grp"), Seq("A" -> 1.0))
+    }.getMessage.contains("epoch"))
+  }
+
   test("keepByGroupTokenBudget: per-group maximal prefix, equals the naive " +
       "per-group window and the global operator applied per group") {
     // group A: 0.9 level (300) fits whole, 0.5 level takes the boundary

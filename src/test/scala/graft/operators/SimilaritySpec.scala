@@ -1661,4 +1661,73 @@ class SimilaritySpec extends SparkSpec {
       graft.GraftSession.releaseCaches(spark, blocking = true)
     }
   }
+
+  test("SQ8: per-dim affine training, grid codes, and near-exact L2 ranking") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val (mins, maxs) = Similarity.sqTrain(e)
+    // training is exact per-dim min/max — replay it driver-side
+    val vecs = e.select(col("embedding")).as[Seq[Float]].collect()
+    val dim = vecs.head.length
+    assert(mins.length === dim && maxs.length === dim)
+    (0 until dim).foreach { i =>
+      assert(mins(i) === vecs.map(_(i).toDouble).min)
+      assert(maxs(i) === vecs.map(_(i).toDouble).max)
+    }
+    // codes live on the 0…255 grid; the per-dim extremes hit the rails;
+    // layout cannot matter (row-local expressions)
+    val codes = Similarity.sqEncode(e, mins, maxs)
+    val codeRows = codes.as[(Long, Seq[Int])].collect()
+    assert(codeRows.forall(_._2.forall(c => c >= 0 && c <= 255)))
+    (0 until dim).foreach { i =>
+      if (maxs(i) > mins(i)) {
+        assert(codeRows.map(_._2(i)).min === 0, s"dim $i min must code 0")
+        assert(codeRows.map(_._2(i)).max === 255, s"dim $i max must code 255")
+      }
+    }
+    assert(Similarity.sqEncode(e.repartition(7), mins, maxs)
+      .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+      === codeRows.sortBy(_._1).toSeq)
+    // constant dims code 0 and decode to the constant
+    val const = Seq((1L, Seq(2.0f, 5.0f)), (2L, Seq(3.0f, 5.0f))).toDF("vec_id", "embedding")
+    val (cm, cx) = Similarity.sqTrain(const)
+    assert(cx(1) === cm(1))
+    assert(Similarity.sqEncode(const, cm, cx).as[(Long, Seq[Int])]
+      .collect().forall(_._2(1) === 0))
+    // ranking: at 8-bit fidelity over this corpus the top-5 should be the
+    // exact L2 top-5 for nearly every query — compare against exact L2
+    // computed inline (same tie-break)
+    val qs = e.where(col("vec_id") < 10)
+    val sq = Similarity.sqTopK(qs, Similarity.sqEncode(e, mins, maxs),
+      mins, maxs, k = 5)
+    assert(sq.groupBy("query_id").count().collect().forall(_.getLong(1) === 5L))
+    val exact = {
+      val q = qs.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+        .orderBy(col("d").asc, col("neighbor_id").asc)
+      broadcast(q).crossJoin(c).where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("d",
+          graft.functions.VectorFunctions.vectorDot(col("nv"), col("nv"))
+            - lit(2.0) * graft.functions.VectorFunctions.vectorDot(col("qv"), col("nv")))
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= 5)
+        .select(col("query_id"), col("neighbor_id"))
+    }
+    val sqSet = sq.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val exSet = exact.as[(Long, Long)].collect().toSet
+    val recall = (sqSet intersect exSet).size.toDouble / exSet.size
+    assert(recall >= 0.9, s"SQ8 recall@5 vs exact L2 fell to $recall")
+    // guards
+    assert(intercept[IllegalArgumentException] {
+      Similarity.sqTopK(qs, e, mins, maxs, k = 5)
+    }.getMessage.contains("sq_code"))
+    assert(intercept[IllegalArgumentException] {
+      Similarity.sqTopK(qs, codes, mins, maxs.dropRight(1), k = 5)
+    }.getMessage.contains("equal-length"))
+    assert(intercept[IllegalArgumentException] {
+      Similarity.sqTopK(qs, codes, mins, maxs, k = 0)
+    }.getMessage.contains("k"))
+    graft.GraftSession.releaseCaches(spark, blocking = true)
+  }
 }

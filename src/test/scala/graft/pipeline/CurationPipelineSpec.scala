@@ -120,6 +120,66 @@ class CurationPipelineSpec extends SparkSpec {
     }
   }
 
+  test("ingestBatch: the incremental chain — batch-local clean, " +
+      "arrival-order-wins dedup, suite decontamination, staged survivors") {
+    import spark.implicits._
+    // near-dups are ORDER PERMUTATIONS: identical token sets (Jaccard 1.0)
+    // with no shared 8-gram, so the clean stage leaves them intact and the
+    // dedup stage is what judges them — isolating the two stages
+    def words(p: String, k: Int) = (1 to k).map(p + _)
+    val d1 = words("a", 20); val d2 = words("b", 12)
+    val suite = Seq((900L, words("h", 9).mkString(" "))).toDF("doc_id", "text")
+    val suiteGrams = graft.operators.TextAnalysis
+      .corpusGramHashes(suite, "doc_id", "text", n = 8)
+    val emptyState = Seq.empty[(Long, String, String)]
+      .toDF("doc_id", "lang", "clean_text")
+    val root = java.nio.file.Files.createTempDirectory("curation_inc").toString
+    // bootstrap: first batch against an empty state
+    val batch0 = Seq((1L, "en", d1.mkString(" ")), (2L, "en", d2.mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val state1 = CurationPipeline.ingestBatch(spark, batch0, emptyState,
+      suiteGrams, s"$root/b0")
+    assert(state1.as[(Long, String, String)].collect().toSet === Set(
+      (1L, "en", d1.mkString(" ")), (2L, "en", d2.mkString(" "))),
+      "clean batch against empty state passes through intact")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "the batch bracket must release every cache")
+    // second batch: one cross-dup of state (reversed d1), one internal dup
+    // pair (permutations of each other), one suite-contaminated doc, one
+    // clean doc
+    val batch1 = Seq(
+      (10L, "en", d1.reverse.mkString(" ")),
+      (11L, "en", words("w", 15).mkString(" ")),
+      (12L, "en", words("w", 15).reverse.mkString(" ")),
+      (13L, "en", ("c1 c2 c3 " + words("h", 8).mkString(" ") + " c4 c5")),
+      (14L, "en", words("z", 10).mkString(" "))
+    ).toDF("doc_id", "lang", "text")
+    val out = CurationPipeline.ingestBatch(spark, batch1, state1,
+      suiteGrams, s"$root/b1").as[(Long, String, String)].collect().toSet
+    assert(out === Set(
+      (11L, "en", words("w", 15).mkString(" ")), // min-id canonical of 11/12
+      (13L, "en", "c1 c2 c3 c4 c5"),             // the leaked 8-token span cut
+      (14L, "en", words("z", 10).mkString(" "))),
+      "cross-dup dropped whole (arrival-order-wins), internal pair keeps " +
+        "its canonical, suite span cut, clean doc intact")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    // invariants a longer run relies on: survivors never near-dup the
+    // state, and never carry a suite gram
+    val pairs = Dedup.crossJaccardPairs(
+      Seq((11L, "en", words("w", 15)), (13L, "en", Seq("c1", "c2", "c3", "c4", "c5")),
+        (14L, "en", words("z", 10))).toDF("doc_id", "lang", "tok"),
+      state1.select(col("doc_id"), col("lang"),
+        array_distinct(split(col("clean_text"), " ")).as("tok")),
+      "doc_id", "tok", "lang", 0.95)
+    assert(pairs.count() === 0)
+    // staging parquet is the restart boundary: re-reading it equals the
+    // returned relation
+    assert(spark.read.parquet(s"$root/b1").as[(Long, String, String)]
+      .collect().toSet === out)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    graft.GraftSession.releaseCaches(spark, blocking = true)
+  }
+
   test("decontamination cut held-out spans: suite 8-grams are absent from " +
       "the exported text") {
     val (root, _) = run
