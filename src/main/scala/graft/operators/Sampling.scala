@@ -346,9 +346,17 @@ object Sampling {
     val reserved = Seq("tk_score", "tk_key", "tk_rn").filter(df.columns.contains)
     require(reserved.isEmpty,
       s"input columns collide with reserved names: ${reserved.mkString(", ")}")
+    // Persisted BELOW the null/NaN filter, for the same two measured
+    // reasons as keepByGroupTokenBudget's scored relation (see the
+    // comment there; ProfileQ98Attrib): the histogram job and the
+    // selection pass both read it, and a filter pushed beneath the cache
+    // re-substitutes the caller's score expression into every reference.
+    // The histogram collect() doubles as the sequential materializer.
+    // Lifecycle owner: GraftSession.releaseCaches.
     val s = df
       .withColumn("tk_score", score.cast("double"))
       .withColumn("tk_key", key.cast("string"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .where(col("tk_score").isNotNull && !isnan(col("tk_score")))
     // ONE corpus pass builds the histogram; it is cached so the guard
     // count and the collect read the same computed relation (a bare
@@ -414,10 +422,16 @@ object Sampling {
     val reserved = Seq("tk_score", "tk_key", "tk_n", "tk_cum").filter(df.columns.contains)
     require(reserved.isEmpty,
       s"input columns collide with reserved names: ${reserved.mkString(", ")}")
+    // Persisted below the filter — same double-read /
+    // expression-re-substitution rationale as topKByScore and
+    // keepByGroupTokenBudget (ProfileQ98Attrib); the histogram collect()
+    // is the sequential materializer.
+    // Lifecycle owner: GraftSession.releaseCaches.
     val s = df
       .withColumn("tk_score", score.cast("double"))
       .withColumn("tk_key", key.cast("string"))
       .withColumn("tk_n", tokenCount.cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .where(col("tk_score").isNotNull && !isnan(col("tk_score")) &&
         col("tk_n").isNotNull && col("tk_n") > 0)
     val histDf = s.groupBy("tk_score")
@@ -474,15 +488,16 @@ object Sampling {
     *      levels with `tk_prev ≥ budget` are dropped, levels fitting
     *      whole are kept outright, and the single boundary level per
     *      group carries its remaining budget `tk_rem = budget − tk_prev`.
-    *   3. The decision joins back to the corpus on (group, score) — the
-    *      same keys step 1 exchanged on, so the exchange is reused; the
-    *      inner join IS the drop filter. Only boundary rows take the
-    *      running-sum window, partitioned by (group, score): its input is
-    *      answer-sized (each group's kept set numbers ≤ `budgetPerGroup`
-    *      docs because every selectable doc carries ≥ 1 token), and a
-    *      giant group's boundary tie set composes with
-    *      [[fixedSizeSample]]'s md5-prefix pre-cut exactly as the global
-    *      operator documents.
+    *   3. The decision joins back to the corpus on (group, score); the
+    *      inner join IS the drop filter (the corpus side pays one hash
+    *      exchange here — its rows never sort; the level side arrives
+    *      already partitioned by its aggregate). The running-sum window
+    *      then adds NO exchange — it partitions by the join's own
+    *      (group, score) keys — and its input is answer-sized (each
+    *      group's kept set numbers ≤ `budgetPerGroup` docs because every
+    *      selectable doc carries ≥ 1 token); a giant group's boundary tie
+    *      set composes with [[fixedSizeSample]]'s md5-prefix pre-cut
+    *      exactly as the global operator documents.
     *
     * Rows with a null group, null/NaN score, or non-positive token count
     * are never selected (same exclusions, same reasons, as the global
@@ -499,14 +514,40 @@ object Sampling {
       "tk_prev", "tk_rem", "tk_cum").filter(df.columns.contains)
     require(reserved.isEmpty,
       s"input columns collide with reserved names: ${reserved.mkString(", ")}")
-    val s = df
+    // The scored projection is PERSISTED, and the persist sits BELOW the
+    // degenerate-row filter — both halves matter (ProfileQ98Attrib, sf10,
+    // one bare scoring pass = 25.8 s):
+    //   - no persist at all: the lineage references the projection on both
+    //     selection sides (level aggregate + join) and Catalyst inlines
+    //     the caller's score expression into every reference site — the
+    //     regex-heavy quality score re-evaluated ~6× per row, 145.1 s;
+    //   - persist ABOVE the filter: predicate pushdown shoves the
+    //     null/NaN/positivity checks beneath the cache, straight onto the
+    //     parquet scan, where each tk_* reference substitutes the FULL
+    //     score expression again — the cache build itself pays ~3×
+    //     scoring, 71.2 s (plan-verified: Filter under the Projects);
+    //   - persist the bare projection, filter above it: the filter reads
+    //     cached scalars, one scoring pass total, 24–28 s.
+    // The cache is as narrow as the caller's projection (select the
+    // id/group/score/token columns before calling, as q98 does).
+    // Lifecycle owner: GraftSession.releaseCaches (the returned lineage
+    // reads the cache, so the operator cannot unpersist it itself).
+    val proj = df
       .withColumn("tk_grp", group.cast("string"))
       .withColumn("tk_score", score.cast("double"))
       .withColumn("tk_key", key.cast("string"))
       .withColumn("tk_n", tokenCount.cast("long"))
-      .where(col("tk_grp").isNotNull &&
-        col("tk_score").isNotNull && !isnan(col("tk_score")) &&
-        col("tk_n").isNotNull && col("tk_n") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val s = proj.where(col("tk_grp").isNotNull &&
+      col("tk_score").isNotNull && !isnan(col("tk_score")) &&
+      col("tk_n").isNotNull && col("tk_n") > 0)
+    // Materialize SEQUENTIALLY before the selection job: the level
+    // aggregate and the join are independent consumer stages, and a
+    // lazily-populated cache lets them race — both compute the scoring
+    // scan concurrently and the cache saves nothing. The global operators
+    // get this for free from their histogram collect(); here the count IS
+    // that materializer.
+    proj.count()
     // (group, score)-level token mass: the one corpus-wide aggregate
     val lvl = s.groupBy("tk_grp", "tk_score").agg(sum(col("tk_n")).as("tk_lvl"))
     // per-group mass strictly ABOVE each level (best score first); levels
