@@ -505,7 +505,12 @@ object Sampling {
     * the kept set is a pure function of content. The score must be
     * quantized (rounded) for the level relation to stay small; unlike the
     * global operator there is no driver-side cardinality fail-fast — the
-    * level relation never leaves the cluster. */
+    * level relation never leaves the cluster.
+    *
+    * The DOC-count cap ("keep the best k docs per domain") is this
+    * operator with `tokenCount = lit(1)` and `budgetPerGroup = k` — every
+    * doc charges one unit, so the maximal fitting prefix is exactly the
+    * top-k (spec-pinned identity against a per-group row_number). */
   def keepByGroupTokenBudget(df: DataFrame, group: Column, key: Column,
                              score: Column, tokenCount: Column,
                              budgetPerGroup: Long): DataFrame = {

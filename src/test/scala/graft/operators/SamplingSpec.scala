@@ -486,6 +486,19 @@ class SamplingSpec extends SparkSpec {
     // budget covering everything keeps every selectable row
     assert(Sampling.keepByGroupTokenBudget(df, col("grp"), col("doc_id"),
       col("score"), col("n_tok"), 100000L).count() === df.count())
+    // the doc-count cap identity: tokenCount = lit(1), budget = k IS
+    // per-group top-k by score (the scaladoc's claim, pinned)
+    val top2 = Sampling.keepByGroupTokenBudget(df, col("grp"), col("doc_id"),
+      col("score"), lit(1L), budgetPerGroup = 2L)
+      .as[(Long, String, Double, Long)].collect().toSet
+    val rn = df.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+          .orderBy(col("score").desc,
+            graft.functions.Md5LongFunction.md5Long(col("doc_id").cast("string")).asc,
+            col("doc_id").cast("string").asc)))
+      .where(col("rn") <= 2).drop("rn")
+      .as[(Long, String, Double, Long)].collect().toSet
+    assert(top2 === rn, "unit token counts make the budget a doc-count cap")
     // guards
     assert(intercept[IllegalArgumentException] {
       Sampling.keepByGroupTokenBudget(df, col("grp"), col("doc_id"),
