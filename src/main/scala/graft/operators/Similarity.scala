@@ -434,6 +434,12 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("sq_qv"))
     val c = codes
+      // null code arrays (a null corpus vector encodes to null) must be
+      // excluded BEFORE the ranking: the distance sort is ASCENDING and
+      // Spark sorts nulls first, so a null distance would silently win
+      // top-k slots (the brute/cosine tier is safe by accident — its sort
+      // is descending, nulls last)
+      .where(col("sq_code").isNotNull)
       .select(col(idCol).as("neighbor_id"),
         transform(col("sq_code"), (cd, i) =>
           element_at(mn, i + 1) + element_at(step, i + 1) * cd).as("sq_dec"))

@@ -1718,6 +1718,12 @@ class SimilaritySpec extends SparkSpec {
     val exSet = exact.as[(Long, Long)].collect().toSet
     val recall = (sqSet intersect exSet).size.toDouble / exSet.size
     assert(recall >= 0.9, s"SQ8 recall@5 vs exact L2 fell to $recall")
+    // a null corpus vector (null code array) must never occupy a top-k
+    // slot — the ascending distance sort would otherwise rank it FIRST
+    val withNull = Similarity.sqEncode(e, mins, maxs).unionByName(
+      Seq((9999L, null.asInstanceOf[Seq[Int]])).toDF("vec_id", "sq_code"))
+    assert(Similarity.sqTopK(qs, withNull, mins, maxs, k = 5)
+      .where(col("neighbor_id") === 9999L).count() === 0)
     // guards
     assert(intercept[IllegalArgumentException] {
       Similarity.sqTopK(qs, e, mins, maxs, k = 5)
