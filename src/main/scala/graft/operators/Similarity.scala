@@ -457,6 +457,41 @@ object Similarity {
         col("rk").cast("long").as("rk"))
   }
 
+  /** SEMANTIC decontamination — the embedding-grain member of the
+    * decontamination family (q52 flags docs sharing n-grams with a
+    * benchmark, q94 cuts leaked spans; this drops corpus rows whose
+    * embedding is too close to ANY held-out suite embedding, the
+    * paraphrase leak the lexical grains cannot see). Returns the
+    * SURVIVING corpus rows as (id, max_sim) where max_sim is the
+    * row's maximum rounded cosine against the suite — survivors satisfy
+    * max_sim < tau; rows with a null max (a null corpus vector, or an
+    * empty/null-only suite) survive with max_sim null (nothing judged
+    * them contaminated; callers who want strict hygiene filter nulls).
+    *
+    * Scale shape: the suite is eval-sized and broadcasts (null-vector
+    * suite rows dropped first — they can judge nothing); ONE corpus pass
+    * scores |corpus|×|suite| pairs through the codegen'd cosine kernel
+    * with the per-id max reduced map-side, then the metadata-thin max
+    * relation left-joins back. For a suite too large to broadcast,
+    * compose the stored-index tier instead (probe suite queries via
+    * [[ivfPqTopKIndexed]]/[[ivfPqTopKRefined]] and anti-join the hit
+    * ids) — approximate where this gate is exact, the usual
+    * recall-for-scale trade. */
+  def semanticDecontaminate(corpus: DataFrame, suite: DataFrame, tau: Double,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    val sv = broadcast(suite.where(col(vecCol).isNotNull)
+      .select(col(vecCol).as("sd_sv")))
+    val mx = corpus.select(col(idCol).as("sd_id"), col(vecCol).as("sd_cv"))
+      .crossJoin(sv)
+      .groupBy("sd_id")
+      .agg(max(round(cosine(col("sd_cv"), col("sd_sv")), 6)).as("max_sim"))
+    corpus.join(mx, corpus(idCol) === mx("sd_id"), "left")
+      .where(col("max_sim") < tau || col("max_sim").isNull)
+      .select(corpus(idCol), col("max_sim"))
+  }
+
   /** Shared ADC distance: Σ_s (|q_s|² + |c_{code_s}|² − 2·q_s·c_{code_s}),
     * folded subspace-ascending; expects q_sub_s / q_nrm_s attributes on the
     * query side and code_s columns on the corpus side. */

@@ -1225,6 +1225,29 @@ object OracleSql {
         |       CAST(max(CASE WHEN s = 3 THEN code END) AS BIGINT) AS code_3
         |FROM a1 GROUP BY 1""".stripMargin,
 
+    // q102: the semantic gate replayed with q30's proven cosine spelling —
+    // per (corpus, suite) pair the ROUNDED cosine, max per corpus id, kept
+    // where the max stays under τ (null-vector rows survive with null max,
+    // exactly as the engine's left join leaves them).
+    "q102_semantic_decontam" ->
+      """WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 9 = 0
+        |             AND embedding IS NOT NULL),
+        |c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 9 <> 0),
+        |pair AS (
+        |  SELECT c.vec_id AS cid, s.vec_id AS sid,
+        |         unnest(c.embedding) AS uc, unnest(s.embedding) AS us
+        |  FROM c, s),
+        |scored AS (
+        |  SELECT cid, sid,
+        |         round(sum(CAST(uc AS DOUBLE) * CAST(us AS DOUBLE))
+        |           / (sqrt(sum(CAST(uc AS DOUBLE) * CAST(uc AS DOUBLE)))
+        |            * sqrt(sum(CAST(us AS DOUBLE) * CAST(us AS DOUBLE)))), 6) AS cosine
+        |  FROM pair GROUP BY 1, 2),
+        |mx AS (SELECT cid AS vec_id, max(cosine) AS max_sim FROM scored GROUP BY 1)
+        |SELECT c.vec_id, mx.max_sim
+        |FROM c LEFT JOIN mx USING (vec_id)
+        |WHERE mx.max_sim < 0.40 OR mx.max_sim IS NULL""".stripMargin,
+
     // q101: the scalar quantizer replayed literally — per-dim min/max
     // (exact, no summation order), affine 0…255 codes with the clamp and
     // constant-dim guard written as the engine writes them, decode, then

@@ -922,6 +922,19 @@ object Queries {
       Similarity.sqEncode(e, mins, maxs), mins, maxs, k = 5)
   }
 
+  /** Semantic decontamination: the vec_id % 9 == 0 slice plays the
+    * held-out eval suite; corpus embeddings whose max cosine against any
+    * suite embedding reaches 0.40 are dropped (the paraphrase leak the
+    * n-gram grains q52/q94 cannot see). τ = 0.40 lands inside the
+    * cross-slice similarity tail (p99 ≈ 0.43, max ≈ 0.48 at sf0.001), so
+    * the gate genuinely cuts without emptying. */
+  val q102_semantic_decontam: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    Similarity.semanticDecontaminate(
+      e.where(col("vec_id") % 9 =!= 0),
+      e.where(col("vec_id") % 9 === 0), tau = 0.40)
+  }
+
   /** IVF+PQ top-5 — the production FAISS index shape composed from the
     * engine's own tiers: coarse clusters prune the corpus (equi-join on
     * the probed cluster ids), PQ codes compress what remains to m bytes
@@ -1424,5 +1437,6 @@ object Queries {
     "q99_contamination_report" -> q99_contamination_report,
     "q100_epoch_mixture" -> q100_epoch_mixture,
     "q101_sq_topk" -> q101_sq_topk,
+    "q102_semantic_decontam" -> q102_semantic_decontam,
   )
 }

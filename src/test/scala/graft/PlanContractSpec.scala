@@ -21,10 +21,12 @@ class PlanContractSpec extends SparkSpec {
     *    broadcast small-query-set × corpus scan); the vote stage on top
     *    is equi-join + reduce only.
     *  - q101: SQ8 search is q70's whole-corpus ADC shape at a different
-    *    codec (small query set × persisted reconstruction relation). */
+    *    codec (small query set × persisted reconstruction relation).
+    *  - q102: semantic decontamination broadcasts the eval-sized suite
+    *    against the corpus — q27's brute tier with a threshold gate. */
   private val intendedBnlj = Set("q27_ann_cosine", "q70_pq_adc",
     "q63_source_drift", "q64_distinctive_terms", "q93_knn_label",
-    "q101_sq_topk")
+    "q101_sq_topk", "q102_semantic_decontam")
 
   test("no declared query plans a cartesian product; BNLJ only where intended") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -1662,6 +1662,53 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDecontaminate: the embedding-grain gate — threshold " +
+      "boundary, null handling, and partition of the corpus") {
+    import spark.implicits._
+    // orthogonal unit vectors + one exact suite copy + one 45° neighbor
+    def v(parts: (Int, Float)*): Seq[Float] =
+      (0 until 4).map(i => parts.toMap.getOrElse(i, 0.0f))
+    val suite = Seq((900L, v(0 -> 1.0f)), (901L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, v(0 -> 1.0f)),                 // identical → cos 1.0 → dropped
+      (2L, v(0 -> 1.0f, 1 -> 1.0f)),      // 45° → cos ≈ 0.707107 → dropped at τ=0.7
+      (3L, v(1 -> 1.0f)),                 // orthogonal → cos 0 → survives
+      (4L, null.asInstanceOf[Seq[Float]]) // unjudgeable → survives, null max
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semanticDecontaminate(corpus, suite, tau = 0.7)
+      .as[(Long, Option[Double])].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq === Seq(3L, 4L))
+    assert(out(0)._2 === Some(0.0) && out(1)._2.isEmpty)
+    // the 45° doc survives a τ just ABOVE its rounded cosine (boundary is
+    // on the rounded value, ≥ drops)
+    assert(Similarity.semanticDecontaminate(corpus, suite, tau = 0.707108)
+      .as[(Long, Option[Double])].collect().map(_._1).toSet === Set(2L, 3L, 4L))
+    // real corpus: survivors ∪ dropped partition it, and every survivor's
+    // reported max_sim is below τ while brute recomputation confirms no
+    // dropped row was clean
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val c = e.where(col("vec_id") % 9 =!= 0)
+    val su = e.where(col("vec_id") % 9 === 0)
+    val kept = Similarity.semanticDecontaminate(c, su, tau = 0.40).cache()
+    assert(kept.where(col("max_sim") >= 0.40).count() === 0)
+    val keptIds = kept.select("vec_id").as[Long].collect().toSet
+    val allIds = c.select("vec_id").as[Long].collect().toSet
+    val dropped = allIds -- keptIds
+    assert(dropped.nonEmpty, "τ=0.40 must bite on the real corpus")
+    // recompute the dropped side independently
+    val confirm = broadcast(su.select(col("embedding").as("sv")))
+      .crossJoin(c.where(col("vec_id").isin(dropped.toSeq: _*)))
+      .where(round(Similarity.cosine(col("embedding"), col("sv")), 6) >= 0.40)
+      .select("vec_id").distinct().as[Long].collect().toSet
+    assert(confirm === dropped, "every dropped row is provably ≥ τ to the suite")
+    kept.unpersist()
+    assert(intercept[IllegalArgumentException] {
+      Similarity.semanticDecontaminate(corpus, suite, tau = 0.0)
+    }.getMessage.contains("tau"))
+    graft.GraftSession.releaseCaches(spark, blocking = true)
+  }
+
   test("SQ8: per-dim affine training, grid codes, and near-exact L2 ranking") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
