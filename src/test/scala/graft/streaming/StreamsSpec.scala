@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
+import graft.pipeline.CurationPipeline
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.Trigger
 import java.sql.Timestamp
@@ -306,5 +307,69 @@ class StreamsSpec extends SparkSpec {
     q.stop()
     assert(out.contains(("purchase", 2L, 15.0)))
     assert(out.contains(("view", 1L, 1.0)))
+  }
+
+  test("streaming curation ingest via foreachBatch: each micro-batch runs " +
+      "the gauntlet against the accumulated state") {
+    // The literal drive of CurationPipeline.ingestBatch's scaladoc claim
+    // ("the shape a foreachBatch stream runs"): micro-batches arrive over
+    // a MemoryStream, each is curated against the state accumulated from
+    // every earlier batch, survivors append to the state. The same
+    // batches pushed through direct sequential calls must produce the
+    // identical final state — proving the wiring survives the streaming
+    // engine (serialization, cache brackets per micro-batch, staging).
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    def words(p: String, k: Int) = (1 to k).map(p + _)
+    val suite = Seq((900L, words("h", 9).mkString(" "))).toDF("doc_id", "text")
+    val suiteGrams = graft.operators.TextAnalysis
+      .corpusGramHashes(suite, "doc_id", "text", n = 8)
+    val root = java.nio.file.Files.createTempDirectory("curation_stream").toString
+    val b1 = Seq((1L, "en", words("a", 20).mkString(" ")),
+      (2L, "en", words("b", 12).mkString(" ")))
+    val b2 = Seq(
+      (10L, "en", words("a", 20).reverse.mkString(" ")),    // dup of state doc 1
+      (13L, "en", "c1 c2 c3 " + words("h", 8).mkString(" ") + " c4 c5"),
+      (14L, "en", words("z", 10).mkString(" ")))
+    try {
+      // streaming drive: state lives as staged parquet across micro-batches
+      val statePaths = scala.collection.mutable.ArrayBuffer.empty[String]
+      def state(): org.apache.spark.sql.DataFrame =
+        if (statePaths.isEmpty)
+          Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "clean_text")
+        else statePaths.map(spark.read.parquet(_)).reduce(_ unionByName _)
+      val input = MemoryStream[(Long, String, String)]
+      val q = input.toDF().toDF("doc_id", "lang", "text").writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          if (!batch.isEmpty) {
+            val p = s"$root/stream_b$id"
+            CurationPipeline.ingestBatch(spark, batch, state(), suiteGrams, p)
+            statePaths.synchronized { statePaths += p }
+          }
+          ()
+        }
+        .start()
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      q.stop()
+      val streamed = state().as[(Long, String, String)].collect().toSet
+      // direct sequential twin
+      val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "clean_text")
+      val s1 = CurationPipeline.ingestBatch(spark,
+        b1.toDF("doc_id", "lang", "text"), empty, suiteGrams, s"$root/direct_b1")
+      val s2 = CurationPipeline.ingestBatch(spark,
+        b2.toDF("doc_id", "lang", "text"), s1, suiteGrams, s"$root/direct_b2")
+      val direct = s1.unionByName(s2).as[(Long, String, String)].collect().toSet
+      assert(streamed === direct,
+        "the stream-driven state must equal the direct sequential chain")
+      assert(streamed.map(_._1) === Set(1L, 2L, 13L, 14L),
+        "cross-batch dup dropped, contaminated span cut, clean docs kept")
+      assert(streamed.find(_._1 == 13L).get._3 === "c1 c2 c3 c4 c5")
+      assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+        "per-micro-batch brackets must leave no cache behind")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
   }
 }
