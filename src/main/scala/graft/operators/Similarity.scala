@@ -481,6 +481,10 @@ object Similarity {
                             idCol: String = "vec_id",
                             vecCol: String = "embedding"): DataFrame = {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    val reserved = Seq("sd_id", "sd_cv", "sd_sv", "max_sim")
+      .filter(corpus.columns.contains)
+    require(reserved.isEmpty,
+      s"corpus columns collide with reserved names: ${reserved.mkString(", ")}")
     val sv = broadcast(suite.where(col(vecCol).isNotNull)
       .select(col(vecCol).as("sd_sv")))
     val mx = corpus.select(col(idCol).as("sd_id"), col(vecCol).as("sd_cv"))

@@ -1706,6 +1706,10 @@ class SimilaritySpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       Similarity.semanticDecontaminate(corpus, suite, tau = 0.0)
     }.getMessage.contains("tau"))
+    assert(intercept[IllegalArgumentException] {
+      Similarity.semanticDecontaminate(corpus.withColumn("max_sim", lit(1.0)),
+        suite, tau = 0.5)
+    }.getMessage.contains("max_sim"))
     graft.GraftSession.releaseCaches(spark, blocking = true)
   }
 
