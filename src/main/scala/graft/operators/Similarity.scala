@@ -372,7 +372,7 @@ object Similarity {
     * distributed pass — posexplode to (dim, value) then a map-side-
     * combined min/max per dim, so the corpus×dim explosion collapses to
     * partitions×dim rows before the (tiny) shuffle. */
-  def sqTrain(corpus: DataFrame, idCol: String = "vec_id",
+  def sqTrain(corpus: DataFrame,
               vecCol: String = "embedding"): (Array[Double], Array[Double]) = {
     val mm = corpus.select(posexplode(col(vecCol)).as(Seq("sq_i", "sq_x")))
       .groupBy("sq_i")
@@ -464,9 +464,10 @@ object Similarity {
     * paraphrase leak the lexical grains cannot see). Returns the
     * SURVIVING corpus rows as (id, max_sim) where max_sim is the
     * row's maximum rounded cosine against the suite — survivors satisfy
-    * max_sim < tau; rows with a null max (a null corpus vector, or an
-    * empty/null-only suite) survive with max_sim null (nothing judged
-    * them contaminated; callers who want strict hygiene filter nulls).
+    * max_sim < tau; rows with a null max (a null or zero-norm corpus
+    * vector, or an empty/null-only/zero-norm-only suite — a pair with no
+    * defined angle judges nothing) survive with max_sim null (callers
+    * who want strict hygiene filter nulls).
     *
     * Scale shape: the suite is eval-sized and broadcasts (null-vector
     * suite rows dropped first — they can judge nothing); ONE corpus pass
@@ -487,10 +488,19 @@ object Similarity {
       s"corpus columns collide with reserved names: ${reserved.mkString(", ")}")
     val sv = broadcast(suite.where(col(vecCol).isNotNull)
       .select(col(vecCol).as("sd_sv")))
+    // NaN cosines (a zero-norm vector on either side: 0/0) must be
+    // excluded BEFORE the max — Spark's max treats NaN as greater than
+    // everything, so one zero-norm suite row would otherwise poison every
+    // corpus row's max_sim to NaN, which fails both `< tau` and `isNull`
+    // and silently drops the ENTIRE corpus. A NaN pair judges nothing: a
+    // corpus row whose every pair is NaN falls out of the max relation
+    // and survives with null max_sim, exactly like the null-vector case.
     val mx = corpus.select(col(idCol).as("sd_id"), col(vecCol).as("sd_cv"))
       .crossJoin(sv)
+      .withColumn("sd_cos", round(cosine(col("sd_cv"), col("sd_sv")), 6))
+      .where(!isnan(col("sd_cos")))
       .groupBy("sd_id")
-      .agg(max(round(cosine(col("sd_cv"), col("sd_sv")), 6)).as("max_sim"))
+      .agg(max(col("sd_cos")).as("max_sim"))
     corpus.join(mx, corpus(idCol) === mx("sd_id"), "left")
       .where(col("max_sim") < tau || col("max_sim").isNull)
       .select(corpus(idCol), col("max_sim"))
@@ -1631,10 +1641,15 @@ object Similarity {
     * walk honors the 100 TB cost asymmetry between them: nprobe is
     * corpus-I/O (a probe reads ~nprobe/k of the codes) while rerank is
     * answer-I/O (rerank·k vector point-lookups per query). For each
-    * nprobe (doubling from 1) it exhausts the cheap lever first —
-    * doubling rerank until the target is met or recall plateaus (the
-    * exact-at-this-nprobe ceiling, where only more clusters can help) —
-    * before paying for more clusters.
+    * nprobe (doubling from 1) it first computes that level's PROVABLE
+    * recall ceiling — the fraction of truth pairs whose neighbor's
+    * stored cluster the query actually probes — skips levels whose
+    * ceiling cannot reach the target (no probes wasted), and otherwise
+    * exhausts the cheap lever: doubling rerank until the target is met
+    * or the measured recall reaches the ceiling, where only more
+    * clusters can help. (A consecutive-doublings plateau heuristic is
+    * NOT sound here — recall vs rerank is flat-then-rising whenever a
+    * true neighbor sits just past the current shortlist.)
     *
     * Tuning cost: ONE exact pass over the index (the brute-force truth
     * set — the unavoidable ground-truth price, paid once per index
@@ -1670,6 +1685,59 @@ object Similarity {
       index.select(col("neighbor_id").as(idCol), col("embedding").as(vecCol)),
       k, idCol, vecCol))
     require(truth.nonEmpty, "tuning sample produced an empty truth set — is the sample empty?")
+    // PROVABLE per-nprobe recall ceiling: a truth pair is reachable at
+    // nprobe np iff its neighbor's stored cluster ranks among the query's
+    // top-np coarse centroids. (The earlier heuristic — exit when recall
+    // stops improving between consecutive rerank doublings — was wrong
+    // for flat-then-rising curves: a neighbor at ADC rank 11–20 makes
+    // rerank 1 and 2 read equal and abandons rerank 4, which would hit.)
+    // Everything here is sample/answer-scale: the sample's vectors and
+    // the truth neighbors' (id, cluster) rows collect driver-side, and
+    // the centroid ranking replicates the CentroidTopN kernel exactly —
+    // cosine descending, NaN above everything, ties to the LARGER id —
+    // so reachability matches what the probe will actually read.
+    val spark2 = sample.sparkSession
+    val truthIdsDf = {
+      import spark2.implicits._
+      truth.map(_._2).toSeq.toDF("neighbor_id")
+    }
+    val clusterOf: Map[Long, Int] = index
+      .join(broadcast(truthIdsDf), Seq("neighbor_id"), "left_semi")
+      .select(col("neighbor_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.get(1).toString.toInt).toMap
+    val kernelOrder = new Ordering[(Double, Int)] {
+      def compare(a: (Double, Int), b: (Double, Int)): Int = {
+        val (an, bn) = (a._1.isNaN, b._1.isNaN)
+        if (an && bn) b._2.compareTo(a._2)
+        else if (an) -1
+        else if (bn) 1
+        else if (a._1 == b._1) b._2.compareTo(a._2)
+        else java.lang.Double.compare(b._1, a._1)
+      }
+    }
+    def vecToDoubles(v: Seq[Any]): Array[Double] = v.map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case x => x.toString.toDouble
+    }.toArray
+    // per query: position of each cluster in the kernel's centroid order
+    val rankPos: Map[Long, Array[Int]] = sample
+      .select(col(idCol), col(vecCol)).collect().map { r =>
+        val q = vecToDoubles(r.getSeq[Any](1))
+        val qn = math.sqrt(q.map(x => x * x).sum)
+        val ranked = coarse.indices.map { j =>
+          val c = coarse(j)
+          val dot = (0 until math.min(q.length, c.length))
+            .foldLeft(0.0)((acc, i) => acc + q(i) * c(i))
+          (dot / (qn * math.sqrt(c.map(x => x * x).sum)), j)
+        }.sorted(kernelOrder).map(_._2)
+        val pos = new Array[Int](coarse.length)
+        ranked.zipWithIndex.foreach { case (cl, p) => pos(cl) = p }
+        r.getLong(0) -> pos
+      }.toMap
+    def ceiling(np: Int): Double = truth.count { case (q, n) =>
+      clusterOf.get(n).exists(c => rankPos(q)(c) < np)
+    }.toDouble / truth.size
     val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
     var best: (Int, Int, Double) = (0, 0, -1.0)
     var met: Option[(Int, Int, Double)] = None
@@ -1677,21 +1745,25 @@ object Similarity {
     val npIt = nprobes.iterator
     while (met.isEmpty && npIt.hasNext) {
       val np = npIt.next()
-      var rerank = 1
-      var prev = -1.0
-      var exhausted = false
-      while (met.isEmpty && !exhausted && rerank <= maxRerank) {
-        val got = pairsOf(ivfPqTopKRefined(sample, index, k, coarse, codebooks,
-          nprobe = np, rerank = rerank, idCol = idCol, vecCol = vecCol))
-        val recall = got.intersect(truth).size.toDouble / truth.size
-        trace += ((np, rerank, recall))
-        if (recall > best._3) best = (np, rerank, recall)
-        if (recall >= recallTarget) met = Some((np, rerank, recall))
-        // plateau = the exact-at-this-nprobe ceiling: more rerank cannot
-        // recover neighbors whose clusters were never probed
-        else if (recall <= prev + 1e-12) exhausted = true
-        prev = recall
-        rerank *= 2
+      val ceil = ceiling(np)
+      // a level whose ceiling provably cannot reach the target is skipped
+      // outright (no probes wasted) — except the LAST level, which still
+      // runs so a capped-out plan reports its honest best effort
+      if (ceil + 1e-12 >= recallTarget || !npIt.hasNext) {
+        var rerank = 1
+        var exhausted = false
+        while (met.isEmpty && !exhausted && rerank <= maxRerank) {
+          val got = pairsOf(ivfPqTopKRefined(sample, index, k, coarse, codebooks,
+            nprobe = np, rerank = rerank, idCol = idCol, vecCol = vecCol))
+          val recall = got.intersect(truth).size.toDouble / truth.size
+          trace += ((np, rerank, recall))
+          if (recall > best._3) best = (np, rerank, recall)
+          if (recall >= recallTarget) met = Some((np, rerank, recall))
+          // the ceiling is exact: once reached, more rerank cannot recover
+          // neighbors whose clusters were never probed
+          else if (recall >= ceil - 1e-12) exhausted = true
+          rerank *= 2
+        }
       }
     }
     met match {

@@ -665,9 +665,7 @@ object TextAnalysis {
                                     id: String, textCol: String, n: Int = 8,
                                     hashGrams: Boolean = true): org.apache.spark.sql.DataFrame = {
     require(n > 0, s"window length must be positive, got $n")
-    require(corpusGrams.columns.toSeq == Seq("g"),
-      s"corpusGrams must be the single-column (g) relation built by " +
-        s"corpusGramHashes, got columns ${corpusGrams.columns.mkString(", ")}")
+    requireGramRelation(corpusGrams, hashGrams)
     val tok = batch.select(col(id).as("es_id"), tokens(col(textCol)).as("tk"))
     val batchSites = esGramSites(tok, n, hashGrams)
     val starts = batchSites.join(corpusGrams, Seq("g"))
@@ -730,9 +728,7 @@ object TextAnalysis {
                                       id: String, textCol: String, n: Int = 8,
                                       hashGrams: Boolean = true): org.apache.spark.sql.DataFrame = {
     require(n > 0, s"window length must be positive, got $n")
-    require(corpusGrams.columns.toSeq == Seq("g"),
-      s"corpusGrams must be the single-column (g) relation built by " +
-        s"corpusGramHashes, got columns ${corpusGrams.columns.mkString(", ")}")
+    requireGramRelation(corpusGrams, hashGrams)
     val tok = heldOut.select(col(id).as("es_id"), tokens(col(textCol)).as("tk"))
     val sites = esGramSites(tok, n, hashGrams)
     val starts = sites.join(corpusGrams, Seq("g"))
@@ -765,6 +761,27 @@ object TextAnalysis {
       size(leaked).cast("long").as("leaked_tokens"),
       spans.as("leaked_spans"),
       maxSpan.as("max_span_tokens"))
+  }
+
+  /** Contract check for a corpusGramHashes relation: single column `g`
+    * AND the key type matching the caller's `hashGrams` flag. The type
+    * half matters because a mismatch does not fail — Spark coerces a
+    * bigint↔string equi-join to double, where 60-bit md5Long keys lose
+    * bits past the 53-bit mantissa (innocent spans cut) and string grams
+    * cast to null (nothing cut) — silent wrong output in both directions,
+    * exactly what a fail-fast guard exists to prevent. */
+  private def requireGramRelation(corpusGrams: org.apache.spark.sql.DataFrame,
+                                  hashGrams: Boolean): Unit = {
+    require(corpusGrams.columns.toSeq == Seq("g"),
+      s"corpusGrams must be the single-column (g) relation built by " +
+        s"corpusGramHashes, got columns ${corpusGrams.columns.mkString(", ")}")
+    val gType = corpusGrams.schema("g").dataType
+    val expected = if (hashGrams) org.apache.spark.sql.types.LongType
+      else org.apache.spark.sql.types.StringType
+    require(gType == expected,
+      s"corpusGrams keys are $gType but hashGrams=$hashGrams expects " +
+        s"$expected — build and consume the relation with the SAME " +
+        s"hashGrams flag (a coerced join would corrupt the keys silently)")
   }
 
   /** Shared gram-site build for the ExactSubstr family: (es_id, pos, g)

@@ -1243,7 +1243,8 @@ object OracleSql {
         |           / (sqrt(sum(CAST(uc AS DOUBLE) * CAST(uc AS DOUBLE)))
         |            * sqrt(sum(CAST(us AS DOUBLE) * CAST(us AS DOUBLE)))), 6) AS cosine
         |  FROM pair GROUP BY 1, 2),
-        |mx AS (SELECT cid AS vec_id, max(cosine) AS max_sim FROM scored GROUP BY 1)
+        |mx AS (SELECT cid AS vec_id, max(cosine) AS max_sim FROM scored
+        |       WHERE NOT isnan(cosine) GROUP BY 1)
         |SELECT c.vec_id, mx.max_sim
         |FROM c LEFT JOIN mx USING (vec_id)
         |WHERE mx.max_sim < 0.40 OR mx.max_sim IS NULL""".stripMargin,

@@ -31,13 +31,10 @@ object ProfileAnnBuildLeg {
       graft.GraftSession.releaseCaches(spark, blocking = true)
       System.gc()
     }
-    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
-      df.select(col("query_id"), col("neighbor_id")).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
 
     val emb = spark.read.parquet(s"$sf100/embeddings.parquet")
     val queries = emb.where(col("vec_id") < 10)
-    val truth = pairsOf(Similarity.bruteForceTopK(queries, emb, k = 5))
+    val truth = ProfileUtil.pairsOf(Similarity.bruteForceTopK(queries, emb, k = 5))
     release()
 
     val k = 64
@@ -57,7 +54,7 @@ object ProfileAnnBuildLeg {
       f"cpu=$c%.3f/$c2%.3f io=$io%.3f/$io2%.3f")
     Console.flush()
 
-    val got = pairsOf(Similarity.ivfPqTopKIndexed(queries,
+    val got = ProfileUtil.pairsOf(Similarity.ivfPqTopKIndexed(queries,
       spark.read.parquet(idx), k = 5, coarse, books, nprobe = 2))
     release()
     val recall = got.intersect(truth).size.toDouble / truth.size

@@ -101,9 +101,6 @@ object ProfileAnnScale {
       rows += ((decade, what, t))
     }
     /** (query, neighbor) pairs of a top-k result — the recall basis. */
-    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
-      df.select(col("query_id"), col("neighbor_id")).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
 
     val decades =
       if (args.contains("smoke")) Seq("sf0.1" -> sf01)
@@ -117,7 +114,7 @@ object ProfileAnnScale {
       leg(name, "brute", 2) {
         Similarity.bruteForceTopK(queries, emb, k = 5).count()
       }
-      val truth = pairsOf(Similarity.bruteForceTopK(queries, emb, k = 5))
+      val truth = ProfileUtil.pairsOf(Similarity.bruteForceTopK(queries, emb, k = 5))
       release()
       val ks = if (name == "sf10" || name == "sf100") Seq(8, 64, 1024) else Seq(8, 64)
       ks.foreach { k =>
@@ -139,7 +136,7 @@ object ProfileAnnScale {
         nprobes.foreach { np =>
           // recall@5 vs the exact pairs, computed OUTSIDE the timed window
           // (ADC quantization error + the probed fraction both bound it)
-          val got = pairsOf(Similarity.ivfPqTopKIndexed(queries,
+          val got = ProfileUtil.pairsOf(Similarity.ivfPqTopKIndexed(queries,
             spark.read.parquet(idx), k = 5, coarse, books, nprobe = np))
           release()
           val recall = got.intersect(truth).size.toDouble / truth.size

@@ -33,9 +33,6 @@ object ProfileFilteredRecall {
       graft.GraftSession.releaseCaches(spark, blocking = true)
       System.gc()
     }
-    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
-      df.select(col("query_id"), col("neighbor_id")).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
 
     val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val n = emb.count()
@@ -65,12 +62,12 @@ object ProfileFilteredRecall {
         val allowN = allow.count()
         // filtered truth: brute-force over the ALLOWED slice only — what a
         // filtered search is contractually supposed to return
-        val truth = pairsOf(Similarity.bruteForceTopK(
+        val truth = ProfileUtil.pairsOf(Similarity.bruteForceTopK(
           queries, emb.join(allow, Seq("vec_id"), "left_semi"), k = 5))
         release()
         val (c, io) = ProfileUtil.calibBoth(spark)
         val line = Seq(2, 8, 16, 64).map { np =>
-          val got = pairsOf(Similarity.ivfPqTopKIndexedFiltered(
+          val got = ProfileUtil.pairsOf(Similarity.ivfPqTopKIndexedFiltered(
             queries, index, k = 5, coarse, books, allow = allow, nprobe = np))
           release()
           f"np$np=${got.intersect(truth).size.toDouble / truth.size}%.3f"
@@ -78,7 +75,7 @@ object ProfileFilteredRecall {
         // the refined-filtered composition: exact rerank removes the ADC
         // quantization term, leaving coarse COVERAGE as the only miss
         val lineR = Seq(2, 8, 16, 64).map { np =>
-          val got = pairsOf(Similarity.ivfPqTopKRefinedFiltered(
+          val got = ProfileUtil.pairsOf(Similarity.ivfPqTopKRefinedFiltered(
             queries, index, k = 5, coarse, books, allow = allow,
             nprobe = np, rerank = 8))
           release()

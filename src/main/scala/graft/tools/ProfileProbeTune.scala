@@ -26,9 +26,6 @@ object ProfileProbeTune {
       graft.GraftSession.releaseCaches(spark, blocking = true)
       System.gc()
     }
-    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
-      df.select(col("query_id"), col("neighbor_id")).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
 
     val emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
     val k = 64
@@ -42,7 +39,7 @@ object ProfileProbeTune {
 
     val tuneSample = emb.where(col("vec_id") < 10)
     val holdout = emb.where(col("vec_id") >= 10 && col("vec_id") < 20)
-    val truthHold = pairsOf(Similarity.bruteForceTopK(holdout, emb, k = 5))
+    val truthHold = ProfileUtil.pairsOf(Similarity.bruteForceTopK(holdout, emb, k = 5))
     release()
 
     Seq(0.5, 0.7, 0.9).foreach { target =>
@@ -54,7 +51,7 @@ object ProfileProbeTune {
       // never saw, plus its wall (min-of-2, the serving-shaped cost)
       def probe() = Similarity.ivfPqTopKRefined(holdout, index, k = 5,
         coarse, books, nprobe = plan.nprobe, rerank = plan.rerank)
-      val recallHold = pairsOf(probe()).intersect(truthHold).size.toDouble / truthHold.size
+      val recallHold = ProfileUtil.pairsOf(probe()).intersect(truthHold).size.toDouble / truthHold.size
       release()
       val t = (1 to 2).map { _ =>
         val t0 = System.nanoTime()

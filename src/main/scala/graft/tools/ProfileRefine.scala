@@ -39,16 +39,13 @@ object ProfileRefine {
       graft.GraftSession.releaseCaches(spark, blocking = true)
       System.gc()
     }
-    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
-      df.select(col("query_id"), col("neighbor_id")).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
 
     val decades = Seq("sf0.1" -> sf01) ++
       (if (args.contains("deep")) Seq("sf10" -> sf10) else Nil)
     decades.foreach { case (name, dir) =>
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
       val queries = emb.where(col("vec_id") < 10)
-      val truth = pairsOf(Similarity.bruteForceTopK(queries, emb, k = 5))
+      val truth = ProfileUtil.pairsOf(Similarity.bruteForceTopK(queries, emb, k = 5))
       release()
       val k = 64
       val idx = s"/tmp/graft_refine_idx_$name"
@@ -58,7 +55,7 @@ object ProfileRefine {
       Similarity.ivfPqIndexWrite(emb, idx, coarse, books)
       release()
       def probe(tag: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
-        val recall = pairsOf(f).intersect(truth).size.toDouble / truth.size
+        val recall = ProfileUtil.pairsOf(f).intersect(truth).size.toDouble / truth.size
         release()
         val (c, io) = ProfileUtil.calibBoth(spark)
         val t = (1 to 2).map { _ =>

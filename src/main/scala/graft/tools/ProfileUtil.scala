@@ -148,6 +148,15 @@ object ProfileUtil {
   def calibBoth(spark: SparkSession): (Double, Double) =
     (calib(spark), ioCalib())
 
+  /** The recall-measurement pair-set collector every ANN profiling tool
+    * shares: (query_id, neighbor_id) of a top-k result, as a driver set.
+    * ONE definition so the recall numbers banked in SCALE.md are computed
+    * identically across tools (five copies had grown before round 17). */
+  def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(org.apache.spark.sql.functions.col("query_id"),
+        org.apache.spark.sql.functions.col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
   /** (memory bytes, disk bytes) currently held by persisted RDD blocks —
     * the cache-residency readout for the pair-family storage A/Bs. */
   def cacheBytes(spark: SparkSession): (Long, Long) = {

@@ -1668,22 +1668,26 @@ class SimilaritySpec extends SparkSpec {
     // orthogonal unit vectors + one exact suite copy + one 45° neighbor
     def v(parts: (Int, Float)*): Seq[Float] =
       (0 until 4).map(i => parts.toMap.getOrElse(i, 0.0f))
-    val suite = Seq((900L, v(0 -> 1.0f)), (901L, null.asInstanceOf[Seq[Float]]))
+    val suite = Seq((900L, v(0 -> 1.0f)), (901L, null.asInstanceOf[Seq[Float]]),
+      (902L, v()))  // zero-norm: NaN cosine vs everything — must judge NOTHING
       .toDF("vec_id", "embedding")
     val corpus = Seq(
       (1L, v(0 -> 1.0f)),                 // identical → cos 1.0 → dropped
       (2L, v(0 -> 1.0f, 1 -> 1.0f)),      // 45° → cos ≈ 0.707107 → dropped at τ=0.7
       (3L, v(1 -> 1.0f)),                 // orthogonal → cos 0 → survives
-      (4L, null.asInstanceOf[Seq[Float]]) // unjudgeable → survives, null max
+      (4L, null.asInstanceOf[Seq[Float]]),// unjudgeable → survives, null max
+      (5L, v())                           // zero-norm corpus vec: all-NaN → survives, null max
     ).toDF("vec_id", "embedding")
     val out = Similarity.semanticDecontaminate(corpus, suite, tau = 0.7)
       .as[(Long, Option[Double])].collect().sortBy(_._1)
-    assert(out.map(_._1).toSeq === Seq(3L, 4L))
-    assert(out(0)._2 === Some(0.0) && out(1)._2.isEmpty)
+    assert(out.map(_._1).toSeq === Seq(3L, 4L, 5L),
+      "a zero-norm suite row must not poison max_sim to NaN (which would " +
+        "fail both < tau and isNull and silently drop the whole corpus)")
+    assert(out(0)._2 === Some(0.0) && out(1)._2.isEmpty && out(2)._2.isEmpty)
     // the 45° doc survives a τ just ABOVE its rounded cosine (boundary is
     // on the rounded value, ≥ drops)
     assert(Similarity.semanticDecontaminate(corpus, suite, tau = 0.707108)
-      .as[(Long, Option[Double])].collect().map(_._1).toSet === Set(2L, 3L, 4L))
+      .as[(Long, Option[Double])].collect().map(_._1).toSet === Set(2L, 3L, 4L, 5L))
     // real corpus: survivors ∪ dropped partition it, and every survivor's
     // reported max_sim is below τ while brute recomputation confirms no
     // dropped row was clean
