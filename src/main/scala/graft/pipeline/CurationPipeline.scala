@@ -20,13 +20,24 @@ import graft.operators.{Dedup, Sampling, TextAnalysis}
   * driver is the COMPOSITION evidence — the shape a real 100 TB job runs —
   * with the two properties a per-operator query can't exercise:
   *
-  *   - '''Stage materialization.''' Each stage writes parquet under
-  *     `stagingRoot` and the next stage reads that, so a failed run
-  *     restarts at the last completed stage instead of re-paying the
-  *     corpus scan (at 100 TB a stage is hours; lineage-only recovery
-  *     would cascade). The staging write is also what makes the cache
-  *     bracket sound: [[graft.GraftSession.withCaches]] requires the
-  *     body's result materialized before the bracket closes.
+  *   - '''Stage materialization + restart.''' Each stage writes parquet
+  *     under `stagingRoot` and then a completeness marker
+  *     (`_GRAFT_STAGE_OK`, written only AFTER the staged bytes are fully
+  *     landed and counted — the [[graft.operators.Similarity.ivfPqIndexAppendOnce]]
+  *     commit-marker discipline). A re-invoked `run` (default
+  *     `resume = true`) SKIPS every prefix stage whose marker matches its
+  *     parameter fingerprint, so a failed stage-4 run resumes at stage 4
+  *     instead of re-paying stages 1–3's corpus scans (at 100 TB a stage
+  *     is hours; lineage-only recovery would cascade). Fingerprints CHAIN
+  *     (each stage's includes its upstream's), so changing any knob
+  *     recomputes that stage and everything after it; the input corpora
+  *     are fingerprinted by row count only — resume assumes the same
+  *     `docs`/`heldOut` under the same `stagingRoot`, which is the crash-
+  *     recovery contract, not a cache. A crash BETWEEN the staged write
+  *     and the marker re-runs that stage (overwrite is idempotent). The
+  *     staging write is also what makes the cache bracket sound:
+  *     [[graft.GraftSession.withCaches]] requires the body's result
+  *     materialized before the bracket closes.
   *   - '''Cache lifecycle across stage boundaries.''' The dedup/ANN
   *     operators persist intermediates (gram sites, hashed token sets)
   *     that are session-scoped by design. Composing stages WITHOUT
@@ -73,11 +84,14 @@ import graft.operators.{Dedup, Sampling, TextAnalysis}
   */
 object CurationPipeline {
 
-  /** One stage boundary: rows in/out, where the output landed, and how
-    * many persisted RDD blocks remained AFTER the stage's cache bracket
-    * closed (the census — 0 unless the caller holds its own caches). */
+  /** One stage boundary: rows in/out, where the output landed, how many
+    * persisted RDD blocks remained AFTER the stage's cache bracket closed
+    * (the census — 0 unless the caller holds its own caches), and whether
+    * the stage was SKIPPED on resume (its completeness marker matched, so
+    * its staged output was reused instead of recomputed). */
   final case class Stage(name: String, rowsIn: Long, rowsOut: Long,
-                         path: String, cachedBlocksAfter: Int)
+                         path: String, cachedBlocksAfter: Int,
+                         skipped: Boolean = false)
 
   /** Full-run report: per-stage boundaries in execution order, the export
     * root, its shard count, and the kept corpus's token total. */
@@ -87,7 +101,12 @@ object CurationPipeline {
   /** Run the chain. `docs` must carry (`id`, `langCol`, `textCol`);
     * `heldOut` carries (`id`, `textCol`) — the frozen eval/benchmark
     * suite. Returns the per-stage report; the export lands at
-    * `stagingRoot/05_export` with its `_manifest.jsonl`. */
+    * `stagingRoot/05_export` with its `_manifest.jsonl`.
+    *
+    * `resume = true` (the default) skips any prefix of stages whose
+    * completeness markers match the current parameter fingerprints — the
+    * crash-recovery path documented on the object. `resume = false`
+    * recomputes everything (a clean rebuild into the same root). */
   def run(spark: SparkSession, docs: DataFrame, heldOut: DataFrame,
           stagingRoot: String,
           id: String = "doc_id", textCol: String = "text",
@@ -95,34 +114,61 @@ object CurationPipeline {
           n: Int = 8, dedupThreshold: Double = 0.95,
           tokenBudget: Long = 15000L,
           shards: Int = 8, seed: String = "curation-v1",
-          stopwords: Seq[String] = Seq("the", "a")): Report = {
+          stopwords: Seq[String] = Seq("the", "a"),
+          resume: Boolean = true): Report = {
 
     val stages = scala.collection.mutable.ArrayBuffer.empty[Stage]
 
-    def stage(name: String, sub: String, rowsIn: Long)(body: => DataFrame): (String, Long) = {
+    // Resume is a PREFIX property: the first stage that must recompute
+    // (missing/mismatched marker) invalidates everything after it even if
+    // a later marker happens to match — a later stage's staged bytes were
+    // derived from the PREVIOUS computation of its upstream. Chained
+    // fingerprints enforce most of this (a changed knob ripples down),
+    // but a crash between a stage's staged write and its marker leaves
+    // matching DOWNSTREAM markers from an earlier completed run, so the
+    // prefix rule is tracked explicitly.
+    var prefixIntact = resume
+
+    /** Run (or skip) one staged stage. `fp` is the stage's chained
+      * parameter fingerprint; the marker records it with the staged row
+      * count, and is only ever written AFTER the parquet is fully landed
+      * and counted — so a marker's existence certifies complete bytes. */
+    def stage(name: String, sub: String, rowsIn: Long, fp: String)
+             (body: => DataFrame): (String, Long) = {
       val path = s"$stagingRoot/$sub"
-      val out = GraftSession.withCaches(spark, blocking = true) {
-        body.write.mode("overwrite").parquet(path)
-        spark.read.parquet(path)
+      readStageMarker(spark, path).filter(_ => prefixIntact) match {
+        case Some((storedFp, rowsOut)) if storedFp == fp =>
+          stages += Stage(name, rowsIn, rowsOut, path,
+            spark.sparkContext.getPersistentRDDs.size, skipped = true)
+          (path, rowsOut)
+        case _ =>
+          prefixIntact = false
+          val out = GraftSession.withCaches(spark, blocking = true) {
+            body.write.mode("overwrite").parquet(path)
+            spark.read.parquet(path)
+          }
+          val rowsOut = out.count()
+          writeStageMarker(spark, path, fp, rowsOut)
+          stages += Stage(name, rowsIn, rowsOut, path,
+            spark.sparkContext.getPersistentRDDs.size)
+          (path, rowsOut)
       }
-      val rowsOut = out.count()
-      stages += Stage(name, rowsIn, rowsOut, path,
-        spark.sparkContext.getPersistentRDDs.size)
-      (path, rowsOut)
     }
 
     val docsIn = docs.count()
+    val fp1 = fingerprint("clean/v1", docsIn, id, textCol, langCol, n)
 
     // 1. clean — self-dedup at span grain; lang joins back on the id
     // (co-partitioned: both sides shuffle on the id, no driver data).
-    val (cleanPath, cleanRows) = stage("clean", "01_clean", docsIn) {
+    val (cleanPath, cleanRows) = stage("clean", "01_clean", docsIn, fp1) {
       TextAnalysis.exactSubstrRemove(docs, id, textCol, n)
         .select(col(id), col("clean_text"))
         .join(docs.select(col(id), col(langCol)), Seq(id))
     }
 
     // 2. dedup — near-dup clusters over the CLEANED text, keep canonicals.
-    val (dedupPath, dedupRows) = stage("dedup", "02_dedup", cleanRows) {
+    val fp2 = fingerprint("dedup/v1", fp1, dedupThreshold)
+    val (dedupPath, dedupRows) = stage("dedup", "02_dedup", cleanRows, fp2) {
       val clean = spark.read.parquet(cleanPath)
       val toks = clean.select(col(id), col(langCol),
         array_distinct(split(col("clean_text"), " ")).as("tok"))
@@ -133,8 +179,11 @@ object CurationPipeline {
     }
 
     // 3. decontaminate — the frozen suite contributes distinct gram keys
-    // once; the kept corpus is the "batch" side of the cross remover.
-    val (deconPath, deconRows) = stage("decontaminate", "03_decontam", dedupRows) {
+    // once; the kept corpus is the "batch" side of the cross remover. The
+    // suite is fingerprinted by row count (eval-sized, so the count is
+    // cheap) — the same same-inputs contract as `docs`.
+    val fp3 = fingerprint("decontam/v1", fp2, heldOut.count(), n)
+    val (deconPath, deconRows) = stage("decontaminate", "03_decontam", dedupRows, fp3) {
       val kept = spark.read.parquet(dedupPath)
       val suiteGrams = TextAnalysis.corpusGramHashes(heldOut, id, textCol, n)
       TextAnalysis.exactSubstrRemoveAgainstGrams(
@@ -145,7 +194,8 @@ object CurationPipeline {
 
     // 4. select — quality on the final text, quantized for the histogram
     // fail-fast; token budget counted on the same token stream.
-    val (selectPath, selectRows) = stage("select", "04_select", deconRows) {
+    val fp4 = fingerprint("select/v1", fp3, tokenBudget, stopwords.mkString(","))
+    val (selectPath, selectRows) = stage("select", "04_select", deconRows, fp4) {
       val decon = spark.read.parquet(deconPath)
       val scored = decon.select(col(id), col(langCol), col("clean_text"),
         round(TextAnalysis.qualityScore(col("clean_text"), stopwords), 6).as("quality"),
@@ -156,10 +206,18 @@ object CurationPipeline {
 
     // 5. export — deterministic shuffle + shards + manifest, then verify
     // the manifest against the selected count BEFORE reporting success.
+    // The manifest verification runs on the SKIP path too: it is
+    // driver-side cheap (|shards| lines) and is the loader contract this
+    // stage exists to certify.
     val exportPath = s"$stagingRoot/05_export"
     val selected = spark.read.parquet(selectPath)
-    GraftSession.withCaches(spark, blocking = true) {
-      Sampling.exportShardsJsonl(selected, col(id), seed, shards, exportPath)
+    val fp5 = fingerprint("export/v1", fp4, shards, seed)
+    val exportSkipped = prefixIntact &&
+      readStageMarker(spark, exportPath).exists(_._1 == fp5)
+    if (!exportSkipped) {
+      GraftSession.withCaches(spark, blocking = true) {
+        Sampling.exportShardsJsonl(selected, col(id), seed, shards, exportPath)
+      }
     }
     // `_`-prefixed files are invisible to Spark readers by design; the
     // manifest is |shards| lines — read it driver-side like a loader would.
@@ -167,14 +225,57 @@ object CurationPipeline {
     require(manifestTotal == selectRows,
       s"export manifest accounts for $manifestTotal rows but the selected " +
         s"stage holds $selectRows — the transfer contract is broken")
+    if (!exportSkipped) writeStageMarker(spark, exportPath, fp5, manifestTotal)
     stages += Stage("export", selectRows, manifestTotal, exportPath,
-      spark.sparkContext.getPersistentRDDs.size)
+      spark.sparkContext.getPersistentRDDs.size, skipped = exportSkipped)
 
     val keptTokens = {
       val r = selected.agg(sum(col("n_tokens"))).head()
       if (r.isNullAt(0)) 0L else r.getLong(0)
     }
     Report(stages.toSeq, exportPath, shards, keptTokens)
+  }
+
+  /** Chained parameter fingerprint: md5 of the `|`-joined parts, where the
+    * first part of every stage after the first is the UPSTREAM stage's
+    * fingerprint — a knob change invalidates its stage and everything
+    * downstream, never an unrelated prefix. */
+  private def fingerprint(parts: Any*): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(parts.mkString("|").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  private val StageMarkerName = "_GRAFT_STAGE_OK"
+
+  /** The staged dir's completeness marker: `<fingerprint>\nrows:<n>`.
+    * Lives INSIDE the stage directory (`_`-prefixed — invisible to Spark
+    * readers of the same path), so the overwrite that recomputes a stage
+    * atomically retires the stale marker with the stale bytes. */
+  private def readStageMarker(spark: SparkSession,
+                              stagePath: String): Option[(String, Long)] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(stagePath, StageMarkerName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+                finally in.close()
+    lines match {
+      case fp :: rows :: Nil if rows.startsWith("rows:") =>
+        rows.stripPrefix("rows:").toLongOption.map(n => (fp, n))
+      case _ => None // malformed marker = no marker: the stage recomputes
+    }
+  }
+
+  private def writeStageMarker(spark: SparkSession, stagePath: String,
+                               fp: String, rows: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(stagePath, StageMarkerName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$fp\nrows:$rows\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Incremental ingest — ONE batch through the curation gauntlet against

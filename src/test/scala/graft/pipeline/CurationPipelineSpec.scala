@@ -180,6 +180,108 @@ class CurationPipelineSpec extends SparkSpec {
     graft.GraftSession.releaseCaches(spark, blocking = true)
   }
 
+  // ── restartability ──────────────────────────────────────────────────
+  // The crash-recovery contract the object scaladoc states: a failed run
+  // re-invoked under the same stagingRoot SKIPS every completed prefix
+  // stage (marker match), recomputes the rest, and produces the same
+  // export bytes an unfailed run produces.
+
+  /** Every data file under a staged dir with its mtime — the "was this
+    * recomputed?" evidence (a skip only READS the dir; reads don't touch
+    * mtimes, an overwrite rewrites every file). */
+  private def mtimes(dir: String): Map[String, Long] = {
+    val root = java.nio.file.Paths.get(dir)
+    val out = scala.collection.mutable.Map.empty[String, Long]
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p))
+        out += root.relativize(p).toString -> java.nio.file.Files
+          .getLastModifiedTime(p).toMillis
+    }
+    out.toMap
+  }
+
+  /** Manifest identity minus the part-file names (which carry write-task
+    * UUIDs): (shard, rows, bytes, md5) — md5 is of the exact shard bytes,
+    * so equality here IS byte-identity of the export. */
+  private def manifestStats(root: String): Set[String] = {
+    val Keep = """"(shard|rows|bytes|md5)":("[^"]*"|\d+)""".r
+    java.nio.file.Files
+      .readAllLines(new java.io.File(s"$root/05_export", "_manifest.jsonl").toPath)
+      .stream.map[String](l => Keep.findAllIn(l).mkString(","))
+      .toArray.map(_.toString).toSet
+  }
+
+  test("restart: a run killed after stage 2 resumes — stages 1..2 skip " +
+      "with their staged bytes untouched, the rest recompute, and the " +
+      "export is byte-identical to an unfailed run") {
+    val root1 = java.nio.file.Files.createTempDirectory("curation_resume").toString
+    // poison pill: heldOut first evaluates AFTER stage 2 completes, so
+    // this run dies exactly at the 2→3 boundary — the mid-chain kill
+    val poisoned = heldOut.where(assert_true(length(col("text")) < 0).isNull)
+    intercept[Exception] {
+      CurationPipeline.run(spark, corpus, poisoned, root1,
+        tokenBudget = budget, shards = 4, seed = "spec-seed")
+    }
+    graft.GraftSession.releaseCaches(spark, blocking = true)
+    assert(new java.io.File(s"$root1/02_dedup", "_GRAFT_STAGE_OK").isFile,
+      "the killed run must have committed stages 1..2")
+    assert(!new java.io.File(s"$root1/03_decontam").exists,
+      "the killed run must not have staged stage 3")
+    val before1 = mtimes(s"$root1/01_clean"); val before2 = mtimes(s"$root1/02_dedup")
+    val report = CurationPipeline.run(spark, corpus, heldOut, root1,
+      tokenBudget = budget, shards = 4, seed = "spec-seed")
+    assert(report.stages.map(s => s.name -> s.skipped) === Seq(
+      "clean" -> true, "dedup" -> true, "decontaminate" -> false,
+      "select" -> false, "export" -> false))
+    assert(mtimes(s"$root1/01_clean") === before1 &&
+           mtimes(s"$root1/02_dedup") === before2,
+      "resume must not rewrite a completed stage's bytes")
+    // the resumed chain is still coherent and cache-clean
+    report.stages.sliding(2).foreach { case Seq(a, b) => assert(b.rowsIn === a.rowsOut) }
+    assert(report.stages.forall(_.cachedBlocksAfter === 0))
+    // byte-identity vs the unfailed run (the shared lazy `run` fixture)
+    val (rootClean, _) = run
+    assert(manifestStats(root1) === manifestStats(rootClean),
+      "resumed export must be byte-identical to an unfailed run's")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root1))
+  }
+
+  test("restart: a completed root re-invoked skips every stage; a changed " +
+      "knob recomputes exactly its stage and everything downstream") {
+    val root = java.nio.file.Files.createTempDirectory("curation_resume2").toString
+    val r1 = CurationPipeline.run(spark, corpus, heldOut, root,
+      tokenBudget = budget, shards = 4, seed = "spec-seed")
+    // full skip: nothing recomputes, the report is the same shape
+    val r2 = CurationPipeline.run(spark, corpus, heldOut, root,
+      tokenBudget = budget, shards = 4, seed = "spec-seed")
+    assert(r2.stages.forall(_.skipped), "a completed root must fully skip")
+    assert(r2.stages.map(s => (s.name, s.rowsIn, s.rowsOut)) ===
+      r1.stages.map(s => (s.name, s.rowsIn, s.rowsOut)))
+    assert(r2.keptTokens === r1.keptTokens)
+    // a select-stage knob change: the prefix (1..3) skips, 4..5 recompute
+    val r3 = CurationPipeline.run(spark, corpus, heldOut, root,
+      tokenBudget = budget / 2, shards = 4, seed = "spec-seed")
+    assert(r3.stages.map(s => s.name -> s.skipped) === Seq(
+      "clean" -> true, "dedup" -> true, "decontaminate" -> true,
+      "select" -> false, "export" -> false))
+    assert(r3.stages.find(_.name == "select").get.rowsOut <
+      r1.stages.find(_.name == "select").get.rowsOut,
+      "the halved budget must genuinely re-select")
+    // a dedup-stage knob change ripples: only stage 1 skips
+    val r4 = CurationPipeline.run(spark, corpus, heldOut, root,
+      dedupThreshold = 0.90, tokenBudget = budget, shards = 4, seed = "spec-seed")
+    assert(r4.stages.map(s => s.name -> s.skipped) === Seq(
+      "clean" -> true, "dedup" -> false, "decontaminate" -> false,
+      "select" -> false, "export" -> false))
+    // resume = false forces a full recompute even on a completed root
+    val r5 = CurationPipeline.run(spark, corpus, heldOut, root,
+      dedupThreshold = 0.90, tokenBudget = budget, shards = 4,
+      seed = "spec-seed", resume = false)
+    assert(r5.stages.forall(!_.skipped))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    graft.GraftSession.releaseCaches(spark, blocking = true)
+  }
+
   test("decontamination cut held-out spans: suite 8-grams are absent from " +
       "the exported text") {
     val (root, _) = run
