@@ -107,8 +107,9 @@ object Sampling {
     * a (key, epoch) pair stays unique. The decision reuses
     * [[hashBucket]]'s content hash: stable across runs, engines,
     * partitioning, and appends, exactly as the rest of the family —
-    * and fractions quantize to bucket granularity (default 1%), floor'd,
-    * like [[stratifiedSample]].
+    * and fractions quantize to bucket granularity (default 1%),
+    * HALF-UP — so w = 0.3 keeps 30% despite 0.3's IEEE representation
+    * sitting just under 0.3 (a bare floor would keep 29%).
     *
     * Scale shape: pure per-row expressions + a narrow explode (no
     * shuffle, no join, no state); output size = Σ_s |s|·w_s by
@@ -131,7 +132,14 @@ object Sampling {
       case (acc, (s, f)) => when(stratum === s, lit(f)).otherwise(acc)
     }
     val whole = floor(w).cast("int")
-    val fracBuckets = floor((w - floor(w)) * buckets).cast("long")
+    // HALF-UP quantization of the fractional epoch: floor alone under-
+    // buckets common decimals through IEEE representation (w = 0.3 →
+    // frac·100 = 29.999…96 → cut 29, silently keeping 29% instead of
+    // 30%); +0.5 before the floor lands every such decimal on its
+    // intended bucket. (stratifiedSample keeps its own documented floor
+    // convention — its fractions are caller-chosen cut points, not a
+    // user-facing epoch weight.)
+    val fracBuckets = floor((w - floor(w)) * buckets + 0.5).cast("long")
     val copies = whole +
       when(hashBucket(key, buckets) < fracBuckets, lit(1)).otherwise(lit(0))
     df.withColumn("epoch",

@@ -467,7 +467,9 @@ object Similarity {
     * max_sim < tau; rows with a null max (a null or zero-norm corpus
     * vector, or an empty/null-only/zero-norm-only suite — a pair with no
     * defined angle judges nothing) survive with max_sim null (callers
-    * who want strict hygiene filter nulls).
+    * who want strict hygiene filter nulls). `idCol` must be NON-NULL and
+    * UNIQUE — enforced by a fail-fast (a null id would silently dodge the
+    * gate's join-back; duplicates would share one max).
     *
     * Scale shape: the suite is eval-sized and broadcasts (null-vector
     * suite rows dropped first — they can judge nothing); ONE corpus pass
@@ -486,6 +488,22 @@ object Similarity {
       .filter(corpus.columns.contains)
     require(reserved.isEmpty,
       s"corpus columns collide with reserved names: ${reserved.mkString(", ")}")
+    // Fail fast on null or duplicate corpus ids: the max-sim relation
+    // joins back on an equi-join, so a NULL id would never match (the row
+    // always survives, even at sim ≥ tau — a silent gate hole) and
+    // duplicate ids collapse to one shared max (which duplicate earned it
+    // is unknowable downstream). One id-column aggregate — negligible
+    // next to the |corpus|×|suite| scoring pass this gate runs anyway.
+    val idRow = corpus.agg(count(lit(1)).as("n"),
+      count(col(idCol)).as("nn"), countDistinct(col(idCol)).as("nd")).head()
+    val (nAll, nNonNull, nDistinct) =
+      (idRow.getLong(0), idRow.getLong(1), idRow.getLong(2))
+    require(nNonNull == nAll,
+      s"semanticDecontaminate needs non-null $idCol: ${nAll - nNonNull} " +
+        "null ids would silently survive the gate regardless of similarity")
+    require(nDistinct == nNonNull,
+      s"semanticDecontaminate needs unique $idCol: ${nNonNull - nDistinct} " +
+        "duplicate ids would collapse to one shared max_sim")
     val sv = broadcast(suite.where(col(vecCol).isNotNull)
       .select(col(vecCol).as("sd_sv")))
     // NaN cosines (a zero-norm vector on either side: 0/0) must be

@@ -326,8 +326,10 @@ object CurationPipeline {
     * but it is NOT batch-sized; a deployment where it dominates should
     * curate on a cadence, not per micro-batch.
     *
-    * Contract: batch and corpus ids must be disjoint (crossJaccardPairs
-    * inherits it); `corpus` carries (`id`, `langCol`, `clean_text`).
+    * Contract: batch and corpus ids must be disjoint — ENFORCED by a
+    * fail-fast semi-join (a collision would silently corrupt the
+    * arrival-order-wins dedup, which unions the two sides by id);
+    * `corpus` carries (`id`, `langCol`, `clean_text`).
     * Survivors stage to `stagingPath` (parquet, overwrite) INSIDE the
     * batch's cache bracket — the same materialize-then-release discipline
     * as [[run]]'s stages, and the restart boundary a failed batch resumes
@@ -337,6 +339,18 @@ object CurationPipeline {
                   id: String = "doc_id", textCol: String = "text",
                   langCol: String = "lang",
                   n: Int = 8, dedupThreshold: Double = 0.95): DataFrame = {
+    // Fail fast on a batch/corpus id collision instead of letting it
+    // silently corrupt the arrival-order-wins dedup (crossJaccardPairs
+    // unions the two sides by id) and the survivor joins. The check is a
+    // semi-join of the BATCH ids against the corpus id column — an
+    // id-only corpus scan, cheap next to the corpus-scale token-frequency
+    // pass stage 2 runs regardless (and AQE broadcasts the batch side).
+    val clashing = batch.select(col(id))
+      .join(corpus.select(col(id)), Seq(id), "left_semi")
+    require(clashing.isEmpty,
+      s"ingestBatch requires batch and corpus $id sets to be disjoint — " +
+        s"e.g. ${clashing.limit(3).collect().mkString(", ")} exist on both " +
+        "sides; colliding ids would corrupt the arrival-order-wins dedup")
     GraftSession.withCaches(spark, blocking = true) {
       // 1. clean (batch-local spans), lang rides the id join as in run()
       val clean = TextAnalysis.exactSubstrRemove(batch, id, textCol, n)

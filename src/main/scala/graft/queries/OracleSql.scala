@@ -928,10 +928,10 @@ object OracleSql {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < cut""".stripMargin,
 
     // q100: the epoch expansion replayed literally — same bucket hash as
-    // q54, per-row copies = ⌊w⌋ + (bucket < ⌊frac(w)·100⌋), epochs
-    // unnested 0-based. The frac arithmetic is written (w - floor(w)) in
-    // both engines so the IEEE noise (3.2 - 3.0 = 0.2000…018 → bucket cut
-    // 20) replays bit-for-bit.
+    // q54, per-row copies = ⌊w⌋ + (bucket < ⌊frac(w)·100 + 0.5⌋), epochs
+    // unnested 0-based. The frac arithmetic is written (w - floor(w))
+    // with the SAME half-up +0.5 in both engines, so the IEEE noise
+    // (3.2 - 3.0 = 0.2000…018 → bucket cut 20) replays bit-for-bit.
     "q100_epoch_mixture" ->
       """WITH d AS (
         |  SELECT doc_id, source,
@@ -943,7 +943,7 @@ object OracleSql {
         |  FROM documents),
         |c AS (SELECT doc_id, source,
         |             CAST(floor(w) AS INT)
-        |               + CASE WHEN b < floor((w - floor(w)) * 100) THEN 1 ELSE 0 END AS copies
+        |               + CASE WHEN b < floor((w - floor(w)) * 100 + 0.5) THEN 1 ELSE 0 END AS copies
         |      FROM d)
         |SELECT doc_id, source,
         |       CAST(unnest(generate_series(0, copies - 1)) AS INT) AS epoch

@@ -413,6 +413,14 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.epochExpand(df.repartition(7), col("doc_id"), col("grp"),
       Seq("A" -> 2.5, "B" -> 0.25)).as[(Long, String, Int)].collect().toSet
       === out.toSet)
+    // HALF-UP fraction quantization: w = 0.3 must keep 30% of buckets
+    // even though IEEE 0.3·100 = 29.999…96 (a bare floor kept 29%) — the
+    // kept set is exactly the bucket-< 30 cut
+    val frac03 = Sampling.epochExpand(df, col("doc_id"), col("grp"),
+      Seq("A" -> 0.3, "B" -> 0.0, "C" -> 0.0))
+      .as[(Long, String, Int)].collect().map(_._1).toSet
+    assert(frac03 === (0L until 200L).filter(n => buckets(n) < 30).toSet,
+      "0.3 must quantize to the 30-bucket cut, not IEEE-floor to 29")
     // guards
     assert(intercept[IllegalArgumentException] {
       Sampling.epochExpand(df, col("doc_id"), col("grp"), Seq("A" -> -1.0))

@@ -1714,6 +1714,19 @@ class SimilaritySpec extends SparkSpec {
       Similarity.semanticDecontaminate(corpus.withColumn("max_sim", lit(1.0)),
         suite, tau = 0.5)
     }.getMessage.contains("max_sim"))
+    // id soundness is ENFORCED, not documented away: a null id would dodge
+    // the gate's join-back (row survives at any similarity), duplicate ids
+    // would collapse to one shared max — both fail fast
+    val nullId = Seq((Some(1L), v(0 -> 1.0f)), (None, v(0 -> 1.0f)))
+      .toDF("vec_id", "embedding")
+    assert(intercept[IllegalArgumentException] {
+      Similarity.semanticDecontaminate(nullId, suite, tau = 0.5)
+    }.getMessage.contains("non-null"))
+    val dupId = Seq((1L, v(0 -> 1.0f)), (1L, v(1 -> 1.0f)))
+      .toDF("vec_id", "embedding")
+    assert(intercept[IllegalArgumentException] {
+      Similarity.semanticDecontaminate(dupId, suite, tau = 0.5)
+    }.getMessage.contains("unique"))
     graft.GraftSession.releaseCaches(spark, blocking = true)
   }
 

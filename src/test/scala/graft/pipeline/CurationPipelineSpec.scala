@@ -176,6 +176,15 @@ class CurationPipelineSpec extends SparkSpec {
     // returned relation
     assert(spark.read.parquet(s"$root/b1").as[(Long, String, String)]
       .collect().toSet === out)
+    // the batch/corpus id-disjointness contract is ENFORCED: a collision
+    // would silently corrupt the arrival-order-wins dedup (the union keys
+    // on the id), so it fails fast instead
+    val colliding = Seq((1L, "en", words("q", 10).mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    assert(intercept[IllegalArgumentException] {
+      CurationPipeline.ingestBatch(spark, colliding, state1,
+        suiteGrams, s"$root/b2")
+    }.getMessage.contains("disjoint"))
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     graft.GraftSession.releaseCaches(spark, blocking = true)
   }
