@@ -100,14 +100,26 @@ object Similarity {
     * hint would. The vote reduce and the per-query argmax window then run
     * on |queries|·(distinct labels) rows, metadata scale. Serving-shaped
     * on the same contract as [[bruteForceTopK]] (the query batch
-    * broadcasts); swap the neighbor stage for [[ivfPqTopKIndexed]]'s
-    * output to label against a stored 100 TB index — the vote stage is
-    * identical. */
+    * broadcasts); to label against a stored 100 TB index, feed
+    * [[ivfPqTopKIndexed]]'s output to [[voteLabels]] — the same vote
+    * stage this operator runs (spec-asserted). */
   def knnLabel(queries: DataFrame, corpus: DataFrame, k: Int,
                labelCol: String = "label", idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
-    val nn = bruteForceTopK(queries, corpus, k, idCol, vecCol)
-    val lbl = corpus.where(col(labelCol).isNotNull)
+               vecCol: String = "embedding"): DataFrame =
+    voteLabels(bruteForceTopK(queries, corpus, k, idCol, vecCol),
+      corpus, k, labelCol, idCol)
+
+  /** The vote stage of [[knnLabel]], exposed so it composes over ANY
+    * neighbor relation with (query_id, neighbor_id) columns — in
+    * particular [[ivfPqTopKIndexed]]/[[ivfPqTopKRefined]] output, which is
+    * how labeling runs against a stored 100 TB index (spec-asserted ≡
+    * [[knnLabel]] at covering knobs). `labels` carries (`idCol`,
+    * `labelCol`); semantics (null labels never vote, smallest-label
+    * tie-break, original label type) are [[knnLabel]]'s. */
+  def voteLabels(nn: DataFrame, labels: DataFrame, k: Int,
+                 labelCol: String = "label",
+                 idCol: String = "vec_id"): DataFrame = {
+    val lbl = labels.where(col(labelCol).isNotNull)
       .select(col(idCol).as("neighbor_id"), col(labelCol).as("knn_lbl"))
     val votes = lbl.join(nn.select("query_id", "neighbor_id"),
         Seq("neighbor_id"))
@@ -475,11 +487,11 @@ object Similarity {
     * suite rows dropped first — they can judge nothing); ONE corpus pass
     * scores |corpus|×|suite| pairs through the codegen'd cosine kernel
     * with the per-id max reduced map-side, then the metadata-thin max
-    * relation left-joins back. For a suite too large to broadcast,
-    * compose the stored-index tier instead (probe suite queries via
-    * [[ivfPqTopKIndexed]]/[[ivfPqTopKRefined]] and anti-join the hit
-    * ids) — approximate where this gate is exact, the usual
-    * recall-for-scale trade. */
+    * relation left-joins back. For a suite too large to broadcast, use
+    * [[semanticDecontaminateIndexed]] — the stored-index composition
+    * (suite rows probe the index, hit ids anti-join away), approximate
+    * where this gate is exact, with the recall-for-scale trade measured
+    * in SimilaritySpec and SCALE.md. */
   def semanticDecontaminate(corpus: DataFrame, suite: DataFrame, tau: Double,
                             idCol: String = "vec_id",
                             vecCol: String = "embedding"): DataFrame = {
@@ -1637,6 +1649,52 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"),
         col("rk").cast("long").as("rk"))
+  }
+
+  /** SEMANTIC decontamination through the STORED index — the
+    * suite-too-big composition [[semanticDecontaminate]]'s scaladoc
+    * promises: when the eval suite outgrows a broadcast, its rows probe
+    * the corpus's clustered index as QUERIES ([[ivfPqTopKRefined]] —
+    * exact cosine over the ADC shortlist) and every corpus id hit at
+    * rounded cosine ≥ tau is anti-joined away. Returns the SURVIVING
+    * corpus ids (one `idCol` column — the indexed tier judges only
+    * probed candidates, so a per-survivor max_sim would be a lie; the
+    * exact gate reports it, this one doesn't).
+    *
+    * Approximate where the exact gate is total, in two measurable ways:
+    *   - '''coverage''': a leaked corpus row in a cluster the suite row
+    *     doesn't probe is missed — nprobe's territory, exactly the
+    *     [[ivfPqTopKIndexed]] recall story ([[tuneProbe]] applies);
+    *   - '''multiplicity''': one suite row can flag at most
+    *     `hitsPerSuiteRow` corpus rows; a benchmark question duplicated
+    *     more than that many times within probed clusters keeps the
+    *     excess. Size it to the plausible leak multiplicity, not to k.
+    *
+    * Id contract: a pair whose suite id EQUALS a corpus id is skipped by
+    * the probe's self-exclusion — fine when the suite was carved from
+    * the same id space (the shared id denotes the same row; literal
+    * suite members are removed by id anti-join before this gate), wrong
+    * if the two sides number their rows independently — disambiguate ids
+    * first. Scale shape: probe-batch cost per suite row over the stored
+    * index (partition-pruned, code-columns-only + shortlist vector
+    * fetch), one answer-sized distinct, one anti-join — the corpus is
+    * never crossed with the suite. */
+  def semanticDecontaminateIndexed(corpus: DataFrame, suite: DataFrame,
+                                   index: DataFrame,
+                                   coarse: Array[Array[Double]],
+                                   codebooks: Array[Array[Array[Double]]],
+                                   tau: Double, nprobe: Int = 2,
+                                   rerank: Int = 4, hitsPerSuiteRow: Int = 64,
+                                   idCol: String = "vec_id",
+                                   vecCol: String = "embedding"): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    require(hitsPerSuiteRow >= 1,
+      s"need hitsPerSuiteRow ≥ 1, got $hitsPerSuiteRow")
+    val hits = ivfPqTopKRefined(suite, index, hitsPerSuiteRow, coarse,
+        codebooks, nprobe, rerank, idCol, vecCol)
+      .where(col("cosine") >= tau)  // same rounded-≥ boundary as the exact gate
+      .select(col("neighbor_id").as(idCol)).distinct()
+    corpus.join(hits, Seq(idCol), "left_anti").select(col(idCol))
   }
 
   /** [[tuneProbe]]'s result: the cheapest (nprobe, rerank) meeting the

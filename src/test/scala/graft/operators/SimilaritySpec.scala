@@ -1287,6 +1287,106 @@ class SimilaritySpec extends SparkSpec {
       Array((0L, "blog", 2L, 0.5)))
   }
 
+  test("voteLabels composes over the stored index: refined probes at " +
+      "covering knobs vote identically to knnLabel; the vote stage is " +
+      "the same machinery over ANY neighbor relation") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val coarse = Similarity.ivfCentroids(e, k = 4, iters = 1)
+    val books = Similarity.pqTrain(e, 4, 16, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("vote_idx").toString
+    try {
+      Similarity.ivfPqIndexWrite(e, dir, coarse, books)
+      val index = spark.read.parquet(dir)
+      val q = e.where(col("vec_id") < 10)
+      val n = e.count().toInt
+      // covering knobs: all clusters probed + a shortlist that covers every
+      // candidate makes the refined tier EXACT, so its votes must equal
+      // knnLabel's (the brute-force path) row for row
+      val nn = Similarity.ivfPqTopKRefined(q, index, k = 5, coarse, books,
+        nprobe = 4, rerank = (n / 5) + 1)
+      // labels live in a metadata relation keyed by the id — the index
+      // itself stores only (id, cluster, codes, vectors)
+      val viaIndex = Similarity.voteLabels(nn, e, k = 5)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+      val brute = Similarity.knnLabel(q, e, k = 5)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+      assert(viaIndex.toSeq === brute.toSeq,
+        "labeling against the stored index at covering knobs must equal knnLabel")
+      // the vote stage itself is neighbor-agnostic: over the APPROXIMATE
+      // ADC tier (nprobe=2) it must equal a hand count of that tier's own
+      // pairs — same majority/tie/confidence semantics, different neighbors
+      val adc = Similarity.ivfPqTopKIndexed(q, index, k = 5, coarse, books,
+        nprobe = 2)
+      val got = Similarity.voteLabels(adc, e, k = 5)
+        .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+      val labels = e.select(col("vec_id"), col("label"))
+        .as[(Long, Int)].collect().toMap
+      val hand = adc.select("query_id", "neighbor_id").as[(Long, Long)]
+        .collect().groupBy(_._1).toSeq.map { case (qid, nns) =>
+          val counts = nns.map(p => labels(p._2).toLong)
+            .groupBy(identity).map { case (l, v) => (l, v.size.toLong) }
+          val (wl, wv) = counts.toSeq.minBy { case (l, v) => (-v, l) }
+          (qid, wl, wv, wv.toDouble / 5)
+        }.sortBy(_._1)
+      assert(got.toSeq === hand)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
+  }
+
+  test("semanticDecontaminateIndexed: covering knobs ≡ the exact gate; " +
+      "hits are provably real (precision 1.0) and low-nprobe recall is " +
+      "the measured coverage trade") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = e.where(col("vec_id") % 9 =!= 0)
+    val suite = e.where(col("vec_id") % 9 === 0)
+    val coarse = Similarity.ivfCentroids(corpus, k = 4, iters = 1)
+    val books = Similarity.pqTrain(corpus, 4, 16, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("sdc_idx").toString
+    try {
+      Similarity.ivfPqIndexWrite(corpus, dir, coarse, books)
+      val index = spark.read.parquet(dir)
+      val all = corpus.select("vec_id").as[Long].collect().toSet
+      val exactKept = Similarity.semanticDecontaminate(corpus, suite, tau = 0.40)
+        .select("vec_id").as[Long].collect().toSet
+      val exactDropped = all -- exactKept
+      assert(exactDropped.nonEmpty, "τ=0.40 must bite (q102's fixture fact)")
+      val n = corpus.count().toInt
+      // covering knobs: every cluster probed, shortlist covers the corpus
+      // → the refined cosine judges EVERY (suite, corpus) pair exactly, so
+      // the indexed gate must equal the exact one
+      val coveringKept = Similarity.semanticDecontaminateIndexed(corpus,
+          suite, index, coarse, books, tau = 0.40, nprobe = 4, rerank = 1,
+          hitsPerSuiteRow = n)
+        .as[Long].collect().toSet
+      assert(coveringKept === exactKept,
+        "full probes + covering shortlist must reproduce the exact gate")
+      // production knobs: nprobe=1. Hits score by EXACT cosine, so a drop
+      // is always justified (precision 1.0 by construction)…
+      val lowKept = Similarity.semanticDecontaminateIndexed(corpus, suite,
+          index, coarse, books, tau = 0.40, nprobe = 1, rerank = 4,
+          hitsPerSuiteRow = 16)
+        .as[Long].collect().toSet
+      val lowDropped = all -- lowKept
+      assert(lowDropped.subsetOf(exactDropped),
+        "an indexed drop must be a real ≥ τ pair — exact cosine cannot overfire")
+      // …while recall is the coverage trade: leaks in unprobed clusters
+      // are missed. Measured here and banked in SCALE.md; the floor holds
+      // because a near-dup's cluster is usually its query's nearest too.
+      val recall = lowDropped.size.toDouble / exactDropped.size
+      info(f"nprobe=1 decontamination recall vs exact gate: $recall%.3f " +
+        s"(${lowDropped.size}/${exactDropped.size})")
+      assert(recall >= 0.5 && recall <= 1.0,
+        s"nprobe=1 recall $recall outside the plausible coverage band")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
+  }
+
   test("tuneProbe: cheapest (nprobe, rerank) meeting the recall target; honest when capped out") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
