@@ -20,9 +20,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * to phantom regressions. The median over successes is still reported
   * alongside (`queries_median` / `total_median`) — a large min↔median gap
   * is itself the noise signal. Queries whose observed max/min spread
-  * exceeds 2× get their run count bumped to `SPARK_GRAFT_BENCH_MAXRUNS`
-  * (default 5) so the min comes from a deeper sample exactly where the
-  * mode-swing risk is.
+  * exceeds 1.5× get their run count bumped to `SPARK_GRAFT_BENCH_MAXRUNS`
+  * (default 5), and rows STILL spread over 2× after that — the genuine
+  * mode-straddlers that dominate the per-query jitter tail — deepen once
+  * more to `SPARK_GRAFT_BENCH_DEEPRUNS` (default 7), so the min comes
+  * from a deeper sample exactly where the mode-swing risk is.
   *
   * The first warm-up pass at sf0.001 compiles every whole-stage-codegen
   * class before anything is timed. Failed runs never enter a stat or the
@@ -207,6 +209,7 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val maxRuns = math.max(runs, sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXRUNS", "5").toInt)
+    val deepRuns = math.max(maxRuns, sys.env.getOrElse("SPARK_GRAFT_BENCH_DEEPRUNS", "7").toInt)
     val spark = GraftSession.builder().getOrCreate()
     // the bench's contract is one parseable JSON line; every log line —
     // including localCheckpoint-unpersist WARNs — is noise on that channel
@@ -252,15 +255,25 @@ object Bench {
     def timeQueries(qs: Seq[(String, (SparkSession, String) => DataFrame)]) =
       qs.map { case (name, fn) =>
         var outcomes = Seq.fill(runs)(timeOnce(fn))
+        def spread(os: Seq[Option[Double]]): Double = {
+          val ok = os.flatten
+          if (ok.isEmpty) 1.0 else ok.max / ok.min
+        }
         // spread > 1.5× ⇒ the query straddles JVM modes or caught a noise
         // burst (SCALE.md §Bench variance) — deepen the sample so the min
         // comes from the fast mode and the trimmed mean from a wider base.
         // Round 17 lowered the trigger from 2.0: the 2× gate only caught
         // full mode-swings, while the headline's ±7% spread accumulates
         // from sub-2× per-query jitter the deeper sample now absorbs.
-        val ok = outcomes.flatten
-        if (ok.nonEmpty && ok.max / ok.min > 1.5)
+        if (spread(outcomes) > 1.5)
           outcomes ++= Seq.fill(maxRuns - outcomes.size)(timeOnce(fn))
+        // STILL > 2× after five samples ⇒ a genuine mode-straddler (the
+        // rows that dominate the banked 21.4% p90 per-query tail), not a
+        // one-off burst — two more draws so the min reliably samples the
+        // fast mode and the trimmed mean dilutes the slow one. Bounded:
+        // only rows already past the first deepen pay it.
+        if (outcomes.size > runs && spread(outcomes) > 2.0)
+          outcomes ++= Seq.fill(deepRuns - outcomes.size)(timeOnce(fn))
         val (mn, med, trim, nFailed) = statsOverSuccesses(outcomes)
         (name, mn, med, trim, nFailed, outcomes.size)
       }
