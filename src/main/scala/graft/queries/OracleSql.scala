@@ -56,6 +56,23 @@ object OracleSql {
       // from q72's SQL like both parents so none of the three can drift
       .updated("q97_ann_filtered_refined",
         refinedFromAdc(filteredFromAdc(base("q72_ivfpq"))))
+      // q103: the indexed gate at COVERING knobs is definitionally the
+      // exact gate restricted to surviving ids, so its oracle is q102's
+      // with the max_sim column dropped — DuckDB replays the exact gate
+      // with no knowledge of the probe machinery, and any shortlist /
+      // probe / radius defect in the engine's indexed path fails the hash
+      .updated("q103_semantic_decontam_indexed",
+        idOnly(base("q102_semantic_decontam")))
+
+  /** q103: q102's exact-gate replay projected to the surviving ids (the
+    * indexed twin returns no max_sim — it judges only probed candidates,
+    * so a per-survivor max would be a lie). Built FROM q102's SQL so the
+    * two gates can never drift. */
+  private def idOnly(gateSql: String): String = {
+    val proj = "SELECT c.vec_id, mx.max_sim"
+    require(gateSql.contains(proj), "q102 oracle shape changed; update q103's projection")
+    gateSql.replace(proj, "SELECT c.vec_id")
+  }
 
   /** q92: q72's full quantizer replay with the allow-list predicate
     * injected at the candidate PAIRING (the `term` CTE's join) — before

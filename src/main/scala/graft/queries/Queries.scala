@@ -935,6 +935,26 @@ object Queries {
       e.where(col("vec_id") % 9 === 0), tau = 0.40)
   }
 
+  /** q102 through the STORED index — the suite-too-big composition
+    * ([[graft.operators.Similarity.semanticDecontaminateIndexed]]): suite
+    * rows probe the shared clustered index, hits at exact cosine ≥ τ
+    * anti-join away. Run at COVERING knobs (every cluster probed, the
+    * shortlist covering every candidate), where the composition is
+    * definitionally the exact gate restricted to ids — so the oracle is
+    * q102's replayed INDEPENDENTLY of the probe machinery: a shortlist
+    * off-by-one, a mis-probed cluster, or a broken radius cut all fail
+    * the hash. (Production runs small nprobe; that recall trade is
+    * measured in SimilaritySpec + SCALE.md §R18, not oracle-able.) */
+  val q103_semantic_decontam_indexed: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val (coarse, books, path) = sharedIvfPqIndex(s, dir)
+    Similarity.semanticDecontaminateIndexed(
+      e.where(col("vec_id") % 9 =!= 0),
+      e.where(col("vec_id") % 9 === 0),
+      s.read.parquet(path), coarse, books,
+      tau = 0.40, nprobe = 8, rerank = 1, hitsPerSuiteRow = 1 << 20)
+  }
+
   /** IVF+PQ top-5 — the production FAISS index shape composed from the
     * engine's own tiers: coarse clusters prune the corpus (equi-join on
     * the probed cluster ids), PQ codes compress what remains to m bytes
@@ -1438,5 +1458,6 @@ object Queries {
     "q100_epoch_mixture" -> q100_epoch_mixture,
     "q101_sq_topk" -> q101_sq_topk,
     "q102_semantic_decontam" -> q102_semantic_decontam,
+    "q103_semantic_decontam_indexed" -> q103_semantic_decontam_indexed,
   )
 }
