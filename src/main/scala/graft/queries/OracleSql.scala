@@ -63,6 +63,11 @@ object OracleSql {
       // probe / radius defect in the engine's indexed path fails the hash
       .updated("q103_semantic_decontam_indexed",
         idOnly(base("q102_semantic_decontam")))
+      // q104: voteLabels over the stored index's covering-knob refine tier
+      // — the neighbor relation is definitionally brute force's top-5, so
+      // the oracle is q93's verbatim (the q81/q82/q83 storage-round-trip
+      // pattern applied to the labeling composition)
+      .updated("q104_knn_label_indexed", base("q93_knn_label"))
 
   /** q103: q102's exact-gate replay projected to the surviving ids (the
     * indexed twin returns no max_sim — it judges only probed candidates,

@@ -955,6 +955,23 @@ object Queries {
       tau = 0.40, nprobe = 8, rerank = 1, hitsPerSuiteRow = 1 << 20)
   }
 
+  /** q93 through the STORED index — retrieval-based labeling composed
+    * from [[graft.operators.Similarity.voteLabels]] over the shared
+    * index's exact-cosine refine tier at COVERING knobs (every cluster
+    * probed, shortlist covering every candidate), where the neighbor
+    * relation is definitionally [[graft.operators.Similarity.bruteForceTopK]]'s
+    * top-5 — so the oracle IS q93's, and any probe/shortlist/vote drift
+    * across the storage round trip fails the hash. (Production labels at
+    * small nprobe; that recall trade is [[graft.operators.Similarity.tuneProbe]]'s
+    * territory, spec-measured.) */
+  val q104_knn_label_indexed: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val (coarse, books, path) = sharedIvfPqIndex(s, dir)
+    val nn = Similarity.ivfPqTopKRefined(e.where(col("vec_id") < 10),
+      s.read.parquet(path), k = 5, coarse, books, nprobe = 8, rerank = 1 << 18)
+    Similarity.voteLabels(nn, e, k = 5)
+  }
+
   /** IVF+PQ top-5 — the production FAISS index shape composed from the
     * engine's own tiers: coarse clusters prune the corpus (equi-join on
     * the probed cluster ids), PQ codes compress what remains to m bytes
@@ -1459,5 +1476,6 @@ object Queries {
     "q101_sq_topk" -> q101_sq_topk,
     "q102_semantic_decontam" -> q102_semantic_decontam,
     "q103_semantic_decontam_indexed" -> q103_semantic_decontam_indexed,
+    "q104_knn_label_indexed" -> q104_knn_label_indexed,
   )
 }
