@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions._
   * batch's cache bracket). */
 object ProfileIngestBatch {
   def main(args: Array[String]): Unit = {
+    val fourth = sys.env.get("GRAFT_FOURTH_DECADE").contains("1")
     val spark = graft.GraftSession.local()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.pipeline.CurationPipeline
-    val (sf1, sf10, _) = ProfileUtil.scaledDocsDirs(spark, fourth = false)
+    val (sf1, sf10, sf100) = ProfileUtil.scaledDocsDirs(spark, fourth)
 
     // fixed batch: the sf0.01 table, ids shifted clear of every scaled
     // corpus's id range (ids there are < copies · |sf0.1| ≪ 10^9) — the
@@ -54,7 +55,8 @@ object ProfileIngestBatch {
     release()
 
     val rows = collection.mutable.ArrayBuffer.empty[(String, Double)]
-    Seq("sf0.1" -> "/root/testdata/sf0.1", "sf1" -> sf1, "sf10" -> sf10)
+    (Seq("sf0.1" -> "/root/testdata/sf0.1", "sf1" -> sf1, "sf10" -> sf10) ++
+      (if (fourth) Seq("sf100" -> sf100) else Nil))
       .foreach { case (name, dir) =>
         val st = state(dir)
         val (c, io) = ProfileUtil.calibBoth(spark)
