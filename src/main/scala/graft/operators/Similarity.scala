@@ -1690,9 +1690,62 @@ object Similarity {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
     require(hitsPerSuiteRow >= 1,
       s"need hitsPerSuiteRow ≥ 1, got $hitsPerSuiteRow")
+    // NaN must be excluded EXPLICITLY: Spark orders NaN above every
+    // number, so `NaN >= tau` is TRUE and a zero-norm vector (0/0 cosine)
+    // on either side would FALSELY drop the corpus row — the same
+    // poisoning trap the exact gate excludes before its max.
     val hits = ivfPqTopKRefined(suite, index, hitsPerSuiteRow, coarse,
         codebooks, nprobe, rerank, idCol, vecCol)
-      .where(col("cosine") >= tau)  // same rounded-≥ boundary as the exact gate
+      .where(!isnan(col("cosine")) && col("cosine") >= tau) // exact gate's rounded-≥ boundary
+      .select(col("neighbor_id").as(idCol)).distinct()
+    corpus.join(hits, Seq(idCol), "left_anti").select(col(idCol))
+  }
+
+  /** RADIUS variant of [[semanticDecontaminateIndexed]] — the shape the
+    * decontamination job actually wants: a radius gate has no natural k,
+    * so the top-k shortlist the serving tier imposes is a pure recall
+    * sink (`ProfileDecontamRecall` measured it costing 0.289 of recall at
+    * full probes on the bench corpus). This variant exact-scores EVERY
+    * row of the probed clusters against each suite query — no ADC, no
+    * shortlist, no `hitsPerSuiteRow`/`rerank` knobs — so its recall is
+    * the pure coverage curve (1.0 at full probes, spec-asserted ≡ the
+    * exact gate) and its only lever is nprobe.
+    *
+    * Cost model vs the shortlist variant: reads the probed clusters'
+    * VECTOR column (nprobe/k of the corpus's vector bytes — the
+    * [[ivfTopKIndexed]] I/O shape, partition- and column-pruned) instead
+    * of codes + an answer-sized vector fetch; scores |suite| × (probed
+    * corpus fraction) exact cosines. Decontamination is a batch job run
+    * once per corpus cut — paying vector I/O on nprobe/k of the corpus
+    * to delete the multiplicity failure mode is the right default; the
+    * shortlist variant remains for suite sweeps so frequent that code
+    * I/O dominates. Same id contract as the shortlist variant; needs an
+    * index written `withVectors = true`. */
+  def semanticDecontaminateIndexedRadius(corpus: DataFrame, suite: DataFrame,
+                                         index: DataFrame,
+                                         coarse: Array[Array[Double]],
+                                         tau: Double, nprobe: Int = 2,
+                                         idCol: String = "vec_id",
+                                         vecCol: String = "embedding"): DataFrame = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    assertNotCompacting(index)
+    require(index.columns.contains("embedding"),
+      "semanticDecontaminateIndexedRadius needs an index written " +
+        "withVectors = true (no embedding column found)")
+    val q = suite.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(probeCentroids(col(vecCol), coarse, nprobe)).as("probe"))
+      .select(col("query_id"), col("qv"), col("probe").as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val probed = q.select(col("cluster")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val vecs = pruneToProbed(index, probed)
+      .select(col("cluster"), col("neighbor_id"), col("embedding").as("nv"))
+    // NaN exclusion as above: a zero-norm vector's cosine is NaN, which
+    // Spark ranks above tau — judge nothing, never drop on it
+    val hits = broadcast(q).join(vecs, Seq("cluster"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sd_cos", round(cosine(col("qv"), col("nv")), 6))
+      .where(!isnan(col("sd_cos")) && col("sd_cos") >= tau)
       .select(col("neighbor_id").as(idCol)).distinct()
     corpus.join(hits, Seq(idCol), "left_anti").select(col(idCol))
   }

@@ -49,22 +49,36 @@ object ProfileDecontamRecall {
     // 4096 ≥ any probed pool here) eliminates the shortlist term, so
     // wide-vs-prod at fixed nprobe is the multiplicity lever and wide
     // across nprobe is the pure coverage curve
+    // three configs per nprobe level, separating the gate's loss terms:
+    // "prod" (hits=64, rerank=4) carries BOTH the coverage miss and the
+    // shortlist/multiplicity miss; "wide" (hits=512, rerank=8) eliminates
+    // the shortlist term for this corpus; "radius" has NO shortlist AT
+    // ALL (semanticDecontaminateIndexedRadius) — its curve is the pure
+    // coverage term by construction, so radius-vs-wide agreement proves
+    // wide's shortlist really covered, and prod-vs-radius at fixed nprobe
+    // is the full multiplicity cost of reusing the serving-shaped tier
+    def report(np: Int, tag: String)(kept: Set[Long]): Unit = {
+      val dropped = all -- kept
+      val falseDrops = dropped -- exactDropped
+      val recall = dropped.intersect(exactDropped).size.toDouble /
+        math.max(1, exactDropped.size)
+      println(f"[decontam] nprobe=$np $tag%-6s recall=$recall%.3f " +
+        f"(${dropped.intersect(exactDropped).size}/${exactDropped.size}) " +
+        s"false-drops=${falseDrops.size}")
+      Console.flush()
+    }
     Seq(1, 2, 4, 8).foreach { np =>
       Seq(("prod", 64, 4), ("wide", 512, 8)).foreach { case (tag, hits, rr) =>
-        val kept = Similarity.semanticDecontaminateIndexed(corpus, suite,
+        report(np, tag)(Similarity.semanticDecontaminateIndexed(corpus, suite,
             index, coarse, books, tau, nprobe = np, rerank = rr,
             hitsPerSuiteRow = hits)
-          .as[Long].collect().toSet
+          .as[Long].collect().toSet)
         graft.GraftSession.releaseCaches(spark, blocking = true)
-        val dropped = all -- kept
-        val falseDrops = dropped -- exactDropped
-        val recall = dropped.intersect(exactDropped).size.toDouble /
-          math.max(1, exactDropped.size)
-        println(f"[decontam] nprobe=$np $tag%-4s recall=$recall%.3f " +
-          f"(${dropped.intersect(exactDropped).size}/${exactDropped.size}) " +
-          s"false-drops=${falseDrops.size}")
-        Console.flush()
       }
+      report(np, "radius")(Similarity.semanticDecontaminateIndexedRadius(
+          corpus, suite, index, coarse, tau, nprobe = np)
+        .as[Long].collect().toSet)
+      graft.GraftSession.releaseCaches(spark, blocking = true)
     }
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     spark.stop()

@@ -1387,6 +1387,80 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("semanticDecontaminateIndexedRadius: full probes ≡ the exact gate " +
+      "with NO shortlist knobs; low-nprobe drops cover the shortlist " +
+      "variant's; zero-norm vectors never poison either indexed gate") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = e.where(col("vec_id") % 9 =!= 0)
+    val suite = e.where(col("vec_id") % 9 === 0)
+    val coarse = Similarity.ivfCentroids(corpus, k = 4, iters = 1)
+    val books = Similarity.pqTrain(corpus, 4, 16, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("sdr_idx").toString
+    try {
+      Similarity.ivfPqIndexWrite(corpus, dir, coarse, books)
+      val index = spark.read.parquet(dir)
+      val all = corpus.select("vec_id").as[Long].collect().toSet
+      val exactKept = Similarity.semanticDecontaminate(corpus, suite, tau = 0.40)
+        .select("vec_id").as[Long].collect().toSet
+      // full probes: the radius gate IS the exact gate — no shortlist cap
+      // to cover, no rerank to size
+      val radiusFull = Similarity.semanticDecontaminateIndexedRadius(corpus,
+          suite, index, coarse, tau = 0.40, nprobe = 4)
+        .as[Long].collect().toSet
+      assert(radiusFull === exactKept,
+        "radius gate at full probes must equal the exact gate outright")
+      // at equal nprobe the radius gate judges a SUPERSET of the shortlist
+      // variant's pairs (same probed clusters, no shortlist cut), so its
+      // drop set must cover the shortlist variant's — and still never
+      // overfire (exact cosine)
+      val radius1 = Similarity.semanticDecontaminateIndexedRadius(corpus,
+          suite, index, coarse, tau = 0.40, nprobe = 1)
+        .as[Long].collect().toSet
+      val short1 = Similarity.semanticDecontaminateIndexed(corpus, suite,
+          index, coarse, books, tau = 0.40, nprobe = 1, rerank = 1,
+          hitsPerSuiteRow = 2)
+        .as[Long].collect().toSet
+      assert((all -- short1).subsetOf(all -- radius1),
+        "the radius gate must catch everything the shortlist variant catches")
+      assert((all -- radius1).subsetOf(all -- exactKept),
+        "radius drops must be real ≥ τ pairs")
+      // NaN regression (the Spark NaN-orders-above-everything trap): a
+      // zero-norm corpus row pairs at NaN cosine with every suite probe,
+      // and NaN >= τ is TRUE under Spark ordering — without the explicit
+      // isnan exclusion both indexed gates would falsely drop it; a
+      // zero-norm SUITE row likewise judges nothing
+      def v(parts: (Int, Float)*): Seq[Float] =
+        (0 until 4).map(i => parts.toMap.getOrElse(i, 0.0f))
+      val c2 = Seq((1L, v(0 -> 1.0f)), (2L, v(1 -> 1.0f)), (5L, v()))
+        .toDF("vec_id", "embedding")
+      val s2 = Seq((900L, v(1 -> 1.0f, 2 -> 0.1f)), (902L, v()))
+        .toDF("vec_id", "embedding")
+      val coarse2 = Similarity.ivfCentroids(c2.where(col("vec_id") =!= 5L), k = 1, iters = 1)
+      val books2 = Similarity.pqTrain(c2, 2, 2, iters = 1)
+      val dir2 = java.nio.file.Files.createTempDirectory("sdr_nan_idx").toString
+      try {
+        Similarity.ivfPqIndexWrite(c2, dir2, coarse2, books2)
+        val idx2 = spark.read.parquet(dir2)
+        val expect = Set(1L, 5L) // 2 is the real near-dup; 1 orthogonal; 5 zero-norm
+        val gotRadius = Similarity.semanticDecontaminateIndexedRadius(c2, s2,
+          idx2, coarse2, tau = 0.7, nprobe = 1).as[Long].collect().toSet
+        assert(gotRadius === expect,
+          "zero-norm rows must survive the radius gate (NaN judges nothing)")
+        val gotShort = Similarity.semanticDecontaminateIndexed(c2, s2, idx2,
+          coarse2, books2, tau = 0.7, nprobe = 1, rerank = 4,
+          hitsPerSuiteRow = 8).as[Long].collect().toSet
+        assert(gotShort === expect,
+          "zero-norm rows must survive the shortlist gate (NaN judges nothing)")
+      } finally {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir2))
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
+  }
+
   test("tuneProbe: cheapest (nprobe, rerank) meeting the recall target; honest when capped out") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
