@@ -70,6 +70,12 @@ object Similarity {
     val scored = broadcast(q).crossJoin(c)
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(cosine(col("qv"), col("nv")), 6))
+      // a zero-norm vector has no angle (0/0 cosine = NaN) and Spark
+      // ranks NaN ABOVE every number — without this cut a zero-norm
+      // corpus row would occupy a top-k slot ahead of every real
+      // neighbor (the semanticDecontaminate NaN convention, applied
+      // family-wide: a NaN pair judges nothing)
+      .where(!isnan(col("cosine")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
@@ -1644,6 +1650,9 @@ object Similarity {
       .join(broadcast(shortlist), Seq("neighbor_id"))
       .join(broadcast(qvs), Seq("query_id"))
       .withColumn("cosine", round(cosine(col("qv"), col("nv")), 6))
+      // NaN ranks above every number in Spark — a zero-norm vector (no
+      // angle) must not outrank real neighbors ([[bruteForceTopK]]'s cut)
+      .where(!isnan(col("cosine")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
@@ -2025,6 +2034,9 @@ object Similarity {
     val scored = q.join(c, Seq("cluster"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(cosine(col("qv"), col("nv")), 6))
+      // NaN ranks above every number in Spark — a zero-norm vector (no
+      // angle) must not outrank real neighbors ([[bruteForceTopK]]'s cut)
+      .where(!isnan(col("cosine")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
@@ -2054,9 +2066,14 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = assigned.select(col("cluster"), col(idCol).as("lo_id"), col("embedding").as("lv"))
     val r = assigned.select(col("cluster"), col(idCol).as("hi_id"), col("embedding").as("rv"))
+    // NaN ≥ threshold is TRUE under Spark's NaN-above-everything ordering,
+    // so without the isnan cut a zero-norm vector (0/0 cosine vs every
+    // cluster-mate) would falsely mark all its higher-id mates as dups —
+    // a no-angle pair judges nothing (the semanticDecontaminate convention)
+    val sdiCos = round(cosine(col("lv"), col("rv")), 6)
     val dropped = l.join(r,
         l("cluster") === r("cluster") && col("lo_id") < col("hi_id")
-          && round(cosine(col("lv"), col("rv")), 6) >= threshold)
+          && !isnan(sdiCos) && sdiCos >= threshold)
       .select(col("hi_id").as(idCol))
     assigned.join(dropped, Seq(idCol), "left_anti")
       .select(col(idCol), col("cluster"))
@@ -2106,7 +2123,10 @@ object Similarity {
     // needs the id filter. Output order is then normalized by id — cosine is
     // symmetric, and the element-wise product stream is identical either way.
     l.join(r, Seq("bl", "br"))
-      .where((col("bl") < col("br") || col("left_id") < col("right_id")) && cos >= threshold)
+      // !isnan: a zero-norm vector's NaN cosine compares ≥ any threshold
+      // under Spark ordering — a no-angle pair is never a result pair
+      .where((col("bl") < col("br") || col("left_id") < col("right_id"))
+        && !isnan(cos) && cos >= threshold)
       .select(least(col("left_id"), col("right_id")).as("left_id"),
         greatest(col("left_id"), col("right_id")).as("right_id"),
         cos.as("cosine"))
@@ -2142,9 +2162,12 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = assigned.select(col("cluster"), col(idCol).as("lo_id"), col(vecCol).as("lv"))
     val r = assigned.select(col("cluster"), col(idCol).as("hi_id"), col(vecCol).as("rv"))
+    // !isnan: see [[semanticDedupIndexed]] — a zero-norm vector must not
+    // NaN-match every cluster-mate into the dropped set
+    val sdCos = round(cosine(col("lv"), col("rv")), 6)
     val dropped = l.join(r,
         l("cluster") === r("cluster") && col("lo_id") < col("hi_id")
-          && round(cosine(col("lv"), col("rv")), 6) >= threshold)
+          && !isnan(sdCos) && sdCos >= threshold)
       .select(col("hi_id").as(idCol))
     assigned.join(dropped, Seq(idCol), "left_anti")
       .select(col(idCol), col("cluster"))
@@ -2209,6 +2232,9 @@ object Similarity {
     val scored = q.join(c, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", round(cosine(col("qv"), col("nv")), 6))
+      // NaN ranks above every number in Spark — a zero-norm vector (no
+      // angle) must not outrank real neighbors ([[bruteForceTopK]]'s cut)
+      .where(!isnan(col("cosine")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k)

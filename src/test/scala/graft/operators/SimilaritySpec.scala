@@ -1904,6 +1904,62 @@ class SimilaritySpec extends SparkSpec {
     graft.GraftSession.releaseCaches(spark, blocking = true)
   }
 
+  test("the no-angle convention family-wide: a zero-norm vector never " +
+      "ranks, pairs, votes, or dedup-kills (Spark orders NaN above every " +
+      "number, so each site needs its explicit isnan cut)") {
+    import spark.implicits._
+    def v(parts: (Int, Float)*): Seq[Float] =
+      (0 until 4).map(i => parts.toMap.getOrElse(i, 0.0f))
+    val corpus = Seq(
+      (1L, v(0 -> 1.0f), 0),
+      (2L, v(0 -> 1.0f, 1 -> 0.05f), 0), // near-dup of 1 (cos ≈ 0.9988)
+      (3L, v(1 -> 1.0f), 1),             // orthogonal to 1/2
+      (9L, v(), 7)                        // zero-norm: NaN vs everything
+    ).toDF("vec_id", "embedding", "label")
+    val q = Seq((0L, v(0 -> 1.0f))).toDF("vec_id", "embedding")
+      .withColumn("label", lit(null).cast("int"))
+    // every cosine ranker: the zero-norm row must not occupy a slot even
+    // with k covering the whole corpus (pre-fix it ranked FIRST — NaN
+    // sorts ahead of every real cosine in a descending window)
+    val brute = Similarity.bruteForceTopK(q, corpus, k = 4)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(brute.map(_._2).toSet === Set(1L, 2L, 3L) && brute.forall(!_._3.isNaN))
+    val srp = Similarity.srpBucketTopK(q, corpus, k = 4, dim = 4,
+        nbits = 2, probeHamming = 2)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(!srp.map(_._2).contains(9L) && srp.forall(!_._3.isNaN))
+    val cents = Similarity.ivfCentroids(corpus.where(col("vec_id") =!= 9L),
+      k = 1, iters = 1)
+    val ivf = Similarity.ivfTopK(q, corpus, k = 4, cents, nprobe = 1)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(!ivf.map(_._2).contains(9L) && ivf.forall(!_._3.isNaN))
+    // the vote inherits the cut: neighbors are {1,2,3} → labels {0,0,1}
+    assert(Similarity.knnLabel(q, corpus, k = 4)
+      .as[(Long, Int, Long, Double)].collect() === Array((0L, 0, 2L, 0.5)))
+    // SemDeDup both tiers: the zero-norm row survives AND kills no
+    // cluster-mate (pre-fix its NaN pairs marked every higher id a dup)
+    val kept = Similarity.semanticDedup(corpus, cents, threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 3L, 9L),
+      "2 is a real near-dup of 1; 3 orthogonal; 9 has no angle to anything")
+    val books = Similarity.pqTrain(corpus, 2, 2, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("noangle_idx").toString
+    try {
+      Similarity.ivfPqIndexWrite(corpus, dir, cents, books)
+      val keptIdx = Similarity.semanticDedupIndexed(
+          spark.read.parquet(dir), threshold = 0.9)
+        .select("vec_id").as[Long].collect().toSet
+      assert(keptIdx === Set(1L, 3L, 9L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+    // the exact pair join: only the real pair, never a NaN pair
+    val pairs = Similarity.cosineSelfJoin(corpus, threshold = 0.9, blocks = 2)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs.map(p => (p._1, p._2)) === Set((1L, 2L)))
+    graft.GraftSession.releaseCaches(spark, blocking = true)
+  }
+
   test("SQ8: per-dim affine training, grid codes, and near-exact L2 ranking") {
     import spark.implicits._
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
