@@ -1425,6 +1425,27 @@ class SimilaritySpec extends SparkSpec {
         "the radius gate must catch everything the shortlist variant catches")
       assert((all -- radius1).subsetOf(all -- exactKept),
         "radius drops must be real ≥ τ pairs")
+      // plan contract: a single-suite-row probe at nprobe=1 must read
+      // exactly ONE of the four cluster partitions (partition pruning)
+      // and never the PQ code columns (column pruning) — the
+      // ivfTopKIndexed I/O shape the scaladoc claims
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val oneProbe = Similarity.semanticDecontaminateIndexedRadius(corpus,
+        suite.limit(1), index, coarse, tau = 0.40, nprobe = 1)
+      oneProbe.count()
+      val scans = oneProbe.queryExecution.executedPlan.collectWithSubqueries {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }.flatMap(_.collect { case s: FileSourceScanExec => s })
+      val idxScan = scans.find(_.relation.location.rootPaths
+        .exists(_.toString.contains("sdr_idx")))
+      assert(idxScan.isDefined, "the index scan must appear in the plan")
+      assert(idxScan.get.partitionFilters.nonEmpty &&
+        idxScan.get.selectedPartitions.partitionCount === 1,
+        "one suite row at nprobe=1 must read exactly one cluster partition")
+      assert(!idxScan.get.requiredSchema.fieldNames.exists(_.startsWith("code_")),
+        "the radius gate must column-prune the PQ codes away")
       // NaN regression (the Spark NaN-orders-above-everything trap): a
       // zero-norm corpus row pairs at NaN cosine with every suite probe,
       // and NaN >= τ is TRUE under Spark ordering — without the explicit
