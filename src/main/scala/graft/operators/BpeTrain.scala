@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed BPE tokenizer training — the merge-table learner
+  * (Sennrich et al. 2016 "Neural Machine Translation of Rare Words with
+  * Subword Units"), the step a training-data pipeline runs BEFORE it can
+  * count tokens the way the model will see them.
+  *
+  * The scale insight BPE training rides: after ONE corpus pass collapses
+  * the text to (distinct word, count), every merge round touches only the
+  * VOCABULARY relation — at 100 TB the corpus has billions of documents
+  * but the distinct-word table is orders of magnitude smaller, and counts
+  * carry the corpus weight. Per round:
+  *
+  *   1. adjacent-pair counts: a row-local zip of each word's current
+  *      symbol array with its own tail, exploded and summed with map-side
+  *      combine (shuffle width = distinct pairs, not occurrences);
+  *   2. the arg-max pair under the TOTAL order (count DESC, left ASC,
+  *      right ASC) — classic BPE breaks ties arbitrarily; a deterministic
+  *      tie-break makes the merge table a pure function of the corpus;
+  *   3. merge application: a row-local left fold over each word's symbol
+  *      array (greedy left-to-right, the reference BPE semantics — "aaa"
+  *      under (a,a) becomes [aa, a]).
+  *
+  * Each round's vocab is persisted and materialized before the previous
+  * is released, so the fold lineage never re-computes; very long merge
+  * schedules (32k+) would additionally `localCheckpoint` every ~64 rounds
+  * to keep the plan tree bounded.
+  *
+  * [[bpeEncode]] applies a FIXED merge list to a corpus row-locally (no
+  * shuffle): the merge fold composes per merge into one nested
+  * expression, which suits the small/medium merge tables the specs and
+  * analytics queries use. A production 32k-merge encoder would instead
+  * broadcast the trained vocab and longest-match per word — same
+  * semantics, different kernel; noted so the envelope is explicit.
+  *
+  * Oracle strategy (q107): merge ROUND 1's pair counts over the initial
+  * character segmentation are plain SQL (adjacent character bigrams
+  * weighted by word count) — the distributed-risk stage (the corpus pass
+  * + the pair shuffle) is hash-gated at every SF, while the driver loop
+  * (vocab-local, engine-independent) is pinned by BpeTrainSpec against an
+  * independent single-threaded reference implementation on real data. */
+object BpeTrain {
+
+  /** ONE corpus pass: whitespace words → (word, count), map-side combined.
+    * Empty tokens (doubled spaces) are dropped. */
+  def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(split(col(textCol), " ")).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** Initial segmentation: each distinct word as its character array.
+    * (No end-of-word sentinel: words are already whitespace-delimited in
+    * this corpus model, so merges never need to know word boundaries —
+    * the sentinel variant is a one-line change to this seed.) */
+  def initVocab(wc: DataFrame): DataFrame =
+    wc.withColumn("syms", filter(split(col("w"), ""), s => length(s) > 0))
+
+  /** Adjacent-pair counts over the CURRENT segmentation, weighted by word
+    * count: zip each symbol array with its own tail (row-local), explode,
+    * sum. Overlapping pairs count fully ("aaa" contributes (a,a) twice),
+    * matching the reference BPE counting. */
+  def pairCounts(vocab: DataFrame): DataFrame = {
+    val n = size(col("syms"))
+    vocab
+      .where(n >= 2)
+      .select(col("cnt"), explode(zip_with(
+        slice(col("syms"), lit(1), n - 1),
+        slice(col("syms"), lit(2), n - 1),
+        (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
+  /** Greedy left-to-right application of one merge to a symbol array —
+    * the row-local fold shared by training and encoding. */
+  private def mergeFold(syms: Column, l: String, r: String): Column =
+    aggregate(syms, array().cast("array<string>"),
+      (acc, s) =>
+        when(size(acc) > 0 && element_at(acc, -1) === l && s === r,
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+          .otherwise(concat(acc, array(s))))
+
+  /** One merge round applied to the vocabulary. */
+  def applyMerge(vocab: DataFrame, l: String, r: String): DataFrame =
+    vocab.withColumn("syms", mergeFold(col("syms"), l, r))
+
+  /** Train `merges` BPE merges over the corpus. Returns the ordered merge
+    * table — a pure function of the corpus under the deterministic
+    * tie-break. Stops early (shorter result) when no adjacent pair
+    * remains. */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int): Seq[(String, String)] = {
+    require(merges > 0, s"need a positive merge count, got $merges")
+    var vocab = initVocab(wordCounts(df, textCol))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    vocab.count()
+    val out = Seq.newBuilder[(String, String)]
+    var m = 0
+    var exhausted = false
+    try {
+      while (m < merges && !exhausted) {
+        val top = pairCounts(vocab)
+          .orderBy(desc("cnt"), asc("l"), asc("r"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true
+        else {
+          val (l, r) = (top(0).getString(0), top(0).getString(1))
+          out += ((l, r))
+          val next = applyMerge(vocab, l, r).persist(StorageLevel.MEMORY_AND_DISK)
+          next.count()
+          vocab.unpersist()
+          vocab = next
+          m += 1
+        }
+      }
+    } finally vocab.unpersist()
+    out.result()
+  }
+
+  /** Encode a corpus under a FIXED merge table: per word, seed character
+    * segmentation then each merge's greedy fold IN ORDER — all row-local
+    * (zero shuffle). Returns the input plus `bpe_tokens` (the full
+    * subword stream in document order) and `bpe_len`. */
+  def bpeEncode(df: DataFrame, textCol: String,
+                merges: Seq[(String, String)]): DataFrame = {
+    val clash = Seq("bpe_tokens", "bpe_len").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input columns collide with output names: ${clash.mkString(", ")}")
+    val words = filter(split(col(textCol), " "), w => length(w) > 0)
+    val encodedWord = (w: Column) => {
+      val seed = filter(split(w, ""), s => length(s) > 0)
+      merges.foldLeft(seed) { case (acc, (l, r)) => mergeFold(acc, l, r) }
+    }
+    df.withColumn("bpe_tokens", flatten(transform(words, encodedWord)))
+      .withColumn("bpe_len", size(col("bpe_tokens")).cast("long"))
+  }
+}

@@ -182,6 +182,59 @@ object Sampling {
       .drop("fs_stratum", "fs_key", "fs_rank", "fs_rn")
   }
 
+  /** WEIGHTED sampling without replacement, deterministic — the
+    * Efraimidis–Spirakis A-ES scheme (Efraimidis & Spirakis 2006,
+    * "Weighted random sampling with a reservoir"): every row draws a
+    * uniform u ∈ (0,1) and competes on the key u^(1/w); the k LARGEST
+    * keys are distributed exactly as k sequential weighted draws without
+    * replacement. Here u derives from the engine's cross-engine content
+    * hash of (seed, key) — `(md5_long(seed ∥ key) + 0.5) / 2⁶⁰` — so the
+    * sample is a pure function of (content, seed): stable across runs,
+    * engines, and partition layouts, re-seedable for fresh draws, and
+    * SQL-replayable (the +0.5 lifts u off zero; at 60-bit magnitudes it
+    * is absorbed identically by both engines' round-to-nearest, so parity
+    * is bit-exact). k rows are kept per stratum (pass a constant for a
+    * global sample).
+    *
+    * Rows that cannot compete are excluded up front: null key, and null /
+    * NaN / non-positive weight (u^(1/w) is undefined or ill-ordered
+    * there; a zero-weight row should never be drawn anyway). Ties on the
+    * ES key are broken by (hash, key) — a total order.
+    *
+    * Scale shape: one shuffle on the stratum key into a per-stratum
+    * row_number window, exactly [[fixedSizeSample]]'s cost. For huge
+    * strata with small k, a per-row pre-cut `ws_esk ≥ τ` composes safely
+    * for any τ below the eventual k-th key (it keeps a SUPERSET prefix of
+    * the descending ES order); with weights bounded by w_max, τ =
+    * (ε)^(w_max) guarantees ≥ k survivors with probability governed by ε
+    * — pick ε from k/|stratum| with slack, the same engineering as
+    * [[fixedSizeSample]]'s md5-prefix pre-cut. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+                     stratum: Column, k: Int, seed: String = ""): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val reserved = Seq("ws_key", "ws_h", "ws_w", "ws_esk", "ws_stratum", "ws_rn")
+    val clash = df.columns.filter(c => reserved.contains(c.toLowerCase))
+    require(clash.isEmpty,
+      s"input columns collide with scratch names [${clash.mkString(", ")}] — " +
+        "rename or drop them first")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ws_stratum"))
+      .orderBy(col("ws_esk").desc, col("ws_h").asc, col("ws_key").asc)
+    df.withColumn("ws_key", key.cast("string"))
+      .withColumn("ws_w", weight.cast("double"))
+      .where(col("ws_key").isNotNull &&
+        col("ws_w").isNotNull && !isnan(col("ws_w")) && col("ws_w") > 0)
+      .withColumn("ws_h",
+        graft.functions.Md5LongFunction.md5Long(concat(lit(seed), col("ws_key"))))
+      .withColumn("ws_stratum", stratum)
+      .withColumn("ws_esk",
+        pow((col("ws_h").cast("double") + lit(0.5)) / lit(math.pow(2.0, 60)),
+          lit(1.0) / col("ws_w")))
+      .withColumn("ws_rn", row_number().over(w))
+      .where(col("ws_rn") <= k)
+      .drop(reserved: _*)
+  }
+
   /** Deterministic corpus shuffle + sharding — the training-export stage:
     * a model's data order must be reproducible (resume from step N, rerun
     * an ablation, bisect a loss spike) yet statistically shuffled, and at

@@ -1863,5 +1863,59 @@ object OracleSql {
         |    FROM pair GROUP BY 1, 2) WHERE cos >= 0.35)
         |SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
         |FROM a2 WHERE vec_id NOT IN (SELECT hi FROM dropped)""".stripMargin,
+
+    // q105: the published fixed weight vector is embedded as the SAME
+    // literal array the engine builds (single source of truth:
+    // QualityModel.fixedWeights — Double.toString round-trips exactly
+    // through DuckDB's literal parser). Token-order list_sum mirrors the
+    // engine's ordered fold; round(…,6) absorbs the ≤1-ulp cross-engine
+    // exp difference; keep is decided FROM the rounded score.
+    "q105_quality_model" -> {
+      val w = graft.operators.QualityModel.fixedWeights()
+      val arr = w.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |         0.1 + list_sum(list_transform(string_split(text, ' '),
+         |             t -> $arr[
+         |               CAST(('0x' || substr(md5(t), 1, 15))::BIGINT % ${w.length} AS INT) + 1]))
+         |           / len(string_split(text, ' ')) AS z
+         |  FROM documents)
+         |SELECT doc_id,
+         |       round(1.0 / (1.0 + exp(-z)), 6) AS model_score,
+         |       round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+         |FROM scored""".stripMargin
+    },
+
+    // q106: the Efraimidis–Spirakis draw replayed literally — u from the
+    // seeded 60-bit md5 hash (+0.5 absorbed identically by both engines'
+    // round-to-nearest at this magnitude), key u^(1/n_chars), top-5 per
+    // lang under the (key DESC, hash, id) total order.
+    "q106_weighted_sample" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang ORDER BY
+        |           pow((('0x' || substr(md5('r18' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 0.5)
+        |                 / 1152921504606846976.0,
+        |               1.0 / CAST(n_chars AS DOUBLE)) DESC,
+        |           ('0x' || substr(md5('r18' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |           CAST(doc_id AS VARCHAR)) AS rn
+        |  FROM documents WHERE n_chars > 0)
+        |WHERE rn <= 5""".stripMargin,
+
+    // q107: BPE merge round 1 — adjacent character-pair counts over the
+    // (distinct word, count) relation, top-20 under the deterministic
+    // (count DESC, l, r) merge-selection order.
+    "q107_bpe_pairs" ->
+      """WITH wc AS (
+        |  SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0 GROUP BY 1),
+        |p AS (
+        |  SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r, sum(c) AS cnt
+        |  FROM (SELECT w, c, unnest(generate_series(1, length(w) - 1)) AS i
+        |        FROM wc WHERE length(w) >= 2)
+        |  GROUP BY 1, 2)
+        |SELECT l, r, CAST(cnt AS BIGINT) AS cnt
+        |FROM p ORDER BY cnt DESC, l, r LIMIT 20""".stripMargin,
   )
 }

@@ -1370,6 +1370,46 @@ object Queries {
       .select(col("vec_id"), col("cluster").cast("long").as("cluster"))
   }
 
+  /** Model-based quality scoring — the fastText-style hashed linear
+    * classifier tier ([[graft.operators.QualityModel.hashedLinearScore]])
+    * under the PUBLISHED fixed weight vector (the same literal array the
+    * oracle embeds): per-token bucket weights summed in token order, a
+    * sigmoid, and the keep decision at 0.5 — all row-local, zero
+    * shuffles. Training of these weights is gated by QualityModelSpec
+    * (float-aggregation order makes trained bits engine-local; the
+    * SCORING algebra is the cross-engine contract). */
+  val q105_quality_model: Q = (s, dir) =>
+    graft.operators.QualityModel.hashedLinearScore(
+      Tables.documents(s, dir), "text",
+      graft.operators.QualityModel.fixedWeights(), bias = 0.1)
+      .select(col("doc_id"), col("model_score"), col("keep"))
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis) — 5 docs
+    * per language, inclusion probability proportional to document length:
+    * the "sample big docs more" draw a mixture designer uses. The ES key
+    * u^(1/w) is a pure function of (doc_id, seed) through the
+    * cross-engine md5 hash, so the oracle replays the identical draw. */
+  val q106_weighted_sample: Q = (s, dir) =>
+    Sampling.weightedSample(Tables.documents(s, dir),
+      col("doc_id"), col("n_chars"), col("lang"), k = 5, seed = "r18")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
+  /** BPE merge round 1's pair relation — the distributed-risk stage of
+    * tokenizer training ([[graft.operators.BpeTrain]]): ONE corpus pass
+    * to (word, count), then adjacent character-pair counts weighted by
+    * word count, top-20 under the deterministic (count DESC, l, r) total
+    * order (the same order that picks each round's merge). The
+    * vocab-local driver loop on top is pinned by BpeTrainSpec against an
+    * independent reference implementation. */
+  val q107_bpe_pairs: Q = (s, dir) => {
+    import graft.operators.BpeTrain
+    BpeTrain.pairCounts(BpeTrain.initVocab(
+        BpeTrain.wordCounts(Tables.documents(s, dir), "text")))
+      .orderBy(desc("cnt"), asc("l"), asc("r"))
+      .limit(20)
+      .select(col("l"), col("r"), col("cnt").cast("long").as("cnt"))
+  }
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -1477,5 +1517,8 @@ object Queries {
     "q102_semantic_decontam" -> q102_semantic_decontam,
     "q103_semantic_decontam_indexed" -> q103_semantic_decontam_indexed,
     "q104_knn_label_indexed" -> q104_knn_label_indexed,
+    "q105_quality_model" -> q105_quality_model,
+    "q106_weighted_sample" -> q106_weighted_sample,
+    "q107_bpe_pairs" -> q107_bpe_pairs,
   )
 }

@@ -1,0 +1,115 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent single-threaded BPE reference: plain Scala over collected
+    * word counts, same total order (count DESC, l ASC, r ASC), same greedy
+    * left-to-right merge application. The distributed trainer must replay
+    * it exactly — any drift in pair counting, tie-breaking, or the fold
+    * is a hard failure. */
+  private def referenceTrain(wordCounts: Map[String, Long],
+                             merges: Int): Seq[(String, String)] = {
+    var vocab: Map[Vector[String], Long] =
+      wordCounts.map { case (w, c) => w.map(_.toString).toVector -> c }
+    val out = Seq.newBuilder[(String, String)]
+    var m = 0
+    var done = false
+    while (m < merges && !done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => pairs((a, b)) = pairs.getOrElse((a, b), 0L) + c
+          case _ =>
+        }
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val (l, r) = pairs.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+        out += ((l, r))
+        vocab = vocab.groupMapReduce {
+          case (syms, _) => referenceApply(syms, l, r)
+        } { case (_, c) => c }(_ + _)
+        m += 1
+      }
+    }
+    out.result()
+  }
+
+  private def referenceApply(syms: Vector[String], l: String,
+                             r: String): Vector[String] =
+    syms.foldLeft(Vector.empty[String]) { (acc, s) =>
+      if (acc.nonEmpty && acc.last == l && s == r) acc.init :+ (l + r)
+      else acc :+ s
+    }
+
+  private def referenceEncode(text: String,
+                              merges: Seq[(String, String)]): Vector[String] =
+    text.split(" ").filter(_.nonEmpty).toVector.flatMap { w =>
+      merges.foldLeft(w.map(_.toString).toVector) {
+        case (syms, (l, r)) => referenceApply(syms, l, r)
+      }
+    }
+
+  test("hand-verified fixture: merges, early exhaustion, overlap counting") {
+    val df = Seq("aa ab", "aa").toDF("text")
+    // word counts {aa: 2, ab: 1}; round 1 pairs: (a,a)=2, (a,b)=1 -> merge (a,a)
+    // round 2: only ab=[a,b] has a pair -> merge (a,b); round 3: exhausted
+    assert(BpeTrain.bpeTrain(df, "text", merges = 5) ===
+      Seq(("a", "a"), ("a", "b")))
+    // overlapping pairs count fully: "aaa" contributes (a,a) twice
+    val pc = BpeTrain.pairCounts(BpeTrain.initVocab(
+        BpeTrain.wordCounts(Seq("aaa").toDF("text"), "text")))
+      .as[(String, String, Long)].collect()
+    assert(pc === Array(("a", "a", 2L)))
+  }
+
+  test("greedy left-to-right merge: 'aaa' under (a,a) becomes [aa, a]") {
+    val df = Seq("aaa").toDF("text")
+    val enc = BpeTrain.bpeEncode(df, "text", Seq(("a", "a")))
+      .select($"bpe_tokens", $"bpe_len").as[(Seq[String], Long)].collect()(0)
+    assert(enc === ((Seq("aa", "a"), 2L)))
+  }
+
+  test("distributed trainer replays the reference implementation on real data") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val wc = BpeTrain.wordCounts(docs, "text")
+      .as[(String, Long)].collect().toMap
+    val expected = referenceTrain(wc, merges = 8)
+    val got = BpeTrain.bpeTrain(docs, "text", merges = 8)
+    assert(got === expected)
+    assert(got.size === 8, "real corpus must not exhaust at 8 merges")
+  }
+
+  test("encode replays the reference fold and shrinks the symbol stream") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(20)
+    val merges = BpeTrain.bpeTrain(
+      spark.read.parquet(s"$sf/documents.parquet"), "text", merges = 6)
+    val got = BpeTrain.bpeEncode(docs, "text", merges)
+      .select($"text", $"bpe_tokens").as[(String, Seq[String])].collect()
+    got.foreach { case (text, toks) =>
+      assert(toks === referenceEncode(text, merges), s"encode drift on: $text")
+      val rawChars = text.split(" ").filter(_.nonEmpty).map(_.length).sum
+      assert(toks.size < rawChars, "merges must compress the char stream")
+      assert(toks.mkString === text.split(" ").filter(_.nonEmpty).mkString,
+        "encoding must preserve the character stream")
+    }
+  }
+
+  test("bpeEncode rejects output-name collisions and handles empty/multi-space text") {
+    val clash = Seq((1L, "ab", 7L)).toDF("id", "text", "bpe_len")
+    val e = intercept[IllegalArgumentException] {
+      BpeTrain.bpeEncode(clash, "text", Seq(("a", "b")))
+    }
+    assert(e.getMessage.contains("bpe_len"))
+    val weird = Seq("a  b", "").toDF("text")
+    val rows = BpeTrain.bpeEncode(weird, "text", Seq(("a", "b")))
+      .select($"bpe_tokens", $"bpe_len").as[(Seq[String], Long)].collect()
+    assert(rows.contains((Seq("a", "b"), 2L)), "doubled space must not emit empty symbols")
+    assert(rows.contains((Seq.empty[String], 0L)), "empty text encodes to zero symbols")
+  }
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.Md5LongKernel
+import org.apache.spark.sql.functions._
+
+class QualityModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bucket(tok: String, dims: Int): Int =
+    (Md5LongKernel.hash(tok.getBytes("UTF-8")) % dims).toInt
+
+  test("hashedLinearScore matches a hand-computed sigmoid on a fixture") {
+    val w = QualityModel.fixedWeights(8)
+    val df = Seq((1L, "ab cd ab"), (2L, "xyz")).toDF("id", "text")
+    val got = QualityModel.hashedLinearScore(df, "text", w, bias = 0.25)
+      .select($"id", $"model_score", $"keep").as[(Long, Double, Boolean)]
+      .collect().map { case (k, v, kp) => k -> ((v, kp)) }.toMap
+    def expected(toks: Seq[String]): Double = {
+      val z = 0.25 + toks.map(t => w(bucket(t, 8))).sum / toks.length
+      val p = 1.0 / (1.0 + math.exp(-z))
+      BigDecimal(p).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val e1 = expected(Seq("ab", "cd", "ab"))
+    val e2 = expected(Seq("xyz"))
+    assert(got(1L) === ((e1, e1 >= 0.5)))
+    assert(got(2L) === ((e2, e2 >= 0.5)))
+  }
+
+  test("hashedLinearScore: null text scores null and is never kept-true") {
+    val df = Seq((1L, Option("ab")), (2L, Option.empty[String])).toDF("id", "text")
+    val rows = QualityModel.hashedLinearScore(df, "text",
+      QualityModel.fixedWeights(8), bias = 0.0).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(!byId(1L).isNullAt(1))
+    assert(byId(2L).isNullAt(1), "null text must score null")
+    assert(byId(2L).isNullAt(2) || !byId(2L).getBoolean(2),
+      "null text must never be kept")
+  }
+
+  test("hashedLinearScore rejects output-name collisions") {
+    val df = Seq((1L, "ab", 0.5)).toDF("id", "text", "model_score")
+    val e = intercept[IllegalArgumentException] {
+      QualityModel.hashedLinearScore(df, "text", QualityModel.fixedWeights(8), 0.0)
+    }
+    assert(e.getMessage.contains("model_score"))
+  }
+
+  test("training separates a synthetic two-class corpus and plugs into scoring") {
+    // Two disjoint vocabularies whose buckets do not collide at dims=64
+    // (asserted below, so a hash change can never silently weaken this
+    // test into a collision coin-flip).
+    val goodToks = Seq("alpha", "bravo", "carbon", "delta")
+    val badToks = Seq("zulu", "yankee", "xray", "victor")
+    val dims = 64
+    val buckets = (goodToks ++ badToks).map(bucket(_, dims))
+    assert(buckets.distinct.size === buckets.size, "fixture buckets collide")
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 200).map { i =>
+      val vocab = if (i % 2 == 0) goodToks else badToks
+      val text = Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (i.toLong, text, i % 2 == 0)
+    }.toDF("id", "text", "label")
+    val m = QualityModel.trainHashedLogistic(docs, "text", col("label"),
+      dims = dims, iters = 60, lr = 5.0)
+    assert(m.losses.head > m.losses.last,
+      s"loss must decrease: ${m.losses.head} -> ${m.losses.last}")
+    assert(m.losses.last < 0.05, s"separable fixture must converge, got ${m.losses.last}")
+    // trained weights drop straight into the scoring tier
+    val scored = QualityModel.hashedLinearScore(docs, "text", m.weights, m.bias)
+      .select($"label", $"keep").as[(Boolean, Boolean)].collect()
+    val acc = scored.count { case (y, kp) => y == kp }.toDouble / scored.length
+    assert(acc >= 0.99, s"train accuracy $acc")
+  }
+
+  test("training excludes null-labeled and null-text rows, rejects empty sets") {
+    val df = Seq(
+      (1L, Option("alpha alpha"), Option(true)),
+      (2L, Option("zulu zulu"), Option(false)),
+      (3L, Option.empty[String], Option(true)),
+      (4L, Option("ignored"), Option.empty[Boolean])).toDF("id", "text", "label")
+    // 2 usable rows — must train without NPE and produce finite loss
+    val m = QualityModel.trainHashedLogistic(df, "text", col("label"),
+      dims = 16, iters = 5, lr = 1.0)
+    assert(m.losses.forall(l => !l.isNaN && !l.isInfinite))
+    val empty = df.where(col("id") > 100)
+    val e = intercept[IllegalArgumentException] {
+      QualityModel.trainHashedLogistic(empty, "text", col("label"), dims = 16,
+        iters = 1)
+    }
+    assert(e.getMessage.contains("no labeled rows"))
+  }
+
+  test("L2 penalty shrinks weights relative to unregularized training") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"), (col("lang") === "en").as("y"))
+    val free = QualityModel.trainHashedLogistic(docs, "text", col("y"),
+      dims = 32, iters = 10, lr = 1.0, l2 = 0.0)
+    val reg = QualityModel.trainHashedLogistic(docs, "text", col("y"),
+      dims = 32, iters = 10, lr = 1.0, l2 = 0.5)
+    def norm(w: Array[Double]) = math.sqrt(w.map(x => x * x).sum)
+    assert(norm(reg.weights) < norm(free.weights),
+      s"l2 must shrink: ${norm(reg.weights)} vs ${norm(free.weights)}")
+  }
+}

@@ -574,4 +574,68 @@ class SamplingSpec extends SparkSpec {
     assert(shuffles.length <= 1,
       s"only the boundary tie-group window may shuffle, got ${shuffles.length}")
   }
+
+  test("weightedSample replays a driver-side Efraimidis–Spirakis reference exactly") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val got = Sampling.weightedSample(docs, col("doc_id"), col("n_chars"),
+      col("lang"), k = 4, seed = "s1")
+      .select(col("lang"), col("doc_id")).as[(String, Long)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // independent reference: collect, compute u and u^(1/w) in plain Scala
+    val rows = docs.as[(Long, String, Long)].collect()
+    val expected = rows.groupBy(_._2).view.mapValues { g =>
+      g.filter(_._3 > 0).map { case (id, _, w) =>
+        val h = graft.functions.Md5LongKernel.hash(("s1" + id).getBytes("UTF-8"))
+        val u = (h.toDouble + 0.5) / math.pow(2.0, 60)
+        (id, math.pow(u, 1.0 / w), h)
+      }.sortBy { case (id, esk, h) => (-esk, h, id.toString) }
+        .take(4).map(_._1).toSet
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("weightedSample: deterministic per seed, fresh draw per seed, k per stratum") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def draw(seed: String) = Sampling.weightedSample(docs, col("doc_id"),
+      col("n_chars"), col("lang"), k = 5, seed = seed)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val a = draw("x")
+    assert(a === draw("x"), "same seed must reproduce the draw")
+    assert(a !== draw("y"), "a fresh seed must give a fresh draw")
+    val perLang = Sampling.weightedSample(docs, col("doc_id"), col("n_chars"),
+      col("lang"), k = 5, seed = "x")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(perLang.values.forall(_ === 5L), s"k per stratum: $perLang")
+    // columns come back unchanged (scratch columns dropped)
+    assert(Sampling.weightedSample(docs, col("doc_id"), col("n_chars"),
+      col("lang"), k = 1).columns === docs.columns)
+  }
+
+  test("weightedSample: heavier rows win proportionally more often across seeds") {
+    val two = Seq((1L, 9.0), (2L, 1.0)).toDF("id", "w")
+    val wins = (0 until 300).count { s =>
+      Sampling.weightedSample(two, col("id"), col("w"), lit(0), k = 1,
+        seed = s"seed$s").select(col("id")).as[Long].collect()(0) == 1L
+    }
+    // P(heavy) = 0.9; binomial sd over 300 trials ≈ 0.017 — ±5σ band
+    assert(wins >= 245 && wins <= 295, s"heavy row won $wins/300, expected ~270")
+  }
+
+  test("weightedSample: non-competing rows excluded, guards fire") {
+    val df = Seq(
+      (1L, Option(2.0)), (2L, Option(0.0)), (3L, Option(-1.0)),
+      (4L, Option.empty[Double]), (5L, Option(Double.NaN))).toDF("id", "w")
+    val kept = Sampling.weightedSample(df, col("id"), col("w"), lit(0), k = 10)
+      .select(col("id")).as[Long].collect().toSet
+    assert(kept === Set(1L), "only the positive-weight row can be drawn")
+    intercept[IllegalArgumentException] {
+      Sampling.weightedSample(df, col("id"), col("w"), lit(0), k = 0)
+    }
+    val clash = Seq((1L, 1.0, 2.0)).toDF("id", "w", "ws_esk")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.weightedSample(clash, col("id"), col("w"), lit(0), k = 1)
+    }
+    assert(e.getMessage.contains("ws_esk"))
+  }
 }
