@@ -92,6 +92,44 @@ object Sampling {
     df.where(hashBucket(key, buckets) < cut)
   }
 
+  /** TEMPERATURE-scaled mixture weights — the multilingual rebalancing
+    * recipe (mT5/PaLM-style sampling temperature): stratum weights
+    * proportional to population^alpha, so alpha = 1 reproduces the natural
+    * mix, alpha = 0 the uniform mix, and the usual alpha ∈ (0,1) lifts
+    * rare strata between the two. Feed the result straight to
+    * [[mixToWeights]] — under its binding-stratum arithmetic the
+    * smallest stratum keeps (almost) everything and a stratum of size n
+    * keeps the fraction (n_min/n)^(1−alpha).
+    *
+    * Weights are quantized to 6 decimals with the engine's standard
+    * HALF-UP rounding so an oracle replaying `pow` on its own libm
+    * computes the IDENTICAL doubles (a raw pow differs by ≤1 ulp across
+    * engines, and the binding stratum's keep-cut sits exactly on the
+    * floor boundary where 1 ulp flips the bucket count).
+    *
+    * Scale shape: one map-side-combined count per stratum; the collect is
+    * stratum-sized and fail-fasts past `maxStrata` (a corpus-cardinality
+    * stratum column is a config error — at that grain use
+    * [[keepByGroupTokenBudget]]'s distributed thresholds instead). Null
+    * strata are excluded (they cannot be named in a mixture). */
+  def temperatureWeights(df: DataFrame, stratum: Column, alpha: Double,
+                         maxStrata: Int = 10000): Seq[(String, Double)] = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val counts = df.where(stratum.isNotNull)
+      .groupBy(stratum.cast("string").as("tw_stratum"))
+      .agg(count(lit(1)).as("tw_cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      require(counts.count() <= maxStrata,
+        s"stratum cardinality exceeds $maxStrata — temperature weights are " +
+          "for mixture-grain strata (languages, sources), not row-grain keys")
+      counts.collect().toSeq.map { r =>
+        r.getString(0) -> BigDecimal(math.pow(r.getLong(1).toDouble, alpha))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.sortBy(_._1)
+    } finally counts.unpersist()
+  }
+
   /** Epoch-weighted mixture EXPANSION — the upsampling counterpart of
     * [[mixToWeights]]: materialize per-stratum epoch factors (the
     * pretraining recipe "wikipedia × 3.2 epochs, web × 0.5") by emitting

@@ -1917,5 +1917,45 @@ object OracleSql {
         |  GROUP BY 1, 2)
         |SELECT l, r, CAST(cnt AS BIGINT) AS cnt
         |FROM p ORDER BY cnt DESC, l, r LIMIT 20""".stripMargin,
+
+    // q108: q105's scored relation through q91's budget arithmetic — the
+    // kept set is definitionally the first 120 rows of the total order
+    // (model_score DESC, md5Long(doc_id), doc_id); the engine computes
+    // the same set threshold-wise without sorting the corpus.
+    "q108_model_budget" -> {
+      val w = graft.operators.QualityModel.fixedWeights()
+      val arr = w.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |         round(1.0 / (1.0 + exp(-(
+         |           0.1 + list_sum(list_transform(string_split(text, ' '),
+         |               t -> $arr[
+         |                 CAST(('0x' || substr(md5(t), 1, 15))::BIGINT % ${w.length} AS INT) + 1]))
+         |             / len(string_split(text, ' '))))), 6) AS model_score
+         |  FROM documents)
+         |SELECT doc_id, model_score FROM (
+         |  SELECT doc_id, model_score,
+         |         row_number() OVER (ORDER BY model_score DESC,
+         |           ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+         |           CAST(doc_id AS VARCHAR)) AS rn
+         |  FROM scored)
+         |WHERE rn <= 120""".stripMargin
+    },
+
+    // q109: q54's binding-stratum keep arithmetic under pow-derived
+    // weights — both engines quantize w = pow(cnt, 0.5) to 6 decimals
+    // (HALF-UP) before the ratio math, so the binding stratum's
+    // floor-boundary cut computes on identical doubles.
+    "q109_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT lang, count(*) AS cnt FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY 1),
+        |w AS (SELECT lang, cnt,
+        |        round(pow(CAST(cnt AS DOUBLE), 0.5), 6) AS w FROM counts),
+        |s AS (SELECT min(cnt / w) AS scale FROM w),
+        |cuts AS (SELECT lang, floor(w * scale / cnt * 100) AS cut FROM w, s)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN cuts USING (lang)
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < cut""".stripMargin,
   )
 }

@@ -1410,6 +1410,32 @@ object Queries {
       .select(col("l"), col("r"), col("cnt").cast("long").as("cnt"))
   }
 
+  /** The FineWeb/GPT-3 pipeline composition: the q105 classifier scores
+    * the corpus, the q91 budget machinery keeps the best 120 docs — a
+    * model-scored budget cut in one lineage. model_score is already
+    * quantized to 6 decimals, so the histogram fail-fast's contract is
+    * satisfied by construction. */
+  val q108_model_budget: Q = (s, dir) => {
+    val scored = graft.operators.QualityModel.hashedLinearScore(
+      Tables.documents(s, dir), "text",
+      graft.operators.QualityModel.fixedWeights(), bias = 0.1)
+    Sampling.topKByScore(scored, col("doc_id"), col("model_score"), k = 120)
+      .select(col("doc_id"), col("model_score"))
+  }
+
+  /** Temperature-rebalanced mixture (alpha = 0.5): per-lang weights
+    * proportional to sqrt(population) feed q54's binding-stratum keep
+    * arithmetic — rare languages keep more, the dominant one downsamples
+    * by (n_min/n)^0.5. Weights quantize to 6 decimals in BOTH engines so
+    * the oracle's own pow lands on identical doubles (the binding
+    * stratum's cut sits exactly on a floor boundary). */
+  val q109_temperature_mix: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    Sampling.mixToWeights(d, col("doc_id"), col("lang"),
+      Sampling.temperatureWeights(d, col("lang"), alpha = 0.5))
+      .select(col("doc_id"), col("lang"))
+  }
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -1520,5 +1546,7 @@ object Queries {
     "q105_quality_model" -> q105_quality_model,
     "q106_weighted_sample" -> q106_weighted_sample,
     "q107_bpe_pairs" -> q107_bpe_pairs,
+    "q108_model_budget" -> q108_model_budget,
+    "q109_temperature_mix" -> q109_temperature_mix,
   )
 }

@@ -91,6 +91,17 @@ class QualityModelSpec extends SparkSpec {
     assert(e.getMessage.contains("no labeled rows"))
   }
 
+  test("plan shape: scoring is a pure per-row expression (no join, no exchange)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = QualityModel.hashedLinearScore(docs, "text",
+      QualityModel.fixedWeights(), bias = 0.1)
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"scoring must not join:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"a row-local classifier must not shuffle the corpus:\n$plan")
+  }
+
   test("L2 penalty shrinks weights relative to unregularized training") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text"), (col("lang") === "en").as("y"))

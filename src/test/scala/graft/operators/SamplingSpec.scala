@@ -622,6 +622,70 @@ class SamplingSpec extends SparkSpec {
     assert(wins >= 245 && wins <= 295, s"heavy row won $wins/300, expected ~270")
   }
 
+  test("weightedSample plan: one stratum exchange feeding the per-stratum window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Sampling.weightedSample(docs, col("doc_id"), col("n_chars"),
+      col("lang"), k = 5)
+    out.count()
+    val plan = out.queryExecution.executedPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val nodes = plan.collectWithSubqueries {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = nodes.flatMap(_.collect { case s: ShuffleExchangeExec => s })
+    assert(shuffles.length <= 1,
+      s"only the stratum window may shuffle, got ${shuffles.length}")
+    assert(!plan.toString.contains("Join"), "the draw must not join")
+  }
+
+  test("temperatureWeights: alpha=1 reproduces the natural mix, alpha=0 equalizes, guards fire") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"))
+    val natural = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // alpha = 1: weights ∝ n -> every stratum's cut is the full bucket
+    // range -> the mixture keeps the corpus verbatim
+    val w1 = Sampling.temperatureWeights(docs, col("lang"), alpha = 1.0)
+    val kept1 = Sampling.mixToWeights(docs, col("doc_id"), col("lang"), w1).count()
+    assert(kept1 === docs.count(), "alpha=1 must keep the natural mix")
+    // alpha = 0: weights uniform -> stratum of size n keeps ~ n_min/n
+    val w0 = Sampling.temperatureWeights(docs, col("lang"), alpha = 0.0)
+    assert(w0.map(_._2).distinct === Seq(1.0), "alpha=0 weights are uniform")
+    val kept0 = Sampling.mixToWeights(docs, col("doc_id"), col("lang"), w0)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    val nMin = natural.values.min
+    natural.foreach { case (lang, n) =>
+      val target = nMin.toDouble / n
+      val got = kept0(lang).toDouble / n
+      // bucket quantization (1%) + per-stratum hash realization noise
+      // (sd ≈ √(t(1−t)/n), n as small as 71 here) — a ±4σ band plus the
+      // floor'd bucket keeps the check tight where n is large and honest
+      // where it is not
+      val band = 0.01 + 4.0 * math.sqrt(target * (1 - target) / n)
+      assert(got <= target + band && got >= target - band,
+        s"$lang kept $got of target $target (band $band)")
+    }
+    // intermediate alpha lands between the two regimes for the big stratum
+    val wh = Sampling.temperatureWeights(docs, col("lang"), alpha = 0.5)
+    val biggest = natural.maxBy(_._2)._1
+    val keptH = Sampling.mixToWeights(docs, col("doc_id"), col("lang"), wh)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(keptH(biggest) > kept0(biggest) && keptH(biggest) < natural(biggest))
+    // weights are 6-decimal quantized and deterministically ordered
+    assert(wh === wh.sortBy(_._1))
+    wh.foreach { case (_, v) =>
+      assert(BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble === v)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Sampling.temperatureWeights(docs, col("lang"), alpha = 0.5, maxStrata = 2)
+    }
+    assert(e.getMessage.contains("cardinality"))
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureWeights(docs, col("lang"), alpha = 1.5)
+    }
+  }
+
   test("weightedSample: non-competing rows excluded, guards fire") {
     val df = Seq(
       (1L, Option(2.0)), (2L, Option(0.0)), (3L, Option(-1.0)),
