@@ -137,6 +137,33 @@ class StreamsSpec extends SparkSpec {
       "stateless Column expressions must produce identical values under streaming")
   }
 
+  test("model-based quality filtering runs unchanged on a stream") {
+    // the classifier gate is a pure row-local expression (plan-asserted in
+    // QualityModelSpec), so the nightly-ingest shape — score + keep-filter
+    // inside the stream — must match the batch gate doc-for-doc
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).limit(30)
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.QualityModel.hashedLinearScore(df, "text",
+          graft.operators.QualityModel.fixedWeights(), bias = 0.1)
+        .where(col("keep")).select(col("doc_id"), col("model_score"))
+    val expected = gate(docs).as[(Long, Double)].collect().sortBy(_._1)
+    assert(expected.nonEmpty, "the fixture gate must keep at least one doc")
+    val input = MemoryStream[(Long, String)]
+    val q = gate(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("qm_gate_out")
+      .outputMode("append").start()
+    input.addData(docs.as[(Long, String)].collect().toIndexedSeq)
+    q.processAllAvailable()
+    val streamed = spark.table("qm_gate_out")
+      .as[(Long, Double)].collect().sortBy(_._1)
+    q.stop()
+    assert(streamed.toSeq === expected.toSeq,
+      "the classifier gate must produce identical keep decisions under streaming")
+  }
+
   test("stream-stream interval join matches views within the lookback only") {
     implicit val sqlCtx = spark.sqlContext
     val purchases = MemoryStream[Ev]
