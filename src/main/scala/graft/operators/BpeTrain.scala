@@ -55,7 +55,17 @@ object BpeTrain {
   /** Initial segmentation: each distinct word as its character array.
     * (No end-of-word sentinel: words are already whitespace-delimited in
     * this corpus model, so merges never need to know word boundaries —
-    * the sentinel variant is a one-line change to this seed.) */
+    * the sentinel variant is a one-line change to this seed.)
+    *
+    * Unicode contract: "character" here is what `split(w, "")` yields —
+    * a Java/UTF-16 code unit — so astral-plane codepoints (emoji,
+    * CJK-extension ideographs) seed as SURROGATE PAIRS, which real BPE
+    * implementations handle the same way (GPT-2's byte-level BPE goes a
+    * step further and seeds on BYTES). Oracle parity holds for the BMP;
+    * a SQL engine counting codepoints diverges on astral input — gate
+    * corpora for q107-style checks accordingly (the driver testdata is
+    * ASCII). A byte-level seed is the production choice for multilingual
+    * corpora and drops in here by seeding from `encode(w,'UTF-8')`. */
   def initVocab(wc: DataFrame): DataFrame =
     wc.withColumn("syms", filter(split(col("w"), ""), s => length(s) > 0))
 

@@ -231,8 +231,9 @@ object Sampling {
     * engines, and partition layouts, re-seedable for fresh draws, and
     * SQL-replayable (the +0.5 lifts u off zero; at 60-bit magnitudes it
     * is absorbed identically by both engines' round-to-nearest, so parity
-    * is bit-exact). k rows are kept per stratum (pass a constant for a
-    * global sample).
+    * is bit-exact). k rows are kept per stratum; for a GLOBAL draw use
+    * [[weightedSampleGlobal]] — a constant stratum here would funnel the
+    * whole corpus into ONE window partition, the classic scale killer.
     *
     * Rows that cannot compete are excluded up front: null key, and null /
     * NaN / non-positive weight (u^(1/w) is undefined or ill-ordered
@@ -258,20 +259,49 @@ object Sampling {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("ws_stratum"))
       .orderBy(col("ws_esk").desc, col("ws_h").asc, col("ws_key").asc)
+    esKeyed(df, key, weight, seed)
+      .withColumn("ws_stratum", stratum)
+      .withColumn("ws_rn", row_number().over(w))
+      .where(col("ws_rn") <= k)
+      .drop(reserved: _*)
+  }
+
+  /** GLOBAL [[weightedSample]] — the same Efraimidis–Spirakis draw with the
+    * top-k taken by `orderBy(…).limit(k)`, which Spark plans as
+    * TakeOrderedAndProject: a bounded k-row HEAP per partition merged on
+    * the driver — no shuffle of the corpus, no single-partition window
+    * (spec-asserted). The per-stratum variant cannot use this shape (its
+    * k is per group); globally it is strictly better than a
+    * constant-stratum window. Same exclusions, same total order, same
+    * (content, seed) determinism. */
+  def weightedSampleGlobal(df: DataFrame, key: Column, weight: Column,
+                           k: Int, seed: String = ""): DataFrame = {
+    require(k > 0, s"sample size must be positive, got $k")
+    val reserved = Seq("ws_key", "ws_h", "ws_w", "ws_esk")
+    val clash = df.columns.filter(c => reserved.contains(c.toLowerCase))
+    require(clash.isEmpty,
+      s"input columns collide with scratch names [${clash.mkString(", ")}] — " +
+        "rename or drop them first")
+    esKeyed(df, key, weight, seed)
+      .orderBy(col("ws_esk").desc, col("ws_h").asc, col("ws_key").asc)
+      .limit(k)
+      .drop(reserved: _*)
+  }
+
+  /** Shared ES scratch columns: competing rows only (non-null key,
+    * positive finite weight), the seeded 60-bit uniform, and the
+    * u^(1/w) competition key. */
+  private def esKeyed(df: DataFrame, key: Column, weight: Column,
+                      seed: String): DataFrame =
     df.withColumn("ws_key", key.cast("string"))
       .withColumn("ws_w", weight.cast("double"))
       .where(col("ws_key").isNotNull &&
         col("ws_w").isNotNull && !isnan(col("ws_w")) && col("ws_w") > 0)
       .withColumn("ws_h",
         graft.functions.Md5LongFunction.md5Long(concat(lit(seed), col("ws_key"))))
-      .withColumn("ws_stratum", stratum)
       .withColumn("ws_esk",
         pow((col("ws_h").cast("double") + lit(0.5)) / lit(math.pow(2.0, 60)),
           lit(1.0) / col("ws_w")))
-      .withColumn("ws_rn", row_number().over(w))
-      .where(col("ws_rn") <= k)
-      .drop(reserved: _*)
-  }
 
   /** Deterministic corpus shuffle + sharding — the training-export stage:
     * a model's data order must be reproducible (resume from step N, rerun

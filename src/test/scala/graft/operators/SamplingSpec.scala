@@ -640,6 +640,29 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.toString.contains("Join"), "the draw must not join")
   }
 
+  test("weightedSampleGlobal ≡ a single-stratum draw, planned as TakeOrderedAndProject") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val global = Sampling.weightedSampleGlobal(docs, col("doc_id"),
+      col("n_chars"), k = 12, seed = "g")
+    val viaWindow = Sampling.weightedSample(docs, col("doc_id"),
+      col("n_chars"), lit(0), k = 12, seed = "g")
+    assert(global.select("doc_id").as[Long].collect().toSet ===
+      viaWindow.select("doc_id").as[Long].collect().toSet)
+    global.count()
+    val plan = global.queryExecution.executedPlan
+    import org.apache.spark.sql.execution.TakeOrderedAndProjectExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val nodes = plan.collectWithSubqueries {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(nodes.exists(_.collect {
+      case t: TakeOrderedAndProjectExec => t }.nonEmpty),
+      s"global draw must plan per-partition top-k heaps:\n$plan")
+    assert(!plan.toString.contains("Window"),
+      "the global draw must not pay a single-partition window")
+  }
+
   test("temperatureWeights: alpha=1 reproduces the natural mix, alpha=0 equalizes, guards fire") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("lang"))
