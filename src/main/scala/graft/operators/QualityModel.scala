@@ -67,22 +67,29 @@ object QualityModel {
     aggregate(perTok, lit(0.0), (acc, x) => acc + x) / size(toks)
   }
 
+  /** Column form of the model score: `σ(bias + meanTokenWeight)` rounded
+    * to 6 decimals (absorbs the ≤1-ulp cross-engine `exp` difference;
+    * also exactly the quantization [[graft.operators.Sampling.keepByTokenBudget]]'s
+    * histogram fail-fast requires, so this column feeds budgeted
+    * selection directly). Pure row-local expression. */
+  def scoreColumn(text: Column, weights: Array[Double], bias: Double): Column = {
+    require(weights.nonEmpty, "need a non-empty weight vector")
+    val z = lit(bias) + meanTokenWeight(text, weights)
+    round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
+  }
+
   /** Score every document with a fixed hashed-linear model:
-    * `p = σ(bias + meanTokenWeight)`, rounded to 6 decimals (absorbs the
-    * ≤1-ulp cross-engine `exp` difference), plus the `keep` decision at
-    * `threshold` computed FROM the rounded score so both engines decide
-    * identical bits. Null text scores null and is never kept. Adds
-    * `model_score` and `keep`; zero shuffles, no state. */
+    * [[scoreColumn]] plus the `keep` decision at `threshold` computed
+    * FROM the rounded score so both engines decide identical bits. Null
+    * text scores null and is never kept. Adds `model_score` and `keep`;
+    * zero shuffles, no state. */
   def hashedLinearScore(df: DataFrame, textCol: String,
                         weights: Array[Double], bias: Double,
                         threshold: Double = 0.5): DataFrame = {
-    require(weights.nonEmpty, "need a non-empty weight vector")
     val clash = Seq("model_score", "keep").filter(df.columns.contains)
     require(clash.isEmpty,
       s"input columns collide with output names: ${clash.mkString(", ")}")
-    val z = lit(bias) + meanTokenWeight(col(textCol), weights)
-    val p = round(lit(1.0) / (lit(1.0) + exp(-z)), 6)
-    df.withColumn("model_score", p)
+    df.withColumn("model_score", scoreColumn(col(textCol), weights, bias))
       .withColumn("keep", col("model_score") >= threshold)
   }
 

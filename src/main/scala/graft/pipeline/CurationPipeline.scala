@@ -98,6 +98,44 @@ object CurationPipeline {
   final case class Report(stages: Seq[Stage], exportPath: String,
                           shards: Int, keptTokens: Long)
 
+  /** Stage-4 quality scorer — SEALED so every variant carries a stable
+    * content fingerprint: the restart markers must invalidate stage 4
+    * (and everything downstream) when the scorer changes, and an opaque
+    * `Column => Column` cannot be fingerprinted. Both variants emit a
+    * [0,1] score already quantized to 1e-6, the contract
+    * [[graft.operators.Sampling.keepByTokenBudget]]'s histogram
+    * fail-fast requires. */
+  sealed trait Scorer {
+    def score(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column
+    /** Content fingerprint folded into the stage-4 restart marker. */
+    def fp: String
+  }
+  object Scorer {
+    /** The heuristic gate (q33's length/distinct/punct blend). */
+    final case class Heuristic(stopwords: Seq[String] = Seq("the", "a"))
+        extends Scorer {
+      def score(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        round(TextAnalysis.qualityScore(text, stopwords), 6)
+      def fp: String = s"heuristic/${stopwords.mkString(",")}"
+    }
+    /** The model-based gate: a trained (or published) hashed-linear
+      * classifier ([[graft.operators.QualityModel]]) — the FineWeb-style
+      * "classifier beats heuristics" upgrade, dropped into the same
+      * selection machinery. The fingerprint hashes the full weight
+      * vector, so retraining the model invalidates exactly stage 4+. */
+    final case class HashedLinear(weights: Seq[Double], bias: Double)
+        extends Scorer {
+      def score(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        graft.operators.QualityModel.scoreColumn(text, weights.toArray, bias)
+      def fp: String = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val bytes = md.digest((bias.toString + "|" +
+          weights.map(_.toString).mkString(",")).getBytes("UTF-8"))
+        "hashedlinear/" + bytes.take(8).map("%02x".format(_)).mkString
+      }
+    }
+  }
+
   /** Run the chain. `docs` must carry (`id`, `langCol`, `textCol`);
     * `heldOut` carries (`id`, `textCol`) — the frozen eval/benchmark
     * suite. Returns the per-stage report; the export lands at
@@ -115,7 +153,16 @@ object CurationPipeline {
           tokenBudget: Long = 15000L,
           shards: Int = 8, seed: String = "curation-v1",
           stopwords: Seq[String] = Seq("the", "a"),
-          resume: Boolean = true): Report = {
+          resume: Boolean = true,
+          scorer: Option[Scorer] = None): Report = {
+
+    // stage-4 scorer: explicit, or the heuristic gate over `stopwords`
+    // (the pre-pluggable default — existing call sites keep their exact
+    // selection behavior; their stage-4 markers re-fingerprint once under
+    // the self-describing scorer fp and recompute stages 4–5 on the next
+    // resume, which is the correct reading of "the selection knob
+    // changed shape")
+    val qualityScorer = scorer.getOrElse(Scorer.Heuristic(stopwords))
 
     val stages = scala.collection.mutable.ArrayBuffer.empty[Stage]
 
@@ -192,13 +239,17 @@ object CurationPipeline {
         .join(kept.select(col(id), col(langCol)), Seq(id))
     }
 
-    // 4. select — quality on the final text, quantized for the histogram
-    // fail-fast; token budget counted on the same token stream.
-    val fp4 = fingerprint("select/v1", fp3, tokenBudget, stopwords.mkString(","))
+    // 4. select — quality on the final text via the pluggable scorer
+    // (both variants emit a 1e-6-quantized score, the histogram
+    // fail-fast's contract); token budget counted on the same token
+    // stream. The scorer's content fingerprint chains into the marker,
+    // so swapping Heuristic ↔ HashedLinear (or retraining the model's
+    // weights) recomputes exactly stages 4–5.
+    val fp4 = fingerprint("select/v1", fp3, tokenBudget, qualityScorer.fp)
     val (selectPath, selectRows) = stage("select", "04_select", deconRows, fp4) {
       val decon = spark.read.parquet(deconPath)
       val scored = decon.select(col(id), col(langCol), col("clean_text"),
-        round(TextAnalysis.qualityScore(col("clean_text"), stopwords), 6).as("quality"),
+        qualityScorer.score(col("clean_text")).as("quality"),
         TextAnalysis.tokenCount(col("clean_text")).as("n_tokens"))
       Sampling.keepByTokenBudget(scored, col(id), col("quality"),
         col("n_tokens"), tokenBudget)

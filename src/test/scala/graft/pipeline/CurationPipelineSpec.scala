@@ -291,6 +291,46 @@ class CurationPipelineSpec extends SparkSpec {
     graft.GraftSession.releaseCaches(spark, blocking = true)
   }
 
+  test("pluggable scorer: a model-scored run recomputes exactly stages 4-5 " +
+      "on resume and selects by the classifier score") {
+    val root = java.nio.file.Files.createTempDirectory("curation_scorer").toString
+    // first build: default heuristic scorer
+    CurationPipeline.run(spark, corpus, heldOut, root,
+      tokenBudget = budget, shards = 4, seed = "spec-seed")
+    // swap the scorer to the published hashed-linear model: stage 4's
+    // chained fingerprint changes, stages 1-3 must SKIP, 4-5 recompute
+    val w = graft.operators.QualityModel.fixedWeights().toSeq
+    val model: CurationPipeline.Scorer = CurationPipeline.Scorer.HashedLinear(w, 0.1)
+    val report = CurationPipeline.run(spark, corpus, heldOut, root,
+      tokenBudget = budget, shards = 4, seed = "spec-seed",
+      scorer = Some(model))
+    val skipped = report.stages.map(s => s.name -> s.skipped).toMap
+    assert(skipped === Map("clean" -> true, "dedup" -> true,
+      "decontaminate" -> true, "select" -> false, "export" -> false))
+    // the selected set is the model-scored budget cut over the staged
+    // decontaminated text — composed here directly from stage 3's output
+    val decon = spark.read.parquet(s"$root/03_decontam")
+    val scored = decon.select(col("doc_id"), col("clean_text"),
+      graft.operators.QualityModel.scoreColumn(col("clean_text"), w.toArray, 0.1)
+        .as("quality"),
+      TextAnalysis.tokenCount(col("clean_text")).as("n_tokens"))
+    val expect = Sampling.keepByTokenBudget(scored, col("doc_id"),
+      col("quality"), col("n_tokens"), budget)
+      .select(col("doc_id")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    val got = spark.read.parquet(s"$root/04_select")
+      .select(col("doc_id")).as[Long](org.apache.spark.sql.Encoders.scalaLong)
+      .collect().toSet
+    assert(got === expect, "stage 4 must select by the classifier score")
+    assert(got.nonEmpty, "the model-scored budget must keep documents")
+    // a re-invocation with the SAME scorer now skips everything
+    val again = CurationPipeline.run(spark, corpus, heldOut, root,
+      tokenBudget = budget, shards = 4, seed = "spec-seed",
+      scorer = Some(model))
+    assert(again.stages.forall(_.skipped), "identical knobs must fully skip")
+    graft.GraftSession.releaseCaches(spark, blocking = true)
+  }
+
   test("decontamination cut held-out spans: suite 8-grams are absent from " +
       "the exported text") {
     val (root, _) = run
