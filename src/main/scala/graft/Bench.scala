@@ -267,12 +267,16 @@ object Bench {
         // from sub-2× per-query jitter the deeper sample now absorbs.
         if (spread(outcomes) > 1.5)
           outcomes ++= Seq.fill(maxRuns - outcomes.size)(timeOnce(fn))
-        // STILL > 2× after five samples ⇒ a genuine mode-straddler (the
-        // rows that dominate the banked 21.4% p90 per-query tail), not a
-        // one-off burst — two more draws so the min reliably samples the
-        // fast mode and the trimmed mean dilutes the slow one. Bounded:
-        // only rows already past the first deepen pay it.
-        if (outcomes.size > runs && spread(outcomes) > 2.0)
+        // STILL > 2× after the first deepen ⇒ a genuine mode-straddler
+        // (the rows that dominate the banked 21.4% p90 per-query tail),
+        // not a one-off burst — two more draws so the min reliably
+        // samples the fast mode and the trimmed mean dilutes the slow
+        // one. Gated on the SPREAD, not on "the first deepen added runs":
+        // with SPARK_GRAFT_BENCH_RUNS ≥ MAXRUNS the first deepen adds
+        // zero runs and an outcomes.size > runs proxy would never fire,
+        // silencing exactly the straddlers this pass exists for. Bounded:
+        // fills only up to deepRuns.
+        if (outcomes.size < deepRuns && spread(outcomes) > 2.0)
           outcomes ++= Seq.fill(deepRuns - outcomes.size)(timeOnce(fn))
         val (mn, med, trim, nFailed) = statsOverSuccesses(outcomes)
         (name, mn, med, trim, nFailed, outcomes.size)

@@ -144,7 +144,14 @@ object BpeTrain {
       val seed = filter(split(w, ""), s => length(s) > 0)
       merges.foldLeft(seed) { case (acc, (l, r)) => mergeFold(acc, l, r) }
     }
+    // null text propagates as null tokens AND null length: under the
+    // session's non-ANSI config size(null) is the legacy -1, which a
+    // downstream token-budget sum would silently subtract — the sibling
+    // operators' convention is null-in/null-out (QualityModel scores
+    // null), never a sentinel that aggregates as data.
     df.withColumn("bpe_tokens", flatten(transform(words, encodedWord)))
-      .withColumn("bpe_len", size(col("bpe_tokens")).cast("long"))
+      .withColumn("bpe_len",
+        when(col("bpe_tokens").isNull, lit(null).cast("long"))
+          .otherwise(size(col("bpe_tokens")).cast("long")))
   }
 }

@@ -236,9 +236,11 @@ object Sampling {
     * whole corpus into ONE window partition, the classic scale killer.
     *
     * Rows that cannot compete are excluded up front: null key, and null /
-    * NaN / non-positive weight (u^(1/w) is undefined or ill-ordered
-    * there; a zero-weight row should never be drawn anyway). Ties on the
-    * ES key are broken by (hash, key) — a total order.
+    * NaN / non-positive / infinite weight (u^(1/w) is undefined or
+    * ill-ordered there — +∞ collapses every key to exactly 1.0, turning
+    * the draw among such rows into a plain hash lottery; a zero-weight
+    * row should never be drawn anyway). Ties on the ES key are broken by
+    * (hash, key) — a total order.
     *
     * Scale shape: one shuffle on the stratum key into a per-stratum
     * row_number window, exactly [[fixedSizeSample]]'s cost. For huge
@@ -295,8 +297,13 @@ object Sampling {
                       seed: String): DataFrame =
     df.withColumn("ws_key", key.cast("string"))
       .withColumn("ws_w", weight.cast("double"))
+      // positive FINITE weights only: +∞ would pass a bare > 0 and
+      // collapse its key to pow(u, 1/∞) = 1.0 exactly — every such row
+      // ties at the top and the "weighted" draw among them degrades to
+      // the hash tie-break, violating the exclusion contract silently
       .where(col("ws_key").isNotNull &&
-        col("ws_w").isNotNull && !isnan(col("ws_w")) && col("ws_w") > 0)
+        col("ws_w").isNotNull && !isnan(col("ws_w")) &&
+        col("ws_w") > 0 && col("ws_w") < lit(Double.PositiveInfinity))
       .withColumn("ws_h",
         graft.functions.Md5LongFunction.md5Long(concat(lit(seed), col("ws_key"))))
       .withColumn("ws_esk",

@@ -1699,6 +1699,8 @@ object Similarity {
     require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
     require(hitsPerSuiteRow >= 1,
       s"need hitsPerSuiteRow ≥ 1, got $hitsPerSuiteRow")
+    requireNonNullIds(corpus, idCol, "corpus", "semanticDecontaminateIndexed")
+    requireNonNullIds(suite, idCol, "suite", "semanticDecontaminateIndexed")
     // NaN must be excluded EXPLICITLY: Spark orders NaN above every
     // number, so `NaN >= tau` is TRUE and a zero-norm vector (0/0 cosine)
     // on either side would FALSELY drop the corpus row — the same
@@ -1708,6 +1710,24 @@ object Similarity {
       .where(!isnan(col("cosine")) && col("cosine") >= tau) // exact gate's rounded-≥ boundary
       .select(col("neighbor_id").as(idCol)).distinct()
     corpus.join(hits, Seq(idCol), "left_anti").select(col(idCol))
+  }
+
+  /** The indexed gates' twin of [[semanticDecontaminate]]'s null-id
+    * fail-fast: a null CORPUS id never equates in the left_anti join-back
+    * (the row silently survives at any similarity), and a null SUITE id
+    * nulls the self-exclusion `query_id =!= neighbor_id` (that suite row
+    * silently judges nothing) — both the same silent-gate-hole class the
+    * exact gate rejects. One id-column count aggregate per side — noise
+    * next to the probe/anti-join passes these gates already run.
+    * (Duplicate ids are NOT rejected here: the indexed gates return a
+    * survivor id RELATION, where duplicates drop or survive together —
+    * there is no per-id max to collapse.) */
+  private def requireNonNullIds(df: DataFrame, idCol: String, side: String,
+                                gate: String): Unit = {
+    val r = df.agg(count(lit(1)).as("n"), count(col(idCol)).as("nn")).head()
+    require(r.getLong(0) == r.getLong(1),
+      s"$gate needs non-null $side $idCol: ${r.getLong(0) - r.getLong(1)} " +
+        "null ids would silently dodge the gate")
   }
 
   /** RADIUS variant of [[semanticDecontaminateIndexed]] — the shape the
@@ -1741,6 +1761,8 @@ object Similarity {
     require(index.columns.contains("embedding"),
       "semanticDecontaminateIndexedRadius needs an index written " +
         "withVectors = true (no embedding column found)")
+    requireNonNullIds(corpus, idCol, "corpus", "semanticDecontaminateIndexedRadius")
+    requireNonNullIds(suite, idCol, "suite", "semanticDecontaminateIndexedRadius")
     val q = suite.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
         explode(probeCentroids(col(vecCol), coarse, nprobe)).as("probe"))
       .select(col("query_id"), col("qv"), col("probe").as("cluster"))

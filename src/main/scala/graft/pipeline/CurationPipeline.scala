@@ -127,12 +127,10 @@ object CurationPipeline {
         extends Scorer {
       def score(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
         graft.operators.QualityModel.scoreColumn(text, weights.toArray, bias)
-      def fp: String = {
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val bytes = md.digest((bias.toString + "|" +
-          weights.map(_.toString).mkString(",")).getBytes("UTF-8"))
-        "hashedlinear/" + bytes.take(8).map("%02x".format(_)).mkString
-      }
+      // the stage markers' own digest helper, so the scorer fingerprint
+      // can never drift from the stage-fingerprint scheme
+      def fp: String =
+        "hashedlinear/" + fingerprint(bias, weights.mkString(",")).take(16)
     }
   }
 

@@ -43,12 +43,6 @@ object ProfileDecontamRecall {
     println(s"[decontam] corpus=${all.size} suite=${suite.count()} " +
       s"exact-dropped=${exactDropped.size} (tau=$tau, k=8 clusters)")
 
-    // two configs per nprobe level, separating the gate's two loss terms:
-    // "prod" (hits=64, rerank=4) carries BOTH the coverage miss and the
-    // shortlist/multiplicity miss; "wide" (hits=512, rerank=8 — shortlist
-    // 4096 ≥ any probed pool here) eliminates the shortlist term, so
-    // wide-vs-prod at fixed nprobe is the multiplicity lever and wide
-    // across nprobe is the pure coverage curve
     // three configs per nprobe level, separating the gate's loss terms:
     // "prod" (hits=64, rerank=4) carries BOTH the coverage miss and the
     // shortlist/multiplicity miss; "wide" (hits=512, rerank=8) eliminates

@@ -106,10 +106,17 @@ class BpeTrainSpec extends SparkSpec {
       BpeTrain.bpeEncode(clash, "text", Seq(("a", "b")))
     }
     assert(e.getMessage.contains("bpe_len"))
-    val weird = Seq("a  b", "").toDF("text")
+    val weird = Seq(Option("a  b"), Option(""), Option.empty[String]).toDF("text")
     val rows = BpeTrain.bpeEncode(weird, "text", Seq(("a", "b")))
-      .select($"bpe_tokens", $"bpe_len").as[(Seq[String], Long)].collect()
-    assert(rows.contains((Seq("a", "b"), 2L)), "doubled space must not emit empty symbols")
-    assert(rows.contains((Seq.empty[String], 0L)), "empty text encodes to zero symbols")
+      .select($"bpe_tokens", $"bpe_len").collect()
+    val asPairs = rows.map(r =>
+      (Option(r.getSeq[String](0)), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+    assert(asPairs.contains((Some(Seq("a", "b")), Some(2L))),
+      "doubled space must not emit empty symbols")
+    assert(asPairs.contains((Some(Seq.empty[String]), Some(0L))),
+      "empty text encodes to zero symbols")
+    assert(asPairs.contains((None, None)),
+      "null text must encode to null tokens AND null length — the legacy " +
+        "size(null) = -1 sentinel would silently corrupt a token-budget sum")
   }
 }

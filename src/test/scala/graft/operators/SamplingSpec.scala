@@ -712,10 +712,13 @@ class SamplingSpec extends SparkSpec {
   test("weightedSample: non-competing rows excluded, guards fire") {
     val df = Seq(
       (1L, Option(2.0)), (2L, Option(0.0)), (3L, Option(-1.0)),
-      (4L, Option.empty[Double]), (5L, Option(Double.NaN))).toDF("id", "w")
+      (4L, Option.empty[Double]), (5L, Option(Double.NaN)),
+      (6L, Option(Double.PositiveInfinity))).toDF("id", "w")
     val kept = Sampling.weightedSample(df, col("id"), col("w"), lit(0), k = 10)
       .select(col("id")).as[Long].collect().toSet
-    assert(kept === Set(1L), "only the positive-weight row can be drawn")
+    assert(kept === Set(1L),
+      "only the positive-FINITE-weight row can be drawn (+∞ would collapse " +
+        "its ES key to exactly 1.0 and win on the hash lottery)")
     intercept[IllegalArgumentException] {
       Sampling.weightedSample(df, col("id"), col("w"), lit(0), k = 0)
     }

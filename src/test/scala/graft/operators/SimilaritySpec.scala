@@ -1381,6 +1381,22 @@ class SimilaritySpec extends SparkSpec {
         s"(${lowDropped.size}/${exactDropped.size})")
       assert(recall >= 0.5 && recall <= 1.0,
         s"nprobe=1 recall $recall outside the plausible coverage band")
+      // id soundness, the exact gate's guard mirrored (a null corpus id
+      // never equates in the anti join-back — the row survives at any
+      // similarity; a null suite id nulls the self-exclusion and judges
+      // nothing): both indexed variants fail fast on either side
+      val nullId = corpus.unionByName(corpus.limit(1)
+        .withColumn("vec_id", lit(null).cast("long")))
+      for (side <- Seq((nullId, suite), (corpus, nullId))) {
+        assert(intercept[IllegalArgumentException] {
+          Similarity.semanticDecontaminateIndexed(side._1, side._2, index,
+            coarse, books, tau = 0.40)
+        }.getMessage.contains("non-null"))
+        assert(intercept[IllegalArgumentException] {
+          Similarity.semanticDecontaminateIndexedRadius(side._1, side._2,
+            spark.read.parquet(dir), coarse, tau = 0.40)
+        }.getMessage.contains("non-null"))
+      }
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
       graft.GraftSession.releaseCaches(spark, blocking = true)
