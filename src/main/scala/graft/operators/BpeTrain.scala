@@ -130,6 +130,22 @@ object BpeTrain {
     out.result()
   }
 
+  /** Published fixed merge table for the oracle-gated encode query
+    * (q110): a tokenizer's merge list is a MODEL ARTIFACT — trained
+    * once, then shipped frozen to every pipeline that must count tokens
+    * the way the model will see them. This one was produced by
+    * [[bpeTrain]] (16 merges, deterministic tie-break) over the sf0.01
+    * driver corpus and then frozen, so the engine and the DuckDB oracle
+    * embed the IDENTICAL literal table; [[bpeEncode]] is defined for any
+    * corpus under any fixed table, and BpeTrainSpec pins train→encode
+    * consistency on live data separately. Symbols are ASCII-alnum — free
+    * of the `(`/`)` delimiters the oracle's replay encoding uses. */
+  def fixedMerges(): Seq[(String, String)] = Seq(
+    "e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r", "s" -> "t",
+    "m" -> "er", "a" -> "t", "l" -> "u", "a" -> "r", "p" -> "ar",
+    "j" -> "o", "jo" -> "in", "a" -> "s", "as" -> "h", "h" -> "ash",
+    "r" -> "ow")
+
   /** Encode a corpus under a FIXED merge table: per word, seed character
     * segmentation then each merge's greedy fold IN ORDER — all row-local
     * (zero shuffle). Returns the input plus `bpe_tokens` (the full

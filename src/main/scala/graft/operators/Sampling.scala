@@ -130,6 +130,92 @@ object Sampling {
     } finally counts.unpersist()
   }
 
+  /** UNIMAX budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    * More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", ICLR 2023): distribute a total training budget of
+    * `budgetFactor · Σ size` over strata by WATERFILLING under a
+    * per-stratum epoch cap — each stratum, processed in ascending
+    * capacity order, is capped at `epochCap` epochs while that fits
+    * inside an equal share of the remaining budget; the first stratum
+    * whose cap exceeds its share ends the capping and every remaining
+    * stratum splits the leftover equally. Low-resource strata therefore
+    * repeat up to (never past) `epochCap`, and the head stratum absorbs
+    * the remainder — the published fix for temperature sampling's
+    * unbounded low-resource repetition.
+    *
+    * Returns per-stratum EPOCH factors (allocation ÷ capacity) in
+    * [[epochExpand]]'s shape, so the full UniMax recipe is
+    * `epochExpand(df, key, stratum, unimaxWeights(...))`.
+    *
+    * Cross-engine parity: capacities are exact LONG sums; the budget,
+    * caps, running cap-sum (ascending (capacity, name) order — the same
+    * left-to-right fold a SQL running window computes) and the leftover
+    * share are IEEE doubles combined in the written order; the final
+    * epoch factor quantizes to 6 decimals HALF-UP exactly like
+    * [[temperatureWeights]], so an oracle replaying the same arithmetic
+    * computes identical doubles even where a capped stratum's
+    * `(epochCap·c)/c` lands 1 ulp off `epochCap`.
+    *
+    * Scale shape: one map-side-combined LONG sum per stratum; the
+    * collect is stratum-sized with the same `maxStrata` fail-fast as
+    * [[temperatureWeights]] (mixture-grain strata only); the
+    * waterfilling loop is O(strata) on the driver. Null strata are
+    * excluded (they cannot be named in a mixture); zero-capacity strata
+    * are excluded from the fill (0 epochs of nothing) and never
+    * divide-by-zero. */
+  def unimaxWeights(df: DataFrame, stratum: Column, size: Column,
+                    budgetFactor: Double, epochCap: Double,
+                    maxStrata: Int = 10000): Seq[(String, Double)] = {
+    require(budgetFactor > 0.0, s"budgetFactor must be positive, got $budgetFactor")
+    require(epochCap > 0.0, s"epochCap must be positive, got $epochCap")
+    val counts = df.where(stratum.isNotNull)
+      .groupBy(stratum.cast("string").as("ux_stratum"))
+      .agg(sum(size.cast("long")).as("ux_cap"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      require(counts.count() <= maxStrata,
+        s"stratum cardinality exceeds $maxStrata — UniMax weights are for " +
+          "mixture-grain strata (languages, sources), not row-grain keys")
+      val rows = counts.collect().toSeq.map { r =>
+        require(!r.isNullAt(1) && r.getLong(1) >= 0L,
+          s"stratum '${r.getString(0)}' has a null/negative size sum — " +
+            "size must be a non-negative measure (chars, tokens, bytes)")
+        r.getString(0) -> r.getLong(1)
+      }
+      val live = rows.filter(_._2 > 0L).sortBy { case (n, c) => (c, n) }
+      val total = rows.map(_._2).sum
+      val budget = budgetFactor * total.toDouble
+      val L = live.size
+      // waterfill: cap strata ascending while epochCap·c fits the equal
+      // share of what remains; the first violation freezes the prefix k
+      // and the leftover splits equally over the L−k uncapped strata.
+      // The spent prefix is tracked as an EXACT long capacity sum and
+      // multiplied by epochCap once per use, so a SQL replay's running
+      // window sum (integer, association-order-free) reproduces the
+      // identical doubles regardless of how its engine associates the
+      // additions.
+      var spentCap = 0L
+      var k = 0
+      var violated = false
+      live.foreach { case (_, c) =>
+        if (!violated) {
+          val cap = epochCap * c.toDouble
+          if (cap <= (budget - epochCap * spentCap.toDouble) / (L - k)) {
+            spentCap += c; k += 1
+          } else violated = true
+        }
+      }
+      val share =
+        if (k < L) (budget - epochCap * spentCap.toDouble) / (L - k) else 0.0
+      val weights = live.zipWithIndex.map { case ((n, c), i) =>
+        val alloc = if (i < k) epochCap * c.toDouble else share
+        n -> BigDecimal(alloc / c.toDouble)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      (weights ++ rows.filter(_._2 == 0L).map(_._1 -> 0.0)).sortBy(_._1)
+    } finally counts.unpersist()
+  }
+
   /** Epoch-weighted mixture EXPANSION — the upsampling counterpart of
     * [[mixToWeights]]: materialize per-stratum epoch factors (the
     * pretraining recipe "wikipedia × 3.2 epochs, web × 0.5") by emitting

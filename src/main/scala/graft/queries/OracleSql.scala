@@ -1957,5 +1957,78 @@ object OracleSql {
         |SELECT d.doc_id, d.lang
         |FROM documents d JOIN cuts USING (lang)
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < cut""".stripMargin,
+
+    // q110: greedy BPE encode replayed as a replace CHAIN over a
+    // self-delimited symbol encoding — each symbol wrapped `(sym)`, each
+    // merge one non-overlapping left-to-right replace `(l)(r)` → `(lr)`.
+    // Full self-delimiting is what makes the replay exact: a consumed
+    // match never eats a neighbor's delimiter (so "(a)(a)(a)(a)" merges
+    // to "(aa)(aa)" in ONE pass, like the engine's fold), and a merge's
+    // left symbol cannot match another symbol's suffix ("(xa)(b)" never
+    // matches "(a)(b)"). The merge table is the SAME literal artifact as
+    // the engine's BpeTrain.fixedMerges.
+    "q110_bpe_encode" -> {
+      val enc = graft.operators.BpeTrain.fixedMerges()
+        .foldLeft("""regexp_replace(w, '(.)', '(\1)', 'g')""") {
+          case (acc, (l, r)) => s"replace($acc, '($l)($r)', '($l$r)')"
+        }
+      s"""WITH e AS (
+         |  SELECT doc_id, text,
+         |    coalesce(array_to_string(
+         |      list_transform(
+         |        list_transform(
+         |          list_filter(string_split(text, ' '), w -> length(w) > 0),
+         |          w -> $enc),
+         |        s -> replace(substr(s, 2, length(s) - 2), ')(', ' ')),
+         |      ' '), '') AS bpe_text
+         |  FROM documents)
+         |SELECT doc_id, bpe_text,
+         |  CASE WHEN text IS NULL THEN NULL
+         |       WHEN bpe_text = '' THEN 0
+         |       ELSE CAST(length(bpe_text) - length(replace(bpe_text, ' ', '')) + 1 AS BIGINT)
+         |  END AS bpe_len
+         |FROM e""".stripMargin
+    },
+
+    // q111: the UniMax waterfill replayed literally — ascending
+    // (capacity, lang) order, the spent prefix kept as an EXACT integer
+    // capacity sum (multiplied by the epoch cap once per use, so the
+    // window sum's association order cannot perturb the doubles), the
+    // capped prefix = everything before the FIRST violation, weights
+    // rounded 6 HALF-UP like the engine, then q100's epoch-expansion
+    // arithmetic verbatim.
+    "q111_unimax_mixture" ->
+      """WITH c AS (SELECT lang, sum(n_chars) AS ch FROM documents
+        |           WHERE lang IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT CAST(1.5 AS DOUBLE) * CAST(sum(ch) AS DOUBLE) AS b,
+        |               count(*) AS l FROM c),
+        |o AS (SELECT lang, ch,
+        |        row_number() OVER (ORDER BY ch, lang) AS i,
+        |        sum(ch) OVER (ORDER BY ch, lang ROWS UNBOUNDED PRECEDING) AS s
+        |      FROM c),
+        |v AS (SELECT coalesce(
+        |        (SELECT min(i) FROM o, tot
+        |         WHERE CAST(2.0 AS DOUBLE) * CAST(ch AS DOUBLE)
+        |               > (tot.b - CAST(2.0 AS DOUBLE) * CAST(s - ch AS DOUBLE))
+        |                 / (tot.l - i + 1)),
+        |        (SELECT l FROM tot) + 1) - 1 AS k),
+        |sk AS (SELECT coalesce((SELECT s FROM o, v WHERE o.i = v.k), 0) AS sc),
+        |w AS (SELECT lang,
+        |        round(CASE WHEN o.i <= v.k
+        |              THEN CAST(2.0 AS DOUBLE) * CAST(ch AS DOUBLE)
+        |              ELSE (tot.b - CAST(2.0 AS DOUBLE) * CAST(sk.sc AS DOUBLE))
+        |                   / (tot.l - v.k)
+        |              END / CAST(ch AS DOUBLE), 6) AS w
+        |      FROM o, v, sk, tot),
+        |d AS (SELECT doc_id, d.lang,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS bkt,
+        |        w.w AS w
+        |      FROM documents d JOIN w USING (lang)),
+        |cp AS (SELECT doc_id, lang,
+        |         CAST(floor(w) AS INT)
+        |           + CASE WHEN bkt < floor((w - floor(w)) * 100 + 0.5) THEN 1 ELSE 0 END AS copies
+        |       FROM d)
+        |SELECT doc_id, lang, CAST(unnest(generate_series(0, copies - 1)) AS INT) AS epoch
+        |FROM cp WHERE copies > 0""".stripMargin,
   )
 }

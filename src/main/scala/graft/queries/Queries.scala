@@ -1436,6 +1436,35 @@ object Queries {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** BPE ENCODE under the published fixed merge table — the other half
+    * of the tokenizer story (q107 gates training's distributed stage;
+    * this gates application): per document, the full subword stream and
+    * its token count, row-local and shuffle-free. The oracle replays the
+    * greedy left-to-right merge fold as a chain of non-overlapping
+    * string replaces over a self-delimited `(sym)(sym)` encoding — the
+    * construction that preserves adjacency across consumed matches and
+    * cannot match a merge's left symbol against another symbol's suffix. */
+  val q110_bpe_encode: Q = (s, dir) => {
+    import graft.operators.BpeTrain
+    BpeTrain.bpeEncode(Tables.documents(s, dir), "text", BpeTrain.fixedMerges())
+      .select(col("doc_id"),
+        concat_ws(" ", col("bpe_tokens")).as("bpe_text"), col("bpe_len"))
+  }
+
+  /** UniMax mixture (Chung et al. 2023) — waterfilled epoch allocation
+    * under a 2-epoch cap and a 1.5×-corpus character budget, composed
+    * straight into q100's epoch expansion: low-resource languages repeat
+    * up to (never past) the cap, the head language downsamples into the
+    * leftover share, and the output is the training-ready (doc, epoch)
+    * relation. */
+  val q111_unimax_mixture: Q = (s, dir) => {
+    val d = Tables.documents(s, dir)
+    Sampling.epochExpand(d, col("doc_id"), col("lang"),
+      Sampling.unimaxWeights(d, col("lang"), col("n_chars"),
+        budgetFactor = 1.5, epochCap = 2.0))
+      .select(col("doc_id"), col("lang"), col("epoch"))
+  }
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -1548,5 +1577,7 @@ object Queries {
     "q107_bpe_pairs" -> q107_bpe_pairs,
     "q108_model_budget" -> q108_model_budget,
     "q109_temperature_mix" -> q109_temperature_mix,
+    "q110_bpe_encode" -> q110_bpe_encode,
+    "q111_unimax_mixture" -> q111_unimax_mixture,
   )
 }

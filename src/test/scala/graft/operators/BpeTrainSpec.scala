@@ -119,4 +119,47 @@ class BpeTrainSpec extends SparkSpec {
       "null text must encode to null tokens AND null length — the legacy " +
         "size(null) = -1 sentinel would silently corrupt a token-budget sum")
   }
+
+  test("merge application is symbol-exact: a left symbol never matches " +
+    "another symbol's suffix, and earlier merges feed later ones") {
+    // (x,a) first turns [x,a,b] into [xa,b]; the later (a,b) must NOT fire
+    // against xa's trailing 'a' — the exact boundary case q110's
+    // self-delimited oracle replay exists to preserve
+    val enc = BpeTrain.bpeEncode(
+        Seq("xab", "ab", "ther").toDF("text"), "text",
+        Seq(("x", "a"), ("a", "b"), ("t", "h"), ("th", "e")))
+      .select($"text", $"bpe_tokens").as[(String, Seq[String])].collect().toMap
+    assert(enc("xab") === Seq("xa", "b"),
+      "suffix of a merged symbol must not satisfy a later merge's left side")
+    assert(enc("ab") === Seq("ab"))
+    assert(enc("ther") === Seq("the", "r"),
+      "a merge whose left side is an earlier merge's product must fire")
+  }
+
+  test("fixedMerges is a well-formed frozen artifact") {
+    val ms = BpeTrain.fixedMerges()
+    assert(ms.size === 16)
+    // oracle delimiter safety: symbols stay clear of the ()-encoding
+    val derived = scala.collection.mutable.Set[String]()
+    ms.foreach { case (l, r) =>
+      assert(l.matches("[a-z0-9]+") && r.matches("[a-z0-9]+"),
+        s"symbols must be ASCII-alnum for the ()-delimited oracle replay: ($l,$r)")
+      assert(l.length == 1 || derived(l),
+        s"multi-char left '$l' must be an earlier merge's product")
+      assert(r.length == 1 || derived(r),
+        s"multi-char right '$r' must be an earlier merge's product")
+      derived += (l + r)
+    }
+  }
+
+  test("plan shape: fixed-table encode is a pure per-row expression " +
+    "(no join, no exchange) — q110's zero-shuffle contract") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = BpeTrain.bpeEncode(docs, "text", BpeTrain.fixedMerges())
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"encode must not join:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"a row-local encoder must not shuffle the corpus:\n$plan")
+  }
 }

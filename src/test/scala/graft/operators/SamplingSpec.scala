@@ -709,6 +709,99 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("unimaxWeights: hand-computed waterfill — caps bind ascending, " +
+    "leftover splits equally, regimes degrade correctly") {
+    // capacities a=10, b=20, c=70 (total 100); cap 2 epochs, budget 1.2×100:
+    //   a: 20 ≤ 120/3      → capped at 2.0 epochs
+    //   b: 40 ≤ (120−20)/2 → capped at 2.0 epochs
+    //   c: 140 > (120−60)/1 → uncapped, leftover 60 → 60/70 epochs
+    val df = Seq(("a", 4L), ("a", 6L), ("b", 20L), ("c", 70L)).toDF("s", "n")
+    val w = Sampling.unimaxWeights(df, col("s"), col("n"),
+      budgetFactor = 1.2, epochCap = 2.0)
+    assert(w === Seq("a" -> 2.0, "b" -> 2.0, "c" -> 0.857143))
+    // ample budget: every stratum capped exactly at epochCap
+    val ample = Sampling.unimaxWeights(df, col("s"), col("n"),
+      budgetFactor = 3.0, epochCap = 2.0)
+    assert(ample.map(_._2) === Seq(2.0, 2.0, 2.0))
+    // tiny budget: no stratum caps (k = 0), all split B/L equally
+    val tiny = Sampling.unimaxWeights(df, col("s"), col("n"),
+      budgetFactor = 0.1, epochCap = 2.0)
+    assert(tiny === Seq("a" -> 0.333333, "b" -> 0.166667, "c" -> 0.047619))
+    // budget conservation whenever a stratum is uncapped: Σ wᵢ·cᵢ ≈ B
+    Seq(w -> 120.0, tiny -> 10.0).foreach { case (ws, b) =>
+      val spent = ws.map { case (s, v) =>
+        v * Map("a" -> 10L, "b" -> 20L, "c" -> 70L)(s) }.sum
+      assert(math.abs(spent - b) < 1e-3, s"spent $spent of budget $b")
+    }
+  }
+
+  test("unimaxWeights: zero-capacity and null strata, guards fire") {
+    val df = Seq(Some("a") -> 4L, Some("a") -> 6L, Some("b") -> 20L,
+        Some("c") -> 70L, Some("z") -> 0L, Option.empty[String] -> 99L)
+      .map { case (s, n) => (s, n) }.toDF("s", "n")
+    // the zero-capacity stratum reports 0 epochs and never enters the
+    // fill (no division by zero, no budget consumed); null strata are
+    // excluded entirely — the waterfill over a/b/c is byte-identical to
+    // the fixture without them
+    val w = Sampling.unimaxWeights(df, col("s"), col("n"),
+      budgetFactor = 1.2, epochCap = 2.0)
+    assert(w === Seq("a" -> 2.0, "b" -> 2.0, "c" -> 0.857143, "z" -> 0.0))
+    intercept[IllegalArgumentException] {
+      Sampling.unimaxWeights(df, col("s"), col("n"), budgetFactor = 0.0,
+        epochCap = 2.0)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.unimaxWeights(df, col("s"), col("n"), budgetFactor = 1.0,
+        epochCap = -1.0)
+    }
+    val e = intercept[IllegalArgumentException] {
+      Sampling.unimaxWeights(df, col("s"), col("n"), budgetFactor = 1.0,
+        epochCap = 2.0, maxStrata = 2)
+    }
+    assert(e.getMessage.contains("cardinality"))
+    val neg = intercept[IllegalArgumentException] {
+      Sampling.unimaxWeights(Seq(("a", -5L)).toDF("s", "n"), col("s"),
+        col("n"), budgetFactor = 1.0, epochCap = 2.0)
+    }
+    assert(neg.getMessage.contains("negative"))
+  }
+
+  test("unimaxWeights ∘ epochExpand realizes the budget: per-stratum " +
+    "epochs track the waterfill and total mass lands on budgetFactor×corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val w = Sampling.unimaxWeights(docs, col("lang"), col("n_chars"),
+      budgetFactor = 1.5, epochCap = 2.0).toMap
+    assert(w.values.max === 2.0, "some language must hit the epoch cap")
+    assert(w.values.min < 1.0, "the head language must downsample below 1 epoch")
+    val out = Sampling.epochExpand(docs, col("doc_id"), col("lang"),
+      w.toSeq.sortBy(_._1))
+    // (key, epoch) unique; no copy index past ⌈cap⌉
+    val n = out.count()
+    assert(out.select("doc_id", "epoch").distinct().count() === n)
+    assert(out.agg(max("epoch")).as[Int].collect()(0) <= 1,
+      "cap 2.0 epochs ⇒ copy indices 0 and 1 only")
+    // realized char mass per language ≈ wᵢ·cᵢ; total ≈ 1.5× the corpus.
+    // Band: 1% bucket quantization + 5σ of the fractional copy's
+    // hash-realization noise over nᵢ docs (the draw is deterministic but
+    // fixed — a small stratum's realization legitimately sits 2–3σ out,
+    // and char-weighting inflates the doc-count σ)
+    val corpus = docs.groupBy("lang").agg(sum("n_chars").as("c"))
+      .as[(String, Long)].collect().toMap
+    val nDocs = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val got = out.groupBy("lang").agg(sum("n_chars").as("c"))
+      .as[(String, Long)].collect().toMap
+    corpus.foreach { case (lang, c) =>
+      val ratio = got.getOrElse(lang, 0L).toDouble / c
+      val f = w(lang) - math.floor(w(lang))
+      val band = 0.01 + 5.0 * math.sqrt(f * (1 - f) / nDocs(lang))
+      assert(math.abs(ratio - w(lang)) < band,
+        s"$lang realized $ratio epochs of weight ${w(lang)} (band $band)")
+    }
+    val total = got.values.sum.toDouble / corpus.values.sum
+    assert(math.abs(total - 1.5) < 0.05, s"realized $total of the 1.5× budget")
+  }
+
   test("weightedSample: non-competing rows excluded, guards fire") {
     val df = Seq(
       (1L, Option(2.0)), (2L, Option(0.0)), (3L, Option(-1.0)),
