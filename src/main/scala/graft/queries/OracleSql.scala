@@ -2030,5 +2030,38 @@ object OracleSql {
         |       FROM d)
         |SELECT doc_id, lang, CAST(unnest(generate_series(0, copies - 1)) AS INT) AS epoch
         |FROM cp WHERE copies > 0""".stripMargin,
+
+    // q112: q108's model-score CTE + q110's tokenizer count (the
+    // delimiter-arithmetic length only — the stream itself is not
+    // needed) through q95's running-sum replay: the kept set is the
+    // maximal prefix of (model_score DESC, md5Long(key), key) whose
+    // running MODEL-token sum fits the budget; the engine computes the
+    // same set threshold-wise without sorting corpus rows.
+    "q112_bpe_token_budget" -> {
+      val w = graft.operators.QualityModel.fixedWeights()
+      val arr = w.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
+      val enc = graft.operators.BpeTrain.fixedMerges()
+        .foldLeft("""regexp_replace(t, '(.)', '(\1)', 'g')""") {
+          case (acc, (l, r)) => s"replace($acc, '($l)($r)', '($l$r)')"
+        }
+      s"""WITH e AS (
+         |  SELECT doc_id,
+         |         round(1.0 / (1.0 + exp(-(
+         |           0.1 + list_sum(list_transform(string_split(text, ' '),
+         |               t -> $arr[
+         |                 CAST(('0x' || substr(md5(t), 1, 15))::BIGINT % ${w.length} AS INT) + 1]))
+         |             / len(string_split(text, ' '))))), 6) AS model_score,
+         |         list_sum(list_transform(
+         |           list_filter(string_split(text, ' '), t -> length(t) > 0),
+         |           t -> length($enc) - length(replace($enc, '(', '')))) AS bpe_len
+         |  FROM documents),
+         |r AS (SELECT *, sum(bpe_len) OVER (ORDER BY model_score DESC,
+         |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+         |        CAST(doc_id AS VARCHAR)
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM e WHERE bpe_len > 0 AND model_score IS NOT NULL)
+         |SELECT doc_id, model_score, CAST(bpe_len AS BIGINT) AS bpe_len
+         |FROM r WHERE cum <= 40000""".stripMargin
+    },
   )
 }

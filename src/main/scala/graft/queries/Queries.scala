@@ -1465,6 +1465,27 @@ object Queries {
       .select(col("doc_id"), col("lang"), col("epoch"))
   }
 
+  /** Token-budget selection in MODEL-token space — the complete
+    * FineWeb-style cut composed from three gated pieces in ONE lineage:
+    * the frozen tokenizer artifact counts each document the way the
+    * model will see it (q110's bpe_len), the q105 classifier ranks, and
+    * q95's prefix-greedy budget machinery keeps the best 40k model
+    * tokens. The budget unit matters: whitespace counts (q95) over- or
+    * under-charge documents whose words compress differently under the
+    * merge table, so a real dataset cut budgets in tokenizer tokens.
+    * Scale shape is q95's: one histogram pass + one ≥τ selection pass,
+    * corpus never sorted, encode/score computed once under the persist. */
+  val q112_bpe_token_budget: Q = (s, dir) => {
+    import graft.operators.{BpeTrain, QualityModel}
+    val scored = QualityModel.hashedLinearScore(
+      BpeTrain.bpeEncode(Tables.documents(s, dir), "text",
+        BpeTrain.fixedMerges()),
+      "text", QualityModel.fixedWeights(), bias = 0.1)
+      .select(col("doc_id"), col("model_score"), col("bpe_len"))
+    Sampling.keepByTokenBudget(scored, col("doc_id"), col("model_score"),
+      col("bpe_len"), budget = 40000L)
+  }
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -1579,5 +1600,6 @@ object Queries {
     "q109_temperature_mix" -> q109_temperature_mix,
     "q110_bpe_encode" -> q110_bpe_encode,
     "q111_unimax_mixture" -> q111_unimax_mixture,
+    "q112_bpe_token_budget" -> q112_bpe_token_budget,
   )
 }

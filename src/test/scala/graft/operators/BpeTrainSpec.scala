@@ -152,6 +152,29 @@ class BpeTrainSpec extends SparkSpec {
     }
   }
 
+  test("delimiter-carrying rows dispatch to the fold kernel and still " +
+    "encode exactly (the fast kernel's escape hatch is total)") {
+    // a text containing the fast kernel's U+0001/U+0002 delimiters must
+    // take the per-word fold path; the reference fold is delimiter-free,
+    // so the outputs still agree symbol-for-symbol
+    val dirty = "a\u0001b ab a\u0002"
+    val clean = "ab xab"
+    val merges = Seq(("x", "a"), ("a", "b"))
+    val got = BpeTrain.bpeEncode(Seq(dirty, clean).toDF("text"), "text", merges)
+      .select($"text", $"bpe_tokens").as[(String, Seq[String])].collect().toMap
+    assert(got(dirty) === referenceEncode(dirty, merges))
+    assert(got(clean) === referenceEncode(clean, merges))
+    assert(got(clean) === Seq("ab", "xa", "b"),
+      "fast path: (x,a) fires first in 'xab', so (a,b) must not match xa's suffix")
+    // a merge table carrying a delimiter or a space is rejected up front
+    intercept[IllegalArgumentException] {
+      BpeTrain.bpeEncode(Seq("x").toDF("text"), "text", Seq(("a", "\u0001")))
+    }
+    intercept[IllegalArgumentException] {
+      BpeTrain.bpeEncode(Seq("x").toDF("text"), "text", Seq(("a b", "c")))
+    }
+  }
+
   test("plan shape: fixed-table encode is a pure per-row expression " +
     "(no join, no exchange) — q110's zero-shuffle contract") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
