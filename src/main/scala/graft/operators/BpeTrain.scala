@@ -31,11 +31,13 @@ import org.apache.spark.storage.StorageLevel
   * to keep the plan tree bounded.
   *
   * [[bpeEncode]] applies a FIXED merge list to a corpus row-locally (no
-  * shuffle): the merge fold composes per merge into one nested
-  * expression, which suits the small/medium merge tables the specs and
-  * analytics queries use. A production 32k-merge encoder would instead
-  * broadcast the trained vocab and longest-match per word — same
-  * semantics, different kernel; noted so the envelope is explicit.
+  * shuffle) through a flat replace-chain kernel — one linear string
+  * pass per merge, with a per-row fold fallback that keeps the
+  * encoding total (see its scaladoc; the original all-fold kernel
+  * measured 15.4 s at sf0.1 and the flat kernel 0.78 s, SCALE.md §R18).
+  * A production 32k-merge encoder would instead broadcast the trained
+  * vocab and longest-match per word — same semantics, different
+  * kernel; noted so the envelope is explicit.
   *
   * Oracle strategy (q107): merge ROUND 1's pair counts over the initial
   * character segmentation are plain SQL (adjacent character bigrams

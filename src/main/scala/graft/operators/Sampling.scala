@@ -216,6 +216,48 @@ object Sampling {
     } finally counts.unpersist()
   }
 
+  /** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    * arXiv:2305.10429) under a STATIC unigram proxy. DoReMi's group-DRO
+    * loop upweights domains by their EXCESS LOSS — proxy-model loss
+    * minus per-domain reference loss — via multiplicative weights.
+    * Two published facts make a closed-form engine operator of it:
+    * under unigram LMs, a domain's per-token excess loss (cross-entropy
+    * of the domain under the corpus-mixture model minus the domain's
+    * own entropy) IS exactly KL(P_domain ‖ P_corpus) — the drift
+    * relation [[TextAnalysis.unigramDrift]] already gates (q63) — and
+    * multiplicative weights over a STATIC excess collapse to a softmax
+    * with the step count absorbed into `eta`. The full DoReMi recipe
+    * retrains the proxy between updates; this operator is the
+    * distributed half a pipeline runs per update, honest about the
+    * static-proxy simplification.
+    *
+    * Cross-engine parity: the KL arrives round-6 from unigramDrift; the
+    * softmax factor exp(eta·kl) quantizes straight to exact integer
+    * MICRO-units (half-up), so the normalizing sum is an exact long sum
+    * — association-order-free — and the final weight is one correctly-
+    * rounded division, round-6. A drift-free corpus (all KLs ≈ 0)
+    * yields near-uniform weights, exactly DoReMi's no-op answer.
+    *
+    * Scale shape: [[TextAnalysis.unigramDrift]]'s (one corpus pass to
+    * (slice, token) counts; everything downstream reduces from that
+    * aggregate) plus a slice-sized softmax over a broadcast scalar
+    * total. Output: (slice, kl, weight) — collect it to feed
+    * [[mixToWeights]]/[[epochExpand]], both of which fail fast on
+    * corpus-grain cardinality. */
+  def doremiWeights(df: DataFrame, sliceCol: String, textCol: String,
+                    eta: Double): DataFrame = {
+    require(eta > 0.0, s"eta must be positive, got $eta")
+    val drift = TextAnalysis.unigramDrift(df, sliceCol, textCol)
+    val micro = round(exp(lit(eta) * col("kl")) * lit(1e6), 0).cast("long")
+    val d = drift.select(col(sliceCol), col("kl"), micro.as("dw_mu"))
+    val tot = d.agg(sum(col("dw_mu")).as("dw_tot"))
+    d.crossJoin(broadcast(tot))
+      .select(col(sliceCol), col("kl"),
+        round(col("dw_mu").cast("double") / col("dw_tot").cast("double"), 6)
+          .as("weight"))
+  }
+
   /** Epoch-weighted mixture EXPANSION — the upsampling counterpart of
     * [[mixToWeights]]: materialize per-stratum epoch factors (the
     * pretraining recipe "wikipedia × 3.2 epochs, web × 0.5") by emitting

@@ -2063,5 +2063,29 @@ object OracleSql {
          |SELECT doc_id, model_score, CAST(bpe_len AS BIGINT) AS bpe_len
          |FROM r WHERE cum <= 40000""".stripMargin
     },
+
+    // q113: q63's drift KL (round-6) through the DoReMi softmax — the
+    // exp factor quantizes straight to exact integer micro-units
+    // (half-up), the normalizing sum is an exact BIGINT sum
+    // (association-order-free), and the weight is one correctly-rounded
+    // division, round-6.
+    "q113_doremi_weights" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+        |gc AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |gt AS (SELECT source, sum(c) AS gn FROM gc GROUP BY 1),
+        |ct AS (SELECT t, sum(c) AS cc FROM gc GROUP BY 1),
+        |tot AS (SELECT sum(c) AS tot FROM gc),
+        |kl AS (SELECT source,
+        |         round(sum((CAST(c AS DOUBLE) / gn)
+        |                   * ln((CAST(c AS DOUBLE) / gn) / (CAST(cc AS DOUBLE) / tot))), 6) AS kl
+        |       FROM gc JOIN gt USING (source) JOIN ct USING (t), tot
+        |       GROUP BY source),
+        |mu AS (SELECT source, kl,
+        |         CAST(round(exp(CAST(50.0 AS DOUBLE) * kl) * 1000000.0, 0) AS BIGINT) AS m
+        |       FROM kl),
+        |s AS (SELECT sum(m) AS ms FROM mu)
+        |SELECT source, kl,
+        |       round(CAST(m AS DOUBLE) / CAST(ms AS DOUBLE), 6) AS weight
+        |FROM mu, s""".stripMargin,
   )
 }

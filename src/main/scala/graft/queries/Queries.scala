@@ -1486,6 +1486,17 @@ object Queries {
       col("bpe_len"), budget = 40000L)
   }
 
+  /** DoReMi-style domain reweighting over sources (static unigram
+    * proxy): the per-domain excess loss is exactly q63's drift KL, and
+    * the multiplicative-weights update collapses to a softmax over it —
+    * domains the corpus mixture underserves get upweighted. η = 50
+    * spreads this drift-free synthetic corpus's small KLs into a
+    * measurable (and hash-gated) weight range; a real scraper-drifted
+    * domain would dominate. */
+  val q113_doremi_weights: Q = (s, dir) =>
+    Sampling.doremiWeights(Tables.documents(s, dir), "source", "text",
+      eta = 50.0)
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -1601,5 +1612,6 @@ object Queries {
     "q110_bpe_encode" -> q110_bpe_encode,
     "q111_unimax_mixture" -> q111_unimax_mixture,
     "q112_bpe_token_budget" -> q112_bpe_token_budget,
+    "q113_doremi_weights" -> q113_doremi_weights,
   )
 }

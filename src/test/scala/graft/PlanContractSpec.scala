@@ -23,10 +23,13 @@ class PlanContractSpec extends SparkSpec {
     *  - q101: SQ8 search is q70's whole-corpus ADC shape at a different
     *    codec (small query set × persisted reconstruction relation).
     *  - q102: semantic decontamination broadcasts the eval-sized suite
-    *    against the corpus — q27's brute tier with a threshold gate. */
+    *    against the corpus — q27's brute tier with a threshold gate.
+    *  - q113: TWO single-row scalar attaches of the q63/q64 kind — the
+    *    drift relation's grand total plus the softmax's micro-unit
+    *    normalizer (1 × |slices| each, linear). */
   private val intendedBnlj = Set("q27_ann_cosine", "q70_pq_adc",
     "q63_source_drift", "q64_distinctive_terms", "q93_knn_label",
-    "q101_sq_topk", "q102_semantic_decontam")
+    "q101_sq_topk", "q102_semantic_decontam", "q113_doremi_weights")
 
   test("no declared query plans a cartesian product; BNLJ only where intended") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

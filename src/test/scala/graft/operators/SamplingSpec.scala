@@ -802,6 +802,40 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(total - 1.5) < 0.05, s"realized $total of the 1.5× budget")
   }
 
+  test("doremiWeights: softmax over the drift KL — hand fixture replays, " +
+    "monotone in KL, uniform at eta→0, guards fire") {
+    // two-slice fixture with hand-computable KLs: A = {x,x,x}, B = {y};
+    // corpus P(x)=3/4, P(y)=1/4 ⇒ KL_A = ln(4/3), KL_B = ln(4)
+    val df = Seq(("A", "x x x"), ("B", "y")).toDF("src", "text")
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = Sampling.doremiWeights(df, "src", "text", eta = 1.0)
+      .as[(String, Double, Double)].collect().sortBy(_._1)
+    val klA = r6(math.log(4.0 / 3.0))
+    val klB = r6(math.log(4.0))
+    val muA = math.round(math.exp(1.0 * klA) * 1e6)
+    val muB = math.round(math.exp(1.0 * klB) * 1e6)
+    assert(got.toSeq === Seq(
+      ("A", klA, r6(muA.toDouble / (muA + muB))),
+      ("B", klB, r6(muB.toDouble / (muA + muB)))))
+    assert(got(1)._3 > got(0)._3, "the higher-excess domain must upweight")
+    // on real data: weights are a distribution and track the KL order
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val w = Sampling.doremiWeights(docs, "source", "text", eta = 50.0)
+      .as[(String, Double, Double)].collect()
+    assert(w.length === 20 && w.forall(_._3 > 0))
+    assert(math.abs(w.map(_._3).sum - 1.0) < 2e-5, "weights must sum to ~1")
+    assert(w.maxBy(_._2)._1 === w.maxBy(_._3)._1,
+      "the max-KL source must carry the max weight")
+    // eta → 0: every factor quantizes to the same micro-unit ⇒ exactly uniform
+    val u = Sampling.doremiWeights(docs, "source", "text", eta = 1e-12)
+      .as[(String, Double, Double)].collect()
+    assert(u.forall(_._3 === 0.05), "vanishing eta must return the uniform mix")
+    intercept[IllegalArgumentException] {
+      Sampling.doremiWeights(docs, "source", "text", eta = 0.0)
+    }
+  }
+
   test("weightedSample: non-competing rows excluded, guards fire") {
     val df = Seq(
       (1L, Option(2.0)), (2L, Option(0.0)), (3L, Option(-1.0)),
