@@ -177,10 +177,12 @@ object BpeTrain {
     *
     *   - FOLD (the total-semantics fallback): the per-word
     *     [[mergeFold]] array fold, taken by exactly the rows whose text
-    *     contains a delimiter codepoint (U+0001/U+0002) — there the
-    *     string rewrite would be ambiguous, while the array fold is
-    *     delimiter-free. `when` is lazy per row, so clean corpora never
-    *     pay it.
+    *     contains a delimiter codepoint (U+0001/U+0002 — there the
+    *     string rewrite would be ambiguous) or an astral-plane
+    *     codepoint (the fold seeds UTF-16 CODE UNITS per [[initVocab]]'s
+    *     contract, while a regex wrap would segment code POINTS — the
+    *     dispatch keeps the kernels observably identical on every
+    *     input). `when` is lazy per row, so clean corpora never pay it.
     *
     * Merge symbols must be free of spaces and the delimiter codepoints
     * (enforced; a trained table can never violate this — words are
@@ -218,7 +220,15 @@ object BpeTrain {
     val spaced = regexp_replace(chain, SymR + " *" + SymL, " ")
     val stripped = regexp_replace(spaced, "^ *" + SymL + "|" + SymR + " *$", "")
     val fastTokens = filter(split(stripped, " "), s => length(s) > 0)
-    val dirty = text.contains(SymL) || text.contains(SymR)
+    // dispatch to the fold kernel for rows the flat rewrite cannot
+    // handle faithfully: delimiter-carrying text (the rewrite would be
+    // ambiguous) and text with astral-plane codepoints — the fold seeds
+    // UTF-16 CODE UNITS (initVocab's documented contract: an emoji is
+    // two surrogate-half symbols, as in real code-unit BPE) while a
+    // regex wrap segments code POINTS, so routing astral rows keeps the
+    // two kernels observably identical on every input
+    val dirty = text.contains(SymL) || text.contains(SymR) ||
+      text.rlike("[\\x{10000}-\\x{10FFFF}]")
     df.withColumn("bpe_tokens", when(dirty, foldTokens).otherwise(fastTokens))
       .withColumn("bpe_len",
         when(col("bpe_tokens").isNull, lit(null).cast("long"))

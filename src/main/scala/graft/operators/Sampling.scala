@@ -115,18 +115,30 @@ object Sampling {
   def temperatureWeights(df: DataFrame, stratum: Column, alpha: Double,
                          maxStrata: Int = 10000): Seq[(String, Double)] = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
-    val counts = df.where(stratum.isNotNull)
-      .groupBy(stratum.cast("string").as("tw_stratum"))
-      .agg(count(lit(1)).as("tw_cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      require(counts.count() <= maxStrata,
-        s"stratum cardinality exceeds $maxStrata — temperature weights are " +
-          "for mixture-grain strata (languages, sources), not row-grain keys")
-      counts.collect().toSeq.map { r =>
+    collectStrata(df, stratum, count(lit(1)), maxStrata, "temperature weights")
+      .map { r =>
         r.getString(0) -> BigDecimal(math.pow(r.getLong(1).toDouble, alpha))
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
       }.sortBy(_._1)
+  }
+
+  /** Shared stratum-aggregation scaffold for the mixture-weight planners
+    * ([[temperatureWeights]], [[unimaxWeights]]): non-null strata,
+    * string-cast groupBy, ONE map-side-combined aggregate, the
+    * cardinality fail-fast guarded by a persist so the count and the
+    * collect read the same computed relation, bounded collect. */
+  private def collectStrata(df: DataFrame, stratum: Column, agg: Column,
+                            maxStrata: Int,
+                            what: String): Seq[org.apache.spark.sql.Row] = {
+    val counts = df.where(stratum.isNotNull)
+      .groupBy(stratum.cast("string").as("st_stratum"))
+      .agg(agg.as("st_v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      require(counts.count() <= maxStrata,
+        s"stratum cardinality exceeds $maxStrata — $what are for " +
+          "mixture-grain strata (languages, sources), not row-grain keys")
+      counts.collect().toSeq
     } finally counts.unpersist()
   }
 
@@ -168,52 +180,44 @@ object Sampling {
                     maxStrata: Int = 10000): Seq[(String, Double)] = {
     require(budgetFactor > 0.0, s"budgetFactor must be positive, got $budgetFactor")
     require(epochCap > 0.0, s"epochCap must be positive, got $epochCap")
-    val counts = df.where(stratum.isNotNull)
-      .groupBy(stratum.cast("string").as("ux_stratum"))
-      .agg(sum(size.cast("long")).as("ux_cap"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      require(counts.count() <= maxStrata,
-        s"stratum cardinality exceeds $maxStrata — UniMax weights are for " +
-          "mixture-grain strata (languages, sources), not row-grain keys")
-      val rows = counts.collect().toSeq.map { r =>
-        require(!r.isNullAt(1) && r.getLong(1) >= 0L,
-          s"stratum '${r.getString(0)}' has a null/negative size sum — " +
-            "size must be a non-negative measure (chars, tokens, bytes)")
-        r.getString(0) -> r.getLong(1)
+    val rows = collectStrata(df, stratum, sum(size.cast("long")), maxStrata,
+      "UniMax weights").map { r =>
+      require(!r.isNullAt(1) && r.getLong(1) >= 0L,
+        s"stratum '${r.getString(0)}' has a null/negative size sum — " +
+          "size must be a non-negative measure (chars, tokens, bytes)")
+      r.getString(0) -> r.getLong(1)
+    }
+    val live = rows.filter(_._2 > 0L).sortBy { case (n, c) => (c, n) }
+    val total = rows.map(_._2).sum
+    val budget = budgetFactor * total.toDouble
+    val L = live.size
+    // waterfill: cap strata ascending while epochCap·c fits the equal
+    // share of what remains; the first violation freezes the prefix k
+    // and the leftover splits equally over the L−k uncapped strata.
+    // The spent prefix is tracked as an EXACT long capacity sum and
+    // multiplied by epochCap once per use, so a SQL replay's running
+    // window sum (integer, association-order-free) reproduces the
+    // identical doubles regardless of how its engine associates the
+    // additions.
+    var spentCap = 0L
+    var k = 0
+    var violated = false
+    live.foreach { case (_, c) =>
+      if (!violated) {
+        val cap = epochCap * c.toDouble
+        if (cap <= (budget - epochCap * spentCap.toDouble) / (L - k)) {
+          spentCap += c; k += 1
+        } else violated = true
       }
-      val live = rows.filter(_._2 > 0L).sortBy { case (n, c) => (c, n) }
-      val total = rows.map(_._2).sum
-      val budget = budgetFactor * total.toDouble
-      val L = live.size
-      // waterfill: cap strata ascending while epochCap·c fits the equal
-      // share of what remains; the first violation freezes the prefix k
-      // and the leftover splits equally over the L−k uncapped strata.
-      // The spent prefix is tracked as an EXACT long capacity sum and
-      // multiplied by epochCap once per use, so a SQL replay's running
-      // window sum (integer, association-order-free) reproduces the
-      // identical doubles regardless of how its engine associates the
-      // additions.
-      var spentCap = 0L
-      var k = 0
-      var violated = false
-      live.foreach { case (_, c) =>
-        if (!violated) {
-          val cap = epochCap * c.toDouble
-          if (cap <= (budget - epochCap * spentCap.toDouble) / (L - k)) {
-            spentCap += c; k += 1
-          } else violated = true
-        }
-      }
-      val share =
-        if (k < L) (budget - epochCap * spentCap.toDouble) / (L - k) else 0.0
-      val weights = live.zipWithIndex.map { case ((n, c), i) =>
-        val alloc = if (i < k) epochCap * c.toDouble else share
-        n -> BigDecimal(alloc / c.toDouble)
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      }
-      (weights ++ rows.filter(_._2 == 0L).map(_._1 -> 0.0)).sortBy(_._1)
-    } finally counts.unpersist()
+    }
+    val share =
+      if (k < L) (budget - epochCap * spentCap.toDouble) / (L - k) else 0.0
+    val weights = live.zipWithIndex.map { case ((n, c), i) =>
+      val alloc = if (i < k) epochCap * c.toDouble else share
+      n -> BigDecimal(alloc / c.toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    (weights ++ rows.filter(_._2 == 0L).map(_._1 -> 0.0)).sortBy(_._1)
   }
 
   /** DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
@@ -249,7 +253,18 @@ object Sampling {
                     eta: Double): DataFrame = {
     require(eta > 0.0, s"eta must be positive, got $eta")
     val drift = TextAnalysis.unigramDrift(df, sliceCol, textCol)
-    val micro = round(exp(lit(eta) * col("kl")) * lit(1e6), 0).cast("long")
+    // fail fast instead of saturating: under the session's non-ANSI
+    // config cast-to-long SATURATES past Long.MaxValue, which would
+    // silently collapse every high-drift domain to the same weight
+    // (and the SQL oracle hard-errors on the same input — the engine
+    // must not out-survive its own gate). exp(eta·kl) past the
+    // micro-unit rail means eta is mis-sized for this corpus's KLs.
+    val factor = exp(lit(eta) * col("kl"))
+    val micro = when(factor <= lit(9.0e12), round(factor * lit(1e6), 0).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"doremiWeights: exp(eta*kl) overflows the micro-unit Long " +
+          s"rail (eta=$eta) for slice "), col(sliceCol).cast("string"),
+        lit(" — lower eta"))))
     val d = drift.select(col(sliceCol), col("kl"), micro.as("dw_mu"))
     val tot = d.agg(sum(col("dw_mu")).as("dw_tot"))
     d.crossJoin(broadcast(tot))

@@ -1969,7 +1969,7 @@ object OracleSql {
     // the engine's BpeTrain.fixedMerges.
     "q110_bpe_encode" -> {
       val enc = graft.operators.BpeTrain.fixedMerges()
-        .foldLeft("""regexp_replace(w, '(.)', '(\1)', 'g')""") {
+        .foldLeft("""regexp_replace(w, '([^ ])', '(\1)', 'g')""") {
           case (acc, (l, r)) => s"replace($acc, '($l)($r)', '($l$r)')"
         }
       s"""WITH e AS (
@@ -1999,7 +1999,8 @@ object OracleSql {
     // arithmetic verbatim.
     "q111_unimax_mixture" ->
       """WITH c AS (SELECT lang, sum(n_chars) AS ch FROM documents
-        |           WHERE lang IS NOT NULL GROUP BY 1),
+        |           WHERE lang IS NOT NULL GROUP BY 1
+        |           HAVING sum(n_chars) > 0),
         |tot AS (SELECT CAST(1.5 AS DOUBLE) * CAST(sum(ch) AS DOUBLE) AS b,
         |               count(*) AS l FROM c),
         |o AS (SELECT lang, ch,
@@ -2041,7 +2042,7 @@ object OracleSql {
       val w = graft.operators.QualityModel.fixedWeights()
       val arr = w.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
       val enc = graft.operators.BpeTrain.fixedMerges()
-        .foldLeft("""regexp_replace(t, '(.)', '(\1)', 'g')""") {
+        .foldLeft("""regexp_replace(t, '([^ ])', '(\1)', 'g')""") {
           case (acc, (l, r)) => s"replace($acc, '($l)($r)', '($l$r)')"
         }
       s"""WITH e AS (

@@ -1459,9 +1459,12 @@ object Queries {
     * relation. */
   val q111_unimax_mixture: Q = (s, dir) => {
     val d = Tables.documents(s, dir)
+    // defaultEpochs = 0: a stratum the waterfill never saw (null lang)
+    // has no budget — the 1.0 pass-through default would leak it into
+    // the mixture uncharged, and the oracle's inner join drops it
     Sampling.epochExpand(d, col("doc_id"), col("lang"),
       Sampling.unimaxWeights(d, col("lang"), col("n_chars"),
-        budgetFactor = 1.5, epochCap = 2.0))
+        budgetFactor = 1.5, epochCap = 2.0), defaultEpochs = 0.0)
       .select(col("doc_id"), col("lang"), col("epoch"))
   }
 

@@ -834,6 +834,15 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.doremiWeights(docs, "source", "text", eta = 0.0)
     }
+    // an eta mis-sized for the corpus's KLs fails fast instead of
+    // silently saturating the micro-unit long (non-ANSI cast would
+    // collapse every high-drift domain to the same weight)
+    val boom = intercept[Exception] {
+      Sampling.doremiWeights(df, "src", "text", eta = 100.0).collect()
+    }
+    assert(boom.getMessage.contains("micro-unit") ||
+      Option(boom.getCause).exists(_.getMessage.contains("micro-unit")),
+      s"expected the overflow fail-fast, got: ${boom.getMessage}")
   }
 
   test("weightedSample: non-competing rows excluded, guards fire") {
