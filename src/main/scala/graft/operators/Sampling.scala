@@ -266,7 +266,14 @@ object Sampling {
           s"rail (eta=$eta) for slice "), col(sliceCol).cast("string"),
         lit(" — lower eta"))))
     val d = drift.select(col(sliceCol), col("kl"), micro.as("dw_mu"))
-    val tot = d.agg(sum(col("dw_mu")).as("dw_tot"))
+    // The per-row rail above bounds each factor, not their SUM: two or
+    // more slices near the 9.0e18-micro rail push sum(long) past
+    // Long.MaxValue, where Spark's non-ANSI sum silently WRAPS negative
+    // while DuckDB's BIGINT sum promotes to HUGEINT and stays correct —
+    // exactly the engine/oracle divergence the rail exists to prevent.
+    // Summing in decimal(38,0) mirrors the HUGEINT promotion (38 digits
+    // hold ~10^19 slices at the rail) and costs one slice-sized agg.
+    val tot = d.agg(sum(col("dw_mu").cast("decimal(38,0)")).as("dw_tot"))
     d.crossJoin(broadcast(tot))
       .select(col(sliceCol), col("kl"),
         round(col("dw_mu").cast("double") / col("dw_tot").cast("double"), 6)
