@@ -35,9 +35,17 @@ import org.apache.spark.storage.StorageLevel
   * pass per merge, with a per-row fold fallback that keeps the
   * encoding total (see its scaladoc; the original all-fold kernel
   * measured 15.4 s at sf0.1 and the flat kernel 0.78 s, SCALE.md §R18).
-  * A production 32k-merge encoder would instead broadcast the trained
-  * vocab and longest-match per word — same semantics, different
-  * kernel; noted so the envelope is explicit.
+  * Both kernels pay O(merges) passes per document — fine at 16 merges,
+  * a wall at a production 32k-merge table. [[bpeEncodeRank]] is the
+  * production kernel: merge-RANK replay per word through
+  * [[graft.functions.BpeRankEncode]] (the GPT-2/HuggingFace runtime
+  * algorithm — ships the table once per task as a rank lookup, replays
+  * only the merges present in each word, cost independent of table
+  * size; SCALE.md §R19 ladders the kernels against each other).
+  * Equivalence to the sequential replay is by construction and
+  * spec-asserted token-for-token (BpeTrainSpec); note that
+  * vocab LONGEST-MATCH (WordPiece) is NOT an equivalent kernel — see
+  * the expression's scaladoc for the two-merge counterexample.
   *
   * Oracle strategy (q107): merge ROUND 1's pair counts over the initial
   * character segmentation are plain SQL (adjacent character bigrams
@@ -60,16 +68,30 @@ object BpeTrain {
     * the sentinel variant is a one-line change to this seed.)
     *
     * Unicode contract: "character" here is what `split(w, "")` yields —
-    * a Java/UTF-16 code unit — so astral-plane codepoints (emoji,
-    * CJK-extension ideographs) seed as SURROGATE PAIRS, which real BPE
-    * implementations handle the same way (GPT-2's byte-level BPE goes a
-    * step further and seeds on BYTES). Oracle parity holds for the BMP;
-    * a SQL engine counting codepoints diverges on astral input — gate
-    * corpora for q107-style checks accordingly (the driver testdata is
-    * ASCII). A byte-level seed is the production choice for multilingual
-    * corpora and drops in here by seeding from `encode(w,'UTF-8')`. */
-  def initVocab(wc: DataFrame): DataFrame =
-    wc.withColumn("syms", filter(split(col("w"), ""), s => length(s) > 0))
+    * a Unicode CODE POINT. (Measured, round 19: Spark's UTF8String-based
+    * split and regexp machinery segment code points, so an astral emoji
+    * seeds as ONE symbol — unlike `java.lang.String.split("")`, which
+    * splits surrogate pairs; an earlier contract note here assumed the
+    * Java behavior and was wrong.) A SQL engine's regex/`substr` count
+    * code points too, so oracle parity holds for ALL of Unicode, astral
+    * planes included — spec-pinned against the DuckDB replay's output on
+    * astral text. A byte-level seed remains the production choice for
+    * multilingual corpora and is what `byteSeed = true` does: each UTF-8 byte seeds
+    * as an uppercase hex PAIR ("h" → "68"), so symbols stay ASCII-alnum
+    * (the ()-delimited oracle replay and the q107-style pair-count SQL
+    * both remain expressible — DuckDB's `hex(encode(w))` replays the
+    * identical segmentation) and any byte sequence round-trips exactly
+    * (`unhex(concat(tokens))` — spec-asserted on non-ASCII and astral
+    * fixtures). */
+  def initVocab(wc: DataFrame, byteSeed: Boolean = false): DataFrame =
+    if (!byteSeed)
+      wc.withColumn("syms", filter(split(col("w"), ""), s => length(s) > 0))
+    else {
+      val h = hex(encode(col("w"), "UTF-8"))
+      wc.withColumn("syms",
+        transform(sequence(lit(1), (length(h) / 2).cast("int")),
+          i => h.substr(i * 2 - 1, lit(2))))
+    }
 
   /** Adjacent-pair counts over the CURRENT segmentation, weighted by word
     * count: zip each symbol array with its own tail (row-local), explode,
@@ -104,9 +126,10 @@ object BpeTrain {
     * table — a pure function of the corpus under the deterministic
     * tie-break. Stops early (shorter result) when no adjacent pair
     * remains. */
-  def bpeTrain(df: DataFrame, textCol: String, merges: Int): Seq[(String, String)] = {
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int,
+               byteSeed: Boolean = false): Seq[(String, String)] = {
     require(merges > 0, s"need a positive merge count, got $merges")
-    var vocab = initVocab(wordCounts(df, textCol))
+    var vocab = initVocab(wordCounts(df, textCol), byteSeed)
       .persist(StorageLevel.MEMORY_AND_DISK)
     vocab.count()
     val out = Seq.newBuilder[(String, String)]
@@ -178,11 +201,14 @@ object BpeTrain {
     *   - FOLD (the total-semantics fallback): the per-word
     *     [[mergeFold]] array fold, taken by exactly the rows whose text
     *     contains a delimiter codepoint (U+0001/U+0002 — there the
-    *     string rewrite would be ambiguous) or an astral-plane
-    *     codepoint (the fold seeds UTF-16 CODE UNITS per [[initVocab]]'s
-    *     contract, while a regex wrap would segment code POINTS — the
-    *     dispatch keeps the kernels observably identical on every
-    *     input). `when` is lazy per row, so clean corpora never pay it.
+    *     string rewrite would be ambiguous). `when` is lazy per row, so
+    *     clean corpora never pay it. (An earlier round also routed
+    *     astral-plane rows here on the belief that `split(w, "")` seeds
+    *     UTF-16 code units while the regex wrap segments code points;
+    *     measured round 19, BOTH segment code points — Spark's split is
+    *     UTF8String-based, not `String.split` — so the kernels agree on
+    *     astral input outright and the per-row astral rlike was retired
+    *     from this hot path.)
     *
     * Merge symbols must be free of spaces and the delimiter codepoints
     * (enforced; a trained table can never violate this — words are
@@ -220,18 +246,61 @@ object BpeTrain {
     val spaced = regexp_replace(chain, SymR + " *" + SymL, " ")
     val stripped = regexp_replace(spaced, "^ *" + SymL + "|" + SymR + " *$", "")
     val fastTokens = filter(split(stripped, " "), s => length(s) > 0)
-    // dispatch to the fold kernel for rows the flat rewrite cannot
-    // handle faithfully: delimiter-carrying text (the rewrite would be
-    // ambiguous) and text with astral-plane codepoints — the fold seeds
-    // UTF-16 CODE UNITS (initVocab's documented contract: an emoji is
-    // two surrogate-half symbols, as in real code-unit BPE) while a
-    // regex wrap segments code POINTS, so routing astral rows keeps the
-    // two kernels observably identical on every input
-    val dirty = text.contains(SymL) || text.contains(SymR) ||
-      text.rlike("[\\x{10000}-\\x{10FFFF}]")
+    // dispatch to the fold kernel for exactly the rows the flat rewrite
+    // cannot handle faithfully: delimiter-carrying text, where the
+    // rewrite would be ambiguous (astral rows need no dispatch — both
+    // kernels segment code points, measured and spec-pinned)
+    val dirty = text.contains(SymL) || text.contains(SymR)
     df.withColumn("bpe_tokens", when(dirty, foldTokens).otherwise(fastTokens))
       .withColumn("bpe_len",
         when(col("bpe_tokens").isNull, lit(null).cast("long"))
           .otherwise(size(col("bpe_tokens")).cast("long")))
   }
+
+  /** Encode a corpus under a FIXED merge table through the PRODUCTION
+    * kernel — per-word merge-rank replay ([[graft.functions.BpeRankEncode]]):
+    * the table ships once per task as a rank lookup, each word replays
+    * only the merges present in it, and the cost is independent of the
+    * table size (the replace chain's O(merges) passes per document are
+    * its 32k-merge wall — SCALE.md §R19 ladders both kernels). Output
+    * contract is [[bpeEncode]]'s exactly: `bpe_tokens` + `bpe_len`, null
+    * text → null tokens AND null length, token-for-token equal to the
+    * replace-chain/fold kernels on every input (spec-asserted; no dirty
+    * dispatch needed — the kernel never rewrites the string, so
+    * delimiter codepoints are ordinary symbols, and it seeds Unicode
+    * code points exactly as [[initVocab]]'s measured contract, astral
+    * planes included).
+    *
+    * `byteSeed = true` seeds each word's UTF-8 bytes as uppercase hex
+    * pairs instead ([[initVocab]]'s byte-level contract) — the table
+    * must then come from a byte-seeded [[bpeTrain]]. */
+  def bpeEncodeRank(df: DataFrame, textCol: String,
+                    merges: Seq[(String, String)],
+                    byteSeed: Boolean = false): DataFrame = {
+    val clash = Seq("bpe_tokens", "bpe_len").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"input columns collide with output names: ${clash.mkString(", ")}")
+    merges.foreach { case (l, r) =>
+      require(!(l + r).exists(_ == ' '),
+        s"merge symbols must not contain spaces: ($l,$r)")
+      if (byteSeed)
+        require((l + r).matches("(?:[0-9A-F]{2})+"),
+          s"byte-seeded merge symbols must be uppercase hex pairs: ($l,$r)")
+    }
+    df.withColumn("bpe_tokens",
+        graft.functions.BpeRankEncodeFunction.bpeRankEncode(
+          col(textCol), merges, byteSeed))
+      .withColumn("bpe_len",
+        when(col("bpe_tokens").isNull, lit(null).cast("long"))
+          .otherwise(size(col("bpe_tokens")).cast("long")))
+  }
+
+  /** Decode a byte-seeded token stream back to text: hex tokens
+    * concatenate to the word's full UTF-8 hex (merges only ever
+    * concatenate), so `unhex → UTF-8` is exact for ANY byte sequence —
+    * the round-trip witness the byte-level seed exists for. Word
+    * boundaries are not part of the stream (the corpus model is
+    * whitespace-delimited); this decodes one word's tokens. */
+  def decodeByteTokens(tokens: Column): Column =
+    decode(unhex(concat_ws("", tokens)), "UTF-8")
 }

@@ -1961,6 +1961,14 @@ object OracleSql {
     // q110: greedy BPE encode replayed as a replace CHAIN over a
     // self-delimited symbol encoding — each symbol wrapped `(sym)`, each
     // merge one non-overlapping left-to-right replace `(l)(r)` → `(lr)`.
+    //
+    // Unicode parity (q110/q112/q114): both sides segment code POINTS —
+    // this replay's regex wraps code points, and the engine's seed does
+    // too (Spark's UTF8String-based split/regexp, measured round 19;
+    // `java.lang.String.split("")` would split surrogate pairs, but the
+    // engine never goes through it). BpeTrainSpec pins the astral-text
+    // parity against this replay's own output, so no corpus envelope is
+    // needed.
     // Full self-delimiting is what makes the replay exact: a consumed
     // match never eats a neighbor's delimiter (so "(a)(a)(a)(a)" merges
     // to "(aa)(aa)" in ONE pass, like the engine's fold), and a merge's
@@ -2037,7 +2045,13 @@ object OracleSql {
     // needed) through q95's running-sum replay: the kept set is the
     // maximal prefix of (model_score DESC, md5Long(key), key) whose
     // running MODEL-token sum fits the budget; the engine computes the
-    // same set threshold-wise without sorting corpus rows.
+    // same set threshold-wise without sorting corpus rows. The per-token
+    // symbol count is PAREN-SAFE like q110's own arithmetic: it counts
+    // `)(` symbol BOUNDARIES (+1), never bare `(` characters — a literal
+    // paren in document text wraps to `(()` / `())`, whose inner paren a
+    // bare-`(` count would read as a phantom token, and neither wrapped
+    // form contains a spurious `)(` (merge symbols are trained alnum, so
+    // no merge can manufacture one either).
     "q112_bpe_token_budget" -> {
       val w = graft.operators.QualityModel.fixedWeights()
       val arr = w.map(v => s"CAST($v AS DOUBLE)").mkString("[", ", ", "]")
@@ -2054,7 +2068,7 @@ object OracleSql {
          |             / len(string_split(text, ' '))))), 6) AS model_score,
          |         list_sum(list_transform(
          |           list_filter(string_split(text, ' '), t -> length(t) > 0),
-         |           t -> length($enc) - length(replace($enc, '(', '')))) AS bpe_len
+         |           t -> CAST((length($enc) - length(replace($enc, ')(', ''))) / 2 AS BIGINT) + 1)) AS bpe_len
          |  FROM documents),
          |r AS (SELECT *, sum(bpe_len) OVER (ORDER BY model_score DESC,
          |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
@@ -2064,6 +2078,53 @@ object OracleSql {
          |SELECT doc_id, model_score, CAST(bpe_len AS BIGINT) AS bpe_len
          |FROM r WHERE cum <= 40000""".stripMargin
     },
+
+    // q114: q110's oracle VERBATIM — the engine side runs the production
+    // rank-replay kernel (BpeTrain.bpeEncodeRank) against the same frozen
+    // artifact; the replay below is kernel-independent (it states the
+    // SEMANTICS — sequential greedy merges — which both kernels must
+    // meet), so reusing it gates the production kernel end-to-end.
+    "q114_bpe_encode_rank" -> {
+      val enc = graft.operators.BpeTrain.fixedMerges()
+        .foldLeft("""regexp_replace(w, '([^ ])', '(\1)', 'g')""") {
+          case (acc, (l, r)) => s"replace($acc, '($l)($r)', '($l$r)')"
+        }
+      s"""WITH e AS (
+         |  SELECT doc_id, text,
+         |    coalesce(array_to_string(
+         |      list_transform(
+         |        list_transform(
+         |          list_filter(string_split(text, ' '), w -> length(w) > 0),
+         |          w -> $enc),
+         |        s -> replace(substr(s, 2, length(s) - 2), ')(', ' ')),
+         |      ' '), '') AS bpe_text
+         |  FROM documents)
+         |SELECT doc_id, bpe_text,
+         |  CASE WHEN text IS NULL THEN NULL
+         |       WHEN bpe_text = '' THEN 0
+         |       ELSE CAST(length(bpe_text) - length(replace(bpe_text, ' ', '')) + 1 AS BIGINT)
+         |  END AS bpe_len
+         |FROM e""".stripMargin
+    },
+
+    // q115: q107's merge-round-1 pair counts under the BYTE-level seed —
+    // the segmentation is each word's UTF-8 bytes as uppercase hex pairs
+    // (`hex(encode(w))` two chars at a time), replayed position-for-
+    // position, then the same (count DESC, l, r) top-20.
+    "q115_bpe_pairs_bytes" ->
+      """WITH wc AS (
+        |  SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0 GROUP BY 1),
+        |h AS (SELECT hex(encode(w)) AS hx, c FROM wc),
+        |p AS (
+        |  SELECT substr(hx, i * 2 - 1, 2) AS l, substr(hx, i * 2 + 1, 2) AS r,
+        |         sum(c) AS cnt
+        |  FROM (SELECT hx, c, unnest(generate_series(1, length(hx) // 2 - 1)) AS i
+        |        FROM h WHERE length(hx) >= 4)
+        |  GROUP BY 1, 2)
+        |SELECT l, r, CAST(cnt AS BIGINT) AS cnt
+        |FROM p ORDER BY cnt DESC, l, r LIMIT 20""".stripMargin,
 
     // q113: q63's drift KL (round-6) through the DoReMi softmax — the
     // exp factor quantizes straight to exact integer micro-units

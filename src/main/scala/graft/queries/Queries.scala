@@ -1500,6 +1500,36 @@ object Queries {
     Sampling.doremiWeights(Tables.documents(s, dir), "source", "text",
       eta = 50.0)
 
+  /** q110's encode through the PRODUCTION kernel — per-word merge-rank
+    * replay ([[graft.operators.BpeTrain.bpeEncodeRank]], constant cost in
+    * the merge-table size) against the SAME frozen artifact and the SAME
+    * oracle verbatim: the kernel-equivalence spec proves the two kernels
+    * identical, this gate proves the production one end-to-end at every
+    * SF, the q104-for-voteLabels pattern. */
+  val q114_bpe_encode_rank: Q = (s, dir) => {
+    import graft.operators.BpeTrain
+    BpeTrain.bpeEncodeRank(Tables.documents(s, dir), "text",
+        BpeTrain.fixedMerges())
+      .select(col("doc_id"),
+        concat_ws(" ", col("bpe_tokens")).as("bpe_text"), col("bpe_len"))
+  }
+
+  /** BYTE-level BPE merge round 1 — q107's distributed-risk stage under
+    * the production multilingual seed ([[graft.operators.BpeTrain.initVocab]]
+    * `byteSeed = true`): each UTF-8 byte seeds as an uppercase hex pair,
+    * so the pair relation is over byte bigrams and the oracle replays the
+    * identical segmentation from `hex(encode(w))`. On this ASCII corpus
+    * every byte is one char, but the GATE is seed-agnostic — any byte
+    * sequence would hash the same way. */
+  val q115_bpe_pairs_bytes: Q = (s, dir) => {
+    import graft.operators.BpeTrain
+    BpeTrain.pairCounts(BpeTrain.initVocab(
+        BpeTrain.wordCounts(Tables.documents(s, dir), "text"), byteSeed = true))
+      .orderBy(desc("cnt"), asc("l"), asc("r"))
+      .limit(20)
+      .select(col("l"), col("r"), col("cnt").cast("long").as("cnt"))
+  }
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -1616,5 +1646,7 @@ object Queries {
     "q111_unimax_mixture" -> q111_unimax_mixture,
     "q112_bpe_token_budget" -> q112_bpe_token_budget,
     "q113_doremi_weights" -> q113_doremi_weights,
+    "q114_bpe_encode_rank" -> q114_bpe_encode_rank,
+    "q115_bpe_pairs_bytes" -> q115_bpe_pairs_bytes,
   )
 }

@@ -175,6 +175,132 @@ class BpeTrainSpec extends SparkSpec {
     }
   }
 
+  test("rank kernel replays the replace-chain kernel token-for-token on " +
+    "real corpus data under a trained table") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val merges = BpeTrain.bpeTrain(docs, "text", merges = 8)
+    val chain = BpeTrain.bpeEncode(docs, "text", merges)
+      .select($"doc_id", $"bpe_tokens", $"bpe_len")
+      .as[(Long, Seq[String], Long)].collect().sortBy(_._1)
+    val rank = BpeTrain.bpeEncodeRank(docs, "text", merges)
+      .select($"doc_id", $"bpe_tokens", $"bpe_len")
+      .as[(Long, Seq[String], Long)].collect().sortBy(_._1)
+    assert(rank.length === chain.length)
+    rank.zip(chain).foreach { case (a, b) =>
+      assert(a === b, s"rank-kernel drift on doc ${a._1}")
+    }
+  }
+
+  test("rank kernel is SEQUENTIAL-replay exact on hostile tables where " +
+    "naive min-rank-present diverges") {
+    // (aa,b) ranks BEFORE (a,a), but "aab" has no 'aa' symbol until
+    // (a,a) fires — sequential replay yields [aa, b]; an algorithm that
+    // re-offers rank 0 after rank 1 creates 'aa' would produce [aab]
+    val hostile = Seq(("aa", "b"), ("a", "a"))
+    val got = BpeTrain.bpeEncodeRank(Seq("aab").toDF("text"), "text", hostile)
+      .select($"bpe_tokens").as[Seq[String]].collect()(0)
+    assert(got === Seq("aa", "b"),
+      "a rank that already had its sequential turn must never fire late")
+    assert(got === referenceEncode("aab", hostile))
+    // duplicate table entries stay total: the SECOND (aa,aa) fires after
+    // (a,a) creates its sides, exactly as sequential replay
+    val dup = Seq(("aa", "aa"), ("a", "a"), ("aa", "aa"))
+    val got2 = BpeTrain.bpeEncodeRank(Seq("aaaa").toDF("text"), "text", dup)
+      .select($"bpe_tokens").as[Seq[String]].collect()(0)
+    assert(got2 === referenceEncode("aaaa", dup))
+    assert(got2 === Seq("aaaa"))
+    // fuzz the construction against the single-threaded sequential
+    // reference: every word over {a,b,c} up to length 6 under two
+    // interleaved hostile tables
+    val tables = Seq(
+      Seq(("a", "b"), ("b", "c"), ("ab", "c"), ("a", "bc"), ("c", "a"),
+        ("ca", "b")),
+      Seq(("b", "b"), ("a", "bb"), ("bb", "c"), ("a", "a"), ("aa", "b"),
+        ("abb", "c"), ("b", "c")))
+    val words = (1 to 6).flatMap(n =>
+      Iterator.fill(n)(Seq("a", "b", "c")).foldLeft(Seq("")) {
+        (acc, cs) => acc.flatMap(p => cs.map(p + _))
+      })
+    tables.foreach { tab =>
+      val df = words.toDF("text")
+      val got = BpeTrain.bpeEncodeRank(df, "text", tab)
+        .select($"text", $"bpe_tokens").as[(String, Seq[String])]
+        .collect().toMap
+      words.foreach { w =>
+        assert(got(w) === referenceEncode(w, tab),
+          s"sequential-replay drift on '$w' under $tab")
+      }
+    }
+  }
+
+  test("rank kernel needs no dirty dispatch: delimiter and astral rows " +
+    "agree with the other kernels (all seed Unicode code points)") {
+    val astral = "a🦄b ab"
+    val dirty = "a\u0001b ab"  // forces bpeEncode's fold path
+    val merges = Seq(("a", "b"))
+    val viaEnc = BpeTrain.bpeEncode(
+        Seq(astral, dirty).toDF("text"), "text", merges)
+      .select($"text", $"bpe_tokens").as[(String, Seq[String])].collect().toMap
+    val viaRank = BpeTrain.bpeEncodeRank(
+        Seq(astral, dirty).toDF("text"), "text", merges)
+      .select($"text", $"bpe_tokens").as[(String, Seq[String])].collect().toMap
+    Seq(astral, dirty).foreach { t =>
+      assert(viaRank(t) === viaEnc(t), s"kernel drift on: $t")
+    }
+    assert(viaRank(astral) === Seq("a", "🦄", "b", "ab"),
+      "an astral codepoint must seed as ONE symbol — Spark's split(w, '') " +
+        "segments code points (measured), not java.lang.String code units")
+  }
+
+  test("astral-text oracle parity: engine tokens match the q110 ()-replay " +
+    "pinned from DuckDB (both sides segment code points)") {
+    // pinned output of the q110 oracle expression run in DuckDB on this
+    // exact input with merge table [(e,r)]:
+    //   'a🦄b er' → ['a 🦄 b', 'er']  — i.e. tokens [a, 🦄, b, er]
+    //   (verified against the live replay this session).
+    // The engine must produce the same stream through BOTH kernels; this
+    // is the spec that retired the round-18 astral dispatch and the
+    // "BMP envelope" framing — no divergence exists to fence off.
+    val df = Seq("a🦄b er").toDF("text")
+    val expect = Seq("a", "🦄", "b", "er")
+    val viaEnc = BpeTrain.bpeEncode(df, "text", Seq(("e", "r")))
+      .select($"bpe_tokens").as[Seq[String]].collect()(0)
+    val viaRank = BpeTrain.bpeEncodeRank(df, "text", Seq(("e", "r")))
+      .select($"bpe_tokens").as[Seq[String]].collect()(0)
+    assert(viaEnc === expect)
+    assert(viaRank === expect)
+  }
+
+  test("byte-level seed: train + encode on non-ASCII round-trips exactly") {
+    val df = Seq("héllo wörld", "héllo héllo", "a🦄b").toDF("text")
+    // byte seeding: every symbol is an uppercase hex pair
+    val vocab = BpeTrain.initVocab(BpeTrain.wordCounts(df, "text"), byteSeed = true)
+      .select($"w", $"syms").as[(String, Seq[String])].collect()
+    vocab.foreach { case (w, syms) =>
+      assert(syms.forall(_.matches("[0-9A-F]{2}")), s"bad byte seed for $w: $syms")
+      assert(syms.size === w.getBytes("UTF-8").length)
+    }
+    val merges = BpeTrain.bpeTrain(df, "text", merges = 4, byteSeed = true)
+    assert(merges.nonEmpty)
+    merges.foreach { case (l, r) =>
+      assert((l + r).matches("(?:[0-9A-F]{2})+"), s"non-hex merge: ($l,$r)")
+    }
+    // the encoded stream must decode back to the original words for any
+    // input — bytes are bytes, no BMP envelope: re-encode each distinct
+    // word alone and decode its token stream
+    val words = df.select(explode(split($"text", " ")).as("w")).distinct()
+    val wordEnc = BpeTrain.bpeEncodeRank(words, "w", merges, byteSeed = true)
+      .select($"w", BpeTrain.decodeByteTokens($"bpe_tokens").as("rt"))
+      .as[(String, String)].collect()
+    wordEnc.foreach { case (w, rt) =>
+      assert(rt === w, s"byte round-trip drift on '$w'")
+    }
+    // a char-seeded table is rejected on the byte path up front
+    intercept[IllegalArgumentException] {
+      BpeTrain.bpeEncodeRank(df, "text", Seq(("a", "b")), byteSeed = true)
+    }
+  }
+
   test("plan shape: fixed-table encode is a pure per-row expression " +
     "(no join, no exchange) — q110's zero-shuffle contract") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
@@ -184,5 +310,25 @@ class BpeTrainSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"encode must not join:\n$plan")
     assert(!plan.contains("Exchange"),
       s"a row-local encoder must not shuffle the corpus:\n$plan")
+  }
+
+  test("plan shape: rank-kernel encode is zero-shuffle AND constant plan " +
+    "size in the merge count (the 32k-merge production property)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = BpeTrain.bpeEncodeRank(docs, "text", BpeTrain.fixedMerges())
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"rank-kernel encode must be row-local:\n$plan")
+    // plan tree size must not grow with the table: a 4096-merge table
+    // analyzes to the SAME single-expression plan (the replace chain, by
+    // contrast, nests one replace node per merge)
+    val big = BpeTrain.fixedMerges() ++
+      (0 until 4080).map(i => (s"z$i", s"y$i"))
+    val bigPlan = BpeTrain.bpeEncodeRank(docs, "text", big)
+      .queryExecution.analyzed.toString
+    assert(bigPlan.length < plan.length + 2048,
+      s"rank-kernel plan must stay constant-size in merges " +
+        s"(got ${bigPlan.length} chars at 4096 merges)")
   }
 }
