@@ -112,7 +112,10 @@ object QualityModel {
     * `e = σ(b + w·x) − y`. The returned weights plug straight into
     * [[hashedLinearScore]] (same hash, same bucket algebra; scoring's
     * per-token sum and training's per-bucket dot differ only in float
-    * fold order). */
+    * fold order). Dense-envelope contract: dims ≲ 4k — the feature build
+    * is O(tokens·dims) per row and each iteration ships a dims-sized
+    * literal weight array into the plan. Past that,
+    * [[trainHashedLogisticSparse]] is the same algebra at O(nnz). */
   def trainHashedLogistic(df: DataFrame, textCol: String, label: Column,
                           dims: Int = DefaultDims, iters: Int = 50,
                           lr: Double = 1.0, l2: Double = 0.0): TrainedModel = {
@@ -162,6 +165,100 @@ object QualityModel {
         while (j < dims) { wNew(j) = w(j) * (1.0 - lr * l2) - lr * grad(j); j += 1 }
         w = wNew
         b -= lr * bgrad
+        it += 1
+      }
+      TrainedModel(w, b, losses.result())
+    } finally base.unpersist()
+  }
+
+  /** SPARSE feature path for [[trainHashedLogistic]] — the large-dims
+    * deployment (fastText-sized models hash into 64k–10M buckets, where
+    * the dense path is infeasible twice over: the O(tokens·dims) per-row
+    * feature build, and the Θ(dims) literal weight array each iteration
+    * ships into the plan). Same algebra, three representation changes:
+    *
+    *  - features are (bucket, fraction) ENTRY ARRAYS built row-locally at
+    *    O(L log L): hash the tokens, `array_sort`, run-length the sorted
+    *    array into `struct(b, x)` entries — zero-count buckets carry no
+    *    entry and contribute exactly 0.0 to every sum they are absent
+    *    from, so the algebra is unchanged;
+    *  - the per-row dot `w·x` is [[graft.functions.SparseDot]] — the
+    *    weight vector rides along as a referenced object (constant plan
+    *    size in dims, Θ(nnz) work per row);
+    *  - the gradient is one `explode → groupBy(bucket) → sum(x·e)`
+    *    aggregate per iteration — shuffle width ≤ dims keys with
+    *    map-side combine (the dense path's dims-sized partial buffers,
+    *    sparser), divided by the TOTAL row count driver-side (absent
+    *    buckets contribute 0 to the mean's numerator by construction).
+    *    Buckets no row touches keep a zero gradient and only L2-shrink,
+    *    exactly as the dense path computes them.
+    *
+    * Determinism matches the dense tier's contract (up to double
+    * aggregation order — the spec asserts weight agreement to float-sum
+    * tolerance and identical round-6 scores, not bit equality). The
+    * returned weights plug straight into [[hashedLinearScore]]. */
+  def trainHashedLogisticSparse(df: DataFrame, textCol: String, label: Column,
+                                dims: Int = DefaultDims, iters: Int = 50,
+                                lr: Double = 1.0, l2: Double = 0.0): TrainedModel = {
+    require(dims > 0, s"need a positive dimension count, got $dims")
+    require(iters > 0, s"need a positive iteration count, got $iters")
+    val toks = split(col(textCol), " ")
+    val toksH = sort_array(transform(toks, t =>
+      (graft.functions.Md5LongFunction.md5Long(t) % dims).cast("int")))
+    // run-length the sorted hash array into (bucket, count/n) entries:
+    // `starts` holds each run's first index, `ends` the next run's
+    // (sentinel size+1 for the last), so x = (end - start) / n_tokens
+    val starts = filter(sequence(lit(1), size(toksH)), i =>
+      (i === 1) || (element_at(toksH, i) =!= element_at(toksH, i - 1)))
+    val feats = {
+      val ends = concat(slice(starts, lit(2), size(starts) - 1),
+        array(size(toksH) + 1))
+      zip_with(starts, ends, (s, e) =>
+        struct(element_at(toksH, s).as("b"),
+          ((e - s).cast("double") / size(toks)).as("x")))
+    }
+    val base = df
+      .where(col(textCol).isNotNull && label.isNotNull)
+      .select(feats.as("qm_x"), label.cast("double").as("qm_y"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = base.count()
+      require(total > 0, "no labeled rows to train on")
+      var w = new Array[Double](dims)
+      var b = 0.0
+      val losses = Seq.newBuilder[Double]
+      var it = 0
+      while (it < iters) {
+        val z = lit(b) +
+          graft.functions.SparseDotFunction.sparseDot(col("qm_x"), w)
+        val p = lit(1.0) / (lit(1.0) + exp(-z))
+        val scored = base
+          .withColumn("qm_p", p)
+          .withColumn("qm_e", col("qm_p") - col("qm_y"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          val row = scored.agg(
+            avg(col("qm_e")).as("bgrad"),
+            avg(-(col("qm_y") * log(greatest(col("qm_p"), lit(1e-12)))
+              + (lit(1.0) - col("qm_y"))
+                * log(greatest(lit(1.0) - col("qm_p"), lit(1e-12))))).as("loss"))
+            .collect()(0)
+          val gradRows = scored
+            .select(explode(col("qm_x")).as("ent"), col("qm_e"))
+            .groupBy(col("ent.b").as("b"))
+            .agg(sum(col("ent.x") * col("qm_e")).as("g"))
+            .collect()
+          val wNew = new Array[Double](dims)
+          var j = 0
+          while (j < dims) { wNew(j) = w(j) * (1.0 - lr * l2); j += 1 }
+          gradRows.foreach { r =>
+            val j2 = r.getInt(0)
+            wNew(j2) -= lr * (r.getDouble(1) / total)
+          }
+          w = wNew
+          b -= lr * row.getDouble(0)
+          losses += row.getDouble(1)
+        } finally scored.unpersist()
         it += 1
       }
       TrainedModel(w, b, losses.result())
