@@ -1865,36 +1865,9 @@ object Similarity {
       .join(broadcast(truthIdsDf), Seq("neighbor_id"), "left_semi")
       .select(col("neighbor_id"), col("cluster")).collect()
       .map(r => r.getLong(0) -> r.get(1).toString.toInt).toMap
-    val kernelOrder = new Ordering[(Double, Int)] {
-      def compare(a: (Double, Int), b: (Double, Int)): Int = {
-        val (an, bn) = (a._1.isNaN, b._1.isNaN)
-        if (an && bn) b._2.compareTo(a._2)
-        else if (an) -1
-        else if (bn) 1
-        else if (a._1 == b._1) b._2.compareTo(a._2)
-        else java.lang.Double.compare(b._1, a._1)
-      }
-    }
-    def vecToDoubles(v: Seq[Any]): Array[Double] = v.map {
-      case f: Float => f.toDouble
-      case d: Double => d
-      case x => x.toString.toDouble
-    }.toArray
     // per query: position of each cluster in the kernel's centroid order
-    val rankPos: Map[Long, Array[Int]] = sample
-      .select(col(idCol), col(vecCol)).collect().map { r =>
-        val q = vecToDoubles(r.getSeq[Any](1))
-        val qn = math.sqrt(q.map(x => x * x).sum)
-        val ranked = coarse.indices.map { j =>
-          val c = coarse(j)
-          val dot = (0 until math.min(q.length, c.length))
-            .foldLeft(0.0)((acc, i) => acc + q(i) * c(i))
-          (dot / (qn * math.sqrt(c.map(x => x * x).sum)), j)
-        }.sorted(kernelOrder).map(_._2)
-        val pos = new Array[Int](coarse.length)
-        ranked.zipWithIndex.foreach { case (cl, p) => pos(cl) = p }
-        r.getLong(0) -> pos
-      }.toMap
+    val rankPos: Map[Long, Array[Int]] =
+      kernelRankPositions(sample, coarse, idCol, vecCol)
     def ceiling(np: Int): Double = truth.count { case (q, n) =>
       clusterOf.get(n).exists(c => rankPos(q)(c) < np)
     }.toDouble / truth.size
@@ -1929,6 +1902,140 @@ object Similarity {
     met match {
       case Some((np, r, rec)) => ProbePlan(np, r, rec, targetMet = true, trace.toSeq)
       case None => ProbePlan(best._1, best._2, best._3, targetMet = false, trace.toSeq)
+    }
+  }
+
+  /** Driver-side replica of the CentroidTopN ranking (cosine descending
+    * under SQLOrderingUtil doubles, NaN above everything, ties to the
+    * LARGER centroid id) for every row of a SAMPLE-scale relation:
+    * id → array mapping cluster id to its position in that row's probe
+    * order, so "cluster c is probed at nprobe np" is `pos(c) < np` —
+    * exactly what the probe kernel will read. Shared by [[tuneProbe]]
+    * and [[tuneRadiusProbe]]. */
+  private def kernelRankPositions(rows: DataFrame,
+                                  coarse: Array[Array[Double]],
+                                  idCol: String,
+                                  vecCol: String): Map[Long, Array[Int]] = {
+    val kernelOrder = new Ordering[(Double, Int)] {
+      def compare(a: (Double, Int), b: (Double, Int)): Int = {
+        val (an, bn) = (a._1.isNaN, b._1.isNaN)
+        if (an && bn) b._2.compareTo(a._2)
+        else if (an) -1
+        else if (bn) 1
+        else if (a._1 == b._1) b._2.compareTo(a._2)
+        else java.lang.Double.compare(b._1, a._1)
+      }
+    }
+    rows.select(col(idCol), col(vecCol)).collect().map { r =>
+      val q = vecToDoubles(r.getSeq[Any](1))
+      val qn = math.sqrt(q.map(x => x * x).sum)
+      val ranked = coarse.indices.map { j =>
+        val c = coarse(j)
+        val dot = (0 until math.min(q.length, c.length))
+          .foldLeft(0.0)((acc, i) => acc + q(i) * c(i))
+        (dot / (qn * math.sqrt(c.map(x => x * x).sum)), j)
+      }.sorted(kernelOrder).map(_._2)
+      val pos = new Array[Int](coarse.length)
+      ranked.zipWithIndex.foreach { case (cl, p) => pos(cl) = p }
+      r.getLong(0) -> pos
+    }.toMap
+  }
+
+  private def vecToDoubles(v: Seq[Any]): Array[Double] = v.map {
+    case f: Float => f.toDouble
+    case d: Double => d
+    case x => x.toString.toDouble
+  }.toArray
+
+  /** [[tuneRadiusProbe]]'s result: the cheapest nprobe meeting the recall
+    * target, the recall it achieves, whether the target was met within
+    * the cap (when false, nprobe is the best-achieving level), and the
+    * `(nprobe, recall)` curve in the order walked. */
+  final case class RadiusProbePlan(nprobe: Int, recall: Double,
+                                   targetMet: Boolean,
+                                   trace: Seq[(Int, Double)])
+
+  /** Recall-targeted probe planning for
+    * [[semanticDecontaminateIndexedRadius]] — the gate whose only lever
+    * IS nprobe (no shortlist, no rerank), so its recall at every level is
+    * the pure COVERAGE term: a truly-contaminated corpus row is dropped
+    * at nprobe np iff some ≥ τ suite witness probes the cluster the row
+    * is stored in. That makes the curve computable EXACTLY without
+    * running the gate once: one exact radius pass over the index's stored
+    * vectors builds the truth hits (the same ground-truth price
+    * [[tuneProbe]] pays — run once per index/suite, amortized over every
+    * decontamination batch), the witnesses' centroid probe order is
+    * replicated driver-side ([[kernelRankPositions]] — bit-exact vs the
+    * CentroidTopN kernel), and recall(np) counts truth DOCS covered
+    * (ProfileDecontamRecall's doc-grain definition, the banked curve).
+    * The identity "predicted recall ≡ measured gate recall at every
+    * level" is spec-asserted on the fixture.
+    *
+    * Driver-side state: |suite| probe orders + the truth hit pairs —
+    * suite-sample × contamination scale, NOT corpus scale (a truth set
+    * too large to hold says the suite sample is too big or τ too loose).
+    * `suite` should be the same suite (or a representative sample of it)
+    * the production gate will run; recall against a different suite is
+    * the caller's risk. Needs an index written `withVectors = true`. */
+  def tuneRadiusProbe(suite: DataFrame, index: DataFrame,
+                      coarse: Array[Array[Double]], tau: Double,
+                      recallTarget: Double, maxNprobe: Int = 0,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): RadiusProbePlan = {
+    require(tau > 0 && tau <= 1, s"tau must be in (0, 1], got $tau")
+    require(recallTarget > 0.0 && recallTarget <= 1.0,
+      s"recall target must be in (0, 1], got $recallTarget")
+    require(index.columns.contains("embedding"),
+      "tuneRadiusProbe needs an index written withVectors = true " +
+        "(no embedding column found)")
+    assertNotCompacting(index)
+    requireNonNullIds(suite, idCol, "suite", "tuneRadiusProbe")
+    val npCap = math.min(if (maxNprobe > 0) maxNprobe else coarse.length,
+      coarse.length)
+    require(npCap >= 1, s"need maxNprobe ≥ 1, got $maxNprobe")
+    // exact truth pass: every (witness, stored row) pair at ≥ τ, plus the
+    // row's stored cluster — the radius gate's own NaN/self-id contract
+    // declared brute-force truth pass, the bruteForceTopK shape: the
+    // suite sample broadcasts against one full index scan
+    val q = broadcast(suite.select(col(idCol).as("query_id"),
+      col(vecCol).as("qv")))
+    val truth = q.crossJoin(index.select(col("cluster"), col("neighbor_id"),
+        col("embedding").as("nv")))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sd_cos", round(cosine(col("qv"), col("nv")), 6))
+      .where(!isnan(col("sd_cos")) && col("sd_cos") >= tau)
+      .select(col("query_id"), col("neighbor_id"), col("cluster"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.get(2).toString.toInt))
+    if (truth.isEmpty)
+      // nothing to catch: every level has recall 1 by convention — the
+      // cheapest plan is one probe
+      return RadiusProbePlan(1, 1.0, targetMet = true, Seq((1, 1.0)))
+    val rankPos = kernelRankPositions(suite, coarse, idCol, vecCol)
+    val docs = truth.map(_._2).distinct
+    def recallAt(np: Int): Double = {
+      val covered = docs.count { d =>
+        truth.exists { case (qid, nid, cl) =>
+          nid == d && rankPos(qid)(cl) < np
+        }
+      }
+      covered.toDouble / docs.length
+    }
+    val trace = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    val nprobes = Iterator.iterate(1)(_ * 2).takeWhile(_ < npCap).toSeq :+ npCap
+    var best: (Int, Double) = (0, -1.0)
+    var met: Option[(Int, Double)] = None
+    val it = nprobes.iterator
+    while (met.isEmpty && it.hasNext) {
+      val np = it.next()
+      val rec = recallAt(np)
+      trace += ((np, rec))
+      if (rec > best._2) best = (np, rec)
+      if (rec + 1e-12 >= recallTarget) met = Some((np, rec))
+    }
+    met match {
+      case Some((np, rec)) => RadiusProbePlan(np, rec, targetMet = true, trace.toSeq)
+      case None => RadiusProbePlan(best._1, best._2, targetMet = false, trace.toSeq)
     }
   }
 
