@@ -373,7 +373,20 @@ object CurationPipeline {
     * aggregate + the prefix candidate join with the batch side broadcast
     * by AQE — q62's measured shape, sub-linear per decade (SCALE.md) —
     * but it is NOT batch-sized; a deployment where it dominates should
-    * curate on a cadence, not per micro-batch.
+    * curate on a cadence, not per micro-batch — or shard it:
+    * `shardByBatchLangs = true` restricts the corpus side of stage 2b to
+    * the batch's own languages before the shared token-frequency pass.
+    * This is EXACT, not approximate: cross pairs are lang-blocked (equal
+    * `langCol` — a null-lang row never equi-joins and so never pairs
+    * regardless), and candidate pruning is verified by exact Jaccard, so
+    * a corpus row whose language the batch does not carry can never
+    * contribute a pair — only (harmlessly) to the prefix order. The spec
+    * asserts survivor identity on a multi-lang corpus; the ladder
+    * (SCALE.md §R19) shows the corpus term scaling with the
+    * MATCHING-LANG slice instead of the whole state, which is the
+    * measured ~1M-doc cadence crossover pushed out by the corpus-to-
+    * batch-lang ratio. The right default for a single-language or
+    * lang-skewed deployment; a uniform-lang corpus gains nothing.
     *
     * Contract: batch and corpus ids must be disjoint — ENFORCED by a
     * fail-fast semi-join (a collision would silently corrupt the
@@ -387,7 +400,8 @@ object CurationPipeline {
                   suiteGrams: DataFrame, stagingPath: String,
                   id: String = "doc_id", textCol: String = "text",
                   langCol: String = "lang",
-                  n: Int = 8, dedupThreshold: Double = 0.95): DataFrame = {
+                  n: Int = 8, dedupThreshold: Double = 0.95,
+                  shardByBatchLangs: Boolean = false): DataFrame = {
     // Fail fast on a batch/corpus id collision instead of letting it
     // silently corrupt the arrival-order-wins dedup (crossJaccardPairs
     // unions the two sides by id) and the survivor joins. The check is a
@@ -413,12 +427,26 @@ object CurationPipeline {
         .where(col(id) === col("canonical_id"))
         .select(col(id), col(langCol), col("clean_text"))
       // 2b. arrival-order-wins vs the corpus: batch docs matching any
-      // corpus doc at ≥ τ drop whole
+      // corpus doc at ≥ τ drop whole. Optionally shard the corpus side
+      // to the batch's own langs first — exact under the lang-blocked
+      // pair contract (see scaladoc), and the token-frequency pass then
+      // scans the matching-lang slice instead of the whole state
+      val corpusSide = {
+        // shard BEFORE the tokenize projection: the semi-join needs only
+        // the lang column, and a join above the projection would make
+        // every corpus row pay array_distinct(split(text)) first —
+        // exactly the per-row cost the shard exists to skip
+        val base =
+          if (!shardByBatchLangs) corpus
+          else corpus.join(selfKept.select(col(langCol)).distinct(),
+            Seq(langCol), "left_semi")
+        base.select(col(id), col(langCol),
+          array_distinct(split(col("clean_text"), " ")).as("tok"))
+      }
       val crossDup = Dedup.crossJaccardPairs(
           selfKept.select(col(id), col(langCol),
             array_distinct(split(col("clean_text"), " ")).as("tok")),
-          corpus.select(col(id), col(langCol),
-            array_distinct(split(col("clean_text"), " ")).as("tok")),
+          corpusSide,
           id, "tok", langCol, dedupThreshold)
         .select(col("left_id").as(id)).distinct()
       val survivors = selfKept.join(crossDup, Seq(id), "left_anti")

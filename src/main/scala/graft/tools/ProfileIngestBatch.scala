@@ -54,8 +54,12 @@ object ProfileIngestBatch {
       suiteGrams, "/tmp/graft_ingest_warm")
     release()
 
+    // GRAFT_SHARD_ONLY=1 skips the base ladder (already banked) and runs
+    // only the lang-sharded A/B below — the fourth-decade session knob
+    val shardOnly = sys.env.get("GRAFT_SHARD_ONLY").contains("1")
     val rows = collection.mutable.ArrayBuffer.empty[(String, Double)]
-    (Seq("sf0.1" -> "/root/testdata/sf0.1", "sf1" -> sf1, "sf10" -> sf10) ++
+    (if (shardOnly) Nil
+     else Seq("sf0.1" -> "/root/testdata/sf0.1", "sf1" -> sf1, "sf10" -> sf10) ++
       (if (fourth) Seq("sf100" -> sf100) else Nil))
       .foreach { case (name, dir) =>
         val st = state(dir)
@@ -79,6 +83,51 @@ object ProfileIngestBatch {
     rows.zip(rows.drop(1)).foreach { case ((a, ta), (b, tb)) =>
       println(f"[ingest] per-batch exponent vs state $a→$b: ${math.log10(tb / ta)}%.2f")
     }
+
+    // ── lang-sharded mitigation A/B (round 19) ───────────────────────
+    // The documented escape for the cadence crossover: a batch carrying
+    // a SUBSET of the corpus langs restricts stage 2b's corpus side to
+    // those langs (exact under the lang-blocked pair contract). Here the
+    // batch is the single-lang 'de' slice (~14% of the corpus mix), so
+    // the sharded cross-dedup's corpus term should scale with the de
+    // slice, not the whole state — measured per state decade, same
+    // calibration brackets, survivors count-asserted identical.
+    val deBatch = batch.where(col("lang") === "de")
+    CurationPipeline.ingestBatch(spark, deBatch,
+      state("/root/testdata/sf0.1"), suiteGrams,
+      "/tmp/graft_ingest_warm_de", shardByBatchLangs = true)
+    release()
+    ((if (shardOnly) Nil
+      else Seq("sf0.1" -> "/root/testdata/sf0.1", "sf1" -> sf1, "sf10" -> sf10)) ++
+      (if (fourth) Seq("sf100" -> sf100) else Nil))
+      .foreach { case (name, dir) =>
+        val st = state(dir)
+        def leg(sharded: Boolean): (Double, Long) = {
+          val (c, io) = ProfileUtil.calibBoth(spark)
+          var n = 0L
+          val t = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            val out = CurationPipeline.ingestBatch(spark, deBatch, st,
+              suiteGrams, s"/tmp/graft_ingest_de_${name}_$sharded",
+              shardByBatchLangs = sharded)
+            n = out.count()
+            val dt = (System.nanoTime() - t0) / 1e9
+            release()
+            dt
+          }.min
+          val (c2, io2) = ProfileUtil.calibBoth(spark)
+          println(f"[ingest-shard] state=$name%-6s sharded=$sharded%-5s " +
+            f"wall min=$t%8.2f s survivors=$n cpu=$c%.3f/$c2%.3f io=$io%.3f/$io2%.3f")
+          Console.flush()
+          (t, n)
+        }
+        val (tp, np) = leg(sharded = false)
+        val (ts, ns) = leg(sharded = true)
+        require(np == ns,
+          s"$name: lang-sharding changed the survivor count ($np vs $ns) — " +
+            "the exactness contract is broken")
+        println(f"[ingest-shard] state=$name%-6s sharded/plain = ${ts / tp}%.2f")
+      }
     spark.stop()
   }
 }

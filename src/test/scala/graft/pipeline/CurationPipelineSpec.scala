@@ -189,6 +189,50 @@ class CurationPipelineSpec extends SparkSpec {
     graft.GraftSession.releaseCaches(spark, blocking = true)
   }
 
+  test("ingestBatch shardByBatchLangs: survivors identical on a multi-lang " +
+      "state whose extra langs the batch never carries (the exact " +
+      "cross-dedup shard the cadence-crossover mitigation relies on)") {
+    import spark.implicits._
+    def words(p: String, k: Int) = (1 to k).map(p + _)
+    val suite = Seq((900L, words("h", 9).mkString(" "))).toDF("doc_id", "text")
+    val suiteGrams = graft.operators.TextAnalysis
+      .corpusGramHashes(suite, "doc_id", "text", n = 8)
+    // state: one en doc the batch near-dups, fr/de ballast the batch's
+    // langs never touch — INCLUDING an fr row that is a verbatim token
+    // permutation of a batch doc, which the lang-blocked pair contract
+    // must ignore with or without sharding (the sharding's soundness in
+    // one row: that doc can never pair, so pruning it changes nothing)
+    val state = Seq(
+      (1L, "en", words("a", 20).mkString(" ")),
+      (2L, "fr", words("q", 14).mkString(" ")),  // same tokens as batch 11, lang fr
+      (3L, "de", words("z", 10).mkString(" ")),
+      (4L, "fr", words("y", 12).mkString(" "))
+    ).toDF("doc_id", "lang", "clean_text")
+    val batch = Seq(
+      (10L, "en", words("a", 20).reverse.mkString(" ")), // cross-dup of 1
+      (11L, "en", words("q", 14).mkString(" ")),          // fr twin can't pair
+      (12L, "en", words("w", 16).mkString(" "))           // clean
+    ).toDF("doc_id", "lang", "text")
+    val root = java.nio.file.Files.createTempDirectory("curation_shard").toString
+    try {
+      val plain = CurationPipeline.ingestBatch(spark, batch, state,
+        suiteGrams, s"$root/p").as[(Long, String, String)].collect().toSet
+      val sharded = CurationPipeline.ingestBatch(spark, batch, state,
+        suiteGrams, s"$root/s", shardByBatchLangs = true)
+        .as[(Long, String, String)].collect().toSet
+      assert(sharded === plain,
+        "lang-sharding must be survivor-invariant — pairs are lang-blocked " +
+          "and verification is exact Jaccard")
+      assert(plain === Set(
+        (11L, "en", words("q", 14).mkString(" ")),
+        (12L, "en", words("w", 16).mkString(" "))),
+        "the en cross-dup drops; the fr verbatim twin never pairs (blocked)")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      graft.GraftSession.releaseCaches(spark, blocking = true)
+    }
+  }
+
   // ── restartability ──────────────────────────────────────────────────
   // The crash-recovery contract the object scaladoc states: a failed run
   // re-invoked under the same stagingRoot SKIPS every completed prefix
