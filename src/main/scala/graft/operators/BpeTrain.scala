@@ -26,22 +26,35 @@ import org.apache.spark.storage.StorageLevel
   *      under (a,a) becomes [aa, a]).
   *
   * Each round's vocab is persisted and materialized before the previous
-  * is released, so the fold lineage never re-computes; very long merge
-  * schedules (32k+) would additionally `localCheckpoint` every ~64 rounds
-  * to keep the plan tree bounded.
+  * is released, so the fold lineage never re-computes — and every
+  * `checkpointEvery` rounds (default 8) the vocab is `localCheckpoint`ed
+  * so the PLAN stays bounded too: a persist does not truncate the
+  * analyzed tree, each round nests one more fold layer onto it, and the
+  * unbounded schedule was measured (round 19) to OOM the driver near
+  * merge ~200 — while per-round analyzer cost is SUPERLINEAR in the
+  * depth between checkpoints (~5 s/round at cadence 32 vs ~0.3 s/round
+  * at cadence 8 on the sf0.01 vocab, measured), hence the short default.
+  * BpeTrainSpec crosses the cadence boundary against the reference
+  * trainer.
   *
   * [[bpeEncode]] applies a FIXED merge list to a corpus row-locally (no
   * shuffle) through a flat replace-chain kernel — one linear string
   * pass per merge, with a per-row fold fallback that keeps the
   * encoding total (see its scaladoc; the original all-fold kernel
   * measured 15.4 s at sf0.1 and the flat kernel 0.78 s, SCALE.md §R18).
-  * Both kernels pay O(merges) passes per document — fine at 16 merges,
-  * a wall at a production 32k-merge table. [[bpeEncodeRank]] is the
-  * production kernel: merge-RANK replay per word through
+  * Both kernels pay O(merges) passes per document — and the measured
+  * rail is far TIGHTER than the runtime: a Θ(merges) expression tree
+  * stops ANALYZING at ~100–256 nested layers ("Max iterations reached
+  * for batch Resolution" at 256; StackOverflowError converting the
+  * Column tree at 4096 — SCALE.md §R19), so [[bpeEncode]] is the
+  * oracle-replayable artifact-scale kernel (the frozen 16-merge table),
+  * not a production encoder. [[bpeEncodeRank]] is the production
+  * kernel: merge-RANK replay per word through
   * [[graft.functions.BpeRankEncode]] (the GPT-2/HuggingFace runtime
   * algorithm — ships the table once per task as a rank lookup, replays
   * only the merges present in each word, cost independent of table
-  * size; SCALE.md §R19 ladders the kernels against each other).
+  * size: measured flat 0.07–0.10 s at sf0.1 from 16 through 4096
+  * merges, SCALE.md §R19).
   * Equivalence to the sequential replay is by construction and
   * spec-asserted token-for-token (BpeTrainSpec); note that
   * vocab LONGEST-MATCH (WordPiece) is NOT an equivalent kernel — see
@@ -127,8 +140,11 @@ object BpeTrain {
     * tie-break. Stops early (shorter result) when no adjacent pair
     * remains. */
   def bpeTrain(df: DataFrame, textCol: String, merges: Int,
-               byteSeed: Boolean = false): Seq[(String, String)] = {
+               byteSeed: Boolean = false,
+               checkpointEvery: Int = 8): Seq[(String, String)] = {
     require(merges > 0, s"need a positive merge count, got $merges")
+    require(checkpointEvery > 0,
+      s"need a positive checkpoint cadence, got $checkpointEvery")
     var vocab = initVocab(wordCounts(df, textCol), byteSeed)
       .persist(StorageLevel.MEMORY_AND_DISK)
     vocab.count()
@@ -144,8 +160,22 @@ object BpeTrain {
         else {
           val (l, r) = (top(0).getString(0), top(0).getString(1))
           out += ((l, r))
-          val next = applyMerge(vocab, l, r).persist(StorageLevel.MEMORY_AND_DISK)
-          next.count()
+          // lineage/plan rail: each round nests one more fold layer onto
+          // the vocab PLAN, and the persist does not truncate it — the
+          // analyzer re-walks the whole tree every round, so an unbounded
+          // schedule is quadratic driver CPU and (measured, round 19) an
+          // OutOfMemoryError near merge ~200. localCheckpoint every
+          // `checkpointEvery` rounds swaps the plan for the materialized
+          // rows (LogicalRDD), bounding tree depth; eager, so it also
+          // serves as the round's materialization.
+          val grown = applyMerge(vocab, l, r)
+          val next =
+            if ((m + 1) % checkpointEvery == 0) grown.localCheckpoint(true)
+            else {
+              val p = grown.persist(StorageLevel.MEMORY_AND_DISK)
+              p.count()
+              p
+            }
           vocab.unpersist()
           vocab = next
           m += 1

@@ -1480,8 +1480,13 @@ object Queries {
     * corpus never sorted, encode/score computed once under the persist. */
   val q112_bpe_token_budget: Q = (s, dir) => {
     import graft.operators.{BpeTrain, QualityModel}
+    // the PRODUCTION encode kernel (rank replay — q114's gated path,
+    // measured 6.6× the replace chain at the artifact scale and flat in
+    // table size, SCALE.md §R19): the oracle replays the SEMANTICS of
+    // the frozen table, which both kernels meet token-for-token
+    // (spec-asserted), so the composition takes the fast one
     val scored = QualityModel.hashedLinearScore(
-      BpeTrain.bpeEncode(Tables.documents(s, dir), "text",
+      BpeTrain.bpeEncodeRank(Tables.documents(s, dir), "text",
         BpeTrain.fixedMerges()),
       "text", QualityModel.fixedWeights(), bias = 0.1)
       .select(col("doc_id"), col("model_score"), col("bpe_len"))

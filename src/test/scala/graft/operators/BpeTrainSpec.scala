@@ -85,6 +85,20 @@ class BpeTrainSpec extends SparkSpec {
     assert(got.size === 8, "real corpus must not exhaust at 8 merges")
   }
 
+  test("trainer crosses the localCheckpoint cadence without drift (the " +
+    "plan rail that unblocks 256-merge-and-beyond schedules)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val wc = BpeTrain.wordCounts(docs, "text")
+      .as[(String, Long)].collect().toMap
+    // cadence 4 puts FIVE checkpoints inside a 20-merge schedule; the
+    // merge table must equal the single-threaded reference exactly
+    val got = BpeTrain.bpeTrain(docs, "text", merges = 20, checkpointEvery = 4)
+    assert(got === referenceTrain(wc, merges = 20))
+    intercept[IllegalArgumentException] {
+      BpeTrain.bpeTrain(docs, "text", merges = 2, checkpointEvery = 0)
+    }
+  }
+
   test("encode replays the reference fold and shrinks the symbol stream") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(20)
     val merges = BpeTrain.bpeTrain(
