@@ -1646,8 +1646,20 @@ object Similarity {
           .isin(ids.map(java.lang.Long.valueOf).toIndexedSeq: _*))
       else vectors0
     val qvs = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    // the broadcast hint holds only while the shortlist honors its
+    // answer-sized contract (≤ |queries|·rerank·k rows). Covering-knob
+    // compositions (q103's oracle config: 2²⁰ hits per suite row) make it
+    // CORPUS-sized, where a forced broadcast collects the whole thing to
+    // the driver — measured round 19: spark.driver.maxResultSize abort at
+    // the fourth decade (223 suite rows × 2M candidates). The distinct-id
+    // count is already collected for the fetch pushdown above; past the
+    // pushdown rail the shortlist joins unhinted and AQE picks the
+    // strategy its runtime size earns.
+    val shortlistSide =
+      if (ids.length <= RefineFetchPushdownMax) broadcast(shortlist)
+      else shortlist
     val scored = vectors
-      .join(broadcast(shortlist), Seq("neighbor_id"))
+      .join(shortlistSide, Seq("neighbor_id"))
       .join(broadcast(qvs), Seq("query_id"))
       .withColumn("cosine", round(cosine(col("qv"), col("nv")), 6))
       // NaN ranks above every number in Spark — a zero-norm vector (no
