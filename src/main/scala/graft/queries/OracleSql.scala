@@ -68,6 +68,12 @@ object OracleSql {
       // the oracle is q93's verbatim (the q81/q82/q83 storage-round-trip
       // pattern applied to the labeling composition)
       .updated("q104_knn_label_indexed", base("q93_knn_label"))
+      // q116: the RADIUS gate at covering probes is definitionally the
+      // exact gate restricted to surviving ids (no shortlist exists to
+      // cover — spec-asserted ≡ the exact gate), so its oracle is q103's
+      // exactly: q102's replay with max_sim dropped
+      .updated("q116_semantic_decontam_radius",
+        idOnly(base("q102_semantic_decontam")))
 
   /** q103: q102's exact-gate replay projected to the surviving ids (the
     * indexed twin returns no max_sim — it judges only probed candidates,
@@ -1901,6 +1907,21 @@ object OracleSql {
         |           CAST(doc_id AS VARCHAR)) AS rn
         |  FROM documents WHERE n_chars > 0)
         |WHERE rn <= 5""".stripMargin,
+
+    // q117: q106's Efraimidis–Spirakis replay with NO stratum — one
+    // global (key DESC, hash, id) total order, top-25. The engine side
+    // plans TakeOrderedAndProject instead of a window; same draw.
+    "q117_weighted_sample_global" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (ORDER BY
+        |           pow((('0x' || substr(md5('r19' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 0.5)
+        |                 / 1152921504606846976.0,
+        |               1.0 / CAST(n_chars AS DOUBLE)) DESC,
+        |           ('0x' || substr(md5('r19' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |           CAST(doc_id AS VARCHAR)) AS rn
+        |  FROM documents WHERE n_chars > 0)
+        |WHERE rn <= 25""".stripMargin,
 
     // q107: BPE merge round 1 — adjacent character-pair counts over the
     // (distinct word, count) relation, top-20 under the deterministic

@@ -1535,6 +1535,36 @@ object Queries {
       .select(col("l"), col("r"), col("cnt").cast("long").as("cnt"))
   }
 
+  /** The RADIUS decontamination gate end-to-end — the batch-job default
+    * ([[graft.operators.Similarity.semanticDecontaminateIndexedRadius]]:
+    * no shortlist, no rerank — pure coverage, ~2× cheaper than the
+    * shortlist gate at every measured decade, SCALE.md §R19) at COVERING
+    * probes, where it is definitionally the exact gate restricted to
+    * surviving ids: the oracle is q102's with the max_sim column
+    * dropped, exactly q103's pattern, so any probe/pruning/NaN defect in
+    * the radius path fails the hash at every SF. Production runs small
+    * nprobe — that trade is the banked recall curve and
+    * [[graft.operators.Similarity.tuneRadiusProbe]]'s territory. */
+  val q116_semantic_decontam_radius: Q = (s, dir) => {
+    val e = Tables.embeddings(s, dir)
+    val (coarse, _, path) = sharedIvfPqIndex(s, dir)
+    Similarity.semanticDecontaminateIndexedRadius(
+      e.where(col("vec_id") % 9 =!= 0),
+      e.where(col("vec_id") % 9 === 0),
+      s.read.parquet(path), coarse, tau = 0.40, nprobe = 8)
+  }
+
+  /** GLOBAL weighted sampling without replacement — q106's
+    * Efraimidis–Spirakis draw with no stratum: the k overall winners
+    * under the (key DESC, hash, id) total order. The engine plans
+    * TakeOrderedAndProject (bounded per-partition heaps — no
+    * single-partition window, plan-asserted in SamplingSpec); the oracle
+    * replays the same draw with an unpartitioned row_number. */
+  val q117_weighted_sample_global: Q = (s, dir) =>
+    Sampling.weightedSampleGlobal(Tables.documents(s, dir),
+      col("doc_id"), col("n_chars"), k = 25, seed = "r19")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -1653,5 +1683,7 @@ object Queries {
     "q113_doremi_weights" -> q113_doremi_weights,
     "q114_bpe_encode_rank" -> q114_bpe_encode_rank,
     "q115_bpe_pairs_bytes" -> q115_bpe_pairs_bytes,
+    "q116_semantic_decontam_radius" -> q116_semantic_decontam_radius,
+    "q117_weighted_sample_global" -> q117_weighted_sample_global,
   )
 }
