@@ -329,6 +329,163 @@ object TextAnalysis {
           .as("nll"))
   }
 
+  /** Per-document bigram NLL under interpolated Kneser–Ney smoothing — the
+    * KenLM default (Kneser & Ney 1995; Chen & Goodman 1998), the LM behind
+    * CCNet-style perplexity filtering. Unlike [[bigramLogProb]]'s add-one
+    * smoothing (which over-penalizes frequent contexts), KN discounts each
+    * seen bigram by a fixed D and backs off to the CONTINUATION probability —
+    * how many distinct contexts a word follows, not how often it occurs
+    * ("Francisco" is frequent but only ever follows "San", so its
+    * continuation probability is tiny):
+    *
+    *   p(w2|w1) = (c(w1,w2) − D)/c(w1,·)
+    *            + D·N1+(w1,·)/c(w1,·) · N1+(·,w2)/N1+(·,·)
+    *
+    * with D = 0.75 (the textbook default). Every scored bigram comes from
+    * the corpus itself, so c ≥ 1 > D and the max(·,0) clamp is vacuous here.
+    * Docs with < 2 tokens have no bigram and are absent from the output.
+    *
+    * Scale shape: identical to [[bigramLogProb]] — the corpus shuffles once
+    * into the (w1,w2) count relation; the four KN statistics (context
+    * totals, forward type counts N1+(w1,·), backward type counts N1+(·,w2),
+    * and the grand type count) ALL reduce from that already-aggregated
+    * relation (≤ bigram-type rows, not the corpus); the scoring joins key
+    * on tokens with AQE handling stopword-head skew. round(…,6) on the
+    * averaged NLL squashes fold-order ulp noise per the repo convention. */
+  def kneserNeyLogProb(df: org.apache.spark.sql.DataFrame, id: String,
+                       textCol: String,
+                       discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(discount > 0 && discount < 1,
+      s"KN discount must be in (0,1), got $discount")
+    val tok = df.select(col(id).as("kn_id"), tokens(col(textCol)).as("tk"))
+    val bg = tok.where(size(col("tk")) >= 2)
+      .select(col("kn_id"), explode(transform(sequence(lit(1), size(col("tk")) - 1),
+        i => struct(element_at(col("tk"), i).as("w1"),
+                    element_at(col("tk"), i + 1).as("w2")))).as("b"))
+      .select(col("kn_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cbg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // context totals and forward type counts reduce together from cbg
+    val ctx = cbg.groupBy("w1")
+      .agg(sum(col("c")).as("ctx"), count(lit(1)).as("n1f"))
+    val back = cbg.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val types = cbg.count() // total distinct bigram types, one scalar action
+    val d = lit(discount)
+    val p = (col("c").cast("double") - d) / col("ctx") +
+      d * col("n1f").cast("double") / col("ctx") *
+        (col("n1b").cast("double") / lit(types.toDouble))
+    val out = bg.join(cbg, Seq("w1", "w2")).join(ctx, Seq("w1"))
+      .join(back, Seq("w2"))
+      .groupBy(col("kn_id").as(id))
+      .agg(count(lit(1)).cast("long").as("n_bigrams"),
+        round(avg(-log(p)), 6).as("nll"))
+    out
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al., arXiv:1911.00359):
+    * score every document by its corpus-LM NLL ([[unigramLogProb]]), then
+    * label head / middle / tail by corpus-level NLL tertiles — the classic
+    * "keep the head, mine the middle, drop the tail" pretraining triage.
+    *
+    * The tertile thresholds come from a FIXED-GRID HISTOGRAM, not a global
+    * sort: per-doc NLL quantizes to a 1e-3 grid cell (`floor(nll·1000)`),
+    * the corpus reduces to (cell → count) — bounded by the NLL range, a few
+    * thousand rows regardless of corpus size — and the cut cells are the
+    * smallest cells whose cumulative count reaches ⅓ and ⅔ of the corpus
+    * (integer arithmetic: `3·cum ≥ total`). A document's bucket then
+    * compares its own cell to the two cut cells. At 100 TB this is one
+    * map-side-combinable aggregation plus a window over the tiny histogram;
+    * a global ntile would be a single-partition sort of the corpus.
+    *
+    * Cross-engine determinism: the cell id derives from the ROUNDED nll
+    * (round(…,6) first — the value both engines agree on), and
+    * `round → ×1000 → floor` is pure IEEE double arithmetic, identical in
+    * any engine. Quantization shifts the cut by at most one grid cell vs
+    * exact tertiles — deterministically, on both sides. */
+  def perplexityBuckets(df: org.apache.spark.sql.DataFrame, id: String,
+                        textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nll = unigramLogProb(df, id, textCol)
+      .select(col(id), col("nll"),
+        floor(col("nll") * 1000).cast("long").as("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = nll.groupBy("cell").agg(count(lit(1)).as("n"))
+    // bounded relation (NLL-range ·1000 cells): the single-partition window
+    // is over the histogram, never the corpus
+    val w = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum(col("n")).over(w))
+      .withColumn("total", sum(col("n")).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+    val cuts = cum.agg(
+      min(when(col("cum") * 3 >= col("total"), col("cell"))).as("t1"),
+      min(when(col("cum") * 3 >= col("total") * 2, col("cell"))).as("t2"))
+    nll.crossJoin(broadcast(cuts))
+      .select(col(id), col("nll"),
+        when(col("cell") <= col("t1"), lit("head"))
+          .when(col("cell") <= col("t2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
+  /** All-pairs document similarity by TF–IDF cosine ≥ τ within a blocking
+    * key — the sparse-vector near-duplicate detector (Bayardo et al.,
+    * WWW'07 problem setting; the lexical complement of q30's dense
+    * embedding cosine). `termsCol` is an array column — the vector's term
+    * space. Callers choose it to keep the inverted index selective: over a
+    * closed vocabulary use n-gram shingles (the q60 rationale — raw tokens
+    * would make every doc pair a candidate), over an open vocabulary raw
+    * tokens are fine. Weights are tf·ln(N/df); terms present in EVERY
+    * document get idf = ln(1) = 0 and drop out of the vector entirely.
+    *
+    * Scale shape: candidate pairs come from an inverted-index self-join —
+    * never a cartesian. The join keys on (block, term) AFTER dropping
+    * zero-weight terms, which is exactly the df-head prune: the most
+    * ubiquitous terms (the skew heads that would dominate an inverted-index
+    * join) contribute nothing to any dot product and never enter the join.
+    * Per-doc norms reduce from the same (doc, term, weight) relation. The
+    * threshold applies to the ROUNDED cosine (round(…,6) ≥ τ) so the kept
+    * set is identical in any engine despite fold-order ulp noise in the
+    * dot-product sum. Docs whose every term is corpus-ubiquitous have a
+    * zero vector — cosine is undefined — and are excluded from pairing.
+    * The harder sharpening (Bayardo prefix filtering) lives in the PPJoin
+    * family ([[graft.operators.Dedup.jaccardPairs]]); this operator keeps
+    * the exact-cosine semantics those bounds cannot express. */
+  def tfidfCosinePairs(df: org.apache.spark.sql.DataFrame, id: String,
+                       termsCol: String, blockCol: String,
+                       minCosine: Double): org.apache.spark.sql.DataFrame = {
+    require(minCosine > 0 && minCosine <= 1,
+      s"minCosine must be in (0,1], got $minCosine")
+    val tf = df.select(col(id).as("tc_id"), col(blockCol).as("blk"),
+        explode(col(termsCol)).as("t"))
+      .groupBy("tc_id", "blk", "t").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = tf.select(col("tc_id")).distinct().count() // one scalar action
+    val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val weighted = tf.join(dfreq, Seq("t"))
+      .where(col("df") < nDocs) // idf=0 terms vanish from every vector
+      .select(col("tc_id"), col("blk"), col("t"),
+        (col("tf").cast("double") * log(lit(nDocs.toDouble) / col("df")))
+          .as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = weighted.groupBy("tc_id")
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val pairs = weighted.as("a")
+      .join(weighted.as("b"),
+        col("a.blk") === col("b.blk") && col("a.t") === col("b.t") &&
+          col("a.tc_id") < col("b.tc_id"))
+      .groupBy(col("a.tc_id").as("left_id"), col("b.tc_id").as("right_id"))
+      .agg(sum(col("a.w") * col("b.w")).as("dot"))
+    pairs
+      .join(norms.withColumnRenamed("tc_id", "left_id")
+        .withColumnRenamed("nrm", "na"), Seq("left_id"))
+      .join(norms.withColumnRenamed("tc_id", "right_id")
+        .withColumnRenamed("nrm", "nb"), Seq("right_id"))
+      .select(col("left_id"), col("right_id"),
+        round(col("dot") / (col("na") * col("nb")), 6).as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
+
   /** Per-slice distribution drift: KL(P_slice ‖ P_corpus) over unigram
     * distributions — the corpus-QA monitor that flags a source/shard whose
     * token mix diverges from the blend (scraper drift, encoding breakage,

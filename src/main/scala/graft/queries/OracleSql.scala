@@ -2170,5 +2170,110 @@ object OracleSql {
         |SELECT source, kl,
         |       round(CAST(m AS DOUBLE) / CAST(ms AS DOUBLE), 6) AS weight
         |FROM mu, s""".stripMargin,
+
+    // q118: interpolated Kneser–Ney bigram NLL, D = 0.75 — all four KN
+    // statistics (context totals, forward/backward continuation type
+    // counts, grand type count) reduce from the aggregated bigram relation,
+    // mirroring the engine's formula tree term for term.
+    "q118_kneser_ney_nll" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+        |  FROM tok WHERE len(tk) >= 2),
+        |cbg AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, sum(c) AS ctx, count(*) AS n1f FROM cbg GROUP BY 1),
+        |back AS (SELECT w2, count(*) AS n1b FROM cbg GROUP BY 1),
+        |ty AS (SELECT CAST(count(*) AS DOUBLE) AS types FROM cbg)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |       round(avg(-ln((CAST(c AS DOUBLE) - 0.75) / ctx
+        |                     + 0.75 * CAST(n1f AS DOUBLE) / ctx
+        |                       * (CAST(n1b AS DOUBLE) / types))), 6) AS nll
+        |FROM bg JOIN cbg USING (w1, w2) JOIN ctx USING (w1) JOIN back USING (w2), ty
+        |GROUP BY doc_id""".stripMargin,
+
+    // q119: CCNet head/middle/tail triage — per-doc unigram NLL (q59's,
+    // rounded FIRST so both engines quantize the same double), a fixed
+    // 1e-3-grid histogram, tertile cut cells by integer arithmetic
+    // (3·cum ≥ total), then a per-doc cell comparison.
+    "q119_perplexity_buckets" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |freq AS (SELECT tok, count(*) AS freq FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(freq) AS total FROM freq),
+        |nll AS (SELECT doc_id,
+        |          round(avg(-ln(CAST(freq AS DOUBLE) / total)), 6) AS nll
+        |        FROM tok JOIN freq USING (tok), tot GROUP BY doc_id),
+        |cells AS (SELECT doc_id, nll, CAST(floor(nll * 1000) AS BIGINT) AS cell FROM nll),
+        |hist AS (SELECT cell, count(*) AS n FROM cells GROUP BY 1),
+        |cum AS (SELECT cell, sum(n) OVER (ORDER BY cell) AS cum,
+        |               sum(n) OVER () AS total FROM hist),
+        |cuts AS (SELECT min(CASE WHEN cum * 3 >= total THEN cell END) AS t1,
+        |                min(CASE WHEN cum * 3 >= total * 2 THEN cell END) AS t2
+        |         FROM cum)
+        |SELECT doc_id, nll,
+        |       CASE WHEN cell <= t1 THEN 'head'
+        |            WHEN cell <= t2 THEN 'middle'
+        |            ELSE 'tail' END AS bucket
+        |FROM cells, cuts""".stripMargin,
+
+    // q120: TF–IDF cosine pairs over 3-token shingle vectors (duplicates
+    // kept — tf, not set membership), lang-blocked; ubiquitous shingles
+    // (df = N) drop before the inverted-index join; threshold on the
+    // ROUNDED cosine, mirroring the engine.
+    "q120_tfidf_cosine_pairs" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |         CASE WHEN len(tk) >= 3
+        |              THEN list_transform(generate_series(1, len(tk) - 2),
+        |                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |              ELSE [array_to_string(tk, ' ')] END AS grams
+        |  FROM t),
+        |tfc AS (SELECT doc_id, lang, gram, count(*) AS tf
+        |        FROM (SELECT doc_id, lang, unnest(grams) AS gram FROM g)
+        |        GROUP BY 1, 2, 3),
+        |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tfc),
+        |dfq AS (SELECT gram, count(*) AS df FROM tfc GROUP BY 1),
+        |w AS (SELECT doc_id, lang, gram, CAST(tf AS DOUBLE) * ln(n / df) AS w
+        |      FROM tfc JOIN dfq USING (gram), nd WHERE df < n),
+        |nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),
+        |p AS (SELECT a.doc_id AS left_id, b.doc_id AS right_id, sum(a.w * b.w) AS dot
+        |      FROM w a JOIN w b
+        |        ON a.lang = b.lang AND a.gram = b.gram AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT left_id, right_id, cosine FROM (
+        |  SELECT left_id, right_id,
+        |         round(dot / (na.nrm * nb.nrm), 6) AS cosine
+        |  FROM p JOIN nrm na ON na.doc_id = left_id
+        |         JOIN nrm nb ON nb.doc_id = right_id)
+        |WHERE cosine >= 0.5""".stripMargin,
+
+    // q121: decomposed-accent derivation (every 'a' → 'a' + U+0301), NFC
+    // via utf8proc's nfc_normalize (the oracle twin of the engine's
+    // java.text.Normalizer — both implement UAX #15), strip_accents
+    // round-trip. Lengths are code points in both engines.
+    "q121_normalize_text" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, replace(text, 'a', 'a' || chr(769)) AS raw
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS norm_text,
+        |       CAST(length(raw) AS BIGINT) AS raw_len,
+        |       CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_len,
+        |       (strip_accents(raw) = text) AS roundtrip
+        |FROM d""".stripMargin,
+
+    // q122: the Morton interleave replayed as plain integer arithmetic —
+    // bit lanes are disjoint, so + ≡ | term-for-term with the engine's
+    // bitwiseOR fold; same (zkey, l_orderkey, line_no) walk, top 100.
+    "q122_zorder_layout" -> {
+      val terms = (0 until 8).flatMap(j => Seq(
+        s"((((l_partkey % 256) >> $j) & 1) << ${2 * j + 1})",
+        s"((((l_suppkey % 256) >> $j) & 1) << ${2 * j})")).mkString(" + ")
+      s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS line_no,
+         |       l_partkey, l_suppkey,
+         |       CAST($terms AS BIGINT) AS zkey
+         |FROM lineitem
+         |ORDER BY zkey, l_orderkey, line_no
+         |LIMIT 100""".stripMargin
+    },
   )
 }

@@ -1565,6 +1565,77 @@ object Queries {
       col("doc_id"), col("n_chars"), k = 25, seed = "r19")
       .select(col("doc_id"), col("lang"), col("n_chars"))
 
+  /** Per-doc bigram NLL under interpolated Kneser–Ney (the KenLM default —
+    * [[graft.operators.TextAnalysis.kneserNeyLogProb]]): the
+    * continuation-probability backoff that CCNet-class perplexity filters
+    * actually run, vs q61's add-one strawman. Same relation shapes as q61 —
+    * every KN statistic reduces from the aggregated bigram counts. */
+  val q118_kneser_ney_nll: Q = (s, dir) =>
+    TextAnalysis.kneserNeyLogProb(Tables.documents(s, dir), "doc_id", "text")
+
+  /** CCNet-style perplexity triage ([[graft.operators.TextAnalysis
+    * .perplexityBuckets]]): head/middle/tail by corpus NLL tertiles, with
+    * the cuts from a bounded fixed-grid histogram — one map-side-combinable
+    * aggregation plus a window over ≤ a few thousand histogram cells, never
+    * a corpus-wide sort (the scale trap a naive ntile(3) would be). */
+  val q119_perplexity_buckets: Q = (s, dir) =>
+    TextAnalysis.perplexityBuckets(Tables.documents(s, dir), "doc_id", "text")
+
+  /** Sparse TF–IDF cosine near-dup pairs ([[graft.operators.TextAnalysis
+    * .tfidfCosinePairs]]) over 3-token shingle vectors, lang-blocked — the
+    * lexical-vector complement of q30's dense-embedding cosine and q24's
+    * set Jaccard (tf·idf weights see REPEATED passages and rare-shingle
+    * overlap that set semantics flatten). Shingle terms keep the inverted
+    * index selective (q60's rationale); ubiquitous shingles drop out with
+    * idf = 0 before the join. */
+  val q120_tfidf_cosine_pairs: Q = (s, dir) => {
+    // two-step projection: tok attribute before the shingle lambda (the
+    // q52/q60 no-CSE-inside-HOF rule)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tok"))
+      .select(col("doc_id"), col("lang"),
+        TextAnalysis.ngrams(col("tok"), 3).as("grams"))
+    TextAnalysis.tfidfCosinePairs(docs, "doc_id", "grams", "lang", 0.5)
+  }
+
+  /** Unicode canonicalization gate ([[graft.functions.NormalizeFunctions]]):
+    * derive decomposed text (every 'a' → 'a' + combining acute U+0301),
+    * NFC-compose it with the native codegen'd normalizer, strip accents
+    * back. Gates the real UAX #15 behavior cross-engine: the raw/NFC code
+    * point counts differ by exactly the injected marks, the NFC text
+    * hash-matches DuckDB's utf8proc `nfc_normalize`, and the accent-strip
+    * round-trips to the original byte-for-byte. */
+  val q121_normalize_text: Q = (s, dir) => {
+    import graft.functions.NormalizeFunctions
+    val derived = regexp_replace(col("text"), "a", "a\u0301")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), derived.as("raw"))
+      .select(col("doc_id"),
+        NormalizeFunctions.nfc(col("raw")).as("norm_text"),
+        length(col("raw")).cast("long").as("raw_len"),
+        length(NormalizeFunctions.nfc(col("raw"))).cast("long").as("nfc_len"),
+        (NormalizeFunctions.stripAccents(col("raw")) === col("text"))
+          .as("roundtrip"))
+  }
+
+  /** Z-order layout key ([[graft.operators.Layout.zorderKey]]): the Morton
+    * interleave of two lineitem dimensions — the multi-dimension
+    * data-skipping sort key behind Delta/Iceberg OPTIMIZE ZORDER. The gate
+    * hash-checks the bit arithmetic cross-engine on the top-100 curve walk;
+    * the layout WRITE path (range-partition by key, per-file min/max
+    * tightness on both dims) is LayoutSpec's measured assertion. */
+  val q122_zorder_layout: Q = (s, dir) => {
+    import graft.operators.Layout
+    val li = Tables.lineitem(s, dir)
+    li.select(col("l_orderkey"), col("l_linenumber").cast("long").as("line_no"),
+        col("l_partkey"), col("l_suppkey"),
+        Layout.zorderKey(
+          Seq(pmod(col("l_partkey"), lit(256)), pmod(col("l_suppkey"), lit(256))),
+          8).as("zkey"))
+      .orderBy(col("zkey"), col("l_orderkey"), col("line_no"))
+      .limit(100)
+  }
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -1685,5 +1756,10 @@ object Queries {
     "q115_bpe_pairs_bytes" -> q115_bpe_pairs_bytes,
     "q116_semantic_decontam_radius" -> q116_semantic_decontam_radius,
     "q117_weighted_sample_global" -> q117_weighted_sample_global,
+    "q118_kneser_ney_nll" -> q118_kneser_ney_nll,
+    "q119_perplexity_buckets" -> q119_perplexity_buckets,
+    "q120_tfidf_cosine_pairs" -> q120_tfidf_cosine_pairs,
+    "q121_normalize_text" -> q121_normalize_text,
+    "q122_zorder_layout" -> q122_zorder_layout,
   )
 }
