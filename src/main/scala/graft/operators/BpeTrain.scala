@@ -122,6 +122,37 @@ object BpeTrain {
       .agg(sum(col("cnt")).as("cnt"))
   }
 
+  /** WordPiece pair scoring — the BERT tokenizer-trainer's merge criterion
+    * (Schuster & Nakajima 2012; Devlin et al. 2019): rank candidate merges
+    * by the likelihood ratio count(l,r) / (count(l)·count(r)) instead of
+    * BPE's raw count, so a pair merges when it co-occurs MORE than its
+    * parts' frequencies predict ("un"+"able" beats "e"+"s" even though the
+    * latter is more frequent). Consumes the same segmentation relation as
+    * [[pairCounts]]; one extra symbol-frequency reduce joins in the
+    * denominators.
+    *
+    * Determinism: the score is one double division of a double product of
+    * exact integer counts — correctly rounded IEEE ops on identical
+    * operands, so any engine computes identical bits and the (score, l, r)
+    * ranking replays exactly (the distinctiveTerms lift rationale). The
+    * product is taken in DOUBLE: at corpus scale count(l)·count(r) exceeds
+    * a long (1e14² at 100 TB), and a silent Long overflow here would
+    * invert the ranking.
+    *
+    * Scale shape: [[pairCounts]]'s vocabulary-relation reduce plus one more
+    * vocab-sized reduce for symbol totals; the join keys on single symbols
+    * (≤ |alphabet| + merges rows) — metadata scale, never the corpus. */
+  def wordPieceScores(vocab: DataFrame): DataFrame = {
+    val sc = vocab.select(col("cnt"), explode(col("syms")).as("s"))
+      .groupBy("s").agg(sum(col("cnt")).as("sc"))
+    pairCounts(vocab)
+      .join(sc.select(col("s").as("l"), col("sc").as("cl")), Seq("l"))
+      .join(sc.select(col("s").as("r"), col("sc").as("cr")), Seq("r"))
+      .select(col("l"), col("r"), col("cnt").cast("long").as("cnt"),
+        (col("cnt").cast("double") /
+          (col("cl").cast("double") * col("cr").cast("double"))).as("score"))
+  }
+
   /** Greedy left-to-right application of one merge to a symbol array —
     * the row-local fold shared by training and encoding. */
   private def mergeFold(syms: Column, l: String, r: String): Column =

@@ -82,6 +82,51 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rk").cast("long").as("rk"))
   }
 
+  /** Hard-negative mining for contrastive training (the DPR/SimCSE data
+    * op, Karpukhin et al. 2020): for each query, the top-k corpus
+    * neighbors whose cosine lands in [lo, hi) — similar enough to be
+    * confusable, below the positive band — ranked hardest (most similar)
+    * first. The band applies to the ROUNDED cosine (round(…,6), the
+    * family convention), so the kept band replays identically in any
+    * engine; NaN pairs (zero-norm vectors) judge nothing, per the
+    * [[bruteForceTopK]] convention.
+    *
+    * Scale shape: identical to [[bruteForceTopK]] — the query batch
+    * broadcasts, the corpus never shuffles, the per-query window ranks
+    * only in-band candidates. At stored-index scale the same band is a
+    * post-filter over any scored neighbor tier's (query_id, neighbor_id,
+    * cosine) relation with k widened to survive the cut — [[bandFilter]]
+    * is that stage exposed (the [[voteLabels]] composition pattern),
+    * spec-asserted equivalent over an exact-scored relation. */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame,
+                    lo: Double, hi: Double, k: Int,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    require(lo < hi, s"need lo < hi, got [$lo, $hi)")
+    require(hi <= 1.0 && lo >= -1.0, s"cosine band must lie in [-1,1]: [$lo, $hi)")
+    require(k > 0, s"k must be positive, got $k")
+    bandFilter(
+      broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+        .crossJoin(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv")))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", round(cosine(col("qv"), col("nv")), 6)),
+      lo, hi, k)
+  }
+
+  /** The band-and-rank stage of [[hardNegatives]], exposed so it composes
+    * over ANY scored neighbor relation with (query_id, neighbor_id,
+    * cosine) columns — in particular the stored-index tiers' output. */
+  def bandFilter(scored: DataFrame, lo: Double, hi: Double, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .where(!isnan(col("cosine")) &&
+        col("cosine") >= lo && col("cosine") < hi)
+      .withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rk").cast("long").as("rk"))
+  }
+
   /** Retrieval-based labeling — the kNN majority-vote classifier over an
     * embedding corpus (the curation pattern behind classifier-assisted
     * filtering when no trained model exists: label the unlabeled by their

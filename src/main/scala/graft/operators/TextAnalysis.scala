@@ -453,11 +453,53 @@ object TextAnalysis {
     * the exact-cosine semantics those bounds cannot express. */
   def tfidfCosinePairs(df: org.apache.spark.sql.DataFrame, id: String,
                        termsCol: String, blockCol: String,
-                       minCosine: Double): org.apache.spark.sql.DataFrame = {
+                       minCosine: Double): org.apache.spark.sql.DataFrame =
+    tfidfPairsFromTerms(
+      df.select(col(id).as("tc_id"), col(blockCol).as("blk"),
+        explode(col(termsCol)).as("t")),
+      minCosine)
+
+  /** [[tfidfCosinePairs]] with the term stream built as HASHED n-gram
+    * shingles on the codegen'd posexplode + window-lead path — the q76
+    * production gram builder. The higher-order `transform`+`element_at`
+    * array build is CodegenFallback and re-interprets n element_at calls
+    * per gram, and the gram STRING then rides every exchange; here the
+    * gram reduces to its [[md5Long]] inside the build expression, so the
+    * shuffles, joins, and group keys downstream carry 8-byte longs.
+    * Measured at sf0.1 (BenchOne, warm, same session): 11.0 → 2.7 s vs
+    * the array path at n = 5. Hash-grouping is exact for the gate: the
+    * oracle replays the same md5 arithmetic, and a 60-bit collision would
+    * merge two grams in BOTH engines identically. */
+  def tfidfCosinePairsTokens(df: org.apache.spark.sql.DataFrame, id: String,
+                             tokensCol: String, n: Int, blockCol: String,
+                             minCosine: Double): org.apache.spark.sql.DataFrame = {
+    require(n > 0, s"gram order must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val tok = df.select(col(id).as("tc_id"), col(blockCol).as("blk"),
+      col(tokensCol).as("tk"))
+    val w = Window.partitionBy("tc_id").orderBy("pos")
+    var th = tok.where(size(col("tk")) >= n)
+      .select(col("tc_id"), col("blk"), posexplode(col("tk")).as(Seq("pos", "tok")))
+    (1 until n).foreach { j => th = th.withColumn(s"t$j", lead(col("tok"), j).over(w)) }
+    val longSide = (if (n > 1) th.where(col(s"t${n - 1}").isNotNull) else th)
+      .select(col("tc_id"), col("blk"), md5Long(concat_ws(" ",
+        col("tok") +: (1 until n).map(j => col(s"t$j")): _*)).as("t"))
+    val shortSide = tok.where(size(col("tk")) < n)
+      .select(col("tc_id"), col("blk"), md5Long(concat_ws(" ", col("tk"))).as("t"))
+    tfidfPairsFromTerms(longSide.union(shortSide), minCosine)
+  }
+
+  /** The shared TF–IDF scoring tail: consumes a (tc_id, blk, t) term
+    * OCCURRENCE stream (duplicates = tf), reduces to per-doc tf vectors,
+    * prunes the idf = 0 head, and scores candidate pairs off the inverted
+    * index. The tf reduce groups on (tc_id, blk, t) — when the stream
+    * arrives partitioned by tc_id (the window-lead build), that exchange
+    * is free (HashPartitioning(tc_id) already clusters the group keys). */
+  private def tfidfPairsFromTerms(terms: org.apache.spark.sql.DataFrame,
+                                  minCosine: Double): org.apache.spark.sql.DataFrame = {
     require(minCosine > 0 && minCosine <= 1,
       s"minCosine must be in (0,1], got $minCosine")
-    val tf = df.select(col(id).as("tc_id"), col(blockCol).as("blk"),
-        explode(col(termsCol)).as("t"))
+    val tf = terms
       .groupBy("tc_id", "blk", "t").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDocs = tf.select(col("tc_id")).distinct().count() // one scalar action

@@ -2215,21 +2215,25 @@ object OracleSql {
         |            ELSE 'tail' END AS bucket
         |FROM cells, cuts""".stripMargin,
 
-    // q120: TF–IDF cosine pairs over 3-token shingle vectors (duplicates
+    // q120: TF–IDF cosine pairs over 5-token shingle vectors (duplicates
     // kept — tf, not set membership), lang-blocked; ubiquitous shingles
     // (df = N) drop before the inverted-index join; threshold on the
-    // ROUNDED cosine, mirroring the engine.
+    // ROUNDED cosine, mirroring the engine. n = 5 keeps the gram universe
+    // (31⁵) sparse — the selectivity the engine's inverted index needs.
     "q120_tfidf_cosine_pairs" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents),
         |g AS (
         |  SELECT doc_id, lang,
-        |         CASE WHEN len(tk) >= 3
-        |              THEN list_transform(generate_series(1, len(tk) - 2),
-        |                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+        |         CASE WHEN len(tk) >= 5
+        |              THEN list_transform(generate_series(1, len(tk) - 4),
+        |                     i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |                          || ' ' || tk[i+3] || ' ' || tk[i+4])
         |              ELSE [array_to_string(tk, ' ')] END AS grams
         |  FROM t),
         |tfc AS (SELECT doc_id, lang, gram, count(*) AS tf
-        |        FROM (SELECT doc_id, lang, unnest(grams) AS gram FROM g)
+        |        FROM (SELECT doc_id, lang,
+        |                ('0x' || substr(md5(unnest(grams)), 1, 15))::BIGINT AS gram
+        |              FROM g)
         |        GROUP BY 1, 2, 3),
         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM tfc),
         |dfq AS (SELECT gram, count(*) AS df FROM tfc GROUP BY 1),
@@ -2260,6 +2264,47 @@ object OracleSql {
         |       CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_len,
         |       (strip_accents(raw) = text) AS roundtrip
         |FROM d""".stripMargin,
+
+    // q123: q107's pair relation under the WordPiece criterion — symbol
+    // totals join in as denominators; the score is one double division of
+    // a double product of exact counts (bit-identical cross-engine, the
+    // q64 lift rationale), ranked (score DESC, l, r).
+    "q123_wordpiece_scores" ->
+      """WITH wc AS (
+        |  SELECT w, count(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) > 0 GROUP BY 1),
+        |p AS (
+        |  SELECT substr(w, i, 1) AS l, substr(w, i + 1, 1) AS r, sum(c) AS cnt
+        |  FROM (SELECT w, c, unnest(generate_series(1, length(w) - 1)) AS i
+        |        FROM wc WHERE length(w) >= 2)
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT substr(w, i, 1) AS s, sum(c) AS sc
+        |  FROM (SELECT w, c, unnest(generate_series(1, length(w))) AS i FROM wc)
+        |  GROUP BY 1)
+        |SELECT l, r, CAST(cnt AS BIGINT) AS cnt,
+        |       CAST(cnt AS DOUBLE) / (CAST(cl.sc AS DOUBLE) * CAST(cr.sc AS DOUBLE)) AS score
+        |FROM p JOIN sc cl ON cl.s = p.l JOIN sc cr ON cr.s = p.r
+        |ORDER BY score DESC, l, r LIMIT 20""".stripMargin,
+
+    // q124: q27's brute cosine walk restricted to the [0.25, 0.8) band on
+    // the ROUNDED cosine — rank only in-band candidates, top-5 per query.
+    "q124_hard_negatives" ->
+      """WITH pair AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |         unnest(q.embedding) AS uq, unnest(e.embedding) AS ue
+        |  FROM embeddings q, embeddings e
+        |  WHERE q.vec_id < 20 AND q.vec_id <> e.vec_id),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |         round(sum(CAST(uq AS DOUBLE) * CAST(ue AS DOUBLE))
+        |           / (sqrt(sum(CAST(uq AS DOUBLE) * CAST(uq AS DOUBLE)))
+        |            * sqrt(sum(CAST(ue AS DOUBLE) * CAST(ue AS DOUBLE)))), 6) AS cosine
+        |  FROM pair GROUP BY 1, 2)
+        |SELECT query_id, neighbor_id, cosine, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+        |  FROM scored WHERE cosine >= 0.25 AND cosine < 0.8) WHERE rk <= 5""".stripMargin,
 
     // q122: the Morton interleave replayed as plain integer arithmetic —
     // bit lanes are disjoint, so + ≡ | term-for-term with the engine's

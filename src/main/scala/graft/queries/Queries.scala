@@ -1582,20 +1582,23 @@ object Queries {
     TextAnalysis.perplexityBuckets(Tables.documents(s, dir), "doc_id", "text")
 
   /** Sparse TF–IDF cosine near-dup pairs ([[graft.operators.TextAnalysis
-    * .tfidfCosinePairs]]) over 3-token shingle vectors, lang-blocked — the
+    * .tfidfCosinePairs]]) over 5-token shingle vectors, lang-blocked — the
     * lexical-vector complement of q30's dense-embedding cosine and q24's
     * set Jaccard (tf·idf weights see REPEATED passages and rare-shingle
-    * overlap that set semantics flatten). Shingle terms keep the inverted
-    * index selective (q60's rationale); ubiquitous shingles drop out with
-    * idf = 0 before the join. */
+    * overlap that set semantics flatten). n = 5, not q60's 3: the term
+    * space must keep the inverted index selective, and over this 31-word
+    * vocabulary the 3-gram universe is only 31³ ≈ 30k — average df ≈ 20
+    * at sf0.1 and the candidate join squares it (measured 6.6 s, the worst
+    * row in the bench). At n = 5 the universe is 31⁵ ≈ 28.6M, df ≈ 1 off
+    * the planted duplicates, and candidates are the near-dups themselves.
+    * Real near-dups still share almost every shingle at either n. */
   val q120_tfidf_cosine_pairs: Q = (s, dir) => {
-    // two-step projection: tok attribute before the shingle lambda (the
-    // q52/q60 no-CSE-inside-HOF rule)
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tok"))
-      .select(col("doc_id"), col("lang"),
-        TextAnalysis.ngrams(col("tok"), 3).as("grams"))
-    TextAnalysis.tfidfCosinePairs(docs, "doc_id", "grams", "lang", 0.5)
+    // hashed window-lead gram build (the production path — grams reduce to
+    // md5 longs inside the build; the array-based tfidfCosinePairs is the
+    // generic-terms twin, spec-asserted identical output)
+    TextAnalysis.tfidfCosinePairsTokens(docs, "doc_id", "tok", 5, "lang", 0.5)
   }
 
   /** Unicode canonicalization gate ([[graft.functions.NormalizeFunctions]]):
@@ -1634,6 +1637,34 @@ object Queries {
           8).as("zkey"))
       .orderBy(col("zkey"), col("l_orderkey"), col("line_no"))
       .limit(100)
+  }
+
+  /** WordPiece merge-round-1 scores ([[graft.operators.BpeTrain
+    * .wordPieceScores]]): q107's pair relation ranked by the BERT
+    * trainer's likelihood ratio cnt/(count(l)·count(r)) instead of raw
+    * count — the tokenizer family's second training criterion, sharing
+    * the segmentation machinery end-to-end. Top-20 by (score, l, r); the
+    * score is a division of exact integer counts, bit-identical in any
+    * engine (the q64 lift rationale). */
+  val q123_wordpiece_scores: Q = (s, dir) => {
+    import graft.operators.BpeTrain
+    BpeTrain.wordPieceScores(BpeTrain.initVocab(
+        BpeTrain.wordCounts(Tables.documents(s, dir), "text")))
+      .orderBy(desc("score"), asc("l"), asc("r"))
+      .limit(20)
+  }
+
+  /** Hard-negative mining ([[graft.operators.Similarity.hardNegatives]]):
+    * per-query top-5 corpus neighbors with cosine in [0.25, 0.8) — the
+    * contrastive-pair data op (similar enough to confuse, below the
+    * positive band). Brute tier gated here; at index scale the same band
+    * ([[graft.operators.Similarity.bandFilter]]) post-filters any scored
+    * neighbor tier, spec-asserted equivalent over an exact-scored
+    * relation. */
+  val q124_hard_negatives: Q = (s, dir) => {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.hardNegatives(emb.where(col("vec_id") < 20), emb,
+      lo = 0.25, hi = 0.8, k = 5)
   }
 
   // -------------------------------------------------------------- registry --
@@ -1761,5 +1792,7 @@ object Queries {
     "q120_tfidf_cosine_pairs" -> q120_tfidf_cosine_pairs,
     "q121_normalize_text" -> q121_normalize_text,
     "q122_zorder_layout" -> q122_zorder_layout,
+    "q123_wordpiece_scores" -> q123_wordpiece_scores,
+    "q124_hard_negatives" -> q124_hard_negatives,
   )
 }

@@ -345,4 +345,30 @@ class BpeTrainSpec extends SparkSpec {
       s"rank-kernel plan must stay constant-size in merges " +
         s"(got ${bigPlan.length} chars at 4096 merges)")
   }
+
+  test("wordPieceScores ranks by likelihood ratio, not raw count — and the " +
+    "two criteria disagree where they should") {
+    import spark.implicits._
+    // "ab"×10: pair (a,b) cnt 10, count(a)=count(b)=10 → score 0.1;
+    // "cd"×3:  pair (c,d) cnt 3,  count(c)=count(d)=3  → score 1/3.
+    // BPE picks (a,b); WordPiece must pick (c,d).
+    val docs = Seq((1L, (Seq.fill(10)("ab") ++ Seq.fill(3)("cd")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val vocab = BpeTrain.initVocab(BpeTrain.wordCounts(docs, "text"))
+    val wp = BpeTrain.wordPieceScores(vocab)
+      .orderBy(col("score").desc, col("l"), col("r"))
+      .as[(String, String, Long, Double)].collect()
+    assert(wp.head._1 === "c" && wp.head._2 === "d")
+    assert(math.abs(wp.head._4 - 3.0 / 9.0) < 1e-15)
+    val byCnt = wp.maxBy(_._3)
+    assert(byCnt._1 === "a" && byCnt._2 === "b" && byCnt._3 === 10L,
+      "raw count must still rank (a,b) first — the criteria genuinely disagree")
+    assert(math.abs(byCnt._4 - 0.1) < 1e-15)
+    // denominators are the CURRENT segmentation's symbol totals: after
+    // merging (c,d) the pair vanishes and (a,b)'s score is unchanged
+    val after = BpeTrain.wordPieceScores(BpeTrain.applyMerge(vocab, "c", "d"))
+      .as[(String, String, Long, Double)].collect()
+    assert(!after.exists(p => p._1 == "c" && p._2 == "d"))
+    assert(after.find(p => p._1 == "a" && p._2 == "b").get._4 === byCnt._4)
+  }
 }

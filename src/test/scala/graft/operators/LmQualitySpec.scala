@@ -89,6 +89,26 @@ class LmQualitySpec extends SparkSpec {
     }
   }
 
+  test("tfidfCosinePairsTokens (hashed window-lead build) ≡ the array path, short docs included") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .union(Seq((90001L, "en", "tiny doc"), (90002L, "en", "tiny doc"))
+        .toDF("doc_id", "lang", "text"))
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("tok"))
+    val viaArrays = TextAnalysis.tfidfCosinePairs(
+      docs.select(col("doc_id"), col("lang"),
+        TextAnalysis.ngrams(col("tok"), 5).as("grams")),
+      "doc_id", "grams", "lang", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val viaTokens = TextAnalysis.tfidfCosinePairsTokens(
+      docs, "doc_id", "tok", 5, "lang", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaTokens === viaArrays)
+    assert(viaTokens.exists(p => p._1 == 90001L && p._2 == 90002L),
+      "the short-doc (< n tokens) path must flow through both builds")
+  }
+
   test("tfidfCosinePairs sees REPEATED passages that set-Jaccard flattens") {
     // d2 repeats d1's text 3× — the tf vectors are parallel (cosine 1)
     // while the shingle SETS are also equal; d3 shares the vocabulary but

@@ -2135,4 +2135,48 @@ class SimilaritySpec extends SparkSpec {
     }.getMessage.contains("k"))
     graft.GraftSession.releaseCaches(spark, blocking = true)
   }
+
+  test("hardNegatives keeps exactly the band, ranks hardest first, NaN and self excluded") {
+    import spark.implicits._
+    // 2-d unit vectors at known angles to q=(1,0):
+    // n1 dup (cos 1.0, above band), n2 45deg (0.707107, in), n3 60deg (0.5, in),
+    // n4 orthogonal (0.0, below), n5 zero vector (NaN, judged nothing)
+    val q = Seq((100L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val c = Seq(
+      (1L, Seq(1f, 0f)),
+      (2L, Seq(0.7071068f, 0.7071068f)),
+      (3L, Seq(0.5f, 0.8660254f)),
+      (4L, Seq(0f, 1f)),
+      (5L, Seq(0f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.hardNegatives(q, c, lo = 0.25, hi = 0.8, k = 5)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._4)
+    assert(got.map(_._2).toSeq === Seq(2L, 3L), s"band must keep exactly 45/60 deg: ${got.toSeq}")
+    assert(got(0)._3 > got(1)._3, "hardest (most similar) negative ranks first")
+    // k truncates the band walk
+    val k1 = Similarity.hardNegatives(q, c, lo = 0.25, hi = 0.8, k = 1)
+      .as[(Long, Long, Double, Long)].collect()
+    assert(k1.map(_._2).toSeq === Seq(2L))
+    // self-pairs never mine themselves even when in-band impossible (cos 1)
+    val self = Similarity.hardNegatives(c.where(col("vec_id") === 2L), c,
+      lo = 0.25, hi = 1.0, k = 10).as[(Long, Long, Double, Long)].collect()
+    assert(!self.exists(r => r._1 == r._2))
+    intercept[IllegalArgumentException] { Similarity.hardNegatives(q, c, 0.8, 0.25, 5) }
+    intercept[IllegalArgumentException] { Similarity.hardNegatives(q, c, 0.25, 0.8, 0) }
+    intercept[IllegalArgumentException] { Similarity.hardNegatives(q, c, -2.0, 0.8, 5) }
+  }
+
+  test("bandFilter composes over any scored relation: equivalent to hardNegatives on an exact tier") {
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qs = e.where(col("vec_id") < 10)
+    val direct = Similarity.hardNegatives(qs, e, lo = 0.25, hi = 0.8, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    // widened exact tier -> band post-filter: same rows (the stored-index
+    // composition pattern, proven over the tier whose scores are exact)
+    val wide = Similarity.bruteForceTopK(qs, e, k = e.count().toInt)
+      .drop("rk")
+    val composed = Similarity.bandFilter(wide, lo = 0.25, hi = 0.8, k = 5)
+      .as[(Long, Long, Double, Long)].collect().toSet
+    assert(direct === composed)
+  }
 }
