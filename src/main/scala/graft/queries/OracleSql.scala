@@ -2306,6 +2306,32 @@ object OracleSql {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
         |  FROM scored WHERE cosine >= 0.25 AND cosine < 0.8) WHERE rk <= 5""".stripMargin,
 
+    // q125: q119's triage + a seeded md5 within-phase shuffle, first 100
+    // of the (phase, key, doc_id) total order — the curriculum schedule.
+    "q125_curriculum_order" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |freq AS (SELECT tok, count(*) AS freq FROM tok GROUP BY 1),
+        |tot AS (SELECT sum(freq) AS total FROM freq),
+        |nll AS (SELECT doc_id,
+        |          round(avg(-ln(CAST(freq AS DOUBLE) / total)), 6) AS nll
+        |        FROM tok JOIN freq USING (tok), tot GROUP BY doc_id),
+        |cells AS (SELECT doc_id, CAST(floor(nll * 1000) AS BIGINT) AS cell FROM nll),
+        |hist AS (SELECT cell, count(*) AS n FROM cells GROUP BY 1),
+        |cum AS (SELECT cell, sum(n) OVER (ORDER BY cell) AS cum,
+        |               sum(n) OVER () AS total FROM hist),
+        |cuts AS (SELECT min(CASE WHEN cum * 3 >= total THEN cell END) AS t1,
+        |                min(CASE WHEN cum * 3 >= total * 2 THEN cell END) AS t2
+        |         FROM cum),
+        |lab AS (SELECT doc_id,
+        |          CASE WHEN cell <= t1 THEN 'head'
+        |               WHEN cell <= t2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |          CASE WHEN cell <= t1 THEN 0
+        |               WHEN cell <= t2 THEN 1 ELSE 2 END AS phase,
+        |          ('0x' || substr(md5('cur19:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS cur_key
+        |        FROM cells, cuts)
+        |SELECT doc_id, bucket, CAST(phase AS BIGINT) AS phase, cur_key
+        |FROM lab ORDER BY phase, cur_key, doc_id LIMIT 100""".stripMargin,
+
     // q122: the Morton interleave replayed as plain integer arithmetic —
     // bit lanes are disjoint, so + ≡ | term-for-term with the engine's
     // bitwiseOR fold; same (zkey, l_orderkey, line_no) walk, top 100.

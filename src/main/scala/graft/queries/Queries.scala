@@ -1667,6 +1667,24 @@ object Queries {
       lo = 0.25, hi = 0.8, k = 5)
   }
 
+  /** Curriculum ordering (Bengio et al. 2009, the data-ordering stage of a
+    * training run): phase docs easy-first by the q119 perplexity triage
+    * (head → middle → tail), deterministically shuffled within each phase
+    * by a seeded content hash, and emit the first 100 items of the
+    * schedule. Scale shape: the phase/key columns are per-row maps over
+    * q119's bucketing; the "first k of a total order" is
+    * TakeOrderedAndProject — bounded per-partition heaps, never a global
+    * sort or a single-partition window. */
+  val q125_curriculum_order: Q = (s, dir) => {
+    val b = TextAnalysis.perplexityBuckets(Tables.documents(s, dir), "doc_id", "text")
+    val phase = when(col("bucket") === "head", 0L)
+      .when(col("bucket") === "middle", 1L).otherwise(2L)
+    b.select(col("doc_id"), col("bucket"), phase.as("phase"),
+        TextAnalysis.md5Long(concat(lit("cur19:"), col("doc_id"))).as("cur_key"))
+      .orderBy(col("phase"), col("cur_key"), col("doc_id"))
+      .limit(100)
+  }
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -1794,5 +1812,6 @@ object Queries {
     "q122_zorder_layout" -> q122_zorder_layout,
     "q123_wordpiece_scores" -> q123_wordpiece_scores,
     "q124_hard_negatives" -> q124_hard_negatives,
+    "q125_curriculum_order" -> q125_curriculum_order,
   )
 }

@@ -89,6 +89,24 @@ class LmQualitySpec extends SparkSpec {
     }
   }
 
+  test("curriculum order (q125): easy phase first, deterministic within-phase key walk") {
+    import spark.implicits._
+    val got = graft.queries.Queries.q125_curriculum_order(spark, sf)
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.length === 100)
+    // the head tertile at sf0.001 is ≥ 100 docs, so the whole first page is phase 0
+    assert(got.forall(r => r._2 == "head" && r._3 == 0L),
+      s"first page must be all-head: ${got.count(_._3 != 0L)} strays")
+    // schedule is the (phase, key, id) walk — keys non-decreasing on the page
+    val keys = got.map(_._4)
+    assert(keys.zip(keys.tail).forall { case (a, b) => a <= b },
+      "within-phase keys must arrive in draw order")
+    // same schedule on a different layout (determinism under repartition)
+    val again = graft.queries.Queries.q125_curriculum_order(spark, sf)
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.toSeq === again.toSeq)
+  }
+
   test("tfidfCosinePairsTokens (hashed window-lead build) ≡ the array path, short docs included") {
     import spark.implicits._
     val docs = spark.read.parquet(s"$sf/documents.parquet")
