@@ -26,10 +26,15 @@ class PlanContractSpec extends SparkSpec {
     *    against the corpus — q27's brute tier with a threshold gate.
     *  - q113: TWO single-row scalar attaches of the q63/q64 kind — the
     *    drift relation's grand total plus the softmax's micro-unit
-    *    normalizer (1 × |slices| each, linear). */
+    *    normalizer (1 × |slices| each, linear).
+    *  - q119/q125: the perplexity-bucket tertile cuts are a SINGLE-ROW
+    *    scalar attach (1 × N, the q63 pattern); q125 composes q119.
+    *  - q124: hard-negative mining's candidate stage IS q27's brute tier
+    *    (broadcast small-query-set × corpus) with a band gate. */
   private val intendedBnlj = Set("q27_ann_cosine", "q70_pq_adc",
     "q63_source_drift", "q64_distinctive_terms", "q93_knn_label",
-    "q101_sq_topk", "q102_semantic_decontam", "q113_doremi_weights")
+    "q101_sq_topk", "q102_semantic_decontam", "q113_doremi_weights",
+    "q119_perplexity_buckets", "q124_hard_negatives", "q125_curriculum_order")
 
   test("no declared query plans a cartesian product; BNLJ only where intended") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]

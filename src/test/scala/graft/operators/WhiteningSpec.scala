@@ -75,6 +75,49 @@ class WhiteningSpec extends SparkSpec {
     }
   }
 
+  test("whitening recovers SQ8's per-dim budget on stretched data (the OPQ value case)") {
+    // stretch dim 0 by 20×: quantizeInt8's per-vector max-abs scale is then
+    // set by dim 0, so the other 63 dims share a step ~20× too coarse for
+    // their variance. Metric: mean over dims of (quantization MSE / dim
+    // variance) — the starved dims dominate it. Whitening equalizes the
+    // variances, so every dim gets an honest share of the 8-bit budget.
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val stretch = Array.tabulate(64, 64)((i, j) =>
+      if (i == j) { if (i == 0) 20.0 else 1.0 } else 0.0)
+    val corr = e.select(col("vec_id"),
+      graft.functions.MatVecFunction.matVec(
+        col("embedding"), stretch, new Array[Double](64)).as("v"))
+    def normalizedMse(df: org.apache.spark.sql.DataFrame, vc: String): Double = {
+      val orig = df.select(col("vec_id"), col(vc)).as[(Long, Seq[Double])]
+        .collect().toMap
+      val qs = Similarity.quantizeInt8(df.select(col("vec_id"), col(vc).as("embedding")))
+        .as[(Long, Long, Long, Double)].collect()
+        .groupBy(_._1)
+      val dims = 64
+      val errSum = new Array[Double](dims)
+      val valSum = new Array[Double](dims)
+      val sqSum = new Array[Double](dims)
+      var n = 0L
+      orig.foreach { case (id, x) =>
+        val recon = qs(id).map(r => (r._2.toInt, r._3 * r._4)).toMap
+        (0 until dims).foreach { d =>
+          val err = recon(d) - x(d)
+          errSum(d) += err * err
+          valSum(d) += x(d); sqSum(d) += x(d) * x(d)
+        }
+        n += 1
+      }
+      (0 until dims).map { d =>
+        val varD = sqSum(d) / n - math.pow(valSum(d) / n, 2)
+        errSum(d) / n / varD
+      }.sum / dims
+    }
+    val raw = normalizedMse(corr, "v")
+    val wht = normalizedMse(Whitening.whiten(corr, "v", 64, "w"), "w")
+    assert(wht < raw * 0.2,
+      s"whitened normalized MSE $wht must be ≥5× below the stretched $raw")
+  }
+
   test("guards: degenerate corpus, bad eps, bad dim") {
     intercept[IllegalArgumentException] {
       Whitening.moments(Seq(Seq.fill(64)(1f)).toDF("embedding"), col("embedding"), 64)
