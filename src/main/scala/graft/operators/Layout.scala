@@ -64,4 +64,76 @@ object Layout {
       .sortWithinPartitions(z)
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Crash-safe in-place re-layout of an EXISTING parquet table into
+    * Z-order — the Delta/Iceberg `OPTIMIZE ZORDER BY` maintenance job: a
+    * table written by arrival order (or fragmented by many small appends)
+    * is rewritten once so every later scan skips on all `dims`.
+    *
+    * The swap protocol is the stored index's compaction contract
+    * ([[Similarity.ivfPqIndexCompact]]) at table grain — at every instant
+    * the table's rows exist in the live tree or the staging tree, never
+    * nowhere:
+    *
+    *   1. rewrite into `<path>_optimizing/fresh` (the staging dir);
+    *   2. verify the fresh row count against the live count — a rewrite
+    *      that lost rows aborts BEFORE any destructive step;
+    *   3. retire the live tree INTO staging (`retired`), rename fresh
+    *      over live, drop staging.
+    *
+    * A crashed run is healed on the next call before anything else: a
+    * `retired` copy still in staging is the authoritative pre-optimize
+    * table and ALWAYS wins (a live twin may be a partial rename on
+    * object stores; rolling back a swap that completed merely redoes an
+    * idempotent rewrite). A staging with no `retired` is a crash before
+    * any destructive step — discarded. Single-maintainer contract: unlike
+    * the index (which has concurrent appenders and carries a mutex/lease
+    * protocol for them), a plain table has no writer API here, so run one
+    * optimizer at a time — the job-scheduler invariant every OPTIMIZE
+    * implementation documents.
+    *
+    * Scale: the rewrite is one range-exchange of the table (the same
+    * shuffle any global sort pays) and streams through executors;
+    * nothing collects. At 100 TB you run it per partition or per
+    * fragmented subset — compose with a filtered read and a subdir path.
+    * Returns the row count. */
+  def optimizeZordered(spark: org.apache.spark.sql.SparkSession, path: String,
+                       dims: Seq[Column], bits: Int, numFiles: Int): Long = {
+    import org.apache.hadoop.fs.Path
+    require(numFiles >= 1, s"numFiles must be ≥ 1, got $numFiles")
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new Path(root.toString.stripSuffix("/") + "_optimizing")
+    val retired = new Path(staging, "retired")
+    val fresh = new Path(staging, "fresh")
+    // existence is checked AFTER the heal: the crash-A state (retire done,
+    // swap not) has NO live tree — the table exists only as the retired copy
+    if (fs.exists(staging)) {
+      // heal: the retired copy is the authoritative table when present
+      if (fs.exists(retired)) {
+        if (fs.exists(root)) fs.delete(root, true)
+        require(fs.rename(retired, root),
+          s"crash-heal rename of $retired to $root failed; staging " +
+            "preserved — resolve manually before optimizing")
+      }
+      fs.delete(staging, true)
+    }
+    require(fs.exists(root), s"no table at $root")
+    val live = spark.read.parquet(root.toString)
+    val liveCount = live.count()
+    val z = zorderKey(dims, bits)
+    live.repartitionByRange(numFiles, z).sortWithinPartitions(z)
+      .write.mode("overwrite").parquet(fresh.toString)
+    val freshCount = spark.read.parquet(fresh.toString).count()
+    if (freshCount != liveCount) {
+      fs.delete(staging, true) // nothing destructive has happened yet
+      throw new IllegalStateException(
+        s"optimize rewrite row count $freshCount != live $liveCount; aborted")
+    }
+    require(fs.rename(root, retired), s"retire rename $root -> $retired failed")
+    require(fs.rename(fresh, root), s"swap rename $fresh -> $root failed; " +
+      s"the table is in staging at $retired — the next call heals it")
+    fs.delete(staging, true)
+    liveCount
+  }
 }

@@ -51,6 +51,80 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("optimizeZordered rewrites in place: same rows, z-ordered layout, count returned") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-opt").toString
+    try {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          pmod(xxhash64(col("l_orderkey"), col("l_linenumber")), lit(256)).as("x"),
+          pmod(xxhash64(col("l_partkey")), lit(256)).as("y"))
+      li.write.parquet(s"$dir/t") // arrival-order layout
+      val before = spark.read.parquet(s"$dir/t")
+        .orderBy("l_orderkey", "l_linenumber", "x", "y").collect()
+      val n = Layout.optimizeZordered(spark, s"$dir/t",
+        Seq(col("x"), col("y")), 8, numFiles = 8)
+      assert(n === before.length)
+      val after = spark.read.parquet(s"$dir/t")
+      assert(after.orderBy("l_orderkey", "l_linenumber", "x", "y").collect()
+        .sameElements(before), "optimize must not change the rows")
+      // layout property: within each output file the z-key is clustered —
+      // per-file z-extents are disjoint-ish vs one big overlap pre-optimize
+      val zc = after.withColumn("f", input_file_name())
+        .groupBy("f")
+        .agg(min(Layout.zorderKey(Seq(col("x"), col("y")), 8)).as("lo"),
+          max(Layout.zorderKey(Seq(col("x"), col("y")), 8)).as("hi"))
+        .select("lo", "hi").orderBy("lo").collect()
+      assert(zc.length >= 2)
+      val overlaps = zc.sliding(2).count {
+        case Array(a, b) => b.getLong(0) <= a.getLong(1)
+        case _ => false
+      }
+      assert(overlaps === 0, "range-partitioned z-key files must not overlap")
+      assert(!new java.io.File(s"$dir/t_optimizing").exists(), "staging must be gone")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
+  test("optimizeZordered heals a crash: the retired copy always wins; pre-swap staging is discarded") {
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft-heal").toString
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          pmod(col("l_partkey"), lit(256)).as("x"),
+          pmod(col("l_suppkey"), lit(256)).as("y"))
+      li.write.parquet(s"$dir/t")
+      val want = spark.read.parquet(s"$dir/t")
+        .orderBy("l_orderkey", "l_linenumber", "x", "y").collect()
+      // crash A: after retire, before fresh→live (live tree MISSING) — the
+      // worst instant. Simulate: move live into staging/retired, leave a
+      // half-written fresh.
+      fs.mkdirs(new Path(s"$dir/t_optimizing"))
+      assert(fs.rename(new Path(s"$dir/t"), new Path(s"$dir/t_optimizing/retired")))
+      fs.mkdirs(new Path(s"$dir/t_optimizing/fresh"))
+      val n = Layout.optimizeZordered(spark, s"$dir/t",
+        Seq(col("x"), col("y")), 8, numFiles = 4)
+      assert(n === want.length, "heal must restore the retired table before optimizing")
+      assert(spark.read.parquet(s"$dir/t")
+        .orderBy("l_orderkey", "l_linenumber", "x", "y").collect().sameElements(want))
+      // crash B: staging with only a fresh tree (no destructive step yet) —
+      // discarded, table untouched
+      fs.mkdirs(new Path(s"$dir/t_optimizing/fresh"))
+      val n2 = Layout.optimizeZordered(spark, s"$dir/t",
+        Seq(col("x"), col("y")), 8, numFiles = 4)
+      assert(n2 === want.length)
+      assert(spark.read.parquet(s"$dir/t")
+        .orderBy("l_orderkey", "l_linenumber", "x", "y").collect().sameElements(want))
+      intercept[IllegalArgumentException] {
+        Layout.optimizeZordered(spark, s"$dir/absent", Seq(col("x"), col("y")), 8, 4)
+      }
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("writeZordered beats a linear sort on expected files scanned for single-dim predicates") {
     // The honest skipping metric: for a point predicate on one dim, the
     // expected fraction of files whose [min,max] on that dim contains a
