@@ -2332,6 +2332,112 @@ object OracleSql {
         |SELECT doc_id, bucket, CAST(phase AS BIGINT) AS phase, cur_key
         |FROM lab ORDER BY phase, cur_key, doc_id LIMIT 100""".stripMargin,
 
+    // q126: RRF fusion — q58's BM25 top-20 CTE verbatim + q27's cosine
+    // walk for query vector 0, each rank quantized to exact micro-units
+    // (round(1e12/(60+rank)) — half-up on positive values, identical in
+    // both engines), summed as exact BIGINTs, top-20 by (score, id).
+    "q126_hybrid_rrf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS dl,
+        |         sum(CASE WHEN tok = 'dup' THEN 1 ELSE 0 END) AS tf0,
+        |         sum(CASE WHEN tok = 'spark' THEN 1 ELSE 0 END) AS tf1,
+        |         sum(CASE WHEN tok = 'join' THEN 1 ELSE 0 END) AS tf2
+        |  FROM tok GROUP BY 1),
+        |stats AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+        |         sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |         sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |         sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM perdoc),
+        |bm AS (
+        |  SELECT doc_id, dl,
+        |         round(
+        |             ln(CAST(1.0 AS DOUBLE) + (n - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE)))
+        |               * (tf0 * CAST(2.2 AS DOUBLE)) / (tf0 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))
+        |           + ln(CAST(1.0 AS DOUBLE) + (n - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE)))
+        |               * (tf1 * CAST(2.2 AS DOUBLE)) / (tf1 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl))
+        |           + ln(CAST(1.0 AS DOUBLE) + (n - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE)))
+        |               * (tf2 * CAST(2.2 AS DOUBLE)) / (tf2 + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl / avgdl)),
+        |           6) AS score
+        |  FROM perdoc, stats),
+        |lex AS (
+        |  SELECT doc_id, rk FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+        |    FROM bm WHERE score > 0) WHERE rk <= 20),
+        |pair AS (
+        |  SELECT e.vec_id AS doc_id, unnest(q.embedding) AS uq, unnest(e.embedding) AS ue
+        |  FROM embeddings q, embeddings e
+        |  WHERE q.vec_id = 0 AND q.vec_id <> e.vec_id),
+        |cosd AS (
+        |  SELECT doc_id,
+        |         round(sum(CAST(uq AS DOUBLE) * CAST(ue AS DOUBLE))
+        |           / (sqrt(sum(CAST(uq AS DOUBLE) * CAST(uq AS DOUBLE)))
+        |            * sqrt(sum(CAST(ue AS DOUBLE) * CAST(ue AS DOUBLE)))), 6) AS cosine
+        |  FROM pair GROUP BY 1),
+        |den AS (
+        |  SELECT doc_id, rk FROM (
+        |    SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rk
+        |    FROM cosd) WHERE rk <= 20),
+        |terms AS (
+        |  SELECT doc_id, CAST(round(1e12 / (60 + rk), 0) AS BIGINT) AS t FROM lex
+        |  UNION ALL
+        |  SELECT doc_id, CAST(round(1e12 / (60 + rk), 0) AS BIGINT) AS t FROM den)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_systems,
+        |       CAST(sum(t) AS BIGINT) AS rrf_micro
+        |FROM terms GROUP BY doc_id
+        |ORDER BY rrf_micro DESC, doc_id LIMIT 20""".stripMargin,
+
+    // q127: recall@5 of SQ8 asymmetric search vs the exact brute truth —
+    // the reconstruction replays q56's codec per element (floor(x/s+0.5)·s,
+    // half-up via floor in BOTH engines: DuckDB round() is half-away-from-
+    // zero, which differs on negative halves), then two q27-style walks
+    // and the hit join.
+    "q127_sq8_recall" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |r AS (
+        |  SELECT vec_id,
+        |         CASE WHEN s0 = 0 THEN list_transform(embedding, x -> 0.0)
+        |              ELSE list_transform(embedding,
+        |                x -> floor(CAST(x AS DOUBLE) / s0 + 0.5) * s0) END AS emb
+        |  FROM (SELECT vec_id, embedding,
+        |          list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s0
+        |        FROM e)),
+        |tp AS (
+        |  SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+        |         unnest(q.embedding) AS uq, unnest(e2.embedding) AS ue
+        |  FROM e q, e e2 WHERE q.vec_id < 10 AND q.vec_id <> e2.vec_id),
+        |truth AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY
+        |             round(sum(CAST(uq AS DOUBLE) * CAST(ue AS DOUBLE))
+        |               / (sqrt(sum(CAST(uq AS DOUBLE) * CAST(uq AS DOUBLE)))
+        |                * sqrt(sum(CAST(ue AS DOUBLE) * CAST(ue AS DOUBLE)))), 6) DESC,
+        |             neighbor_id) AS rk
+        |    FROM tp GROUP BY query_id, neighbor_id) WHERE rk <= 5),
+        |cp AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         unnest(q.embedding) AS uq, unnest(c.emb) AS ue
+        |  FROM e q, r c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |cand AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY
+        |             round(sum(CAST(uq AS DOUBLE) * ue)
+        |               / (sqrt(sum(CAST(uq AS DOUBLE) * CAST(uq AS DOUBLE)))
+        |                * sqrt(sum(ue * ue))), 6) DESC,
+        |             neighbor_id) AS rk
+        |    FROM cp GROUP BY query_id, neighbor_id) WHERE rk <= 5),
+        |hits AS (
+        |  SELECT t.query_id, count(*) AS h
+        |  FROM truth t JOIN cand c
+        |    ON t.query_id = c.query_id AND t.neighbor_id = c.neighbor_id
+        |  GROUP BY 1)
+        |SELECT q.query_id, CAST(coalesce(h, 0) AS BIGINT) AS hits,
+        |       round(CAST(coalesce(h, 0) AS DOUBLE) / 5, 6) AS recall
+        |FROM (SELECT DISTINCT query_id FROM truth) q LEFT JOIN hits USING (query_id)""".stripMargin,
+
     // q122: the Morton interleave replayed as plain integer arithmetic —
     // bit lanes are disjoint, so + ≡ | term-for-term with the engine's
     // bitwiseOR fold; same (zkey, l_orderkey, line_no) walk, top 100.

@@ -1685,6 +1685,49 @@ object Queries {
       .limit(100)
   }
 
+  /** Hybrid retrieval by Reciprocal Rank Fusion ([[graft.operators
+    * .Retrieval.rrfFuse]]): q58's lexical BM25 top-20 fused with a dense
+    * cosine top-20 (query = vector 0) — the production RAG retrieval
+    * combiner, robust to the incomparable score scales. Per-term scores
+    * quantize to exact micro-units, so the fused ranking replays exactly
+    * in any engine. */
+  val q126_hybrid_rrf: Q = (s, dir) => {
+    import graft.operators.Retrieval
+    val lexical = TextAnalysis.bm25TopK(Tables.documents(s, dir), "doc_id",
+      "text", terms = Seq("dup", "spark", "join"), topK = 20)
+      .select(col("doc_id"), col("rk"))
+    val e = Tables.embeddings(s, dir)
+    val dense = Similarity.bruteForceTopK(e.where(col("vec_id") === 0), e, k = 20)
+      .select(col("neighbor_id").as("doc_id"), col("rk"))
+    Retrieval.rrfFuse(Seq(lexical, dense), "doc_id", "rk", k0 = 60, topK = 20)
+  }
+
+  /** SQ8 retrieval-quality report ([[graft.operators.Retrieval
+    * .recallReport]]): recall@5 of asymmetric search over int8-quantized
+    * vectors (exact queries, q56's reconstruction per corpus vector — the
+    * SQ8 serving shape) against the exact brute truth — the evaluation
+    * loop every quantized tier is tuned by, distributed and hash-oracled
+    * instead of driver-side. */
+  val q127_sq8_recall: Q = (s, dir) => {
+    import graft.operators.Retrieval
+    val e = Tables.embeddings(s, dir)
+    val qs = e.where(col("vec_id") < 10)
+    val truth = Similarity.bruteForceTopK(qs, e, k = 5)
+    // q56's symmetric int8 codec, reconstructed: s0 = amax/127,
+    // recon = round-half-up(x/s0)·s0. Scale → attribute BEFORE the lambda
+    // reads it (the quantizeInt8 no-CSE rule).
+    val amax = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    val recon = e.select(col("vec_id"), (amax / 127.0).as("s0"),
+        col("embedding").as("v"))
+      .select(col("vec_id"),
+        transform(col("v"), x =>
+          when(col("s0") === 0.0, lit(0.0))
+            .otherwise(floor(x.cast("double") / col("s0") + 0.5) * col("s0")))
+          .as("embedding"))
+    val cand = Similarity.bruteForceTopK(qs, recon, k = 5)
+    Retrieval.recallReport(truth, cand, k = 5)
+  }
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -1813,5 +1856,7 @@ object Queries {
     "q123_wordpiece_scores" -> q123_wordpiece_scores,
     "q124_hard_negatives" -> q124_hard_negatives,
     "q125_curriculum_order" -> q125_curriculum_order,
+    "q126_hybrid_rrf" -> q126_hybrid_rrf,
+    "q127_sq8_recall" -> q127_sq8_recall,
   )
 }
