@@ -30,11 +30,16 @@ class PlanContractSpec extends SparkSpec {
     *  - q119/q125: the perplexity-bucket tertile cuts are a SINGLE-ROW
     *    scalar attach (1 × N, the q63 pattern); q125 composes q119.
     *  - q124: hard-negative mining's candidate stage IS q27's brute tier
-    *    (broadcast small-query-set × corpus) with a band gate. */
+    *    (broadcast small-query-set × corpus) with a band gate.
+    *  - q126/q127: the dense component of the RRF fusion and BOTH walks
+    *    of the recall report (truth + SQ8 candidate) are q27's brute
+    *    tier; the fusion/report stages on top are answer-sized
+    *    equi-joins and reduces only. */
   private val intendedBnlj = Set("q27_ann_cosine", "q70_pq_adc",
     "q63_source_drift", "q64_distinctive_terms", "q93_knn_label",
     "q101_sq_topk", "q102_semantic_decontam", "q113_doremi_weights",
-    "q119_perplexity_buckets", "q124_hard_negatives", "q125_curriculum_order")
+    "q119_perplexity_buckets", "q124_hard_negatives", "q125_curriculum_order",
+    "q126_hybrid_rrf", "q127_sq8_recall")
 
   test("no declared query plans a cartesian product; BNLJ only where intended") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
