@@ -1612,4 +1612,31 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select("left_id", "right_id", "hamming")
   }
+
+  /** Quality-aware keep policy over near-dup clusters — the
+    * RefinedWeb/FineWeb curation choice: within each duplicate cluster
+    * keep the HIGHEST-QUALITY member, not the smallest id
+    * ([[canonicalIds]]' label is an arbitrary cluster NAME; which member
+    * survives is a policy decision, and "first crawled" throws away the
+    * cleanest copy whenever a later crawl fixed the boilerplate).
+    * `labels` carries (idCol, canonical_id) — any cluster labeling;
+    * `scores` carries (idCol, scoreCol). Ties break to the smallest id.
+    * Returns every row with its cluster, score, and a `kept` bit, so the
+    * caller can filter, audit, or weight.
+    *
+    * Determinism: the repo's quality scores are round(…,6) quotients
+    * (q33), identical cross-engine, so the per-cluster arg-max replays
+    * exactly. Scale shape: one doc-grain equi-join plus a window
+    * partitioned BY CLUSTER — partitions are clique-sized, and the exact
+    * dup cliques that could concentrate one partition are exactly what
+    * [[canonicalIdsCascade]] collapses upstream. */
+  def qualityKeep(labels: DataFrame, scores: DataFrame, idCol: String,
+                  scoreCol: String = "quality"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("canonical_id")
+      .orderBy(col(scoreCol).desc, col(idCol))
+    labels.join(scores, Seq(idCol))
+      .withColumn("kept", row_number().over(w) === 1)
+      .select(col(idCol), col("canonical_id"), col(scoreCol), col("kept"))
+  }
 }

@@ -2438,6 +2438,37 @@ object OracleSql {
         |       round(CAST(coalesce(h, 0) AS DOUBLE) / 5, 6) AS recall
         |FROM (SELECT DISTINCT query_id FROM truth) q LEFT JOIN hits USING (query_id)""".stripMargin,
 
+    // q128: q41's connected-components CTE + q33's quality formula, then
+    // the per-cluster arg-max keep (quality DESC, id) — the RefinedWeb
+    // keep-best-member policy.
+    "q128_quality_dedup_keep" ->
+      """WITH RECURSIVE tok AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS s FROM documents),
+        |pairs AS (
+        |  SELECT left_id, right_id FROM (
+        |    SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+        |           CAST(len(list_filter(a.s, x -> list_contains(b.s, x))) AS DOUBLE)
+        |             / (len(a.s) + len(b.s) - len(list_filter(a.s, x -> list_contains(b.s, x)))) AS jaccard
+        |    FROM tok a JOIN tok b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+        |  WHERE jaccard >= 0.95),
+        |edges AS (SELECT left_id AS src, right_id AS dst FROM pairs
+        |          UNION SELECT right_id, left_id FROM pairs),
+        |reach(id, anc) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.dst, r.anc FROM reach r JOIN edges e ON e.src = r.id),
+        |canon AS (SELECT id AS doc_id, min(anc) AS canonical_id FROM reach GROUP BY 1),
+        |q AS (SELECT doc_id, round(
+        |    least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
+        |  + (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |       / greatest(CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0)) * 0.3
+        |  + (1.0 - CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+        |       / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 0.3, 6) AS quality
+        |FROM documents)
+        |SELECT doc_id, canonical_id, quality,
+        |       (row_number() OVER (PARTITION BY canonical_id
+        |          ORDER BY quality DESC, doc_id) = 1) AS kept
+        |FROM canon JOIN q USING (doc_id)""".stripMargin,
+
     // q122: the Morton interleave replayed as plain integer arithmetic —
     // bit lanes are disjoint, so + ≡ | term-for-term with the engine's
     // bitwiseOR fold; same (zkey, l_orderkey, line_no) walk, top 100.

@@ -1728,6 +1728,20 @@ object Queries {
     Retrieval.recallReport(truth, cand, k = 5)
   }
 
+  /** Quality-aware dedup keep-list ([[graft.operators.Dedup.qualityKeep]]):
+    * q41's near-dup clusters × q33's quality score — within each cluster
+    * the cleanest member survives (the RefinedWeb policy), ties to the
+    * smallest id; every row reports its cluster, score, and keep bit. */
+  val q128_quality_dedup_keep: Q = (s, dir) => {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        array_distinct(split(col("text"), " ")).as("tok"))
+    val labels = Dedup.canonicalIdsCascade(docs, "doc_id", "tok", "lang", 0.95)
+    val scores = Tables.documents(s, dir).select(col("doc_id"),
+      TextAnalysis.qualityScore(col("text"), Stopwords).as("quality"))
+    Dedup.qualityKeep(labels, scores, "doc_id")
+  }
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -1858,5 +1872,6 @@ object Queries {
     "q125_curriculum_order" -> q125_curriculum_order,
     "q126_hybrid_rrf" -> q126_hybrid_rrf,
     "q127_sq8_recall" -> q127_sq8_recall,
+    "q128_quality_dedup_keep" -> q128_quality_dedup_keep,
   )
 }

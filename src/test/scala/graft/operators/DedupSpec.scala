@@ -773,4 +773,21 @@ class DedupSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "releaseCaches must leave a clean block manager")
   }
+
+  test("qualityKeep: the cleanest cluster member survives, ties to the smallest id, singletons kept") {
+    import spark.implicits._
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 8L), (9L, 8L))
+      .toDF("doc_id", "canonical_id")
+    val scores = Seq((1L, 0.4), (2L, 0.9), (3L, 0.9), (7L, 0.1), (8L, 0.5), (9L, 0.5))
+      .toDF("doc_id", "quality")
+    val got = Dedup.qualityKeep(labels, scores, "doc_id")
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    val kept = got.filter(_._4).map(_._1).toSet
+    // cluster 1: 2 and 3 tie at 0.9 -> 2 (smaller id); 7 is a singleton;
+    // cluster 8: 8 and 9 tie at 0.5 -> 8
+    assert(kept === Set(2L, 7L, 8L))
+    assert(got.length === 6, "every member reports, not only the keepers")
+    // the arg-max is per CLUSTER, not global: doc 7 keeps at quality 0.1
+    assert(got.find(_._1 == 7L).get._4)
+  }
 }
