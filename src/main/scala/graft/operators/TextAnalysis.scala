@@ -496,9 +496,10 @@ object TextAnalysis {
   /** The shared TF–IDF scoring tail: consumes a (tc_id, blk, t) term
     * OCCURRENCE stream (duplicates = tf), reduces to per-doc tf vectors,
     * prunes the idf = 0 head, and scores candidate pairs off the inverted
-    * index. The tf reduce groups on (tc_id, blk, t) — when the stream
-    * arrives partitioned by tc_id (the window-lead build), that exchange
-    * is free (HashPartitioning(tc_id) already clusters the group keys). */
+    * index. The tf reduce's exchange carries 8-byte hashed terms (the
+    * tokens build) with map-side combine — the long/short union above it
+    * discards the window's tc_id partitioning, so the exchange is paid
+    * once, at the narrow post-combine width. */
   private def tfidfPairsFromTerms(terms: org.apache.spark.sql.DataFrame,
                                   minCosine: Double): org.apache.spark.sql.DataFrame = {
     require(minCosine > 0 && minCosine <= 1,
