@@ -551,6 +551,124 @@ object Sampling {
       .drop(reserved: _*)
   }
 
+  /** WEIGHTED resampling WITH replacement, deterministic — systematic
+    * (low-variance / stratified-universal) resampling (Kitagawa 1996,
+    * JCGS 5(1); Douc, Cappé & Moulines 2005 compare the schemes): lay
+    * the rows' integer weights end-to-end on a line of total mass W,
+    * then take `n` draws at the equally-spaced positions
+    * (j + ½)·W/n, j = 0…n−1 — the row whose cumulative interval
+    * contains a position receives that draw. Each row's draw count is
+    * then GUARANTEED within 1 of its expectation n·wᵢ/W (it is
+    * ⌊n·wᵢ/W⌋ or ⌈n·wᵢ/W⌉ up to interval phase — the minimum-variance
+    * resampler, vs multinomial's O(√n) noise), and the counts sum to
+    * exactly `n`. This is the with-replacement counterpart the
+    * Efraimidis–Spirakis family ([[weightedSample]]) cannot express —
+    * the shape importance-resampling pipelines (DSIR-style exp-weight
+    * draws, length-proportional token-uniform eval carving) actually
+    * run, where one document may legitimately be drawn many times.
+    *
+    * Determinism and cross-engine parity: the line order is the seeded
+    * content order (md5_long(seed ∥ key) ASC, key ASC) — the house draw
+    * order — and every quantity is INTEGER: weights are taken as longs
+    * (pre-quantize fractional importance weights to micro-units, the
+    * [[doremiWeights]] / RRF precedent), cumulative mass is summed in
+    * decimal(38,0) (DuckDB replays it as HUGEINT — no float drift, no
+    * long overflow, the ADVICE-r18 lesson), and the per-row count is a
+    * difference of exact integral divisions:
+    * `g(2n·cumᵢ) − g(2n·cumᵢ₋₁)` with `g(X) = (X + W) DIV 2W`
+    * (g counts the draw positions at or below X/2n: position j sits at
+    * mass (2j+1)·W/2n, so (2j+1)·W ≤ X ⟺ j < g(X)). Rows with a null
+    * key or a null / non-positive weight cannot receive a draw and are
+    * excluded up front, exactly as in [[weightedSample]]. REQUIRES
+    * `key` unique across the corpus (duplicate keys tie the line order
+    * and the tied rows' counts would split layout-dependently — pass a
+    * row-unique id), same as [[deterministicShuffle]].
+    *
+    * Output: the competing rows that received ≥ 1 draw, with a `draws`
+    * count column (Σ draws = n). Materialize the multiplicity
+    * downstream with the [[epochExpand]] explode shape
+    * (`explode(sequence(0, draws − 1))`) when physical copies are
+    * needed — counts stay |output| ≤ n rows here.
+    *
+    * Scale shape: NO global window. The prefix sum is bucketed: the top
+    * `bucketBits` bits of the 60-bit draw hash define `2^bucketBits`
+    * buckets that are a PREFIX of the line order (hash-ascending), so
+    * per-bucket mass totals (one map-side-combined aggregate, 2^bits
+    * rows — metadata scale, collected and prefix-summed on the driver)
+    * plus a window partitioned BY bucket reconstruct the exact global
+    * cumulative sum with per-bucket parallel sorts of |corpus|/2^bits
+    * rows each. Two corpus passes (totals + window), one shuffle (the
+    * bucket window). At 100 TB raise `bucketBits` so a bucket fits an
+    * executor's sort budget (16 bits = 65 536 parallel sorts); the
+    * driver-side relation stays 2^bits rows — fail-fasted at 20 bits. */
+  def systematicResample(df: DataFrame, key: Column, weight: Column,
+                         n: Long, seed: String = "",
+                         bucketBits: Int = 8): DataFrame = {
+    require(n > 0, s"draw count must be positive, got $n")
+    require(n <= 1000000000L,
+      s"draw count $n exceeds the 1e9 rail — the count arithmetic's " +
+        "decimal(38,0) headroom assumes 2n·W < 1e38 with W ≤ 1e28")
+    require(bucketBits >= 1 && bucketBits <= 20,
+      s"bucketBits must be in [1, 20], got $bucketBits (driver holds " +
+        "2^bucketBits bucket totals)")
+    val reserved = Seq("sr_key", "sr_h", "sr_w", "sr_b", "sr_off", "sr_cum", "draws")
+    val clash = df.columns.filter(c => reserved.contains(c.toLowerCase))
+    require(clash.isEmpty,
+      s"input columns collide with scratch/output names " +
+        s"[${clash.mkString(", ")}] — rename or drop them first")
+    val keyed = df
+      .withColumn("sr_key", key.cast("string"))
+      .withColumn("sr_w", weight.cast("long"))
+      .where(col("sr_key").isNotNull &&
+        col("sr_w").isNotNull && col("sr_w") > 0)
+      .withColumn("sr_h",
+        graft.functions.Md5LongFunction.md5Long(concat(lit(seed), col("sr_key"))))
+      .withColumn("sr_b", shiftright(col("sr_h"), 60 - bucketBits))
+    // Per-bucket mass totals: 2^bucketBits rows, exact decimal sums.
+    val totals = keyed.groupBy("sr_b")
+      .agg(sum(col("sr_w").cast("decimal(38,0)")).as("t"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getDecimal(1).toBigInteger)
+      .sortBy(_._1)
+    require(totals.nonEmpty,
+      "systematicResample: no positively-weighted rows to draw from")
+    val W = totals.map(_._2).reduce(_ add _)
+    require(new java.math.BigDecimal(W)
+        .compareTo(new java.math.BigDecimal("1e28")) < 0,
+      s"systematicResample: total weight $W exceeds the 1e28 rail — " +
+        "quantize weights coarser (2n·W must stay inside decimal(38,0))")
+    // Exclusive prefix offsets per bucket, computed exactly on the driver.
+    var acc = java.math.BigInteger.ZERO
+    val offsets = totals.map { case (b, t) =>
+      val o = acc; acc = acc.add(t); (b, new java.math.BigDecimal(o))
+    }
+    val s = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val offDf = s.createDataFrame(
+      offsets.map(p => org.apache.spark.sql.Row(p._1, p._2)).toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sr_b",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sr_off",
+          org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)))))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sr_b"))
+      .orderBy(col("sr_h").asc, col("sr_key").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wLit = s"CAST('$W' AS DECIMAL(38,0))"
+    val n2 = s"CAST('${2L * n}' AS DECIMAL(38,0))"
+    keyed
+      .join(broadcast(offDf), "sr_b")
+      .withColumn("sr_cum",
+        col("sr_off") + sum(col("sr_w").cast("decimal(38,0)")).over(win))
+      .withColumn("draws", expr(
+        s"CAST(((sr_cum * $n2 + $wLit) DIV ($wLit + $wLit)) - " +
+          s"(((sr_cum - sr_w) * $n2 + $wLit) DIV ($wLit + $wLit)) AS BIGINT)"))
+      .where(col("draws") >= 1)
+      .drop("sr_key", "sr_h", "sr_w", "sr_b", "sr_off", "sr_cum")
+  }
+
   /** Shared ES scratch columns: competing rows only (non-null key,
     * positive finite weight), the seeded 60-bit uniform, and the
     * u^(1/w) competition key. */

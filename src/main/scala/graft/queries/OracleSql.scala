@@ -2483,5 +2483,30 @@ object OracleSql {
          |ORDER BY zkey, l_orderkey, line_no
          |LIMIT 100""".stripMargin
     },
+
+    // q129: systematic resampling replayed flat — one HUGEINT window
+    // cumsum over the engine's exact (seeded-hash, id) line order where
+    // the engine runs a BUCKETED prefix sum (order-aligned hash-prefix
+    // buckets + driver offsets); identical because every quantity is
+    // integer and // is exact. draws = g(2n·cum) − g(2n·(cum−w)),
+    // g(X) = (X + W) // 2W, n = 2000.
+    "q129_systematic_resample" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         ('0x' || substr(md5('r19d' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+        |         CAST(n_chars AS HUGEINT) AS wt
+        |  FROM documents WHERE n_chars > 0),
+        |c AS (
+        |  SELECT doc_id, lang, n_chars, wt,
+        |         sum(wt) OVER (ORDER BY h, CAST(doc_id AS VARCHAR)
+        |                       ROWS UNBOUNDED PRECEDING) AS cum,
+        |         sum(wt) OVER () AS tot
+        |  FROM w)
+        |SELECT doc_id, lang, n_chars, draws FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         CAST((cum * 4000 + tot) // (tot + tot)
+        |            - ((cum - wt) * 4000 + tot) // (tot + tot) AS BIGINT) AS draws
+        |  FROM c)
+        |WHERE draws >= 1""".stripMargin,
   )
 }

@@ -1742,6 +1742,21 @@ object Queries {
     Dedup.qualityKeep(labels, scores, "doc_id")
   }
 
+  /** Systematic resampling WITH replacement
+    * ([[graft.operators.Sampling.systematicResample]]): 2000 draws over
+    * documents proportional to n_chars — the length-proportional
+    * (token-uniform) document draw, the with-replacement shape the ES
+    * family (q106/q117) cannot express. Counts are exact integer
+    * arithmetic end-to-end (decimal(38,0) cumulative mass ↔ DuckDB
+    * HUGEINT; draw counts a difference of integral divisions), so the
+    * oracle replays the bucketed distributed prefix-sum with one flat
+    * window cumsum and must agree bit-for-bit: Σ draws = 2000 and every
+    * count within 1 of n·wᵢ/W by construction. */
+  val q129_systematic_resample: Q = (s, dir) =>
+    Sampling.systematicResample(Tables.documents(s, dir),
+      col("doc_id"), col("n_chars"), n = 2000, seed = "r19d")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("draws"))
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -1873,5 +1888,6 @@ object Queries {
     "q126_hybrid_rrf" -> q126_hybrid_rrf,
     "q127_sq8_recall" -> q127_sq8_recall,
     "q128_quality_dedup_keep" -> q128_quality_dedup_keep,
+    "q129_systematic_resample" -> q129_systematic_resample,
   )
 }

@@ -945,4 +945,104 @@ class SamplingSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("ws_esk"))
   }
+
+  test("systematicResample replays a driver-side flat reference exactly; " +
+    "Σdraws = n and every count within 1 of expectation") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    val n = 500L
+    val got = Sampling.systematicResample(docs, col("doc_id"), col("n_chars"),
+      n = n, seed = "sr1")
+      .select(col("doc_id"), col("draws")).as[(Long, Long)].collect().toMap
+    // independent reference: one flat BigInt cumsum on the driver
+    val rows = docs.as[(Long, Long)].collect()
+      .filter(_._2 > 0)
+      .map { case (id, w) =>
+        val h = graft.functions.Md5LongKernel.hash(("sr1" + id).getBytes("UTF-8"))
+        (id, BigInt(w), h)
+      }.sortBy { case (id, _, h) => (h, id.toString) }
+    val W = rows.map(_._2).sum
+    def g(x: BigInt) = (x + W) / (W * 2)
+    var cum = BigInt(0)
+    val expected = rows.flatMap { case (id, w, _) =>
+      val prev = cum; cum += w
+      val d = g(cum * 2 * n) - g(prev * 2 * n)
+      if (d >= 1) Some(id -> d.toLong) else None
+    }.toMap
+    assert(got === expected)
+    assert(got.values.sum === n, "systematic resampling must emit exactly n draws")
+    // minimum-variance property: draws_i ∈ {⌊n·w/W⌋, ⌈n·w/W⌉}
+    val byId = rows.map(r => r._1 -> r._2).toMap
+    got.foreach { case (id, d) =>
+      val exp = BigDecimal(n) * BigDecimal(byId(id)) / BigDecimal(W)
+      assert(BigDecimal(d) > exp - 1 && BigDecimal(d) < exp + 1,
+        s"doc $id drew $d vs expectation $exp — outside the ±1 guarantee")
+    }
+  }
+
+  test("systematicResample: bucketed prefix sum ≡ flat, layout-stable, " +
+    "seed freshens the draw") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    def run(bits: Int, parts: Int, seed: String = "sA") =
+      Sampling.systematicResample(docs.repartition(parts), col("doc_id"),
+        col("n_chars"), n = 300L, seed = seed, bucketBits = bits)
+        .select(col("doc_id"), col("draws")).as[(Long, Long)].collect().toMap
+    val a = run(8, 4)
+    assert(a === run(1, 4), "1 bucket (flat) must equal the 256-bucket split")
+    assert(a === run(8, 23), "the draw must not depend on partition layout")
+    assert(a !== run(8, 4, "sB"), "a fresh seed must give a fresh draw")
+    // output schema: input columns + draws, scratch dropped
+    val out = Sampling.systematicResample(docs, col("doc_id"), col("n_chars"), 10L)
+    assert(out.columns === (docs.columns :+ "draws"))
+  }
+
+  test("systematicResample plan: one bucket exchange into the per-bucket " +
+    "window, offsets broadcast — no global sort, no single-partition window") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Sampling.systematicResample(docs, col("doc_id"), col("n_chars"),
+      n = 100L, seed = "p")
+    out.count()
+    val plan = out.queryExecution.executedPlan
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val nodes = plan.collectWithSubqueries {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffles = nodes.flatMap(_.collect { case s: ShuffleExchangeExec => s })
+    assert(shuffles.length <= 1,
+      s"only the bucket window may shuffle the corpus, got ${shuffles.length}")
+    assert(shuffles.forall(_.outputPartitioning.toString.contains("sr_b")),
+      s"the one shuffle must hash on the bucket, got $shuffles")
+    assert(nodes.exists(_.collect {
+      case b: BroadcastExchangeExec => b }.nonEmpty),
+      "the 2^bits offset relation must broadcast, never shuffle the corpus")
+  }
+
+  test("systematicResample: non-competing rows excluded, guards fire") {
+    val df = Seq((1L, Option(5L)), (2L, Option(0L)), (3L, Option(-4L)),
+      (4L, Option.empty[Long])).toDF("id", "w")
+    val got = Sampling.systematicResample(df, col("id"), col("w"), n = 7L)
+      .select(col("id"), col("draws")).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 7L),
+      "only the positive-weight row competes and it takes all n draws")
+    intercept[IllegalArgumentException] {
+      Sampling.systematicResample(df, col("id"), col("w"), n = 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.systematicResample(df, col("id"), col("w"), n = 2000000000L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.systematicResample(df, col("id"), col("w"), n = 1L, bucketBits = 21)
+    }
+    intercept[IllegalArgumentException] { // nothing to draw from
+      Sampling.systematicResample(df.where(col("id") > 1), col("id"), col("w"), 5L)
+    }
+    val clash = Seq((1L, 1L, 2L)).toDF("id", "w", "draws")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.systematicResample(clash, col("id"), col("w"), n = 1L)
+    }
+    assert(e.getMessage.contains("draws"))
+  }
 }
