@@ -1502,6 +1502,62 @@ object Dedup {
       .drop("dp_rn", "dp_hash")
   }
 
+  /** Boilerplate REMOVAL by document frequency — the CCNet/RefinedWeb
+    * line-filter that [[dropDuplicatePassages]] is not: there, a repeated
+    * passage keeps its first occurrence; here a passage repeated across
+    * `maxDf`-or-more DISTINCT documents (headers, footers, cookie
+    * banners, license blurbs — content whose very ubiquity marks it as
+    * template, not prose) is dropped from EVERY document including the
+    * first, and each document is RECONSTRUCTED from its surviving
+    * passages in position order. Within-document repetition does not
+    * count toward the frequency (a chorus repeated in one lyric is not
+    * boilerplate — that is [[graft.operators.TextAnalysis]]'s
+    * repetition/destutter territory); the frequency is distinct-doc.
+    *
+    * Documents whose every passage is boilerplate come back with an
+    * EMPTY `clean_text` and kept = 0 rather than vanishing — dropping
+    * them is a later length-filter's explicit decision, not this
+    * operator's silent side effect.
+    *
+    * Scale shape: one map-side-combined distinct-doc count per passage
+    * hash (the [[TextAnalysis.md5Long]] of the text — grouping never
+    * shuffles the passage strings twice), a join of the segments against
+    * the per-hash frequency (key-partitioned; AQE broadcasts it when the
+    * distinct-passage relation is small and skew-splits the heavy
+    * boilerplate keys when it is not), and one reconstruction aggregate
+    * per document (collect + sort of that DOC's surviving passages —
+    * group size is a single document's passage count, never corpus
+    * scale). An oracle replays the grouping on the raw passage text. */
+  def removeFrequentPassages(segments: DataFrame, id: String, pos: String,
+                             passage: String, maxDf: Int): DataFrame = {
+    require(maxDf >= 2,
+      s"maxDf must be at least 2, got $maxDf (1 would drop every passage " +
+        "— each occurs in at least its own document)")
+    val reserved = Seq("bp_hash", "bp_doc", "bp_df", "bp_keep",
+      "clean_text", "kept_passages", "dropped_passages")
+    val clash = segments.columns
+      .filter(c => reserved.contains(c.toLowerCase) && c != id)
+    require(clash.isEmpty,
+      s"input columns collide with scratch/output names " +
+        s"[${clash.mkString(", ")}] — rename or drop them first")
+    val freq = segments
+      .select(TextAnalysis.md5Long(col(passage)).as("bp_hash"), col(id).as("bp_doc"))
+      .distinct()
+      .groupBy("bp_hash").agg(count(lit(1)).as("bp_df"))
+    segments
+      .withColumn("bp_hash", TextAnalysis.md5Long(col(passage)))
+      .join(freq, "bp_hash")
+      .withColumn("bp_keep", col("bp_df") < maxDf)
+      .groupBy(col(id))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(when(col("bp_keep"),
+            struct(col(pos).as("p"), col(passage).as("t"))))),
+          x => x("t")), " ").as("clean_text"),
+        count(when(col("bp_keep"), 1)).as("kept_passages"),
+        count(when(!col("bp_keep"), 1)).as("dropped_passages"))
+  }
+
   // -------------------------------------------------------------- simhash --
 
   /** 64-bit SimHash of a token array as a single Column expression: per-bit

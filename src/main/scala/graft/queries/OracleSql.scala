@@ -2508,5 +2508,28 @@ object OracleSql {
         |            - ((cum - wt) * 4000 + tot) // (tot + tot) AS BIGINT) AS draws
         |  FROM c)
         |WHERE draws >= 1""".stripMargin,
+
+    // q130: q55's chunk CTEs verbatim, then the OTHER half of the
+    // C4/CCNet line step — distinct-doc frequency per chunk text, df ≥ 3
+    // dropped everywhere, documents rebuilt position-ordered from the
+    // survivors (all-boilerplate docs come back empty, not absent).
+    "q130_boilerplate_removal" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tok FROM documents),
+        |c AS (SELECT doc_id, tok, len(tok) AS n,
+        |        unnest(range(0, CASE WHEN n <= 16 THEN 1
+        |                            ELSE 1 + CAST(ceil((n - 16) / 16.0) AS INT) END)) AS c
+        |      FROM t),
+        |segs AS (SELECT doc_id, CAST(c AS BIGINT) AS chunk_id,
+        |        array_to_string(list_slice(tok, c * 16 + 1, c * 16 + 16), ' ') AS chunk_text
+        |      FROM c),
+        |f AS (SELECT chunk_text, count(DISTINCT doc_id) AS df FROM segs GROUP BY 1),
+        |k AS (SELECT s.doc_id, s.chunk_id, s.chunk_text, f.df < 3 AS keep
+        |      FROM segs s JOIN f USING (chunk_text))
+        |SELECT doc_id,
+        |       coalesce(string_agg(chunk_text, ' ' ORDER BY chunk_id)
+        |                  FILTER (WHERE keep), '') AS clean_text,
+        |       CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS kept_passages,
+        |       CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS dropped_passages
+        |FROM k GROUP BY doc_id""".stripMargin,
   )
 }

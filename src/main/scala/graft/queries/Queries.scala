@@ -1757,6 +1757,20 @@ object Queries {
       col("doc_id"), col("n_chars"), n = 2000, seed = "r19d")
       .select(col("doc_id"), col("lang"), col("n_chars"), col("draws"))
 
+  /** CCNet-style boilerplate removal
+    * ([[graft.operators.Dedup.removeFrequentPassages]]): q55's 16-token
+    * windows, but passages repeated across ≥ 3 DISTINCT documents are
+    * dropped from every document (q55 keeps the first occurrence — this
+    * is the df-threshold filter, the other half of the C4/CCNet line
+    * step), and each document is rebuilt from its surviving windows in
+    * position order with kept/dropped counts. */
+  val q130_boilerplate_removal: Q = (s, dir) => {
+    val segs = Packing.chunkByTokens(Tables.documents(s, dir), col("doc_id"),
+      split(col("text"), " "), chunkTokens = 16, stride = 16)
+    Dedup.removeFrequentPassages(segs, "doc_id", "chunk_id", "chunk_text",
+      maxDf = 3)
+  }
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -1889,5 +1903,6 @@ object Queries {
     "q127_sq8_recall" -> q127_sq8_recall,
     "q128_quality_dedup_keep" -> q128_quality_dedup_keep,
     "q129_systematic_resample" -> q129_systematic_resample,
+    "q130_boilerplate_removal" -> q130_boilerplate_removal,
   )
 }

@@ -790,4 +790,39 @@ class DedupSpec extends SparkSpec {
     // the arg-max is per CLUSTER, not global: doc 7 keeps at quality 0.1
     assert(got.find(_._1 == 7L).get._4)
   }
+
+  test("removeFrequentPassages: df-threshold drop (ALL copies, unlike " +
+    "dropDuplicatePassages), distinct-doc frequency, ordered rebuild, " +
+    "all-boilerplate docs come back empty") {
+    import spark.implicits._
+    val segs = Seq(
+      (1L, 0L, "cookie banner"),  // df = 3 → dropped everywhere
+      (1L, 1L, "real prose one"),
+      (1L, 2L, "real prose two"),
+      (2L, 0L, "cookie banner"),
+      (2L, 1L, "chorus line"),    // repeats WITHIN doc 2 only: df = 1 → kept
+      (2L, 2L, "chorus line"),
+      (3L, 0L, "cookie banner"),  // doc 3 is pure boilerplate
+    ).toDF("doc_id", "pos", "passage")
+    val got = Dedup.removeFrequentPassages(segs, "doc_id", "pos", "passage",
+        maxDf = 3)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got === Array(
+      (1L, "real prose one real prose two", 2L, 1L),
+      (2L, "chorus line chorus line", 2L, 1L),
+      (3L, "", 0L, 1L)))
+    // rebuild honors POSITION order, not insertion order
+    val shuffled = Dedup.removeFrequentPassages(
+        segs.orderBy(rand(7)).repartition(5), "doc_id", "pos", "passage", 3)
+      .where(col("doc_id") === 1).select("clean_text").as[String].head()
+    assert(shuffled === "real prose one real prose two")
+    intercept[IllegalArgumentException] {
+      Dedup.removeFrequentPassages(segs, "doc_id", "pos", "passage", maxDf = 1)
+    }
+    val clash = segs.withColumn("bp_df", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.removeFrequentPassages(clash, "doc_id", "pos", "passage", 2)
+    }
+    assert(e.getMessage.contains("bp_df"))
+  }
 }
