@@ -33,6 +33,66 @@ object Packing {
       .withColumn("pack_offset", pmod(before, lit(budgetTokens)))
   }
 
+  /** Length-grouped batch assignment + padding report — the dynamic-batching
+    * step (HF Trainer's LengthGroupedSampler, Fairseq's bucketed batching):
+    * a training batch pads every sequence to the batch MAX, so batching
+    * similar lengths together is where GPU efficiency comes from. Shard
+    * rows by the seeded content hash (shard sizes balance by uniformity),
+    * sort each shard by length DESCENDING (ties by (hash, key) — a total
+    * order, so the assignment is a pure function of content and seed),
+    * chop into consecutive `batchSize` runs, and report each batch's
+    * padding arithmetic: real tokens, padded tokens (n·max), efficiency.
+    *
+    * Output is BATCH-grain — (shard, batch_id, n_seqs, max_len,
+    * real_tokens, padded_tokens, efficiency) — the relation a training
+    * planner reads to size buckets or pick batchSize; |output| =
+    * |corpus|/batchSize. An all-empty batch (max_len 0) pads nothing and
+    * reports efficiency 1.0, not a division by zero. Rows with a null key
+    * or null length cannot be batched and are excluded up front; lengths
+    * must be non-negative (fail-fast is the caller's tokenizer's job —
+    * a negative count is ill-formed input and excluded likewise).
+    *
+    * Scale shape: NO global sort — one hash exchange on the shard key
+    * into per-shard (length DESC, hash, key) sorts (|corpus|/shards rows
+    * each; set shards ≳ cores, exactly [[graft.operators.Sampling
+    * .deterministicShuffle]]'s contract), then one map-side-combinable
+    * batch-grain aggregate. The descending order means a shard's batches
+    * are monotone: batch k's max_len ≥ batch k+1's — the property that
+    * makes per-bucket learning-rate / token-budget planning readable. */
+  def lengthGroupedBatches(df: DataFrame, key: Column, nTokens: Column,
+                           batchSize: Int, shards: Int,
+                           seed: String = ""): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    require(shards > 0, s"shards must be positive, got $shards")
+    val reserved = Seq("lb_key", "lb_len", "lb_h", "shard", "batch_id",
+      "n_seqs", "max_len", "real_tokens", "padded_tokens", "efficiency")
+    val clash = df.columns.filter(c => reserved.contains(c.toLowerCase))
+    require(clash.isEmpty,
+      s"input columns collide with scratch/output names " +
+        s"[${clash.mkString(", ")}] — rename or drop them first")
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("lb_len").desc, col("lb_h").asc, col("lb_key").asc)
+    df.withColumn("lb_key", key.cast("string"))
+      .withColumn("lb_len", nTokens.cast("long"))
+      .where(col("lb_key").isNotNull &&
+        col("lb_len").isNotNull && col("lb_len") >= 0)
+      .withColumn("lb_h",
+        graft.functions.Md5LongFunction.md5Long(concat(lit(seed), col("lb_key"))))
+      .withColumn("shard", pmod(col("lb_h"), lit(shards.toLong)).cast("int"))
+      .withColumn("batch_id",
+        ((row_number().over(w) - 1) / batchSize).cast("long"))
+      .groupBy(col("shard"), col("batch_id"))
+      .agg(
+        count(lit(1)).as("n_seqs"),
+        max(col("lb_len")).as("max_len"),
+        sum(col("lb_len")).as("real_tokens"))
+      .withColumn("padded_tokens", col("n_seqs") * col("max_len"))
+      .withColumn("efficiency",
+        when(col("padded_tokens") === 0, lit(1.0)).otherwise(
+          round(col("real_tokens").cast("double") /
+            col("padded_tokens").cast("double"), 6)))
+  }
+
   /** Document → overlapping fixed-size context windows: chunk c covers
     * tokens [c·stride, c·stride + chunkTokens) (0-based; overlap =
     * chunkTokens − stride). A doc at or under chunkTokens yields exactly

@@ -2531,5 +2531,32 @@ object OracleSql {
         |       CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS kept_passages,
         |       CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS dropped_passages
         |FROM k GROUP BY doc_id""".stripMargin,
+
+    // q131: length-grouped batching replayed literally — seeded-hash
+    // shard, per-shard (len DESC, hash, id) row_number, consecutive
+    // 32-runs, and the batch-grain padding arithmetic. The efficiency
+    // division is double/double rounded to 6 in both engines.
+    "q131_length_batching" ->
+      """WITH s AS (
+        |  SELECT CAST(doc_id AS VARCHAR) AS k, CAST(n_chars AS BIGINT) AS len,
+        |         ('0x' || substr(md5('r19e' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents
+        |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars >= 0),
+        |r AS (
+        |  SELECT len, CAST(h % 8 AS INT) AS shard,
+        |         row_number() OVER (PARTITION BY h % 8
+        |                            ORDER BY len DESC, h, k) AS rn
+        |  FROM s),
+        |b AS (SELECT shard, CAST((rn - 1) // 32 AS BIGINT) AS batch_id, len FROM r)
+        |SELECT shard, batch_id,
+        |       CAST(count(*) AS BIGINT) AS n_seqs,
+        |       max(len) AS max_len,
+        |       CAST(sum(len) AS BIGINT) AS real_tokens,
+        |       CAST(count(*) * max(len) AS BIGINT) AS padded_tokens,
+        |       CASE WHEN count(*) * max(len) = 0 THEN CAST(1.0 AS DOUBLE)
+        |            ELSE round(CAST(sum(len) AS DOUBLE)
+        |                         / CAST(count(*) * max(len) AS DOUBLE), 6)
+        |       END AS efficiency
+        |FROM b GROUP BY 1, 2""".stripMargin,
   )
 }

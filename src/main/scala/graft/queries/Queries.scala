@@ -1771,6 +1771,18 @@ object Queries {
       maxDf = 3)
   }
 
+  /** Length-grouped dynamic batching
+    * ([[graft.operators.Packing.lengthGroupedBatches]]): documents
+    * sharded by the seeded hash, each shard sorted length-descending and
+    * chopped into 32-sequence batches, reported at batch grain with the
+    * padding arithmetic (real vs n·max padded tokens) — the
+    * GPU-efficiency relation a training planner reads. The oracle
+    * replays the shard/sort/chop and the efficiency division. */
+  val q131_length_batching: Q = (s, dir) =>
+    Packing.lengthGroupedBatches(Tables.documents(s, dir),
+      col("doc_id"), col("n_chars"), batchSize = 32, shards = 8,
+      seed = "r19e")
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -1904,5 +1916,6 @@ object Queries {
     "q128_quality_dedup_keep" -> q128_quality_dedup_keep,
     "q129_systematic_resample" -> q129_systematic_resample,
     "q130_boilerplate_removal" -> q130_boilerplate_removal,
+    "q131_length_batching" -> q131_length_batching,
   )
 }

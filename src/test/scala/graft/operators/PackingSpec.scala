@@ -100,6 +100,77 @@ class PackingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
 
+  test("lengthGroupedBatches: descending chop is optimal on the bimodal " +
+    "fixture, batch maxima monotone, partial tail batch, empty batch eff 1.0") {
+    // 4 long + 4 short in ONE shard: length-grouped batching pads 404
+    // tokens total (the optimum); any interleaving would pad up to 800.
+    val df = (1L to 4L).map(i => (i, 100L)) ++ (5L to 8L).map(i => (i, 1L))
+    val got = Packing.lengthGroupedBatches(df.toDF("id", "len"), col("id"),
+        col("len"), batchSize = 4, shards = 1)
+      .as[(Int, Long, Long, Long, Long, Long, Double)].collect().sortBy(_._2)
+    assert(got.map(_._6).sum === 404L, s"padded total: $got")
+    assert(got.map(_._7).forall(_ === 1.0), "equal lengths per batch → eff 1.0")
+    // monotone maxima + a partial tail: 5 seqs of one length, batch 2
+    val odd = Seq((1L, 9L), (2L, 7L), (3L, 7L), (4L, 7L), (5L, 2L))
+    val g2 = Packing.lengthGroupedBatches(odd.toDF("id", "len"), col("id"),
+        col("len"), batchSize = 2, shards = 1)
+      .as[(Int, Long, Long, Long, Long, Long, Double)].collect().sortBy(_._2)
+    assert(g2.map(_._4) === g2.map(_._4).sorted.reverse,
+      "per-shard batch maxima must be non-increasing (descending chop)")
+    assert(g2.map(_._3) === Array(2L, 2L, 1L), "last batch holds the tail")
+    assert(g2.map(_._5).sum === odd.map(_._2).sum,
+      "real tokens are conserved across batches")
+    // an all-zero-length batch pads nothing and reports 1.0, not ÷0
+    val zeros = Seq((1L, 0L), (2L, 0L)).toDF("id", "len")
+    val gz = Packing.lengthGroupedBatches(zeros, col("id"), col("len"), 2, 1)
+      .select("padded_tokens", "efficiency").as[(Long, Double)].head()
+    assert(gz === ((0L, 1.0)))
+  }
+
+  test("lengthGroupedBatches: layout-stable, seed reshards, exclusions " +
+    "and guards; plan: one exchange, batch agg rides the shard partitioning") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    def run(parts: Int, seed: String = "b1") =
+      Packing.lengthGroupedBatches(docs.repartition(parts), col("doc_id"),
+        col("n_chars"), batchSize = 16, shards = 4, seed = seed)
+        .as[(Int, Long, Long, Long, Long, Long, Double)].collect().toSet
+    val a = run(3)
+    assert(a === run(29), "batching must not depend on partition layout")
+    assert(a !== run(3, "b2"), "a fresh seed must reshard")
+    val ill = Seq((Option(1L), Option(5L)), (Option.empty[Long], Option(9L)),
+      (Option(3L), Option.empty[Long]), (Option(4L), Option(-2L)))
+      .toDF("id", "len")
+    val kept = Packing.lengthGroupedBatches(ill, col("id"), col("len"), 8, 1)
+      .select("n_seqs").as[Long].head()
+    assert(kept === 1L, "null key / null or negative length cannot batch")
+    intercept[IllegalArgumentException] {
+      Packing.lengthGroupedBatches(ill, col("id"), col("len"), 0, 1)
+    }
+    intercept[IllegalArgumentException] {
+      Packing.lengthGroupedBatches(ill, col("id"), col("len"), 1, 0)
+    }
+    val clash = Seq((1L, 2L, 3L)).toDF("id", "len", "max_len")
+    val e = intercept[IllegalArgumentException] {
+      Packing.lengthGroupedBatches(clash, col("id"), col("len"), 1, 1)
+    }
+    assert(e.getMessage.contains("max_len"))
+    // plan: the batch aggregate reuses the shard hash partitioning — the
+    // window's exchange is the ONLY one
+    val out = Packing.lengthGroupedBatches(docs, col("doc_id"),
+      col("n_chars"), batchSize = 16, shards = 4)
+    out.count()
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val nodes = out.queryExecution.executedPlan.collectWithSubqueries {
+      case ad: AdaptiveSparkPlanExec => ad.executedPlan
+      case p => p
+    }
+    val shuffles = nodes.flatMap(_.collect { case s: ShuffleExchangeExec => s })
+    assert(shuffles.length <= 1,
+      s"only the shard window may shuffle, got ${shuffles.length}")
+  }
+
   test("chunking validates window parameters") {
     val df = Seq((1L, "a")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
