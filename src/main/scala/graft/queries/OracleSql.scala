@@ -2558,5 +2558,46 @@ object OracleSql {
         |                         / CAST(count(*) * max(len) AS DOUBLE), 6)
         |       END AS efficiency
         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // q132: q77's scored CTE feeding q129's replay — the likelihood-ratio
+    // weight floor(exp(score)·1e6 + 0.5) is exact in both engines because
+    // the score is 6-decimal-rounded upstream (libm exp ulps sit ~10
+    // orders below the micro grain), then the same HUGEINT cumsum and
+    // integral-division draw arithmetic, n = 1000.
+    "q132_dsir_resample" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang = 'en' AS is_t,
+        |         unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |f AS (SELECT tok, count(*) AS cf,
+        |             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tf
+        |      FROM tk GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cf) AS DOUBLE) AS c_tot,
+        |               CAST(sum(tf) + count(*) AS DOUBLE) AS tv
+        |        FROM f),
+        |scored AS (
+        |  SELECT doc_id,
+        |         round(avg(ln((tf + 1.0) / tv) - ln(CAST(cf AS DOUBLE) / c_tot)), 6)
+        |           AS dsir_score
+        |  FROM tk JOIN f USING (tok), tot
+        |  GROUP BY 1),
+        |w AS (
+        |  SELECT doc_id, dsir_score,
+        |         ('0x' || substr(md5('r19f' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h,
+        |         CAST(floor(exp(dsir_score) * 1e6 + 0.5) AS HUGEINT) AS wt
+        |  FROM scored
+        |  WHERE floor(exp(dsir_score) * 1e6 + 0.5) > 0),
+        |c AS (
+        |  SELECT doc_id, dsir_score, wt,
+        |         sum(wt) OVER (ORDER BY h, CAST(doc_id AS VARCHAR)
+        |                       ROWS UNBOUNDED PRECEDING) AS cum,
+        |         sum(wt) OVER () AS tot
+        |  FROM w)
+        |SELECT doc_id, dsir_score, draws FROM (
+        |  SELECT doc_id, dsir_score,
+        |         CAST((cum * 2000 + tot) // (tot + tot)
+        |            - ((cum - wt) * 2000 + tot) // (tot + tot) AS BIGINT) AS draws
+        |  FROM c)
+        |WHERE draws >= 1""".stripMargin,
   )
 }

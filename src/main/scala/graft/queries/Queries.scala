@@ -1783,6 +1783,25 @@ object Queries {
       col("doc_id"), col("n_chars"), batchSize = 32, shards = 8,
       seed = "r19e")
 
+  /** DSIR importance resampling end-to-end — the composition
+    * [[graft.operators.Sampling.systematicResample]]'s scaladoc names
+    * ("pre-quantize fractional importance weights to micro-units"),
+    * gated: q77's importance score → the likelihood-ratio weight
+    * exp(score) quantized half-up to exact micro-units (score is
+    * 6-decimal-rounded upstream, so the 1e6 grain sits ~10 orders above
+    * any cross-engine libm exp ulp — the q56 floor-half-up precedent) →
+    * 1000 systematic draws. This IS the DSIR selection step
+    * (arXiv:2302.03169 resamples ∝ exp(score)); en-target docs carry
+    * e^positive weights and dominate the draw, non-target docs keep
+    * proportional representation — importance sampling, not a cut. */
+  val q132_dsir_resample: Q = (s, dir) => {
+    val scored = TextAnalysis.dsirScore(Tables.documents(s, dir),
+      "doc_id", "text", col("lang") === "en")
+    Sampling.systematicResample(scored, col("doc_id"),
+      floor(exp(col("dsir_score")) * 1e6 + 0.5), n = 1000, seed = "r19f")
+      .select(col("doc_id"), col("dsir_score"), col("draws"))
+  }
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -1917,5 +1936,6 @@ object Queries {
     "q129_systematic_resample" -> q129_systematic_resample,
     "q130_boilerplate_removal" -> q130_boilerplate_removal,
     "q131_length_batching" -> q131_length_batching,
+    "q132_dsir_resample" -> q132_dsir_resample,
   )
 }
