@@ -2599,5 +2599,47 @@ object OracleSql {
         |            - ((cum - wt) * 2000 + tot) // (tot + tot) AS BIGINT) AS draws
         |  FROM c)
         |WHERE draws >= 1""".stripMargin,
+
+    // q133: q127's recall walk with the candidate tier = dimension
+    // truncation — both sides of the candidate search sliced to the
+    // first 16 of 64 components (cosine is scale-invariant, no
+    // renormalization), truth at full dimension, recall@5 per query.
+    "q133_matryoshka_recall" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (SELECT vec_id, list_slice(embedding, 1, 16) AS emb FROM e),
+        |tp AS (
+        |  SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+        |         unnest(q.embedding) AS uq, unnest(e2.embedding) AS ue
+        |  FROM e q, e e2 WHERE q.vec_id < 10 AND q.vec_id <> e2.vec_id),
+        |truth AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY
+        |             round(sum(CAST(uq AS DOUBLE) * CAST(ue AS DOUBLE))
+        |               / (sqrt(sum(CAST(uq AS DOUBLE) * CAST(uq AS DOUBLE)))
+        |                * sqrt(sum(CAST(ue AS DOUBLE) * CAST(ue AS DOUBLE)))), 6) DESC,
+        |             neighbor_id) AS rk
+        |    FROM tp GROUP BY query_id, neighbor_id) WHERE rk <= 5),
+        |cp AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         unnest(q.emb) AS uq, unnest(c.emb) AS ue
+        |  FROM p q, p c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |cand AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY
+        |             round(sum(CAST(uq AS DOUBLE) * CAST(ue AS DOUBLE))
+        |               / (sqrt(sum(CAST(uq AS DOUBLE) * CAST(uq AS DOUBLE)))
+        |                * sqrt(sum(CAST(ue AS DOUBLE) * CAST(ue AS DOUBLE)))), 6) DESC,
+        |             neighbor_id) AS rk
+        |    FROM cp GROUP BY query_id, neighbor_id) WHERE rk <= 5),
+        |hits AS (
+        |  SELECT t.query_id, count(*) AS h
+        |  FROM truth t JOIN cand c
+        |    ON t.query_id = c.query_id AND t.neighbor_id = c.neighbor_id
+        |  GROUP BY 1)
+        |SELECT q.query_id, CAST(coalesce(h, 0) AS BIGINT) AS hits,
+        |       round(CAST(coalesce(h, 0) AS DOUBLE) / 5, 6) AS recall
+        |FROM (SELECT DISTINCT query_id FROM truth) q LEFT JOIN hits USING (query_id)""".stripMargin,
   )
 }

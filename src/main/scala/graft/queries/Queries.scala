@@ -1802,6 +1802,28 @@ object Queries {
       .select(col("doc_id"), col("dsir_score"), col("draws"))
   }
 
+  /** Matryoshka prefix-dimension retrieval eval (Kusupati et al.,
+    * NeurIPS'22 — MRL embeddings are trained so PREFIXES of the vector
+    * are themselves usable embeddings; serving truncates to d′ ≪ d and
+    * pays d′/d of the memory and FLOPs): recall@5 of brute cosine search
+    * in the FIRST-16-of-64 prefix space against full-dimension truth,
+    * via [[graft.operators.Retrieval.recallReport]] — q127's evaluation
+    * shape with the candidate tier being dimension truncation instead of
+    * scalar quantization (cosine is scale-invariant, so truncation needs
+    * no renormalization for ranking). The measured recall IS the
+    * truncation trade a deployment reads before flipping to prefix
+    * serving. */
+  val q133_matryoshka_recall: Q = (s, dir) => {
+    import graft.operators.Retrieval
+    val e = Tables.embeddings(s, dir)
+    val qs = e.where(col("vec_id") < 10)
+    val truth = Similarity.bruteForceTopK(qs, e, k = 5)
+    def prefix(df: DataFrame) = df.select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("embedding"))
+    val cand = Similarity.bruteForceTopK(prefix(qs), prefix(e), k = 5)
+    Retrieval.recallReport(truth, cand, k = 5)
+  }
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -1937,5 +1959,6 @@ object Queries {
     "q130_boilerplate_removal" -> q130_boilerplate_removal,
     "q131_length_batching" -> q131_length_batching,
     "q132_dsir_resample" -> q132_dsir_resample,
+    "q133_matryoshka_recall" -> q133_matryoshka_recall,
   )
 }
