@@ -59,4 +59,46 @@ object Retrieval {
         coalesce(col("h"), lit(0L)).cast("long").as("hits"),
         round(coalesce(col("h"), lit(0L)).cast("double") / k, 6).as("recall"))
   }
+
+  /** Per-query NDCG@k of a RANKED candidate relation against an exact
+    * truth relation — [[recallReport]]'s rank-sensitive sibling
+    * (Järvelin & Kekäläinen, TOIS 2002): recall treats a hit at rank 1
+    * and rank k identically; NDCG discounts each hit by 1/log₂(rank+1),
+    * which is what separates two tiers with equal recall but different
+    * orderings. Binary relevance (a candidate is relevant iff it is in
+    * the truth set — the graded-gain variant needs human labels this
+    * pipeline does not have): DCG = Σ_hits 1/log₂(rank+1), IDCG = the
+    * perfect-ordering DCG over min(k, |truth|) slots, ndcg rounded to 6
+    * (the family convention; every term is a correctly-rounded double
+    * log and division, identical in any engine). Queries present in the
+    * truth but absent from the candidate report 0, not silence.
+    *
+    * `candidate` must carry the tier's rank column (1-based, as
+    * [[graft.operators.Similarity.bruteForceTopK]] and every indexed
+    * tier emit); ranks beyond k are ignored so a wider candidate list
+    * can be re-scored at tighter k without recomputation. Answer-sized
+    * relations throughout, exactly as [[recallReport]]. */
+  def ndcgReport(truth: DataFrame, candidate: DataFrame, k: Int,
+                 rankCol: String = "rk"): DataFrame = {
+    require(k >= 1, s"k must be ≥ 1, got $k")
+    val t = truth.select(col("query_id"), col("neighbor_id"))
+    val c = candidate.select(col("query_id"), col("neighbor_id"),
+        col(rankCol).cast("long").as("nd_rk"))
+      .where(col("nd_rk") >= 1 && col("nd_rk") <= k)
+    val dcg = t.join(c, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id")
+      .agg(sum(lit(1.0) / log2(col("nd_rk").cast("double") + 1.0)).as("dcg"))
+    val ideal = t.groupBy("query_id")
+      .agg(least(count(lit(1)), lit(k.toLong)).as("nd_m"))
+      // IDCG(m) = Σ_{i=1..m} 1/log₂(i+1) — a k-term map over a bounded
+      // sequence, never a per-row loop at corpus scale (k is the eval knob)
+      .withColumn("idcg", aggregate(
+        sequence(lit(1L), col("nd_m")),
+        lit(0.0), (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1.0)))
+    ideal
+      .join(dcg, Seq("query_id"), "left")
+      .select(col("query_id"),
+        round(coalesce(col("dcg"), lit(0.0)), 6).as("dcg"),
+        round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6).as("ndcg"))
+  }
 }

@@ -2641,5 +2641,54 @@ object OracleSql {
         |SELECT q.query_id, CAST(coalesce(h, 0) AS BIGINT) AS hits,
         |       round(CAST(coalesce(h, 0) AS DOUBLE) / 5, 6) AS recall
         |FROM (SELECT DISTINCT query_id FROM truth) q LEFT JOIN hits USING (query_id)""".stripMargin,
+
+    // q134: q133's walks re-scored as NDCG@5 — the candidate keeps its
+    // rank, each hit contributes 1/log2(rank+1), IDCG is the
+    // perfect-ordering sum over min(5, |truth|) slots (a 5-row series
+    // relation), ndcg = round(dcg/idcg, 6) like every family double.
+    "q134_prefix_ndcg" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        |p AS (SELECT vec_id, list_slice(embedding, 1, 16) AS emb FROM e),
+        |tp AS (
+        |  SELECT q.vec_id AS query_id, e2.vec_id AS neighbor_id,
+        |         unnest(q.embedding) AS uq, unnest(e2.embedding) AS ue
+        |  FROM e q, e e2 WHERE q.vec_id < 10 AND q.vec_id <> e2.vec_id),
+        |truth AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY
+        |             round(sum(CAST(uq AS DOUBLE) * CAST(ue AS DOUBLE))
+        |               / (sqrt(sum(CAST(uq AS DOUBLE) * CAST(uq AS DOUBLE)))
+        |                * sqrt(sum(CAST(ue AS DOUBLE) * CAST(ue AS DOUBLE)))), 6) DESC,
+        |             neighbor_id) AS rk
+        |    FROM tp GROUP BY query_id, neighbor_id) WHERE rk <= 5),
+        |cp AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         unnest(q.emb) AS uq, unnest(c.emb) AS ue
+        |  FROM p q, p c WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        |cand AS (
+        |  SELECT query_id, neighbor_id, rk FROM (
+        |    SELECT query_id, neighbor_id,
+        |           row_number() OVER (PARTITION BY query_id ORDER BY
+        |             round(sum(CAST(uq AS DOUBLE) * CAST(ue AS DOUBLE))
+        |               / (sqrt(sum(CAST(uq AS DOUBLE) * CAST(uq AS DOUBLE)))
+        |                * sqrt(sum(CAST(ue AS DOUBLE) * CAST(ue AS DOUBLE)))), 6) DESC,
+        |             neighbor_id) AS rk
+        |    FROM cp GROUP BY query_id, neighbor_id) WHERE rk <= 5),
+        |dcg AS (
+        |  SELECT t.query_id, sum(1.0 / log2(c.rk + 1.0)) AS dcg
+        |  FROM truth t JOIN cand c
+        |    ON t.query_id = c.query_id AND t.neighbor_id = c.neighbor_id
+        |  GROUP BY 1),
+        |m AS (SELECT query_id, least(count(*), 5) AS m FROM truth GROUP BY 1),
+        |idcg AS (
+        |  SELECT mm.m, sum(1.0 / log2(s.i + 1.0)) AS idcg
+        |  FROM (SELECT unnest(generate_series(1, 5)) AS m) mm
+        |  JOIN (SELECT unnest(generate_series(1, 5)) AS i) s ON s.i <= mm.m
+        |  GROUP BY 1)
+        |SELECT m.query_id,
+        |       round(coalesce(dcg, 0.0), 6) AS dcg,
+        |       round(coalesce(dcg, 0.0) / idcg, 6) AS ndcg
+        |FROM m JOIN idcg USING (m) LEFT JOIN dcg USING (query_id)""".stripMargin,
   )
 }

@@ -1824,6 +1824,23 @@ object Queries {
     Retrieval.recallReport(truth, cand, k = 5)
   }
 
+  /** NDCG@5 of the Matryoshka prefix tier
+    * ([[graft.operators.Retrieval.ndcgReport]]): q133's truth/candidate
+    * walks re-scored with the rank-SENSITIVE metric — recall treats a
+    * hit at rank 1 and rank 5 identically, NDCG discounts by
+    * 1/log₂(rank+1), separating tiers with equal recall but different
+    * orderings (the second number every retrieval eval reports). */
+  val q134_prefix_ndcg: Q = (s, dir) => {
+    import graft.operators.Retrieval
+    val e = Tables.embeddings(s, dir)
+    val qs = e.where(col("vec_id") < 10)
+    val truth = Similarity.bruteForceTopK(qs, e, k = 5)
+    def prefix(df: DataFrame) = df.select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("embedding"))
+    val cand = Similarity.bruteForceTopK(prefix(qs), prefix(e), k = 5)
+    Retrieval.ndcgReport(truth, cand, k = 5)
+  }
+
   // -------------------------------------------------------------- registry --
 
   val all: Map[String, Q] = Map(
@@ -1960,5 +1977,6 @@ object Queries {
     "q131_length_batching" -> q131_length_batching,
     "q132_dsir_resample" -> q132_dsir_resample,
     "q133_matryoshka_recall" -> q133_matryoshka_recall,
+    "q134_prefix_ndcg" -> q134_prefix_ndcg,
   )
 }

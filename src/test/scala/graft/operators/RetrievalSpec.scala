@@ -40,4 +40,37 @@ class RetrievalSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L, 1.0), (2L, 1L, 0.5), (3L, 0L, 0.0)))
     intercept[IllegalArgumentException] { Retrieval.recallReport(truth, cand, 0) }
   }
+
+  test("ndcgReport: rank-discounted gains against a hand computation, " +
+    "rank-sensitivity recall cannot see, short truth IDCG, zero-hit 0, guards") {
+    def d(r: Long) = 1.0 / (math.log(r + 1.0) / math.log(2.0))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val truth = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L), (3L, 30L))
+      .toDF("query_id", "neighbor_id")
+    // q1: both hits, at ranks 1 and 3; q2: same RECALL as a rank-1+2
+    //     ordering would give, but hits at ranks 2 and 3 — NDCG drops;
+    // q3: single-truth query (IDCG over ONE slot), zero hits
+    val cand = Seq((1L, 10L, 1L), (1L, 99L, 2L), (1L, 11L, 3L),
+      (2L, 98L, 1L), (2L, 20L, 2L), (2L, 21L, 3L),
+      (3L, 97L, 1L)).toDF("query_id", "neighbor_id", "rk")
+    val got = Retrieval.ndcgReport(truth, cand, k = 3)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    val idcg2 = d(1) + d(2)
+    assert(got(0) === ((1L, r6(d(1) + d(3)), r6((d(1) + d(3)) / idcg2))))
+    assert(got(1) === ((2L, r6(d(2) + d(3)), r6((d(2) + d(3)) / idcg2))))
+    assert(got(2) === ((3L, 0.0, 0.0)), "zero hits report 0, not silence")
+    assert(got(0)._3 > got(1)._3,
+      "equal recall, better ranks → higher NDCG (the metric's point)")
+    // a perfect ordering scores exactly 1.0
+    val perfect = Seq((1L, 10L, 1L), (1L, 11L, 2L))
+      .toDF("query_id", "neighbor_id", "rk")
+    val p = Retrieval.ndcgReport(truth.where(col("query_id") === 1),
+      perfect, k = 2).select("ndcg").as[Double].head()
+    assert(p === 1.0)
+    // ranks beyond k are ignored (re-score a wide list at tighter k)
+    val wide = Retrieval.ndcgReport(truth, cand, k = 2)
+      .as[(Long, Double, Double)].collect().sortBy(_._1)
+    assert(wide(0)._2 === r6(d(1)), "q1's rank-3 hit is outside k=2")
+    intercept[IllegalArgumentException] { Retrieval.ndcgReport(truth, cand, 0) }
+  }
 }
