@@ -34,12 +34,17 @@ class PlanContractSpec extends SparkSpec {
     *  - q126/q127: the dense component of the RRF fusion and BOTH walks
     *    of the recall report (truth + SQ8 candidate) are q27's brute
     *    tier; the fusion/report stages on top are answer-sized
-    *    equi-joins and reduces only. */
+    *    equi-joins and reduces only.
+    *  - q133/q134: both walks of the Matryoshka evals (full-dim truth +
+    *    prefix candidate) are q27's brute tier; the recall/NDCG stages
+    *    on top are answer-sized equi-joins and reduces only (NDCG's
+    *    IDCG side is a k-row series). */
   private val intendedBnlj = Set("q27_ann_cosine", "q70_pq_adc",
     "q63_source_drift", "q64_distinctive_terms", "q93_knn_label",
     "q101_sq_topk", "q102_semantic_decontam", "q113_doremi_weights",
     "q119_perplexity_buckets", "q124_hard_negatives", "q125_curriculum_order",
-    "q126_hybrid_rrf", "q127_sq8_recall")
+    "q126_hybrid_rrf", "q127_sq8_recall", "q133_matryoshka_recall",
+    "q134_prefix_ndcg")
 
   test("no declared query plans a cartesian product; BNLJ only where intended") {
     val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
