@@ -1020,6 +1020,30 @@ class SamplingSpec extends SparkSpec {
       "the 2^bits offset relation must broadcast, never shuffle the corpus")
   }
 
+  test("DSIR ∘ systematicResample: exp-weights dominate the draw when the " +
+    "target vocabulary actually separates; q132's Σdraws exactly n") {
+    // the corpus gate's tilt is real but smaller than count granularity
+    // (shared vocab → exp spread ~1%; every doc draws 2 of n=1000), so
+    // the DOMINANCE property is pinned on a fixture with disjoint
+    // vocabularies — the regime DSIR exists for
+    val docs = ((1L to 10L).map(i => (i, "en", "aa bb cc dd")) ++
+      (11L to 20L).map(i => (i, "zz", "xx yy ww vv"))).toDF("doc_id", "lang", "text")
+    val scored = graft.operators.TextAnalysis.dsirScore(
+      docs, "doc_id", "text", col("lang") === "en")
+    val drawn = Sampling.systematicResample(scored, col("doc_id"),
+        floor(exp(col("dsir_score")) * 1e6 + 0.5), n = 100L, seed = "t")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy("lang").agg(sum(col("draws")).as("d"))
+      .as[(String, Long)].collect().toMap
+    assert(drawn.values.sum === 100L)
+    assert(drawn.getOrElse("en", 0L) > 80L,
+      s"target docs carry e^positive likelihood ratios and must dominate " +
+        s"the importance draw: $drawn")
+    // the corpus gate conserves the draw count exactly
+    val out = graft.queries.Queries.all("q132_dsir_resample")(spark, sf)
+    assert(out.agg(sum(col("draws"))).as[Long].head() === 1000L)
+  }
+
   test("systematicResample: non-competing rows excluded, guards fire") {
     val df = Seq((1L, Option(5L)), (2L, Option(0L)), (3L, Option(-4L)),
       (4L, Option.empty[Long])).toDF("id", "w")
