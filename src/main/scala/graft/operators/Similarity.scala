@@ -2297,12 +2297,27 @@ object Similarity {
       .select((col("id") / blocks).cast("long").as("bl"),
         pmod(col("id"), lit(blocks.toLong)).as("br"))
       .where(col("bl") <= col("br"))
+    // the tile join is COMPUTE-dense per byte (each tile pairs two whole
+    // blocks through the cosine kernel), so AQE's byte-based partition
+    // coalescing is exactly wrong for it: at bench scale it folds the
+    // ~17 MB exchange into a handful of tasks and serializes the
+    // Θ(tiles·(n/B)²) kernel work (measured 2.45 → 0.92 s at sf0.1 when
+    // the coalescing floor is lifted). Pin the exchange with an explicit
+    // repartition on the join keys — the SAME hash exchange the join
+    // would insert, just not coalescible — at the data-aware stream
+    // width (≥ session width: a cluster session keeps or widens its
+    // parallelism, never narrows at scale).
+    val tileWidth = TextAnalysis.scanStreamWidth(
+      TextAnalysis.leafScanBytes(corpus),
+      spark.sessionState.conf.numShufflePartitions)
     val l = blocked.select(col(idCol).as("left_id"), col(vecCol).as("va"),
         col("g").as("bl"))
       .join(broadcast(tiles), Seq("bl"))
+      .repartition(tileWidth, col("bl"), col("br"))
     val r = blocked.select(col(idCol).as("right_id"), col(vecCol).as("vb"),
         col("g").as("br"))
       .join(broadcast(tiles), Seq("br"))
+      .repartition(tileWidth, col("bl"), col("br"))
     val cos = round(cosine(col("va"), col("vb")), 6)
     // off-diagonal tiles hold each unordered pair exactly once (its two rows
     // live in different blocks), whatever the id order; only the diagonal

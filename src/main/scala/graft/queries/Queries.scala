@@ -43,8 +43,11 @@ object Queries {
     * glue_script.py:19-78): left join, abs/scale, conditional price,
     * date-format, cast battery. */
   val q02_enrich_transform: Q = (s, dir) => {
-    val li = Tables.lineitem(s, dir)
-    val o = Tables.orders(s, dir)
+    // unsplittable-scan repartition (Tables.parallel): the decimal/cast
+    // battery below otherwise evaluates on the scan's single task
+    // (measured 1.55 → 0.76 s at sf0.1, OPTIMIZATION_r19.md)
+    val li = Tables.lineitemPar(s, dir)
+    val o = Tables.ordersPar(s, dir)
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(12,2)")
     li.join(o, li("l_orderkey") === o("o_orderkey"), "left")
       .select(
@@ -99,7 +102,9 @@ object Queries {
   /** E4/E12 (cast battery with pandas-style coerce-to-null, elt.py:49-65):
     * try-cast strings, JSON field extraction, numeric→string. */
   val q06_cast_battery: Q = (s, dir) =>
-    Tables.events(s, dir).select(
+    // parallel: per-row JSON extraction + cast battery off the single-task
+    // scan (0.44 → 0.28 s, OPTIMIZATION_r19.md)
+    Tables.eventsPar(s, dir).select(
       col("event_id"),
       get_json_object(col("props"), "$.k").cast("int").cast("long").as("k_int"),
       col("event_type").cast("int").cast("long").as("coerced_null"),
@@ -156,7 +161,9 @@ object Queries {
     * decimal-exact sums). */
   val q10_pricing_summary: Q = (s, dir) => {
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(12,2)")
-    Tables.lineitem(s, dir)
+    // parallel: the decimal partial aggregate is the query's whole cost and
+    // otherwise runs on the scan's single task (0.81 → 0.71 s)
+    Tables.lineitemPar(s, dir)
       .where(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
@@ -217,7 +224,10 @@ object Queries {
     * and grand-total rows with null group keys, decimal-exact sums. */
   val q14_rollup: Q = (s, dir) => {
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(12,2)")
-    Tables.lineitem(s, dir)
+    // parallel: ROLLUP's Expand multiplies every row ×3 BEFORE the partial
+    // aggregate — heavy pre-exchange work on a single-task scan otherwise
+    // (0.96 → 0.64 s)
+    Tables.lineitemPar(s, dir)
       .rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
         count(lit(1)).as("n"))
@@ -352,7 +362,9 @@ object Queries {
     * 256 pairs at sf0.1 — the standard S-curve trade, now gated
     * faithfully instead of coincidentally). */
   val q25_minhash_dedup: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
+    // parallel: the per-doc shingle + 64-permutation signature build is the
+    // operator's heaviest per-row pass (1.75 → 0.83 s)
+    val docs = Tables.documentsPar(s, dir)
       .select(col("doc_id"), split(col("text"), " ").as("tok"))
     Dedup.minHashDedupPortable(docs, "doc_id", "tok", shingleN = 3, threshold = 0.8)
   }
@@ -360,7 +372,8 @@ object Queries {
   /** SimHash near-dup detection. Signatures are built on the cross-engine
     * md5Long token hash, so the oracle recomputes them exactly. */
   val q26_simhash_pairs: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
+    // parallel: per-doc 64-bit signature build off the single-task scan
+    val docs = Tables.documentsPar(s, dir)
       .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("tok"))
     Dedup.simHashPairs(docs, "doc_id", "tok", maxHamming = 3)
   }
@@ -403,7 +416,8 @@ object Queries {
     * replays the same hyperplane constants, so buckets — and therefore the
     * exact result set — match. */
   val q31_ann_srp: Q = (s, dir) => {
-    val e = Tables.embeddings(s, dir)
+    // parallel: the corpus-side 8-hyperplane projection runs pre-exchange
+    val e = Tables.embeddingsPar(s, dir)
     Similarity.srpBucketTopK(e.where(col("vec_id") < 50), e, k = 3, dim = 64, nbits = 8)
   }
 
@@ -602,8 +616,9 @@ object Queries {
 
   /** Winnowing fingerprints per document (md5Long grams — hash-oracled). */
   val q40_winnow_fingerprints: Q = (s, dir) =>
+    // parallel: per-doc gram-hash + winnow window build off the single task
     TextAnalysis.winnowedFingerprints(
-      Tables.documents(s, dir).select(col("doc_id"), split(col("text"), " ").as("tok")),
+      Tables.documentsPar(s, dir).select(col("doc_id"), split(col("text"), " ").as("tok")),
       "doc_id", "tok")
 
   /** Reproducible train/val/test split by content-hash bucketing (cross-
@@ -698,8 +713,9 @@ object Queries {
     * lists in DuckDB. */
   val q49_repetition_fraction: Q = (s, dir) =>
     // tok is projected to an attribute first: an inline split would be
-    // duplicated into every element_at of the interpreted n-gram lambda
-    Tables.documents(s, dir)
+    // duplicated into every element_at of the interpreted n-gram lambda.
+    // parallel: the whole query is that per-row lambda (0.55 → 0.22 s)
+    Tables.documentsPar(s, dir)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("tok"))
       .select(col("doc_id"),
         TextAnalysis.dupNgramFraction(col("tok"), 2).as("dup2_frac"),
@@ -718,7 +734,8 @@ object Queries {
     * a non-trivial hit set). The benchmark gram set broadcasts; the corpus
     * side is linear. */
   val q52_decontamination: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
+    // parallel: both sides' gram builds run pre-exchange
+    val docs = Tables.documentsPar(s, dir)
     TextAnalysis.contaminationHits(
       docs.where(col("doc_id") >= 10), docs.where(col("doc_id") < 10),
       "doc_id", "text", n = 4)
@@ -768,7 +785,8 @@ object Queries {
       lpad(pmod(col("c_custkey") * 7919, lit(10000)).cast("string"), 4, "0"),
       lit(" ip 10."), pmod(col("c_custkey"), lit(256)).cast("string"),
       lit("."), pmod(col("c_custkey") * 3, lit(256)).cast("string"), lit(".7"))
-    Tables.customer(s, dir)
+    // parallel: the regex redaction battery is the whole query's cost
+    Tables.customerPar(s, dir)
       .select(col("c_custkey").as("customer_id"), contact.as("contact"))
       .select(col("customer_id"), col("contact"),
         Redaction.redact(col("contact")).as("redacted"),
@@ -881,7 +899,9 @@ object Queries {
     * with the benchmark gram set compiled to a codegen'd bit-array probe
     * that prunes the corpus gram stream before the exact confirm join. */
   val q66_bloom_decontam: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
+    // parallel: the bloom build/probe gram passes run pre-exchange
+    // (1.06 → 0.77 s)
+    val docs = Tables.documentsPar(s, dir)
     TextAnalysis.bloomDecontaminate(
       docs.where(col("doc_id") >= 10), docs.where(col("doc_id") < 10),
       "doc_id", "text", n = 4)
@@ -929,7 +949,9 @@ object Queries {
     * cross-slice similarity tail (p99 ≈ 0.43, max ≈ 0.48 at sf0.001), so
     * the gate genuinely cuts without emptying. */
   val q102_semantic_decontam: Q = (s, dir) => {
-    val e = Tables.embeddings(s, dir)
+    // parallel: the corpus is the BNLJ's stream side — single-task
+    // otherwise, every suite×corpus cosine on one core (1.14 → 0.65 s)
+    val e = Tables.embeddingsPar(s, dir)
     Similarity.semanticDecontaminate(
       e.where(col("vec_id") % 9 =!= 0),
       e.where(col("vec_id") % 9 === 0), tau = 0.40)
@@ -1129,7 +1151,8 @@ object Queries {
     * doc are cut too (the suffix-array semantics q76's cross-doc distinct
     * deliberately ignores). */
   val q90_exact_substr_rm: Q = (s, dir) =>
-    TextAnalysis.exactSubstrRemove(Tables.documents(s, dir), "doc_id", "text", n = 8)
+    // parallel: the gram-site build ahead of the g-exchange runs pre-exchange
+    TextAnalysis.exactSubstrRemove(Tables.documentsPar(s, dir), "doc_id", "text", n = 8)
 
   /** Token-budget selection: keep the highest-quality docs while the
     * running TOKEN total fits a 20k budget (the unit real dataset cuts
@@ -1190,7 +1213,8 @@ object Queries {
     * spans, and the longest single leak. Every suite doc reports (zeros
     * when clean). */
   val q99_contamination_report: Q = (s, dir) => {
-    val docs = Tables.documents(s, dir)
+    // parallel: both sides' gram builds run pre-exchange
+    val docs = Tables.documentsPar(s, dir)
     TextAnalysis.contaminationReport(
       docs.where(col("doc_id") % 7 === 0),
       docs.where(col("doc_id") % 7 =!= 0),
@@ -1446,7 +1470,11 @@ object Queries {
     * cannot match a merge's left symbol against another symbol's suffix. */
   val q110_bpe_encode: Q = (s, dir) => {
     import graft.operators.BpeTrain
-    BpeTrain.bpeEncode(Tables.documents(s, dir), "text", BpeTrain.fixedMerges())
+    // parallel: the replace-chain kernel is pure per-row work — single-task
+    // otherwise (0.96 → 0.37 s). The encode itself stays zero-shuffle
+    // (BpeTrainSpec); the one exchange here is input layout, not operator
+    // work.
+    BpeTrain.bpeEncode(Tables.documentsPar(s, dir), "text", BpeTrain.fixedMerges())
       .select(col("doc_id"),
         concat_ws(" ", col("bpe_tokens")).as("bpe_text"), col("bpe_len"))
   }
@@ -1528,8 +1556,9 @@ object Queries {
     * sequence would hash the same way. */
   val q115_bpe_pairs_bytes: Q = (s, dir) => {
     import graft.operators.BpeTrain
+    // parallel: the byte-seed hex segmentation is the heavy per-row pass
     BpeTrain.pairCounts(BpeTrain.initVocab(
-        BpeTrain.wordCounts(Tables.documents(s, dir), "text"), byteSeed = true))
+        BpeTrain.wordCounts(Tables.documentsPar(s, dir), "text"), byteSeed = true))
       .orderBy(desc("cnt"), asc("l"), asc("r"))
       .limit(20)
       .select(col("l"), col("r"), col("cnt").cast("long").as("cnt"))

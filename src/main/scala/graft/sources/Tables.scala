@@ -18,15 +18,75 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
+  /** Natural hash-distribution keys for [[parallel]] (unique or near-unique,
+    * so 32-way hash partitioning is balanced and deterministic by VALUE —
+    * no round-robin, no sort-before-repartition pass). */
+  private val distKeys: Map[String, Seq[String]] = Map(
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "orders" -> Seq("o_orderkey"),
+    "customer" -> Seq("c_custkey"),
+    "events" -> Seq("event_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val df0 = spark.read.parquet(s"$sfDir/$name.parquet")
     // Integer division (`div`), not `/`: at 2024-era nanos (~1.7e18) a double's
     // ulp is 256 ns, so double division + cast truncates one micro low on some
     // rows, diverging from DuckDB's exact integer truncation.
-    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df =
+      if (name == "events" && df0.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df0
+    // measurement seam (dev A/B only — see graft.tools.ProfileTablesAB):
+    // parallelize EVERY keyed table when the conf is set, so any declared
+    // query can be timed with/without the unsplittable-scan fix by flipping
+    // one session conf. Production wiring is per-query via [[parallel]].
+    if (spark.conf.getOption("graft.scan.parallel").contains("true")
+        && distKeys.contains(name)) parallel(df, distKeys(name).map(col): _*)
     else df
   }
+
+  /** Unsplittable-scan guard (optimization guide §2.5 "input skew: one
+    * huge unsplittable file … repartition immediately after the read").
+    * The driver testdata writes each table as ONE parquet row group, and a
+    * row group is the vectorized reader's atomic unit — the whole table
+    * arrives in one task, serializing every downstream map pass (scan-side
+    * projections, explodes, partial aggregates, broadcast builds) on one
+    * core of N. Redistribute by a deterministic key ONLY when the physical
+    * scan cannot reach the session's core count; a production-scale input
+    * (scan parallelism ≥ cores) passes through untouched, so the extra
+    * exchange never exists at 100 TB. Filter pushdown and column pruning
+    * pass through the repartition (verified: PushedFilters on the scan are
+    * unchanged — ProfileScanParallel), and hash-by-key is deterministic by
+    * value, so retries and re-runs see identical partition contents. */
+  def parallel(df: DataFrame, key: org.apache.spark.sql.Column*): DataFrame = {
+    val cpus = df.sparkSession.sparkContext.defaultParallelism
+    // metadata-only probe (file listing + split arithmetic, no job)
+    if (df.rdd.getNumPartitions < cpus) df.repartition(cpus, key: _*) else df
+  }
+
+  /** [[parallel]] convenience loaders for the query sites where the
+    * unsplittable-scan repartition is a measured win (heavy per-row work
+    * between the scan and the first exchange — decimal/cast batteries,
+    * shingle/signature/encode builds, Expand-multiplied partial
+    * aggregates, brute-tier stream sides). Each application is A/B'd in
+    * OPTIMIZATION_r19.md; queries whose pre-exchange work is light keep
+    * the plain loaders — the exchange + 32-task overhead outweighs the
+    * parallelism there (measured: blanket application regresses the
+    * bench). */
+  def lineitemPar(s: SparkSession, d: String): DataFrame =
+    parallel(lineitem(s, d), col("l_orderkey"), col("l_linenumber"))
+  def ordersPar(s: SparkSession, d: String): DataFrame =
+    parallel(orders(s, d), col("o_orderkey"))
+  def customerPar(s: SparkSession, d: String): DataFrame =
+    parallel(customer(s, d), col("c_custkey"))
+  def eventsPar(s: SparkSession, d: String): DataFrame =
+    parallel(events(s, d), col("event_id"))
+  def documentsPar(s: SparkSession, d: String): DataFrame =
+    parallel(documents(s, d), col("doc_id"))
+  def embeddingsPar(s: SparkSession, d: String): DataFrame =
+    parallel(embeddings(s, d), col("vec_id"))
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
