@@ -316,12 +316,18 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding")
   : Array[Array[Array[Double]]] = {
     require(m > 0 && ksub > 0, s"need positive sizing, got m=$m ksub=$ksub")
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    // dim reads off the seed rows — the separate `select(size(vec)).head()`
+    // job it replaces cost one full scheduler round trip per train call
+    // (guide §1.2: fewer passes; the seeds collect was already paying for
+    // the scan)
+    val seeds = corpus.orderBy(col(idCol)).limit(ksub).select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(seeds.nonEmpty, "pqTrain needs a non-empty corpus")
+    val dim = seeds.head.length
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val dsub = dim / m
     var books: Array[Array[Array[Double]]] =
-      corpus.orderBy(col(idCol)).limit(ksub).select(col(vecCol)).collect()
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      seeds
         .map(v => Array.tabulate(m)(s => v.slice(s * dsub, (s + 1) * dsub)))
         .transpose.map(_.toArray)
     for (_ <- 0 until iters) {

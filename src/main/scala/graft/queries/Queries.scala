@@ -1372,7 +1372,11 @@ object Queries {
     * each engine checks against its OWN sketch — a broken sketch on
     * either side flips the bit and fails the gate. */
   val q79_approx_quantiles: Q = (s, dir) =>
-    Tables.orders(s, dir).groupBy(col("o_orderpriority")).agg(
+    // parallel: the exact-percentile partial buffers every group value per
+    // task — heavy pre-exchange work (won in 3 of 4 A/B sessions, −0.1..−0.3;
+    // the approx witness has a 10-percentile-point band, far above any
+    // merge-order drift)
+    Tables.ordersPar(s, dir).groupBy(col("o_orderpriority")).agg(
       count(lit(1)).as("n"),
       percentile(col("o_totalprice"), lit(0.5)).as("exact_med"),
       approx_percentile(col("o_totalprice"), lit(0.5), lit(10000))

@@ -1208,6 +1208,13 @@ class SimilaritySpec extends SparkSpec {
     val plan = tiled.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"tiled join must not plan a nested loop:\n$plan")
+    // the tile exchange is PINNED (REPARTITION_BY_NUM, not
+    // ENSURE_REQUIREMENTS): the join is compute-dense per byte, and AQE's
+    // byte-based coalescing otherwise folds the kernel work into a handful
+    // of tasks (OPTIMIZATION_r19.md Finding 2). Same keys, same width
+    // arithmetic — only the coalescibility changes.
+    assert(plan.contains("REPARTITION_BY_NUM"),
+      s"tile exchange must be a pinned repartition:\n$plan")
     // bit-identical to the naive all-pairs join condition
     val a = emb.select(col("vec_id").as("left_id"), col("embedding").as("va"))
     val b = emb.select(col("vec_id").as("right_id"), col("embedding").as("vb"))
