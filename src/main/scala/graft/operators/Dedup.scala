@@ -278,36 +278,53 @@ object Dedup {
     jaccardPairsFromHashed(hs, threshold, vocabHint)
   }
 
+  /** The routing aggregate's outputs: sampled dictionary estimate,
+    * max set size, total token occurrences — one single-row job over the
+    * persisted hashed-set relation (which it also materializes).
+    * [[canonicalIdsCascadeAt]] shares this job with its occurrence gate
+    * (the gate reads the same `occ` the routing needs), so the cascade
+    * pays ONE stats pass instead of the round-19 two (guide §1: fewer
+    * driver round trips; A/B'd in OPTIMIZATION_r20.md). */
+  private[operators] case class RouteStats(vocabEst: Long, nMax: Int, occ: Long)
+
+  /** The one single-row-aggregate job that decides every routing question
+    * (no extra pass vs the historical estimate-only job): the dictionary
+    * estimate samples inside the aggregate via a conditional
+    * approx_count_distinct, while max-set-size and total occurrences run
+    * uncapped over the same exploded scan — which is also the action that
+    * populates the persisted `hs` every path reuses. */
+  private[operators] def routeStats(hs: DataFrame): RouteStats = {
+    val toks = hs.select(col("n"), explode(col("hs")).as("h"))
+    val parts = math.max(1, toks.rdd.getNumPartitions)
+    // monotonically_increasing_id puts the within-partition ordinal in
+    // the low 33 bits: `ordinal < cap` bounds every partition's
+    // contribution as a codegen'd predicate, with no exchange anywhere
+    // before the final single-row aggregate
+    val stats = toks.withColumn("ord",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+      .agg(
+        approx_count_distinct(when(col("ord") <
+          lit(math.max(1L, VocabSampleTokens.toLong / parts)), col("h"))).as("v"),
+        max(col("n")).as("nmax"),
+        count(lit(1)).as("occ")).head()
+    RouteStats(stats.getLong(0),
+      if (stats.isNullAt(1)) 0 else stats.getInt(1), stats.getLong(2))
+  }
+
   /** Representation routing over an already-hashed set relation
     * (blk, hs_id, n, hs) — the seam [[canonicalIdsCascade]] uses to pair
-    * its deduplicated representatives without re-hashing tokens. */
+    * its deduplicated representatives without re-hashing tokens.
+    * `precomputed` carries a [[routeStats]] result the caller already
+    * paid for (the cascade's occurrence gate); absent, the job runs here. */
   private def jaccardPairsFromHashed(hs: DataFrame, threshold: Double,
-                                     vocabHint: Option[Long]): DataFrame = {
+                                     vocabHint: Option[Long],
+                                     precomputed: Option[RouteStats] = None): DataFrame = {
     // τ = 0 must emit zero-overlap pairs, which the bitmap path cannot: its
     // explode drops empty-token docs entirely. Route τ = 0 to the full
     // self-join branch of the prefix path, which keeps them.
     if (threshold <= 0) return jaccardPairsPrefix(hs, threshold)
     if (vocabHint.isEmpty) {
-      // One single-row-aggregate job decides BOTH routing questions (no
-      // extra pass vs the historical estimate-only job): the dictionary
-      // estimate samples inside the aggregate via a conditional
-      // approx_count_distinct, while max-set-size and total occurrences
-      // run uncapped over the same exploded scan — which is also the
-      // action that populates the persisted `hs` every path reuses.
-      val toks = hs.select(col("n"), explode(col("hs")).as("h"))
-      val parts = math.max(1, toks.rdd.getNumPartitions)
-      // monotonically_increasing_id puts the within-partition ordinal in
-      // the low 33 bits: `ordinal < cap` bounds every partition's
-      // contribution as a codegen'd predicate, with no exchange anywhere
-      // before the final single-row aggregate
-      val stats = toks.withColumn("ord",
-          monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
-        .agg(
-          approx_count_distinct(when(col("ord") <
-            lit(math.max(1L, VocabSampleTokens.toLong / parts)), col("h"))).as("v"),
-          max(col("n")).as("nmax"),
-          count(lit(1)).as("occ")).head()
-      val nMax = if (stats.isNullAt(1)) 0 else stats.getInt(1)
+      val st = precomputed.getOrElse(routeStats(hs))
       // Radius gate FIRST, independent of the dictionary size: when τ and
       // the max set size bound any qualifying pair to ≤ 1 differing
       // token, the deletion-neighborhood path is exact and Θ(Σ n) for ANY
@@ -320,10 +337,10 @@ object Dedup {
       // fall through to the estimate-driven choice, whose measured bench
       // plans are cheaper there. With `vocabHint` the caller took manual
       // control of representation choice; the gate defers to it.
-      if (math.floor(nMax * (1 - threshold) / threshold) <= 1 &&
-          stats.getLong(2) > SmallCorpusOccMax)
+      if (math.floor(st.nMax * (1 - threshold) / threshold) <= 1 &&
+          st.occ > SmallCorpusOccMax)
         return jaccardPairsDelete1(hs, threshold)
-      if (stats.getLong(0) <= BitmapVocabMax)
+      if (st.vocabEst <= BitmapVocabMax)
         return jaccardPairsBitmap(hs, threshold)
       return jaccardPairsPrefix(hs, threshold)
     }
@@ -453,19 +470,23 @@ object Dedup {
     * [[BitmapVocabHardMax]], delegates to the prefix path — so a wrong
     * estimate can only cost time, never correctness. */
   private def jaccardPairsBitmap(hs: DataFrame, threshold: Double): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val vocabIds = hs.select(explode(col("hs")).as("h")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val vocabSize = vocabIds.count()
-    if (vocabSize > BitmapVocabHardMax) {
-      vocabIds.unpersist(blocking = false)
+    import hs.sparkSession.implicits._
+    // The dictionary is ≤ [[BitmapVocabHardMax]] longs BY DEFINITION of
+    // this path (else it hands off to prefix), so build it on the driver
+    // from ONE bounded collect — the round-19 shape paid a count() job,
+    // a persisted distinct relation, and a single-partition row_number
+    // window for the same ≤ 32 KB of longs (guide §1; A/B'd in
+    // OPTIMIZATION_r20.md). The limit caps the fetch at hardMax + 1 rows:
+    // enough to detect an estimate undershoot, never a corpus-scale pull.
+    val vocabRows = hs.select(explode(col("hs")).as("h")).distinct()
+      .limit(BitmapVocabHardMax.toInt + 1).as[Long].collect()
+    if (vocabRows.length > BitmapVocabHardMax)
       return jaccardPairsPrefix(hs, threshold)
-    }
     // empty corpus → zero-word mask; keep one word so the plan builds
-    val w = math.max(1, (vocabSize.toInt + 63) / 64)
+    val w = math.max(1, (vocabRows.length + 63) / 64)
     // deterministic dictionary: bit position = rank of token hash
-    val vocab = vocabIds
-      .withColumn("idx", row_number().over(Window.orderBy("h")) - 1)
+    val vocab = vocabRows.sorted.zipWithIndex
+      .map { case (h, i) => (h, i) }.toSeq.toDF("h", "idx")
     val masks = hs.select(col("blk"), col("hs_id"), col("n"), explode(col("hs")).as("h"))
       .join(broadcast(vocab), "h")
       .groupBy("blk", "hs_id", "n")
@@ -1037,16 +1058,24 @@ object Dedup {
   private[graft] def shingleHashedSetsBlocked(df: DataFrame, id: String,
                                               tokens: String, n: Int,
                                               carry: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("hs_id") +: carry.map(col): _*).orderBy("pos")
-    var th = df.select(col(id).as("hs_id") +: carry.map(col) :+
+    // codegen'd posexplode + get(tk, pos+j) shingle build (see
+    // [[graft.operators.TextAnalysis.tfidfCosinePairsTokens]]): the
+    // window-lead shape paid an exchange + per-doc sort of the token
+    // stream to read values the retained array already holds; the set
+    // reduce below now plans its own hash aggregate, whose map-side
+    // partial collect_set dedups shingles BEFORE its exchange (A/B'd in
+    // OPTIMIZATION_r20.md). Past-the-end positions hash as 0L, exactly
+    // the old coalesce(lead(h0, j), 0L).
+    val th = df.select(col(id).as("hs_id") +: carry.map(col) :+
+        col(tokens).as("sh_tk") :+
         posexplode(col(tokens)).as(Seq("pos", "tok")): _*)
-      .select(col("hs_id") +: carry.map(col) :+ col("pos") :+
-        xxhash64(col("tok")).as("h0"): _*)
-    (1 until n).foreach { j => th = th.withColumn(s"h$j", lead(col("h0"), j).over(w)) }
-    th.where(col(s"h${n - 1}").isNotNull || col("pos") === 0)
-      .select(col("hs_id") +: carry.map(col) :+
-        xxhash64((0 until n).map(j => coalesce(col(s"h$j"), lit(0L))): _*).as("sh"): _*)
+      .where(col("pos") <= size(col("sh_tk")) - n || col("pos") === 0)
+    def hj(j: Int): Column =
+      if (j == 0) xxhash64(col("tok"))
+      else when(col("pos") + j < size(col("sh_tk")),
+        xxhash64(get(col("sh_tk"), col("pos") + j))).otherwise(lit(0L))
+    th.select(col("hs_id") +: carry.map(col) :+
+        xxhash64((0 until n).map(hj): _*).as("sh"): _*)
       .groupBy(col("hs_id") +: carry.map(col): _*).agg(collect_set(col("sh")).as("hs"))
   }
 
@@ -1449,11 +1478,16 @@ object Dedup {
       .withColumnRenamed(block, "blk")
       .withColumn("n", size(col("hs")))
       .persist(pairPersistLevel(df.sparkSession))
-    val occRow = hsRaw.agg(sum(col("n"))).head()
-    val occN = if (occRow.isNullAt(0)) 0L else occRow.getLong(0)
-    if (occN <= occGate)
+    // ONE stats job serves both the occurrence gate here and (below the
+    // gate) the pair stage's representation routing — the round-19 shape
+    // paid a separate sum(n) job for the gate and then re-derived occ
+    // inside the routing aggregate (guide §1; A/B'd in
+    // OPTIMIZATION_r20.md). The job doubles as the hsRaw materializer.
+    val st = routeStats(hsRaw)
+    if (st.occ <= occGate)
       return canonicalIds(df.select(col(id)), id,
-        jaccardPairsFromHashed(hsRaw, threshold, vocabHint = None),
+        jaccardPairsFromHashed(hsRaw, threshold, vocabHint = None,
+          precomputed = Some(st)),
         reliable = reliable)
     val hs = hsRaw.withColumn("skey", array_sort(col("hs")))
     val withRep = hs.join(

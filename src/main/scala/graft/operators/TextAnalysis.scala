@@ -309,13 +309,14 @@ object TextAnalysis {
   def bigramLogProb(df: org.apache.spark.sql.DataFrame, id: String,
                     textCol: String): org.apache.spark.sql.DataFrame = {
     val tok = df.select(col(id).as("bl_id"), tokens(col(textCol)).as("tk"))
-    // tk is an attribute (not an inline split) before the lambda reads it —
-    // no CSE inside HOF lambdas, see the q52/q60 projection rule
+    // bigram build on the codegen'd posexplode + get(tk, pos+1) path: the
+    // transform(sequence…) higher-order build this replaces is
+    // CodegenFallback — an interpreted per-row struct-array construction
+    // in the hot corpus pass (guide §4; A/B'd in OPTIMIZATION_r20.md)
     val bg = tok.where(size(col("tk")) >= 2)
-      .select(col("bl_id"), explode(transform(sequence(lit(1), size(col("tk")) - 1),
-        i => struct(element_at(col("tk"), i).as("w1"),
-                    element_at(col("tk"), i + 1).as("w2")))).as("b"))
-      .select(col("bl_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .select(col("bl_id"), col("tk"), posexplode(col("tk")).as(Seq("pos", "w1")))
+      .where(col("pos") <= size(col("tk")) - 2)
+      .select(col("bl_id"), col("w1"), get(col("tk"), col("pos") + 1).as("w2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cbg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -364,11 +365,12 @@ object TextAnalysis {
     require(discount > 0 && discount < 1,
       s"KN discount must be in (0,1), got $discount")
     val tok = df.select(col(id).as("kn_id"), tokens(col(textCol)).as("tk"))
+    // codegen'd posexplode + get(tk, pos+1) bigram build — same rewrite
+    // (and rationale) as [[bigramLogProb]]'s
     val bg = tok.where(size(col("tk")) >= 2)
-      .select(col("kn_id"), explode(transform(sequence(lit(1), size(col("tk")) - 1),
-        i => struct(element_at(col("tk"), i).as("w1"),
-                    element_at(col("tk"), i + 1).as("w2")))).as("b"))
-      .select(col("kn_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .select(col("kn_id"), col("tk"), posexplode(col("tk")).as(Seq("pos", "w1")))
+      .where(col("pos") <= size(col("tk")) - 2)
+      .select(col("kn_id"), col("w1"), get(col("tk"), col("pos") + 1).as("w2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cbg = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -478,19 +480,26 @@ object TextAnalysis {
                              tokensCol: String, n: Int, blockCol: String,
                              minCosine: Double): org.apache.spark.sql.DataFrame = {
     require(n > 0, s"gram order must be positive, got $n")
-    import org.apache.spark.sql.expressions.Window
     val tok = df.select(col(id).as("tc_id"), col(blockCol).as("blk"),
       col(tokensCol).as("tk"))
-    val w = Window.partitionBy("tc_id").orderBy("pos")
-    var th = tok.where(size(col("tk")) >= n)
-      .select(col("tc_id"), col("blk"), posexplode(col("tk")).as(Seq("pos", "tok")))
-    (1 until n).foreach { j => th = th.withColumn(s"t$j", lead(col("tok"), j).over(w)) }
-    val longSide = (if (n > 1) th.where(col(s"t${n - 1}").isNotNull) else th)
+    // gram build on the codegen'd posexplode + get(tk, pos+j) path: the
+    // window-lead build this replaces paid a full exchange + per-doc sort
+    // of the exploded token stream just to read tk[pos+j] — values the
+    // retained array already holds. Generate keeps the array reference
+    // inside one whole-stage-codegen span (no per-token array copy, and
+    // the array is projected away before the tf reduce's exchange), so
+    // the gram stream now costs zero shuffles (guide §2.4/§4; A/B'd in
+    // OPTIMIZATION_r20.md).
+    val th = tok.where(size(col("tk")) >= n)
+      .select(col("tc_id"), col("blk"), col("tk"),
+        posexplode(col("tk")).as(Seq("pos", "tok")))
+    val longSide = (if (n > 1) th.where(col("pos") <= size(col("tk")) - n) else th)
       .select(col("tc_id"), col("blk"), md5Long(concat_ws(" ",
-        col("tok") +: (1 until n).map(j => col(s"t$j")): _*)).as("t"))
+        col("tok") +: (1 until n).map(j => get(col("tk"), col("pos") + j)): _*)).as("t"))
     val shortSide = tok.where(size(col("tk")) < n)
       .select(col("tc_id"), col("blk"), md5Long(concat_ws(" ", col("tk"))).as("t"))
-    tfidfPairsFromTerms(longSide.union(shortSide), minCosine)
+    tfidfPairsFromTerms(longSide.union(shortSide), minCosine,
+      nDocsHint = Some(tok.select(col("tc_id")).distinct().count()))
   }
 
   /** The shared TF–IDF scoring tail: consumes a (tc_id, blk, t) term
@@ -501,13 +510,22 @@ object TextAnalysis {
     * discards the window's tc_id partitioning, so the exchange is paid
     * once, at the narrow post-combine width. */
   private def tfidfPairsFromTerms(terms: org.apache.spark.sql.DataFrame,
-                                  minCosine: Double): org.apache.spark.sql.DataFrame = {
+                                  minCosine: Double,
+                                  nDocsHint: Option[Long] = None): org.apache.spark.sql.DataFrame = {
     require(minCosine > 0 && minCosine <= 1,
       s"minCosine must be in (0,1], got $minCosine")
     val tf = terms
       .groupBy("tc_id", "blk", "t").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nDocs = tf.select(col("tc_id")).distinct().count() // one scalar action
+    // `nDocsHint` lets a caller that KNOWS every input doc contributes a
+    // term (the tokens builder — even an empty doc yields its short-side
+    // whole-array term) count docs on the column-pruned DOC-grain scan
+    // instead of a distinct over the corpus-scale tf relation (guide §1;
+    // A/B'd in OPTIMIZATION_r20.md). The value is identical by
+    // construction; the generic terms-stream entry keeps the exact
+    // distinct (docs with empty term arrays must not count there).
+    val nDocs = nDocsHint.getOrElse(
+      tf.select(col("tc_id")).distinct().count()) // one scalar action
     val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val weighted = tf.join(dfreq, Seq("t"))
       .where(col("df") < nDocs) // idf=0 terms vanish from every vector
@@ -679,14 +697,19 @@ object TextAnalysis {
     require(n > 0, s"gram order must be positive, got $n")
     import org.apache.spark.sql.expressions.Window
     val tok = df.select(col(id).as("nv_id"), tokens(col(textCol)).as("tk"))
-    val w = Window.partitionBy("nv_id").orderBy("pos")
-    var th = tok.where(size(col("tk")) >= n)
-      .select(col("nv_id"), posexplode(col("tk")).as(Seq("pos", "tok")))
-    (1 until n).foreach { j => th = th.withColumn(s"t$j", lead(col("tok"), j).over(w)) }
-    val longSide = (if (n > 1) th.where(col(s"t${n - 1}").isNotNull) else th)
+    // codegen'd posexplode + get(tk, pos+j) build (see
+    // [[tfidfCosinePairsTokens]]): the window-lead shape paid an exchange +
+    // per-doc sort of the token stream; the per-doc dedup below now plans
+    // its own hash aggregate instead of riding the window's partitioning —
+    // its map-side partial dedup shrinks the gram stream BEFORE that
+    // exchange, which the window shape could not (A/B'd in
+    // OPTIMIZATION_r20.md).
+    val th = tok.where(size(col("tk")) >= n)
+      .select(col("nv_id"), col("tk"), posexplode(col("tk")).as(Seq("pos", "tok")))
+    val longSide = (if (n > 1) th.where(col("pos") <= size(col("tk")) - n) else th)
       .select(col("nv_id"), md5Long(concat_ws(" ",
-        col("tok") +: (1 until n).map(j => col(s"t$j")): _*)).as("g"))
-      .dropDuplicates("nv_id", "g") // exchange-free: window partitioning reused
+        col("tok") +: (1 until n).map(j => get(col("tk"), col("pos") + j)): _*)).as("g"))
+      .dropDuplicates("nv_id", "g")
     val shortSide = tok.where(size(col("tk")) < n)
       .select(col("nv_id"), md5Long(concat_ws(" ", col("tk"))).as("g"))
     // the per-gram reduce's exchange carries the FULL gram stream into
@@ -997,13 +1020,17 @@ object TextAnalysis {
     * the raw n-token string (collision-free, ~n tokens/site). */
   private def esGramSites(tok: org.apache.spark.sql.DataFrame,
                           n: Int, hash: Boolean = true): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("es_id").orderBy("pos")
-    var th = tok.where(size(col("tk")) >= n)
-      .select(col("es_id"), posexplode(col("tk")).as(Seq("pos", "tok")))
-    (1 until n).foreach { j => th = th.withColumn(s"t$j", lead(col("tok"), j).over(w)) }
-    val gram = concat_ws(" ", col("tok") +: (1 until n).map(j => col(s"t$j")): _*)
-    (if (n > 1) th.where(col(s"t${n - 1}").isNotNull) else th)
+    // codegen'd posexplode + get(tk, pos+j) build — the window-lead shape
+    // this replaces paid an exchange + per-doc sort of the token stream to
+    // read values the retained array already holds (see
+    // [[tfidfCosinePairsTokens]]; A/B'd in OPTIMIZATION_r20.md). The gram
+    // projection drops `tk` before any exchange, so only (es_id, pos, g)
+    // ever shuffles.
+    val th = tok.where(size(col("tk")) >= n)
+      .select(col("es_id"), col("tk"), posexplode(col("tk")).as(Seq("pos", "tok")))
+    val gram = concat_ws(" ",
+      col("tok") +: (1 until n).map(j => get(col("tk"), col("pos") + j)): _*)
+    (if (n > 1) th.where(col("pos") <= size(col("tk")) - n) else th)
       .select(col("es_id"), col("pos"),
         (if (hash) md5Long(gram) else gram).as("g"))
   }
@@ -1184,14 +1211,21 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val width = shuffleWidth.getOrElse(scanStreamWidth(leafScanBytes(df),
       df.sparkSession.sessionState.conf.numShufflePartitions))
-    val byDoc = Window.partitionBy("wf_id").orderBy("pos")
-    var th = Dedup.widenForJoin(
-      df.select(col(id).as("wf_id"), posexplode(col(tokensCol)).as(Seq("pos", "tok"))),
+    // gram build on the codegen'd posexplode + get(tk, pos+j) path (see
+    // [[tfidfCosinePairsTokens]]): drops the k−1 lead window functions the
+    // old shape computed over the sorted stream, and moves the widening
+    // exchange to DOC grain — each token array crosses once instead of one
+    // row per token, and the rolling-min window's own exchange/sort sees
+    // only slim (wf_id, pos, gh) rows (A/B'd in OPTIMIZATION_r20.md).
+    val th = Dedup.widenForJoin(
+      df.select(col(id).as("wf_id"), col(tokensCol).as("tk")),
       width, col("wf_id"))
-    (1 until k).foreach { j => th = th.withColumn(s"t$j", lead(col("tok"), j).over(byDoc)) }
-    val grams = th.where(col(s"t${k - 1}").isNotNull)
+      .select(col("wf_id"), col("tk"), posexplode(col("tk")).as(Seq("pos", "tok")))
+      .where(col("pos") <= size(col("tk")) - k)
+    val grams = th
       .select(col("wf_id"), col("pos"),
-        md5Long(concat_ws(" ", col("tok") +: (1 until k).map(j => col(s"t$j")): _*)).as("gh"))
+        md5Long(concat_ws(" ", col("tok") +: (1 until k).map(j =>
+          get(col("tk"), col("pos") + j)): _*)).as("gh"))
     val win = Window.partitionBy("wf_id").orderBy("pos").rowsBetween(-(w - 1), 0)
     grams.withColumn("wmin", min(col("gh")).over(win))
       .where(col("gh") === col("wmin"))

@@ -45,9 +45,12 @@ object Queries {
   val q02_enrich_transform: Q = (s, dir) => {
     // unsplittable-scan repartition (Tables.parallel): the decimal/cast
     // battery below otherwise evaluates on the scan's single task
-    // (measured 1.55 → 0.76 s at sf0.1, OPTIMIZATION_r19.md)
+    // (measured 1.55 → 0.76 s at sf0.1, OPTIMIZATION_r19.md). Orders is
+    // the BROADCAST build side — repartitioning a relation about to be
+    // collected to the driver buys nothing and pays an exchange
+    // (VERDICT r19 #3), so it keeps the plain loader.
     val li = Tables.lineitemPar(s, dir)
-    val o = Tables.ordersPar(s, dir)
+    val o = Tables.orders(s, dir)
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(12,2)")
     li.join(o, li("l_orderkey") === o("o_orderkey"), "left")
       .select(
