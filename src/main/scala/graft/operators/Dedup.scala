@@ -1066,16 +1066,22 @@ object Dedup {
     // partial collect_set dedups shingles BEFORE its exchange (A/B'd in
     // OPTIMIZATION_r20.md). Past-the-end positions hash as 0L, exactly
     // the old coalesce(lead(h0, j), 0L).
-    val th = df.select(col(id).as("hs_id") +: carry.map(col) :+
-        col(tokens).as("sh_tk") :+
+    // window-lead build KEPT here (round-20 A/B, ProfileSeamAB, 2
+    // sessions over q24/q25/q60/q62): the posexplode+get rewrite that won
+    // on the ExactSubstr/tfidf/bigram sites read a wash-to-loss on the
+    // shingle consumers — the set reduce below rides the window's hash
+    // exchange for free (one exchange total), where the rewrite paid its
+    // own aggregate exchange and re-hashed every token n times.
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("hs_id") +: carry.map(col): _*).orderBy("pos")
+    var th = df.select(col(id).as("hs_id") +: carry.map(col) :+
         posexplode(col(tokens)).as(Seq("pos", "tok")): _*)
-      .where(col("pos") <= size(col("sh_tk")) - n || col("pos") === 0)
-    def hj(j: Int): Column =
-      if (j == 0) xxhash64(col("tok"))
-      else when(col("pos") + j < size(col("sh_tk")),
-        xxhash64(get(col("sh_tk"), col("pos") + j))).otherwise(lit(0L))
-    th.select(col("hs_id") +: carry.map(col) :+
-        xxhash64((0 until n).map(hj): _*).as("sh"): _*)
+      .select(col("hs_id") +: carry.map(col) :+ col("pos") :+
+        xxhash64(col("tok")).as("h0"): _*)
+    (1 until n).foreach { j => th = th.withColumn(s"h$j", lead(col("h0"), j).over(w)) }
+    th.where(col(s"h${n - 1}").isNotNull || col("pos") === 0)
+      .select(col("hs_id") +: carry.map(col) :+
+        xxhash64((0 until n).map(j => coalesce(col(s"h$j"), lit(0L))): _*).as("sh"): _*)
       .groupBy(col("hs_id") +: carry.map(col): _*).agg(collect_set(col("sh")).as("hs"))
   }
 

@@ -704,12 +704,20 @@ object TextAnalysis {
     // its map-side partial dedup shrinks the gram stream BEFORE that
     // exchange, which the window shape could not (A/B'd in
     // OPTIMIZATION_r20.md).
-    val th = tok.where(size(col("tk")) >= n)
-      .select(col("nv_id"), col("tk"), posexplode(col("tk")).as(Seq("pos", "tok")))
-    val longSide = (if (n > 1) th.where(col("pos") <= size(col("tk")) - n) else th)
+    // window-lead build KEPT here (round-20 A/B, ProfileSeamAB, 2
+    // sessions): the posexplode+get rewrite that won everywhere else
+    // LOSES on this operator (q76 read old-minus-new −0.19/−0.29 s) —
+    // the per-doc dedup below rides the window's hash exchange for free,
+    // where the rewrite made it pay its own aggregate exchange over a
+    // gram stream its map-side partial barely shrinks.
+    val w = Window.partitionBy("nv_id").orderBy("pos")
+    var th = tok.where(size(col("tk")) >= n)
+      .select(col("nv_id"), posexplode(col("tk")).as(Seq("pos", "tok")))
+    (1 until n).foreach { j => th = th.withColumn(s"t$j", lead(col("tok"), j).over(w)) }
+    val longSide = (if (n > 1) th.where(col(s"t${n - 1}").isNotNull) else th)
       .select(col("nv_id"), md5Long(concat_ws(" ",
-        col("tok") +: (1 until n).map(j => get(col("tk"), col("pos") + j)): _*)).as("g"))
-      .dropDuplicates("nv_id", "g")
+        col("tok") +: (1 until n).map(j => col(s"t$j")): _*)).as("g"))
+      .dropDuplicates("nv_id", "g") // exchange-free: window partitioning reused
     val shortSide = tok.where(size(col("tk")) < n)
       .select(col("nv_id"), md5Long(concat_ws(" ", col("tk"))).as("g"))
     // the per-gram reduce's exchange carries the FULL gram stream into
@@ -1217,12 +1225,11 @@ object TextAnalysis {
     // exchange to DOC grain — each token array crosses once instead of one
     // row per token, and the rolling-min window's own exchange/sort sees
     // only slim (wf_id, pos, gh) rows (A/B'd in OPTIMIZATION_r20.md).
-    val th = Dedup.widenForJoin(
-      df.select(col(id).as("wf_id"), col(tokensCol).as("tk")),
-      width, col("wf_id"))
+    val grams = Dedup.widenForJoin(
+        df.select(col(id).as("wf_id"), col(tokensCol).as("tk")),
+        width, col("wf_id"))
       .select(col("wf_id"), col("tk"), posexplode(col("tk")).as(Seq("pos", "tok")))
       .where(col("pos") <= size(col("tk")) - k)
-    val grams = th
       .select(col("wf_id"), col("pos"),
         md5Long(concat_ws(" ", col("tok") +: (1 until k).map(j =>
           get(col("tk"), col("pos") + j)): _*)).as("gh"))
